@@ -1,38 +1,944 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2,
+implemented with :mod:`obsplus_spark`, over the driver's test tables
+(``TESTDATA.md``); ``oracle_sql()`` holds the DuckDB-equivalent SQL.
+
+Conventions shared by both sides (SURVEY.md §7 hard parts):
+- times compared as **int64 nanoseconds** (`unix_micros*1000` ↔ `epoch_ns`)
+- money sums pass through exact DECIMAL accumulation, then cast to double
+  (double summation is order-dependent; decimal is associative)
+- double→long conversions always go through an explicit ``floor``
+  (Spark casts truncate, DuckDB casts round — never rely on cast rounding)
+- distances/similarities rounded before comparison (libm ulp differences)
+
+The seismological semantics ↔ test-table mapping:
+- waveform-index intervals  → per-event intervals [ts, ts + value·60 s)
+- NSLC availability/gaps    → per-user coverage analytics on those intervals
+- event-window extraction   → purchase-window × click interval join
+- first-pick / as-of joins  → purchase ← last-click as-of join
+- FDSN get_events filters   → predicate pushdown queries on events/part
+- radius search (geo)       → derived lat/lon from integer keys
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared derivations (must mirror the SQL fragments below exactly)
+# ---------------------------------------------------------------------------
+
+NS = 1_000_000_000
+#: interval length multiplier: value (a small double) → duration ns (60 s units)
+VAL_TO_NS = 60 * NS
+#: gap tolerance for gaps/segments analytics: 10 minutes
+MIN_GAP_NS = 600 * NS
+#: half-width of the purchase event-extraction window: 10 minutes
+WIN_NS = 600 * NS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_ns(col: str = "ts") -> F.Column:
+    """events.ts (raw int64 ns via nanosAsLong) → µs-truncated ns.
+
+    The truncation matters: DuckDB's parquet reader narrows TIMESTAMP(NANOS)
+    to µs TIMESTAMP, so the oracle sees ``(ns // 1000) * 1000``; we match.
+    """
+    c = F.col(col).cast("long")
+    return c - (c % F.lit(1000))
+
+
+def _event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → interval table (user_id, event_type, starttime, endtime) ns."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        _ts_ns().alias("starttime"),
+        (_ts_ns() + F.floor(F.col("value") * F.lit(float(VAL_TO_NS))).cast("long")).alias(
+            "endtime"
+        ),
+    )
+
+
+_IV_SQL = f"""
+    SELECT user_id, event_type, event_id,
+           epoch_ns(ts) AS starttime,
+           epoch_ns(ts) + CAST(floor(value * {float(VAL_TO_NS)}) AS BIGINT) AS endtime
+    FROM events
+"""
+
+# customer/supplier synthetic coordinates (pure integer arithmetic → exact)
+def _cust_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0).alias("latitude"),
+        ((F.col("c_custkey") * 91 % 36000) / 100.0 - 180.0).alias("longitude"),
+    )
+
+
+_CUST_GEO_SQL = """
+    SELECT c_custkey,
+           (c_custkey * 37 % 18000) / 100.0 - 90.0 AS latitude,
+           (c_custkey * 91 % 36000) / 100.0 - 180.0 AS longitude
+    FROM customer
+"""
+
+_SUPP_GEO_SQL = """
+    SELECT s_suppkey,
+           (s_suppkey * 53 % 18000) / 100.0 - 90.0 AS latitude,
+           (s_suppkey * 17 % 36000) / 100.0 - 180.0 AS longitude
+    FROM supplier
+"""
+
+
+def _supp_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53 % 18000) / 100.0 - 90.0).alias("latitude"),
+        ((F.col("s_suppkey") * 17 % 36000) / 100.0 - 180.0).alias("longitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 predicates / pushdown
+# ---------------------------------------------------------------------------
+
+
+def q_fdsn_event_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDSN get_events-style kwarg query: time range + value range + type
+    IN-list (EventBank.read_index / _make_wheres semantics)."""
+    from obsplus_spark.plans.predicates import compile_filters
+
+    ev = _t(spark, sf_dir, "events")
+    t1 = 1704844800 * NS  # 2024-01-10 00:00:00 UTC
+    t2 = 1705708800 * NS  # 2024-01-20 00:00:00 UTC
+    pred = compile_filters(event_type=["click", "purchase"])
+    return (
+        ev.filter((_ts_ns() > t1) & (_ts_ns() < t2) & pred)
+        .filter(F.col("value") > 5.0)
+        .select("event_id", _ts_ns().alias("time_ns"), "user_id", "event_type", "value")
+    )
+
+
+_SQL_FDSN = """
+    SELECT event_id, epoch_ns(ts) AS time_ns, user_id, event_type, value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      AND event_type IN ('click', 'purchase')
+      AND value > 5.0
+"""
+
+
+def q_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob predicate pushdown (filter_df str→glob semantics) on part."""
+    from obsplus_spark.functions.strings import glob_match
+
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        glob_match("p_type", "S*")
+        & glob_match("p_name", "*a*e*")
+        & (F.col("p_size") > 10)
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+_SQL_GLOB = """
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_type LIKE 'S%' AND p_name LIKE '%a%e%' AND p_size > 10
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (events/json.py surface): props.k stats."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_SQL_JSON = """
+    SELECT event_type,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           count(CAST(props->>'$.k' AS BIGINT)) AS n_k,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WaveBank.get_availability_df: per-key min(start)/max(end)."""
+    from obsplus_spark.operators.availability import availability
+
+    iv = _event_intervals(spark, sf_dir)
+    return availability(iv, keys=["user_id", "event_type"]).withColumnRenamed(
+        "starttime", "avail_start"
+    ).withColumnRenamed("endtime", "avail_end")
+
+
+_SQL_AVAIL = f"""
+    WITH iv AS ({_IV_SQL})
+    SELECT user_id, event_type,
+           min(starttime) AS avail_start, max(endtime) AS avail_end
+    FROM iv GROUP BY user_id, event_type
+"""
+
+
+def q_origin_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-quality conditional counts (events/pd.py:73-163) mapped to
+    per-order lineitem stats: conditional counts + distinct set size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+_SQL_OQ = """
+    SELECT l_orderkey,
+           count(*) AS n_lines,
+           count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the grouped-aggregate headline query. Money sums
+    run through exact DECIMAL accumulation (order-independent), then double."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.filter(F.col("l_shipdate") < F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4)
+               AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dimensions (lineitem⋈orders⋈customer⋈nation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_REV = """
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_event_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: per-event extraction windows × data intervals
+    (Fetcher.yield_event_waveforms → one interval join, SURVEY §3.3).
+    Purchases define [ts−10m, ts+10m) windows; clicks of the same user
+    inside the window aggregate per purchase."""
+    from obsplus_spark.operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (_ts_ns() - WIN_NS).alias("starttime"),
+        (_ts_ns() + WIN_NS).alias("endtime"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        _ts_ns().alias("starttime"),
+        (_ts_ns() + 1).alias("endtime"),
+        _ts_ns().alias("click_ns"),
+    )
+    joined = interval_overlap_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        how="left_outer",
+        broadcast_left=False,
+    )
+    return joined.groupBy(F.col("l.purchase_id").alias("purchase_id")).agg(
+        F.count(F.col("r.click_ns")).alias("n_clicks"),
+        F.min(F.col("r.click_ns")).alias("first_click_ns"),
+        F.max(F.col("r.click_ns")).alias("last_click_ns"),
+    )
+
+
+_SQL_EVWIN = f"""
+    SELECT p.event_id AS purchase_id,
+           count(c.ts) AS n_clicks,
+           min(epoch_ns(c.ts)) AS first_click_ns,
+           max(epoch_ns(c.ts)) AS last_click_ns
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND epoch_ns(c.ts) >= epoch_ns(p.ts) - {WIN_NS}
+     AND epoch_ns(c.ts) <  epoch_ns(p.ts) + {WIN_NS}
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (first-pick reference times, fetcher.py:598-628): for each
+    purchase, the most recent click of the same user at-or-before it."""
+    from obsplus_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", _ts_ns().alias("t_ns")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", _ts_ns().alias("t_ns")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="t_ns",
+        right_ts="t_ns",
+        right_values=["click_id"],
+    )
+    return out.select(
+        "purchase_id",
+        F.col("t_ns").alias("purchase_ns"),
+        F.col("click_id_right").alias("click_id"),
+        F.col("t_ns_matched").alias("click_ns"),
+    )
+
+
+_SQL_ASOF = """
+    SELECT p.event_id AS purchase_id,
+           epoch_ns(p.ts) AS purchase_ns,
+           c.event_id AS click_id,
+           epoch_ns(c.ts) AS click_ns
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-pick-per-group (utils/events.py:296-317 idxmin) via window rank."""
+    from obsplus_spark.operators.joins import topk_per_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ts_ns().alias("t_ns"), "event_type"
+    )
+    return topk_per_group(ev, ["user_id"], [F.col("t_ns").asc()], k=1)
+
+
+_SQL_FIRST = """
+    SELECT user_id, event_id, epoch_ns(ts) AS t_ns, event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) rn
+          FROM events)
+    WHERE rn = 1
+"""
+
+
+def q_topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group with deterministic tiebreak (nearest-event k-NN
+    pattern, merge.py:253)."""
+    from obsplus_spark.operators.joins import topk_per_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _ts_ns().alias("t_ns")
+    )
+    return topk_per_group(
+        ev,
+        ["user_id"],
+        [F.col("value").desc(), F.col("t_ns").asc(), F.col("event_id").asc()],
+        k=3,
+        keep_rank=True,
+    )
+
+
+_SQL_TOPK = """
+    SELECT user_id, event_id, value, t_ns, rn
+    FROM (SELECT user_id, event_id, value, epoch_ns(ts) AS t_ns,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, epoch_ns(ts), event_id) AS rn
+          FROM events)
+    WHERE rn <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# §2.5 gaps-and-islands window analytics
+# ---------------------------------------------------------------------------
+
+_SEG_FLAG_SQL = f"""
+    WITH iv AS ({_IV_SQL}),
+    flagged AS (
+      SELECT user_id, starttime, endtime,
+             max(endtime) OVER (PARTITION BY user_id ORDER BY starttime, endtime
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end,
+             lead(starttime) OVER (PARTITION BY user_id
+                                   ORDER BY starttime, endtime) AS next_start,
+             CASE WHEN max(endtime) OVER (PARTITION BY user_id ORDER BY starttime, endtime
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {MIN_GAP_NS}
+                       < starttime
+                  OR max(endtime) OVER (PARTITION BY user_id ORDER BY starttime, endtime
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM iv
+    )
+"""
+
+
+def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_gaps_df (wavebank.py:427-485): running-max gap detection over
+    possibly-overlapping intervals."""
+    from obsplus_spark.operators.gaps import gaps_df
+
+    iv = _event_intervals(spark, sf_dir)
+    return gaps_df(
+        iv,
+        keys=["user_id"],
+        min_gap=MIN_GAP_NS,
+        sampling_period_col=None,
+    )
+
+
+_SQL_GAPS = f"""
+    {_SEG_FLAG_SQL}
+    SELECT user_id, cum_end AS gap_start, next_start AS gap_end,
+           next_start - cum_end AS gap_duration
+    FROM flagged
+    WHERE next_start IS NOT NULL AND cum_end + {MIN_GAP_NS} < next_start
+"""
+
+
+def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_segments_df (wavebank.py:523-577): contiguous coverage islands."""
+    from obsplus_spark.operators.gaps import segments_df
+
+    iv = _event_intervals(spark, sf_dir)
+    return segments_df(
+        iv, keys=["user_id"], min_gap=MIN_GAP_NS, sampling_period_col=None
+    )
+
+
+_SQL_SEGMENTS = f"""
+    {_SEG_FLAG_SQL},
+    sess AS (
+      SELECT user_id, starttime, endtime,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY starttime, endtime
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(starttime) AS seg_start, max(endtime) AS seg_end,
+           count(*) AS n_rows
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_uptime_df (wavebank.py:487-521): availability ⟗ gap totals."""
+    from obsplus_spark.operators.availability import uptime
+
+    iv = _event_intervals(spark, sf_dir)
+    return uptime(
+        iv, keys=["user_id"], min_gap=MIN_GAP_NS, sampling_period_col=None
+    ).select(
+        "user_id",
+        F.col("starttime").alias("avail_start"),
+        F.col("endtime").alias("avail_end"),
+        "duration",
+        "gap_duration",
+        "availability",
+    )
+
+
+_SQL_UPTIME = f"""
+    {_SEG_FLAG_SQL},
+    avail AS (
+      SELECT user_id, min(starttime) AS avail_start, max(endtime) AS avail_end,
+             max(endtime) - min(starttime) AS duration
+      FROM iv GROUP BY user_id
+    ),
+    gap_tot AS (
+      SELECT user_id, sum(next_start - cum_end) AS gap_duration
+      FROM flagged
+      WHERE next_start IS NOT NULL AND cum_end + {MIN_GAP_NS} < next_start
+      GROUP BY user_id
+    )
+    SELECT a.user_id, avail_start, avail_end, duration,
+           coalesce(g.gap_duration, 0) AS gap_duration,
+           (duration - coalesce(g.gap_duration, 0)) / CAST(duration AS DOUBLE)
+             AS availability
+    FROM avail a LEFT JOIN gap_tot g ON a.user_id = g.user_id
+"""
+
+# ---------------------------------------------------------------------------
+# geo (§2.2 circular search, §2.3 spatial join)
+# ---------------------------------------------------------------------------
+
+_GEO_POINT = (-80.0, 10.0)  # the derived position of c_custkey=1000
+_GEO_MAXR_DEG = 20.0
+_HAVERSINE_SQL = None  # filled below
+
+
+def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase circular search (get_events.py:50-126): bbox prefilter
+    (pushdown-able) then exact haversine band."""
+    from obsplus_spark.operators.geo_search import radius_search
+
+    geo = _cust_geo(spark, sf_dir)
+    out = radius_search(
+        geo,
+        latitude=_GEO_POINT[0],
+        longitude=_GEO_POINT[1],
+        minradius=2.0,
+        maxradius=_GEO_MAXR_DEG,
+        radius_unit="deg",
+    )
+    return out.select(
+        "c_custkey", F.round(F.col("distance_m"), 3).alias("distance_m")
+    )
+
+
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpatialCalculator cross join (geodetics.py:206-220) + top-k: 3
+    nearest customers per supplier."""
+    from obsplus_spark.operators.geo_search import spatial_join
+    from obsplus_spark.operators.joins import topk_per_group
+
+    sj = spatial_join(_supp_geo(spark, sf_dir), _cust_geo(spark, sf_dir))
+    ranked = topk_per_group(
+        sj.select("s_suppkey", "c_custkey", "distance_m"),
+        ["s_suppkey"],
+        [F.col("distance_m").asc(), F.col("c_custkey").asc()],
+        k=3,
+        keep_rank=True,
+    )
+    return ranked.select(
+        "s_suppkey",
+        "c_custkey",
+        F.round(F.col("distance_m"), 3).alias("distance_m"),
+        F.col("rn").alias("rank"),
+    )
+
+
+def q_dateline_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dateline-crossing longitude box (utils/bank.py:349-363 OR rewrite)."""
+    from obsplus_spark.plans.predicates import dateline_longitude_predicate
+
+    geo = _cust_geo(spark, sf_dir)
+    return geo.filter(
+        dateline_longitude_predicate(170.0, -170.0) & (F.col("latitude") > 0)
+    ).select("c_custkey", "latitude", "longitude")
+
+
+# ---------------------------------------------------------------------------
+# north-star: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from obsplus_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+_SQL_DEDUP = r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from obsplus_spark.operators.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+_SQL_TEXT_STATS = r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct_tokens,
+           len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(w)
+             AS avg_token_len,
+           len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it')))
+             / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / CAST(length(text) AS DOUBLE) AS alpha_ratio
+    FROM toks
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from obsplus_spark.operators.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(docs)
+
+
+_SQL_FP = r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(t) AS fp_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split(t, ' '))), ' '))
+             AS fp_sorted
+    FROM norm
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding + exact Jaccard verification (full pipeline)."""
+    from obsplus_spark.operators.dedup import near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    out = near_duplicates(
+        docs, n_hashes=16, bands=4, shingle_size=3, threshold=0.2
+    )
+    return out.select(
+        "id1", "id2", "n_inter", "n1", "n2", F.round("jaccard", 8).alias("jaccard")
+    )
+
+
+def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    rows_per_band = n_hashes // bands
+    mh_cols = ",\n           ".join(
+        f"min(md5(concat('{j}:', shingle))) AS mh_{j}" for j in range(n_hashes)
+    )
+    band_rows = ",\n      ".join(
+        "({b}, md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+           {mh_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, b.band_hash
+      FROM sig, (VALUES
+      {band_rows}
+      ) AS b(band, band_hash)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id1, p.id2, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh s1 ON s1.doc_id = p.id1
+      JOIN sh s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+      GROUP BY p.id1, p.id2
+    )
+    SELECT p.id1, p.id2,
+           coalesce(i.n_inter, 0) AS n_inter,
+           z1.n AS n1, z2.n AS n2,
+           round(coalesce(i.n_inter, 0)
+                 / CAST(z1.n + z2.n - coalesce(i.n_inter, 0) AS DOUBLE), 8) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+    JOIN sizes z1 ON z1.doc_id = p.id1
+    JOIN sizes z2 ON z2.doc_id = p.id2
+    WHERE coalesce(i.n_inter, 0)
+          / CAST(z1.n + z2.n - coalesce(i.n_inter, 0) AS DOUBLE) >= 0.2
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (ANN baseline)."""
+    from obsplus_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank"),
+        F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+    )
+
+
+_SQL_KNN = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    s AS (
+      SELECT query_id, vec_id,
+             list_dot_product(ev, qv)
+               / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+               AS sim
+      FROM v CROSS JOIN q
+    ),
+    r AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT query_id, vec_id, rank, round(sim, 6) AS cosine_sim
+    FROM r WHERE rank <= 10
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (relational scoring + argmax)."""
+    from obsplus_spark.operators.text import language_id_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id_heuristic(docs)
+
+
+_SQL_LANG = r"""
+    WITH markers(lang_cand, tok) AS (VALUES
+      ('en','the'), ('en','and'), ('en','of'), ('en','is'),
+      ('es','el'), ('es','la'), ('es','de'), ('es','que'),
+      ('fr','le'), ('fr','la'), ('fr','et'), ('fr','que'),
+      ('de','der'), ('de','die'), ('de','und'), ('de','ist'),
+      ('zh','de'), ('zh','shi'), ('zh','le'), ('zh','bu')
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang_cand, count(*) AS hits
+      FROM toks JOIN markers USING (tok)
+      GROUP BY doc_id, lang_cand
+    ),
+    best AS (
+      SELECT doc_id, lang_cand AS predicted_lang, hits AS marker_hits
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY hits DESC, lang_cand) AS rn
+            FROM scores)
+      WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce(b.predicted_lang, 'unknown') AS predicted_lang,
+           coalesce(b.marker_hits, 0) AS marker_hits
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# dateline oracle needs the haversine fragment from the geo module
+# ---------------------------------------------------------------------------
+
+
+def _geo_oracles() -> dict[str, str]:
+    from obsplus_spark.functions.geo import M_PER_DEG, bounding_box, haversine_sql
+
+    box = bounding_box(_GEO_POINT[0], _GEO_POINT[1], _GEO_MAXR_DEG, 1.2)
+    hav_c = haversine_sql(str(_GEO_POINT[0]), str(_GEO_POINT[1]), "latitude", "longitude")
+    radius = f"""
+        WITH geo AS ({_CUST_GEO_SQL}),
+        boxed AS (
+          SELECT * FROM geo
+          WHERE latitude > {box['minlatitude']} AND latitude < {box['maxlatitude']}
+            AND longitude > {box['minlongitude']} AND longitude < {box['maxlongitude']}
+        ),
+        dist AS (SELECT c_custkey, {hav_c} AS distance_m FROM boxed)
+        SELECT c_custkey, round(distance_m, 3) AS distance_m
+        FROM dist
+        WHERE distance_m > {2.0 * M_PER_DEG} AND distance_m < {_GEO_MAXR_DEG * M_PER_DEG}
+    """
+    hav_sc = haversine_sql("s.latitude", "s.longitude", "c.latitude", "c.longitude")
+    knn = f"""
+        WITH s AS ({_SUPP_GEO_SQL}), c AS ({_CUST_GEO_SQL}),
+        d AS (
+          SELECT s.s_suppkey, c.c_custkey, {hav_sc} AS distance_m
+          FROM s CROSS JOIN c
+        ),
+        r AS (
+          SELECT s_suppkey, c_custkey, distance_m,
+                 row_number() OVER (PARTITION BY s_suppkey
+                                    ORDER BY distance_m, c_custkey) AS rank
+          FROM d
+        )
+        SELECT s_suppkey, c_custkey, round(distance_m, 3) AS distance_m, rank
+        FROM r WHERE rank <= 3
+    """
+    dateline = f"""
+        WITH geo AS ({_CUST_GEO_SQL})
+        SELECT c_custkey, latitude, longitude
+        FROM geo
+        WHERE (CASE WHEN (longitude % 360.0 + 360.0) % 360.0 > 180.0
+                    THEN (longitude % 360.0 + 360.0) % 360.0 - 360.0
+                    ELSE (longitude % 360.0 + 360.0) % 360.0 END > 170.0
+            OR CASE WHEN (longitude % 360.0 + 360.0) % 360.0 > 180.0
+                    THEN (longitude % 360.0 + 360.0) % 360.0 - 360.0
+                    ELSE (longitude % 360.0 + 360.0) % 360.0 END < -170.0)
+          AND latitude > 0
+    """
+    return {
+        "radius_search": radius,
+        "spatial_knn": knn,
+        "dateline_box": dateline,
+    }
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_event_window_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "fdsn_event_query": q_fdsn_event_query,
+        "glob_filter": q_glob_filter,
+        "json_props": q_json_props,
+        "availability": q_availability,
+        "origin_quality": q_origin_quality,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "event_window_join": q_event_window_join,
+        "asof_join": q_asof_join,
+        "first_event_per_user": q_first_event_per_user,
+        "topk_by_value": q_topk_by_value,
+        "gaps": q_gaps,
+        "segments": q_segments,
+        "uptime": q_uptime,
+        "radius_search": q_radius_search,
+        "spatial_knn": q_spatial_knn,
+        "dateline_box": q_dateline_box,
+        "exact_dedup": q_exact_dedup,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_near_dup": q_minhash_near_dup,
+        "knn_cosine": q_knn_cosine,
+        "lang_id": q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "fdsn_event_query": _SQL_FDSN,
+        "glob_filter": _SQL_GLOB,
+        "json_props": _SQL_JSON,
+        "availability": _SQL_AVAIL,
+        "origin_quality": _SQL_OQ,
+        "pricing_summary": _SQL_Q1,
+        "revenue_by_nation": _SQL_REV,
+        "event_window_join": _SQL_EVWIN,
+        "asof_join": _SQL_ASOF,
+        "first_event_per_user": _SQL_FIRST,
+        "topk_by_value": _SQL_TOPK,
+        "gaps": _SQL_GAPS,
+        "segments": _SQL_SEGMENTS,
+        "uptime": _SQL_UPTIME,
+        "exact_dedup": _SQL_DEDUP,
+        "text_stats": _SQL_TEXT_STATS,
+        "doc_fingerprint": _SQL_FP,
+        "minhash_near_dup": _minhash_sql(),
+        "knn_cosine": _SQL_KNN,
+        "lang_id": _SQL_LANG,
+    }
+    out.update(_geo_oracles())
+    return out

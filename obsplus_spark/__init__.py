@@ -1,0 +1,24 @@
+"""obsplus_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of niosh-mining/obsplus.
+
+The reference (``/root/reference``) is an eager pandas library; this package
+re-expresses its operator inventory (SURVEY.md §2) as declarative Spark
+DataFrame programs so Catalyst/Tungsten pick the physical strategy and the
+same code scales from local[32] to a 1000-executor cluster.
+
+Layout
+------
+- ``schemas``      fixed StructType catalog (mirror of reference constants.py)
+- ``functions``    scalar helpers: glob→regex, ns-time, geodesy, strings
+- ``plans``        the kwargs→Column predicate compiler (FDSN-style queries)
+- ``operators``    relational programs: availability, gaps-and-islands,
+                   interval/as-of joins, geo search, dedup, similarity, text
+- ``sources``      bank facades over partitioned parquet (file-backed tables)
+- ``streaming``    structured-streaming equivalents (incremental index, windows)
+"""
+
+from obsplus_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "__version__"]

@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond the reference surface (BASELINE.json north_star): exact dedup,
+MinHash+LSH near-dup, and n-gram Jaccard verification, all as declarative
+DataFrame programs.
+
+Hashing convention: every hash in this module is derived from ``md5`` hex
+strings (``F.md5`` ↔ DuckDB ``md5``), so results are engine-portable and
+oracle-checkable; MinHash minima compare the hex strings lexicographically
+(lowercase hex both sides) — no engine-specific integer hash anywhere.
+
+Scale notes: signatures are one explode + one groupBy per corpus (shuffle on
+doc_id); LSH banding turns the quadratic all-pairs problem into an equi-join
+on (band_index, band_hash) — the standard shuffle-friendly formulation; only
+bucket-collision pairs pay the Jaccard verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> F.Column:
+    """Canonical text form: lowercase, collapsed whitespace, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Output: one row per distinct content — ``fingerprint``, canonical id
+    (min id), duplicate count. A single groupBy on the hash: map-side
+    partial agg, one shuffle, no join.
+    """
+    return (
+        df.select(
+            F.md5(normalize_text(text_col)).alias(fingerprint_col),
+            F.col(id_col),
+        )
+        .groupBy(fingerprint_col)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded long table)."""
+    tokens = F.split(normalize_text(text_col), " ")
+    # slice is 1-indexed; sequence(1, size-n+1) enumerates shingle starts
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: ``sig_j = min_shingle md5(j ':' s)``.
+
+    One wide aggregate over the exploded shingle table — n_hashes ``min``
+    aggregations, all map-side combinable.
+    """
+    sh = shingles(df, id_col, text_col, shingle_size)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Band hash = md5 of the concatenated band rows; pairs come from the
+    self-equi-join on (band_index, band_hash) with ``id1 < id2`` — each
+    unordered pair once, shuffle keyed on the band hash (uniform unless
+    the corpus is pathologically duplicated; salting hook would go here).
+    """
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh_{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
+    ).select(id_col, "bh.band", "bh.band_hash")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    intersection via equi-join of the two shingle sets, sizes via the
+    per-doc shingle counts; ``J = |∩| / (|A| + |B| − |∩|)``.
+    """
+    sh = shingles(df, id_col, text_col, shingle_size)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle"))
+    inter = (
+        pairs.join(s1, "id1")
+        .join(s2, ["id2", "shingle"], "inner")
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_shingles").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_shingles").alias("n2"))
+    return (
+        pairs.join(inter, ["id1", "id2"], "left")
+        .join(n1, "id1")
+        .join(n2, "id2")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .select("id1", "id2", "n_inter", "n1", "n2", "jaccard")
+    )
+
+
+def near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signature → banding →
+    candidate pairs → exact Jaccard → threshold."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
+    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    scored = ngram_jaccard(df, pairs, id_col, text_col, shingle_size)
+    return scored.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,231 @@
+"""Join operators Spark lacks natively: interval-overlap, as-of, bulk-request.
+
+These re-express the reference's join inventory (SURVEY.md §2.3) with plans
+that survive 100×: the naive non-equi interval join is O(n·m); we bucket the
+time axis into equi-join keys (the distributed analogue of the reference's
+directory/partition pruning) and keep the overlap test as a cheap residual.
+The as-of join is the union + last-value-over-window one-pass program — one
+shuffle, no join node at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | None = None,
+    left_start: str = "starttime",
+    left_end: str = "endtime",
+    right_start: str = "starttime",
+    right_end: str = "endtime",
+    bucket: int | None = None,
+    how: str = "inner",
+    broadcast_left: bool = False,
+) -> DataFrame:
+    """Join rows whose [start, end] intervals overlap (strict: s < e', e > s').
+
+    The engine's version of the reference's bulk/window joins
+    (``utils/waveforms.py:567-608``, ``fetcher.py:330-408``): the flagship
+    "event-window extraction" is this join with ``left`` = per-event windows.
+
+    Scale strategy (SURVEY.md §7): with ``bucket`` set (ns), both sides
+    explode into time-bucket ids and join on ``on + [bucket]`` — an
+    equi-join Catalyst can hash-partition — with the exact overlap as a
+    residual filter. Each overlapping pair is emitted exactly once: only in
+    the bucket ``max(floor(l.start), floor(r.start))`` (no dedup pass).
+    Without ``bucket``, emits the plain conditional join (fine when one
+    side broadcasts; pass ``broadcast_left`` for small window tables).
+    """
+    on = on or []
+    overlap = (F.col(f"l.{left_start}") < F.col(f"r.{right_end}")) & (
+        F.col(f"l.{left_end}") > F.col(f"r.{right_start}")
+    )
+    eq = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on]
+
+    if bucket is None:
+        l = F.broadcast(left.alias("l")) if broadcast_left else left.alias("l")
+        cond = overlap
+        for e in eq:
+            cond = cond & e
+        return l.join(right.alias("r"), cond, how)
+
+    b = F.lit(int(bucket))
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / b), F.floor((F.col(end) - 1) / b)
+                )
+            ),
+        )
+
+    lb = bucketed(left, left_start, left_end).alias("l")
+    rb = bucketed(right, right_start, right_end).alias("r")
+    # count each pair once: only in the later of the two starting buckets
+    canonical = F.col("l._bkt") == F.greatest(
+        F.floor(F.col(f"l.{left_start}") / b),
+        F.floor(F.col(f"r.{right_start}") / b),
+    )
+    cond = (F.col("l._bkt") == F.col("r._bkt")) & overlap & canonical
+    for e in eq:
+        cond = cond & e
+    return lb.join(rb, cond, how).drop("_bkt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: list[str] | None = None,
+    tolerance: int | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, the most recent right row at-or-before its time.
+
+    The reference's nearest/as-of joins (first-pick reference times
+    ``fetcher.py:598-628``, nearest-event association ``merge.py:211-266``)
+    as a **single-shuffle union + window** program: tag both sides, union,
+    sort each key partition by (time, side), carry the last non-null right
+    payload forward (``last(..., ignorenulls=True)``), keep left rows. No
+    join node → no O(n·m) blowup, no broadcast limit; skew is bounded by
+    the per-key row count.
+
+    ``right_values`` are emitted as ``<col>_right``; ``tolerance`` (same
+    units as ts) nulls matches older than ``left_ts − tolerance``;
+    ``strict`` excludes equal timestamps (< instead of <=).
+    """
+    right_values = right_values or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    lcols = left.columns
+    side = F.lit(1) if not strict else F.lit(-1)  # ties: right first unless strict
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}_right") for c in right_values],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+    ).withColumn("_rt", F.col("_t"))
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        side.alias("_side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}_right")
+            for c in right_values
+        ],
+        *[F.col(c) for c in lcols if c not in on],
+    ).withColumn("_rt", F.lit(None).cast(right.schema[right_ts].dataType))
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumns(
+        {
+            **{
+                f"{c}_right": F.last(f"{c}_right", ignorenulls=True).over(w)
+                for c in right_values
+            },
+            "_matched_t": F.last("_rt", ignorenulls=True).over(w),
+        }
+    )
+    out = carried.filter(F.col("_side") != 0)
+    if tolerance is not None:
+        too_old = F.col("_matched_t") < F.col("_t") - F.lit(int(tolerance))
+        out = out.withColumns(
+            {
+                f"{c}_right": F.when(too_old, F.lit(None)).otherwise(
+                    F.col(f"{c}_right")
+                )
+                for c in right_values
+            }
+        ).withColumn(
+            "_matched_t", F.when(too_old, F.lit(None)).otherwise(F.col("_matched_t"))
+        )
+    return out.select(
+        *on,
+        F.col("_t").alias(left_ts),
+        *[c for c in lcols if c not in set(on) | {left_ts}],
+        *[f"{c}_right" for c in right_values],
+        F.col("_matched_t").alias(f"{right_ts}_matched"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column | str],
+    k: int = 1,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via row_number (first-pick ``utils/events.py:
+    296-317``, nearest-event k=1 ``merge.py:253``)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+    return out if keep_rank else out.drop(rank_col)
+
+
+def bulk_request_join(
+    index: DataFrame,
+    requests: DataFrame,
+    nslc: tuple[str, ...] = ("network", "station", "location", "channel"),
+    start_col: str = "starttime",
+    end_col: str = "endtime",
+) -> DataFrame:
+    """Request table (NSLC patterns + window) × index: overlap + seed match.
+
+    Mirror of ``utils/waveforms.py:567-608 _filter_index_to_bulk`` with the
+    reference's exact/glob split kept as a physical-plan split: rows whose
+    four codes contain no wildcard join on **equality** (hashable, fast
+    path); wildcard rows join via ``rlike`` on a broadcast of the (small)
+    request side. Results union.
+    """
+    from obsplus_spark.functions.strings import glob_to_regex
+
+    has_wild = F.lit(False)
+    for c in nslc:
+        has_wild = has_wild | F.col(c).rlike(r"[*?\[]")
+    exact_req = requests.filter(~has_wild)
+    glob_req = requests.filter(has_wild)
+
+    overlap = (F.col(f"i.{start_col}") < F.col(f"r.{end_col}")) & (
+        F.col(f"i.{end_col}") > F.col(f"r.{start_col}")
+    )
+
+    i = index.alias("i")
+    cond = overlap
+    for c in nslc:
+        cond = cond & (F.col(f"i.{c}") == F.col(f"r.{c}"))
+    out = i.join(F.broadcast(exact_req.alias("r")), cond, "inner").select("i.*")
+
+    if glob_req.take(1):
+        glob_regex = glob_req.select(
+            *[
+                F.udf(glob_to_regex)(F.col(c)).alias(c)
+                for c in nslc
+            ],
+            start_col,
+            end_col,
+        )
+        gcond = overlap
+        for c in nslc:
+            gcond = gcond & F.col(f"i.{c}").rlike(F.col(f"r.{c}"))
+        gout = i.join(F.broadcast(glob_regex.alias("r")), gcond, "inner").select(
+            "i.*"
+        )
+        out = out.unionByName(gout)
+    return out.dropDuplicates()

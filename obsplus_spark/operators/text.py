@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines (north-star surface).
+
+All metrics are built-in string/array expressions — codegen'd, no UDFs —
+and every formula has a 1:1 ANSI-SQL equivalent for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny default stopword list (shared with oracles; order irrelevant)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
+
+
+def text_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-document quality metrics: lengths, token stats, ratios.
+
+    Columns: n_chars_calc, n_tokens, n_distinct_tokens, distinct_ratio,
+    avg_token_len, stopword_ratio, alpha_ratio.
+    """
+    sw = stopwords or STOPWORDS
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)) / n_tok.cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (
+            (F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))).cast("double")
+            / n_tok
+        ).alias("avg_token_len"),
+        (n_stop / n_tok.cast("double")).alias("stopword_ratio"),
+        (n_alpha / F.length(text_col).cast("double")).alias("alpha_ratio"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic content fingerprints.
+
+    - ``fp_md5``: md5 of normalized text (exact-dup key)
+    - ``fp_sorted``: md5 of the sorted distinct token list (bag-of-words
+      fingerprint — order-insensitive, catches shuffled duplicates)
+    """
+    from obsplus_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(text_col)
+    sorted_toks = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.md5(sorted_toks).alias("fp_sorted"),
+    )
+
+
+def language_id_heuristic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Marker-token language scoring (n-gram heuristic, deterministic).
+
+    Scores each language by its marker-token hit count over the token set;
+    predicts the argmax (ties → lexicographically first language). Purely
+    relational: explode tokens → join a tiny broadcast marker table →
+    conditional counts → max_by.
+    """
+    profiles = profiles or {
+        "en": ["the", "and", "of", "is"],
+        "es": ["el", "la", "de", "que"],
+        "fr": ["le", "la", "et", "que"],
+        "de": ["der", "die", "und", "ist"],
+        "zh": ["de", "shi", "le", "bu"],
+    }
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in profiles.items() for m in ms],
+        ["lang_cand", "tok"],
+    )
+    scores = (
+        toks.join(F.broadcast(markers), "tok")
+        .groupBy(id_col, "lang_cand")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("hits").desc(), F.col("lang_cand").asc()
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("lang_cand").alias("predicted_lang"),
+            F.col("hits").alias("marker_hits"),
+        )
+    )
+    return df.select(id_col).join(best, id_col, "left").fillna(
+        {"predicted_lang": "unknown", "marker_hits": 0}
+    )
