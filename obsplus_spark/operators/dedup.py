@@ -39,8 +39,11 @@ def exact_dedup(
     (min id), duplicate count. A single groupBy on the hash: map-side
     partial agg, one shuffle, no join.
     """
+    from obsplus_spark.util import ensure_parallelism
+
     return (
-        df.select(
+        ensure_parallelism(df)
+        .select(
             F.md5(normalize_text(text_col)).alias(fingerprint_col),
             F.col(id_col),
         )
@@ -59,6 +62,8 @@ def shingles(
     n: int = 3,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document (exploded long table)."""
+    from obsplus_spark.util import ensure_parallelism
+
     tokens = F.split(normalize_text(text_col), " ")
     # slice is 1-indexed; sequence(1, size-n+1) enumerates shingle starts
     sh = F.transform(
@@ -66,7 +71,8 @@ def shingles(
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
 

@@ -97,6 +97,11 @@ def spatial_join(
         F.col(f"r.{right_lon}"),
     )
     if max_distance_m is None:
+        from obsplus_spark.util import ensure_parallelism
+
+        # the cross join is a narrow stage over the left scan — make sure a
+        # small left input doesn't serialize the trig onto one core
+        l = ensure_parallelism(left).alias("l")
         rj = F.broadcast(r) if broadcast_right else r
         return l.crossJoin(rj).withColumn(distance_col, dist)
 

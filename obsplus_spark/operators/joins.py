@@ -213,17 +213,17 @@ def bulk_request_join(
     out = i.join(F.broadcast(exact_req.alias("r")), cond, "inner").select("i.*")
 
     if glob_req.take(1):
+        # glob→regex runs only over the (dimension-small) request side;
+        # the match itself is regexp_like on the distributed index side.
+        to_regex = F.udf(glob_to_regex, "string")
         glob_regex = glob_req.select(
-            *[
-                F.udf(glob_to_regex)(F.col(c)).alias(c)
-                for c in nslc
-            ],
+            *[to_regex(F.col(c)).alias(c) for c in nslc],
             start_col,
             end_col,
         )
         gcond = overlap
         for c in nslc:
-            gcond = gcond & F.col(f"i.{c}").rlike(F.col(f"r.{c}"))
+            gcond = gcond & F.regexp_like(F.col(f"i.{c}"), F.col(f"r.{c}"))
         gout = i.join(F.broadcast(glob_regex.alias("r")), gcond, "inner").select(
             "i.*"
         )

@@ -100,7 +100,11 @@ def language_id_heuristic(
         "de": ["der", "die", "und", "ist"],
         "zh": ["de", "shi", "le", "bu"],
     }
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    from obsplus_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     spark = df.sparkSession
     markers = spark.createDataFrame(
         [(lang, m) for lang, ms in profiles.items() for m in ms],

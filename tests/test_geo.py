@@ -1,0 +1,91 @@
+"""Geodesy + two-phase radius search."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from obsplus_spark.functions.geo import (
+    M_PER_DEG,
+    haversine_m,
+    haversine_sql,
+    wrap_longitude,
+)
+from obsplus_spark.operators.geo_search import radius_search, spatial_join
+
+
+def test_haversine_known_values(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 0.0, 1.0)], "a double, b double, c double, d double")
+    got = df.select(
+        haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).first().m
+    # one degree of longitude at the equator ≈ one degree of great circle
+    assert abs(got - M_PER_DEG) < 1.0
+    # antipodal: half circumference
+    df2 = spark.createDataFrame([(0.0, 0.0, 0.0, 180.0)], "a double, b double, c double, d double")
+    got2 = df2.select(
+        haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).first().m
+    assert abs(got2 - 180 * M_PER_DEG) < 1.0
+
+
+def test_haversine_sql_matches_column_expr(spark):
+    """The SQL oracle fragment and the Column expr must agree bit-tight."""
+    pts = [(37.0, -122.0, 40.7, -74.0), (-33.9, 151.2, 51.5, -0.1)]
+    df = spark.createDataFrame(pts, "lat1 double, lon1 double, lat2 double, lon2 double")
+    a = df.select(haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("m")).collect()
+    b = df.selectExpr(haversine_sql("lat1", "lon1", "lat2", "lon2") + " AS m").collect()
+    for x, y in zip(a, b):
+        assert abs(x.m - y.m) < 1e-6
+
+
+def test_wrap_longitude(spark):
+    df = spark.createDataFrame(
+        [(185.0,), (-185.0,), (360.0,), (179.0,), (-179.0,)], ["lon"]
+    )
+    got = [r[0] for r in df.select(wrap_longitude(F.col("lon"))).collect()]
+    assert got == [-175.0, 175.0, 0.0, 179.0, -179.0]
+
+
+def test_radius_search_two_phase_equals_bruteforce(spark):
+    """bbox-prefilter + exact refine must equal the brute-force band filter."""
+    pts = [(float(i % 37 - 18) * 2.3, float(i % 53 - 26) * 3.1, i) for i in range(400)]
+    df = spark.createDataFrame(pts, "latitude double, longitude double, id int")
+    lat0, lon0, rmin, rmax = 10.0, 20.0, 3.0, 25.0
+
+    got = {
+        r.id
+        for r in radius_search(
+            df, lat0, lon0, minradius=rmin, maxradius=rmax, radius_unit="deg"
+        ).collect()
+    }
+
+    brute = {
+        r.id
+        for r in df.withColumn(
+            "d", haversine_m(F.lit(lat0), F.lit(lon0), F.col("latitude"), F.col("longitude"))
+        )
+        .filter((F.col("d") > rmin * M_PER_DEG) & (F.col("d") < rmax * M_PER_DEG))
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_spatial_join_banded_equals_cross(spark):
+    """Latitude-band join (scale path) must equal the broadcast cross join."""
+    a = spark.createDataFrame(
+        [(float(i), float(i * 3 % 50), i) for i in range(30)],
+        "latitude double, longitude double, aid int",
+    )
+    b = spark.createDataFrame(
+        [(float(j * 1.7 % 40), float(j * 7 % 60), j) for j in range(40)],
+        "latitude double, longitude double, bid int",
+    )
+    maxd = 500_000.0
+    cross = spatial_join(a, b).filter(F.col("distance_m") <= maxd)
+    banded = spatial_join(a, b, max_distance_m=maxd)
+    got_c = sorted((r.aid, r.bid) for r in cross.select("aid", "bid").collect())
+    got_b = sorted((r.aid, r.bid) for r in banded.select("aid", "bid").collect())
+    assert got_b == got_c and len(got_c) > 0

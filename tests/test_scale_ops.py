@@ -1,0 +1,124 @@
+"""North-star operators: dedup, similarity, text analysis."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from obsplus_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicates,
+    ngram_jaccard,
+)
+from obsplus_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from obsplus_spark.operators.text import text_stats, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    rows = [
+        (1, base),
+        (2, base),                     # exact dup of 1
+        (3, "  THE  quick brown fox jumps over the lazy dog again and again today "),  # dup after normalize
+        (4, near),                     # near-dup (1 word differs)
+        (5, "completely different content about spark engines and shuffles here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs).collect()
+    by_canon = {r.canonical_id: r.n_dups for r in out}
+    assert by_canon[1] == 3  # docs 1, 2, 3 collapse after normalization
+    assert by_canon[4] == 1 and by_canon[5] == 1
+
+
+def test_minhash_signature_identical_for_dups(docs):
+    sig = minhash_signatures(docs, n_hashes=8).collect()
+    rows = {r.doc_id: tuple(r[f"mh_{j}"] for j in range(8)) for r in sig}
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[1] != rows[5]
+
+
+def test_near_duplicates_pipeline(docs):
+    out = near_duplicates(docs, n_hashes=16, bands=4, threshold=0.5).collect()
+    pairs = {(r.id1, r.id2): r.jaccard for r in out}
+    # exact dups → jaccard 1.0
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0
+    # near-dup pair found with high-but-not-1 jaccard
+    near_keys = [k for k in pairs if 4 in k and (1 in k or 2 in k or 3 in k)]
+    assert near_keys and all(0.5 <= pairs[k] < 1.0 for k in near_keys)
+    # unrelated doc never pairs
+    assert not any(5 in k for k in pairs)
+
+
+def test_jaccard_values(docs):
+    sig = minhash_signatures(docs, n_hashes=16)
+    pairs = lsh_candidate_pairs(sig, n_hashes=16, bands=8)
+    sc = ngram_jaccard(docs, pairs).collect()
+    for r in sc:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_inter <= min(r.n1, r.n2)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 8).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])], "query_id long, query_vec array<float>"
+    )
+    out = cosine_topk(vdf, qdf, k=5).orderBy("rank").collect()
+
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    exp = np.argsort(-sims)[:5]
+    assert [r.vec_id for r in out] == list(exp)
+    assert out[0].vec_id == 0 and abs(out[0].cosine_sim - 1.0) < 1e-9
+
+
+def test_cosine_topk_lsh_self_hit(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(40, 8)
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(7, [float(x) for x in vecs[7]])], "query_id long, query_vec array<float>"
+    )
+    planes = [[float(x) for x in rng.randn(8)] for _ in range(4)]
+    out = cosine_topk_lsh(vdf, qdf, planes, k=3).orderBy("rank").collect()
+    # the query vector itself shares its own bucket → rank 1 self-hit
+    assert out and out[0].vec_id == 7
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a a a a"), (3, "Zebra!")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_stats(df).collect()}
+    assert rows[1].n_tokens == 3 and rows[1].n_distinct_tokens == 3
+    assert rows[2].n_tokens == 4 and rows[2].n_distinct_tokens == 1
+    assert rows[2].stopword_ratio == 1.0
+    assert rows[1].stopword_ratio == pytest.approx(1 / 3)
+    assert rows[3].alpha_ratio == pytest.approx(5 / 6)
+
+
+def test_token_count_empty(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("one two",)], ["text"])
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [0, 0, 2]
