@@ -823,6 +823,248 @@ _SQL_LANG = r"""
 """
 
 # ---------------------------------------------------------------------------
+# §2.4 more aggregations: median / last-per-type / dup detection / rollup
+# ---------------------------------------------------------------------------
+
+
+def q_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median pick time per event (events/merge.py:238-253) — exact median
+    over groups."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.median("value").alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_MEDIAN = """
+    SELECT event_type, median(value) AS median_value, count(*) AS n
+    FROM events GROUP BY event_type
+"""
+
+
+def q_last_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-magnitude-per-type (events/pd.py:166-175): per user, the value
+    of the most recent event of each type — max_by/arg_max."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max_by("value", _ts_ns()).alias("last_value"),
+        F.max(_ts_ns()).alias("last_ns"),
+    )
+
+
+_SQL_LAST = """
+    SELECT user_id, event_type,
+           arg_max(value, epoch_ns(ts)) AS last_value,
+           max(epoch_ns(ts)) AS last_ns
+    FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pick detection (events/validate.py:103-129): groups with
+    more than one row per key → violation rows."""
+    ev = _t(spark, sf_dir, "events")
+    minute = (_ts_ns() - (_ts_ns() % F.lit(60 * NS))).alias("minute_ns")
+    return (
+        ev.select("user_id", "event_type", minute)
+        .groupBy("user_id", "event_type", "minute_ns")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+_SQL_DUPDET = f"""
+    SELECT user_id, event_type,
+           epoch_ns(ts) - (epoch_ns(ts) % {60 * NS}) AS minute_ns,
+           count(*) AS n_dups
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING count(*) > 1
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (AGG_LEVEL_MAP network<station<...,
+    constants.py:618) as ROLLUP over (event_type, user bucket)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_ROLLUP = """
+    SELECT event_type, user_id % 10 AS user_bucket,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value,
+           count(*) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, (user_id % 10))
+"""
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti/semi set arithmetic (merge.py:83-118 new-picks-only): users who
+    clicked but never purchased, and users who did both."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    only_click = clickers.exceptAll(clickers.intersect(buyers)).select(
+        "user_id", F.lit("click_only").alias("cohort")
+    )
+    both = clickers.intersect(buyers).select(
+        "user_id", F.lit("both").alias("cohort")
+    )
+    return only_click.unionByName(both)
+
+
+_SQL_SETOPS = """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, 'click_only' AS cohort
+    FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT user_id, 'both' AS cohort
+    FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+"""
+
+# ---------------------------------------------------------------------------
+# §2.8/§2.9 time chunking (yield_waveforms sliding windows, batch form)
+# ---------------------------------------------------------------------------
+
+_CHUNK_START_NS = 1704067200 * NS  # 2024-01-01
+_CHUNK_END_NS = 1706745600 * NS  # 2024-02-01
+_CHUNK_DUR_NS = 86400 * NS  # 1 day
+_CHUNK_OVL_NS = 3600 * NS  # 1 hour overlap
+
+
+def q_time_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_time_chunks + per-chunk counts (utils/time.py:378-421 →
+    wavebank.yield_waveforms): sequence+explode windows, interval join."""
+    from obsplus_spark.functions.timeutils import time_chunks
+
+    chunks = time_chunks(
+        spark, _CHUNK_START_NS, _CHUNK_END_NS, _CHUNK_DUR_NS, _CHUNK_OVL_NS
+    )
+    ev = _t(spark, sf_dir, "events").select(_ts_ns().alias("t_ns"), "value")
+    joined = chunks.join(
+        ev,
+        (F.col("t_ns") >= F.col("chunk_start")) & (F.col("t_ns") < F.col("chunk_end")),
+        "left",
+    )
+    return joined.groupBy("chunk_start", "chunk_end").agg(
+        F.count(F.col("t_ns")).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+
+
+_SQL_CHUNKS = f"""
+    WITH chunks AS (
+      SELECT cs AS chunk_start,
+             least(cs + {_CHUNK_DUR_NS + _CHUNK_OVL_NS}, {_CHUNK_END_NS}) AS chunk_end
+      FROM (SELECT unnest(range({_CHUNK_START_NS}, {_CHUNK_END_NS},
+                                {_CHUNK_DUR_NS})) AS cs)
+    )
+    SELECT chunk_start, chunk_end,
+           count(t_ns) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+    FROM chunks LEFT JOIN (SELECT epoch_ns(ts) AS t_ns, value FROM events) e
+      ON e.t_ns >= chunk_start AND e.t_ns < chunk_end
+    GROUP BY chunk_start, chunk_end
+"""
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limit / offset
+# ---------------------------------------------------------------------------
+
+
+def q_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit+offset pagination (constants.py:676-679; offset via row_number
+    as the reference's SQL path only implements LIMIT)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "value", _ts_ns().alias("t_ns")
+    )
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 30))
+    )
+
+
+_SQL_OFFSET = """
+    SELECT event_id, value, epoch_ns(ts) AS t_ns, rn
+    FROM (SELECT event_id, value, ts,
+                 row_number() OVER (ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn > 10 AND rn <= 30
+"""
+
+# ---------------------------------------------------------------------------
+# §2.3 nearest-event association (merge.py:211-266)
+# ---------------------------------------------------------------------------
+
+_ASSOC_TOL_NS = 600 * NS  # ±10 min tolerance
+
+
+def q_nearest_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """associate_merge: match each purchase to the click of the same user
+    with nearest |Δt|, tolerance-bounded; ties → earlier click id."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        _ts_ns().alias("p_ns"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        _ts_ns().alias("c_ns"),
+    )
+    cand = p.join(c, "user_id").filter(
+        F.abs(F.col("c_ns") - F.col("p_ns")) <= _ASSOC_TOL_NS
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.abs(F.col("c_ns") - F.col("p_ns")).asc(), F.col("click_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "click_id",
+            F.abs(F.col("c_ns") - F.col("p_ns")).alias("abs_dt_ns"),
+        )
+    )
+
+
+_SQL_ASSOC = f"""
+    SELECT purchase_id, click_id, abs_dt_ns
+    FROM (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             abs(epoch_ns(c.ts) - epoch_ns(p.ts)) AS abs_dt_ns,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY abs(epoch_ns(c.ts) - epoch_ns(p.ts)),
+                                         c.event_id) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND abs(epoch_ns(c.ts) - epoch_ns(p.ts)) <= {_ASSOC_TOL_NS}
+    )
+    WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # dateline oracle needs the haversine fragment from the geo module
 # ---------------------------------------------------------------------------
 
@@ -914,6 +1156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "knn_cosine": q_knn_cosine,
         "lang_id": q_lang_id,
+        "median_per_group": q_median_per_group,
+        "last_per_type": q_last_per_type,
+        "duplicate_detection": q_duplicate_detection,
+        "agg_rollup": q_agg_rollup,
+        "set_ops": q_set_ops,
+        "time_chunks": q_time_chunks,
+        "offset_limit": q_offset_limit,
+        "nearest_association": q_nearest_association,
     }
 
 
@@ -939,6 +1189,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_sql(),
         "knn_cosine": _SQL_KNN,
         "lang_id": _SQL_LANG,
+        "median_per_group": _SQL_MEDIAN,
+        "last_per_type": _SQL_LAST,
+        "duplicate_detection": _SQL_DUPDET,
+        "agg_rollup": _SQL_ROLLUP,
+        "set_ops": _SQL_SETOPS,
+        "time_chunks": _SQL_CHUNKS,
+        "offset_limit": _SQL_OFFSET,
+        "nearest_association": _SQL_ASSOC,
     }
     out.update(_geo_oracles())
     return out
