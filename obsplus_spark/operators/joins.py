@@ -215,7 +215,7 @@ def bulk_request_join(
     if glob_req.take(1):
         # glob→regex runs only over the (dimension-small) request side;
         # the match itself is regexp_like on the distributed index side.
-        to_regex = F.udf(glob_to_regex, "string")
+        to_regex = F.udf(lambda p: glob_to_regex(p), "string")
         glob_regex = glob_req.select(
             *[to_regex(F.col(c)).alias(c) for c in nslc],
             start_col,

@@ -1,0 +1,104 @@
+"""Catalog-surgery operators (reference §2.11) as relational programs.
+
+The reference mutates object trees in place (``events/merge.py``,
+``utils/events.py``). Here every operation is a DataFrame → DataFrame
+transform over the flattened tables:
+
+- :func:`merge_new_picks` — append only picks new to the target, keyed on
+  the station-channel-phase hash (``merge.py:83-118``, hash ``:272-288``).
+- :func:`prune_rejected` — drop rejected/orphaned rows transitively
+  (``utils/events.py:74-148 prune_events`` — a reachability pass over a
+  (parent, child) edge table, done as iterative anti-joins).
+- :func:`bump_version` — creation-version bump (``utils/events.py:225-255``).
+- :func:`dedup_channels` — duplicated channel rows (Fetcher duplicate-
+  channel tolerance, ``tests/test_structures/test_fetcher.py:879``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pick_merge_key(df: DataFrame) -> DataFrame:
+    """The station-channel-phase identity hash (merge.py:272-288)."""
+    return df.withColumn(
+        "_merge_key",
+        F.md5(
+            F.concat_ws(
+                "|", "network", "station", "location", "channel", "phase_hint"
+            )
+        ),
+    )
+
+
+def merge_new_picks(target: DataFrame, incoming: DataFrame) -> DataFrame:
+    """target ∪ (incoming ∖ target) on the merge key — the reference's
+    'only new picks' append (merge.py:83-88,114-118) as an anti join."""
+    t = pick_merge_key(target)
+    i = pick_merge_key(incoming)
+    new_only = i.join(t.select("_merge_key").distinct(), "_merge_key", "left_anti")
+    return t.unionByName(new_only).drop("_merge_key")
+
+
+def prune_rejected(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "resource_id",
+    status_col: str = "evaluation_status",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Remove rejected nodes and everything reachable only through them.
+
+    ``edges`` is (parent, child). A child is dropped when its parent is
+    dropped; iterate to a fixed point (bounded — event trees are shallow,
+    the reference's walk is equivalent). Each round is one anti join, so
+    the whole prune is ``depth × shuffle`` — no driver-side recursion over
+    rows.
+    """
+    alive = nodes.filter(F.col(status_col) != "rejected").select(id_col).distinct()
+    for _ in range(max_iterations):
+        # a node stays only if it is not a child of a dropped parent
+        reachable_children = edges.join(
+            alive.withColumnRenamed(id_col, "parent"), "parent", "inner"
+        ).select(F.col("child").alias(id_col))
+        roots = nodes.select(id_col).join(
+            edges.select(F.col("child").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        new_alive = (
+            roots.unionByName(reachable_children)
+            .distinct()
+            .join(alive, id_col, "left_semi")
+        )
+        if new_alive.count() == alive.count():
+            alive = new_alive
+            break
+        alive = new_alive
+    return nodes.join(alive, id_col, "left_semi")
+
+
+def bump_version(df: DataFrame, version_col: str = "version") -> DataFrame:
+    """Increment integer-string versions, stamp creation time placeholder
+    (utils/events.py:225-255 bump_creation_version)."""
+    v = F.coalesce(F.col(version_col).cast("long"), F.lit(0))
+    return df.withColumn(version_col, (v + 1).cast("string"))
+
+
+def dedup_channels(stations: DataFrame) -> DataFrame:
+    """Drop exactly-duplicated channel epochs (keep one row per
+    (seed, start_date, end_date))."""
+    return stations.dropDuplicates(
+        ["network", "station", "location", "channel", "start_date", "end_date"]
+    )
+
+
+def duplicate_resource_ids(df: DataFrame, id_col: str = "resource_id") -> DataFrame:
+    """Resource-id uniqueness check (utils/events.py:36-71 duplicate_events
+    guard): ids appearing more than once."""
+    return (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )

@@ -1,0 +1,235 @@
+"""Banks — file-backed queryable tables (the reference's core abstraction).
+
+The reference's banks are "in-process databases": a directory of data files
+plus a queryable tabular index (``bank/core.py:34``, HDF5 for WaveBank,
+SQLite for EventBank). The Spark re-expression: **the index is a partitioned
+parquet table**; ``read_index`` is a parquet scan with every kwarg compiled
+to a pushdown-able predicate; ``update_index``/``put_*`` are upserts.
+
+Upsert strategy: generation swap. Each write materializes the merged table
+into a new ``gen=N`` directory and flips a tiny JSON pointer — readers keep
+snapshot isolation (they hold the old generation), writers never overwrite
+a file being read. On a real cluster with Delta/Iceberg on the classpath
+this maps 1:1 to ``MERGE INTO`` (the reference's own upsert is
+delete-then-insert per event_id, ``eventbank.py:351-366``,
+``utils/bank.py:434-437``); the generation swap is the jar-free equivalent
+with the same semantics.
+
+Partition layout: Hive-style ``part_year=YYYY`` from the row's time column —
+the distributed analogue of the reference's templated ``{year}/{month}/...``
+directory scheme (``constants.py:576-588``), giving partition pruning on
+time-range queries for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from obsplus_spark.plans.predicates import fdsn_event_filter, interval_overlap
+from obsplus_spark.functions.strings import glob_match
+
+
+class _GenerationTable:
+    """A parquet table with atomic generation-swap upserts."""
+
+    def __init__(self, spark: SparkSession, root: str | os.PathLike):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._meta = self.root / "_bank_meta.json"
+
+    # -- metadata ------------------------------------------------------------
+    def _read_meta(self) -> dict:
+        if self._meta.exists():
+            return json.loads(self._meta.read_text())
+        return {"generation": -1, "last_updated_ns": None}
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta.with_suffix(".tmp")
+        tmp.write_text(json.dumps(meta))
+        tmp.replace(self._meta)
+
+    @property
+    def last_updated_ns(self) -> int | None:
+        """Reference ``bank/core.py`` last-update timestamp node."""
+        return self._read_meta()["last_updated_ns"]
+
+    def exists(self) -> bool:
+        return self._read_meta()["generation"] >= 0
+
+    def _gen_dir(self, gen: int) -> Path:
+        return self.root / f"gen={gen}"
+
+    # -- IO --------------------------------------------------------------
+    def read(self) -> DataFrame:
+        meta = self._read_meta()
+        if meta["generation"] < 0:
+            raise FileNotFoundError(f"bank at {self.root} has no data yet")
+        return self.spark.read.parquet(str(self._gen_dir(meta["generation"])))
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        meta = self._read_meta()
+        new_gen = meta["generation"] + 1
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(self._gen_dir(new_gen)))
+        self._write_meta(
+            {"generation": new_gen, "last_updated_ns": time.time_ns()}
+        )
+        old = self._gen_dir(meta["generation"])
+        if meta["generation"] >= 0 and old.exists():
+            shutil.rmtree(old, ignore_errors=True)
+
+    def upsert(
+        self,
+        new: DataFrame,
+        key: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """MERGE-equivalent: delete matching keys, insert new rows.
+
+        The anti-join + union is exactly the reference's delete-then-insert
+        (``eventbank.py:351-366``); on Delta this is one ``MERGE INTO``.
+        """
+        if self.exists():
+            existing = self.read()
+            keep = existing.join(new.select(key).distinct(), key, "left_anti")
+            merged = keep.unionByName(new, allowMissingColumns=True)
+        else:
+            merged = new
+        self.overwrite(merged, partition_by)
+
+
+def _with_part_year(df: DataFrame, time_col: str) -> DataFrame:
+    """Hive partition column from an ns-long time (constants.py:576 layout)."""
+    return df.withColumn(
+        "part_year",
+        F.coalesce(
+            F.year(F.timestamp_micros((F.col(time_col) / 1000).cast("long"))),
+            F.lit(0),
+        ),
+    )
+
+
+class EventBank:
+    """FDSN-queryable event table (reference ``bank/eventbank.py``).
+
+    ``put_events`` upserts by event_id; ``read_index`` compiles FDSN kwargs
+    to pushdown predicates over the partitioned parquet index.
+    """
+
+    def __init__(self, spark: SparkSession, path: str | os.PathLike):
+        self.table = _GenerationTable(spark, Path(path) / "event_index")
+
+    def put_events(self, events: DataFrame) -> "EventBank":
+        """Upsert event-summary rows keyed on event_id
+        (``eventbank.py:441-494 put_events``)."""
+        df = _with_part_year(events, "time")
+        self.table.upsert(df, "event_id", partition_by=["part_year"])
+        return self
+
+    # update_index is put_events in this engine: the index IS the table
+    update_index = put_events
+
+    def read_index(self, **kwargs) -> DataFrame:
+        """FDSN-style query (``eventbank.py:225-261 read_index``)."""
+        df = self.table.read().drop("part_year")
+        return fdsn_event_filter(df, **kwargs)
+
+    get_events = read_index
+
+    @property
+    def last_updated_ns(self) -> int | None:
+        return self.table.last_updated_ns
+
+
+class WaveBank:
+    """Interval-indexed waveform table (reference ``bank/wavebank.py``).
+
+    The index row is (NSLC, starttime, endtime, sampling_period, path);
+    queries push interval overlap + NSLC globs into the parquet scan.
+    """
+
+    #: index-query edge buffer, 1 s in ns (reference wavebank.py:173)
+    buffer_ns = 1_000_000_000
+
+    def __init__(self, spark: SparkSession, path: str | os.PathLike):
+        self.table = _GenerationTable(spark, Path(path) / "waveform_index")
+
+    def update_index(self, index_rows: DataFrame) -> "WaveBank":
+        """Append/refresh index rows (``wavebank.py:247-276 update_index``);
+        key = (seed, starttime, path) so re-indexed files replace cleanly."""
+        df = _with_part_year(index_rows, "starttime").withColumn(
+            "_idx_key",
+            F.concat_ws(
+                "|", "network", "station", "location", "channel",
+                F.col("starttime").cast("string"), "path",
+            ),
+        )
+        self.table.upsert(df, "_idx_key", partition_by=["part_year"])
+        return self
+
+    def read_index(
+        self,
+        network: str | None = None,
+        station: str | None = None,
+        location: str | None = None,
+        channel: str | None = None,
+        starttime: int | None = None,
+        endtime: int | None = None,
+    ) -> DataFrame:
+        """Indexed scan with pushed-down time + NSLC predicates
+        (``wavebank.py:329-361``): interval **overlap** with the 1 s edge
+        buffer, glob matches on codes."""
+        df = self.table.read().drop("part_year", "_idx_key")
+        pred = interval_overlap(starttime, endtime, buffer_ns=self.buffer_ns)
+        for col, pat in (
+            ("network", network),
+            ("station", station),
+            ("location", location),
+            ("channel", channel),
+        ):
+            if pat is not None:
+                pred = pred & glob_match(col, pat)
+        return df.filter(pred)
+
+    # -- index analytics (delegate to the operator layer) --------------------
+    def availability(self, **kwargs) -> DataFrame:
+        from obsplus_spark.operators.availability import availability
+
+        return availability(self.read_index(**kwargs))
+
+    def get_gaps(self, min_gap: int | None = None, **kwargs) -> DataFrame:
+        from obsplus_spark.operators.gaps import gaps_df
+
+        return gaps_df(self.read_index(**kwargs), min_gap=min_gap)
+
+    def get_segments(self, min_gap: int | None = None, **kwargs) -> DataFrame:
+        from obsplus_spark.operators.gaps import segments_df
+
+        return segments_df(self.read_index(**kwargs), min_gap=min_gap)
+
+    def get_uptime(self, **kwargs) -> DataFrame:
+        from obsplus_spark.operators.availability import uptime
+
+        return uptime(self.read_index(**kwargs))
+
+    def get_waveforms_bulk(self, requests: DataFrame) -> DataFrame:
+        """Request-table join (``wavebank.py:581-614``)."""
+        from obsplus_spark.operators.joins import bulk_request_join
+
+        return bulk_request_join(
+            self.table.read().drop("part_year", "_idx_key"), requests
+        )
+
+    @property
+    def last_updated_ns(self) -> int | None:
+        return self.table.last_updated_ns

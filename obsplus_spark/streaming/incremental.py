@@ -1,0 +1,133 @@
+"""Structured-Streaming equivalents of the reference's incremental machinery.
+
+The reference is batch-only; its incremental behaviors map to streaming
+concepts (SURVEY.md §2.9):
+
+- mtime-based "only new files" discovery (``bank/core.py:193-210
+  _unindexed_iterator``) → a **file-source stream with checkpoint**: the
+  checkpoint IS the "last indexed" state, ``Trigger.AvailableNow`` IS the
+  catch-up scan.
+- ``yield_waveforms(duration, overlap)`` (``wavebank.py:649-704``) →
+  **sliding windows** ``window(ts, duration+overlap, duration)``.
+- merge-group sessionization (``utils/waveforms.py:241-254``) →
+  ``session_window(ts, gap)``.
+- upsert-on-reingest (``eventbank.py:351-366``) → ``foreachBatch`` +
+  bank upsert.
+
+All helpers run equally under ``readStream`` (production) and the memory
+sink (tests/local smoke).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def incremental_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-source stream over a directory — the 'only new files' contract.
+
+    Each micro-batch sees exactly the files not yet indexed (checkpoint
+    state), replacing the reference's mtime comparison. Drive with
+    ``trigger(availableNow=True)`` for the reference's synchronous
+    ``update_index`` behavior.
+    """
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .load(path)
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "60 seconds",
+    overlap: str = "0 seconds",
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """yield_waveforms(duration, overlap) as windowed streaming aggregation.
+
+    ``overlap=0`` → tumbling; otherwise sliding with the reference's
+    window-length = duration + overlap convention (``utils/time.py:378-421``
+    chunk semantics). Watermark bounds state for late data — semantics the
+    reference never had but a 100 TB stream needs.
+    """
+    import re
+
+    def _secs(s: str) -> float:
+        m = re.match(r"([\d.]+)\s*(\w+)", s)
+        mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                "hour": 3600, "hours": 3600}[m.group(2)]
+        return float(m.group(1)) * mult
+
+    dur, ovl = _secs(duration), _secs(overlap)
+    win = F.window(
+        F.col(ts_col),
+        windowDuration=f"{dur + ovl} seconds",
+        slideDuration=f"{dur} seconds",
+    )
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    out = events
+    if events.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    return out.groupBy(win.alias("window"), *keys).agg(*aggs)
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Merge-group sessionization as native session windows.
+
+    The streaming twin of :func:`obsplus_spark.operators.gaps.sessionize`:
+    rows within ``gap`` of each other merge into one session per key.
+    """
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    out = events
+    if events.isStreaming:
+        out = out.withWatermark(ts_col, gap)
+    return out.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"), *keys
+    ).agg(*aggs)
+
+
+def stream_upsert_into_bank(
+    stream: DataFrame,
+    bank,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch → bank upsert: exactly-once incremental indexing.
+
+    The streaming form of ``EventBank.update_index`` — each micro-batch of
+    newly discovered rows MERGEs into the bank (``eventbank.py:267-327``).
+    Returns the started StreamingQuery (call ``awaitTermination`` or
+    ``processAllAvailable`` on it).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.take(1):
+            bank.update_index(batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,117 @@
+"""Bank facades: generation-swap upserts, pushdown index queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from obsplus_spark.sources.bank import EventBank, WaveBank
+
+NS = 1_000_000_000
+Y2020 = 1577836800 * NS  # 2020-01-01
+
+
+@pytest.fixture()
+def event_rows(spark):
+    rows = [
+        ("e1", Y2020 + 10 * NS, 40.0, -111.0, 5.0, 2.5),
+        ("e2", Y2020 + 100 * NS, 41.0, -112.0, 6.0, 3.5),
+        ("e3", Y2020 + 366 * 86400 * NS, 42.0, -113.0, 7.0, 4.5),  # next year
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id string, time long, latitude double, longitude double, "
+        "depth double, magnitude double",
+    )
+
+
+def test_eventbank_put_read_upsert(spark, tmp_path, event_rows):
+    bank = EventBank(spark, tmp_path)
+    bank.put_events(event_rows)
+    assert bank.read_index().count() == 3
+    assert bank.last_updated_ns is not None
+
+    # FDSN kwargs hit the scan
+    out = bank.read_index(minmagnitude=3.0)
+    assert {r.event_id for r in out.collect()} == {"e2", "e3"}
+
+    # upsert: e2 changes magnitude, e4 arrives
+    update = spark.createDataFrame(
+        [
+            ("e2", Y2020 + 100 * NS, 41.0, -112.0, 6.0, 9.9),
+            ("e4", Y2020 + 200 * NS, 43.0, -114.0, 8.0, 1.0),
+        ],
+        event_rows.schema,
+    )
+    bank.put_events(update)
+    idx = {r.event_id: r.magnitude for r in bank.read_index().collect()}
+    assert idx == {"e1": 2.5, "e2": 9.9, "e3": 4.5, "e4": 1.0}
+
+
+def test_eventbank_partition_pruning(spark, tmp_path, event_rows):
+    """part_year Hive partitioning must appear in the written layout."""
+    bank = EventBank(spark, tmp_path)
+    bank.put_events(event_rows)
+    gen_dirs = list((tmp_path / "event_index").glob("gen=*/part_year=*"))
+    years = {d.name for d in gen_dirs}
+    assert years == {"part_year=2020", "part_year=2021"}
+
+
+def test_eventbank_empty_raises(spark, tmp_path):
+    bank = EventBank(spark, tmp_path)
+    with pytest.raises(FileNotFoundError):
+        bank.read_index()
+
+
+@pytest.fixture()
+def wave_index(spark):
+    rows = [
+        ("UU", "A", "", "HHZ", Y2020, Y2020 + 100 * NS, 10_000_000, "f1"),
+        ("UU", "A", "", "HHZ", Y2020 + 200 * NS, Y2020 + 300 * NS, 10_000_000, "f2"),
+        ("WY", "B", "", "BHN", Y2020, Y2020 + 1000 * NS, 25_000_000, "f3"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "network string, station string, location string, channel string, "
+        "starttime long, endtime long, sampling_period long, path string",
+    )
+
+
+def test_wavebank_read_index_overlap_and_glob(spark, tmp_path, wave_index):
+    bank = WaveBank(spark, tmp_path)
+    bank.update_index(wave_index)
+
+    # interval overlap with 1 s buffer: window entirely inside f1
+    out = bank.read_index(starttime=Y2020 + 10 * NS, endtime=Y2020 + 20 * NS)
+    assert {r.path for r in out.collect()} == {"f1", "f3"}
+
+    out2 = bank.read_index(network="U?", channel="HH*")
+    assert {r.path for r in out2.collect()} == {"f1", "f2"}
+
+    # re-index same file: no duplicate rows
+    bank.update_index(wave_index)
+    assert bank.read_index().count() == 3
+
+
+def test_wavebank_analytics_delegate(spark, tmp_path, wave_index):
+    bank = WaveBank(spark, tmp_path)
+    bank.update_index(wave_index)
+    av = bank.availability()
+    assert av.count() == 2  # two distinct NSLC
+    gaps = bank.get_gaps().collect()
+    # UU.A..HHZ has one gap f1→f2
+    assert len(gaps) == 1 and gaps[0].gap_duration == 100 * NS
+    up = bank.get_uptime()
+    assert up.count() == 2
+
+
+def test_wavebank_bulk(spark, tmp_path, wave_index):
+    bank = WaveBank(spark, tmp_path)
+    bank.update_index(wave_index)
+    req = spark.createDataFrame(
+        [("*", "*", "*", "*", Y2020, Y2020 + 50 * NS)],
+        "network string, station string, location string, channel string, "
+        "starttime long, endtime long",
+    )
+    out = bank.get_waveforms_bulk(req)
+    assert {r.path for r in out.collect()} == {"f1", "f3"}

@@ -1,0 +1,124 @@
+"""Structured-Streaming layer: incremental indexing, sliding/session windows."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from obsplus_spark.streaming.incremental import (
+    incremental_file_stream,
+    session_window_agg,
+    sliding_window_agg,
+    stream_upsert_into_bank,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("time", T.LongType()),
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("depth", T.DoubleType()),
+        T.StructField("magnitude", T.DoubleType()),
+    ]
+)
+
+NS = 1_000_000_000
+T0 = 1577836800 * NS
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_incremental_index_only_new_files(spark, tmp_path):
+    """The checkpoint must deliver each file exactly once across restarts —
+    the reference's mtime contract (bank/core.py:193-210)."""
+    from obsplus_spark.sources.bank import EventBank
+
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    bank = EventBank(spark, tmp_path / "bank")
+
+    _write_events(spark, src, [("e1", T0, 40.0, -111.0, 5.0, 2.5)])
+    q = stream_upsert_into_bank(
+        incremental_file_stream(spark, src, EVENT_SCHEMA), bank, ckpt
+    )
+    q.awaitTermination(60)
+    assert {r.event_id for r in bank.read_index().collect()} == {"e1"}
+
+    # second batch of files → only the new one is processed on catch-up
+    _write_events(spark, src, [("e2", T0 + NS, 41.0, -112.0, 6.0, 3.5)])
+    q2 = stream_upsert_into_bank(
+        incremental_file_stream(spark, src, EVENT_SCHEMA), bank, ckpt
+    )
+    q2.awaitTermination(60)
+    assert {r.event_id for r in bank.read_index().collect()} == {"e1", "e2"}
+
+
+def _run_memory_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_sliding_window_agg_streaming(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    rows = [
+        (i, f"2020-01-01 00:{m:02d}:{s:02d}")
+        for i, (m, s) in enumerate([(0, 10), (0, 50), (1, 10), (3, 30)])
+    ]
+    df = spark.createDataFrame(rows, "id long, ts_s string").select(
+        "id", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("id long, ts timestamp").parquet(src)
+    )
+    agg = sliding_window_agg(stream, duration="60 seconds")
+    out = _run_memory_stream(spark, agg, "slide_out").collect()
+    got = {
+        (r.window.start.strftime("%M:%S"), r.n) for r in out
+    }
+    # tumbling 60 s windows: minute 0 → 2 events, minute 1 → 1, minute 3 → 1
+    assert got == {("00:00", 2), ("01:00", 1), ("03:00", 1)}
+
+
+def test_session_window_agg_streaming(spark, tmp_path):
+    src = str(tmp_path / "sess")
+    rows = [("u1", "2020-01-01 00:00:00"), ("u1", "2020-01-01 00:02:00"),
+            ("u1", "2020-01-01 00:20:00"), ("u2", "2020-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "uid string, ts_s string").select(
+        "uid", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("uid string, ts timestamp").parquet(src)
+    agg = session_window_agg(stream, gap="5 minutes", keys=["uid"])
+    out = _run_memory_stream(spark, agg, "sess_out").collect()
+    per_uid = {}
+    for r in out:
+        per_uid.setdefault(r.uid, []).append(r.n)
+    # u1: [00:00, 00:02] one session of 2, then 00:20 alone; u2: one session
+    assert sorted(per_uid["u1"]) == [1, 2]
+    assert per_uid["u2"] == [1]
+
+
+def test_sliding_window_batch_equivalence(spark):
+    """The same helper must work in batch mode (the reference's eager path)."""
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:30"), (2, "2020-01-01 00:00:40")],
+        "id long, ts_s string",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    out = sliding_window_agg(df, duration="60 seconds").collect()
+    assert len(out) == 1 and out[0].n == 2
