@@ -1065,6 +1065,143 @@ _SQL_ASSOC = f"""
 
 
 # ---------------------------------------------------------------------------
+# simhash / sweep-line coverage / nested-array queries
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures (dedup family, north-star)."""
+    from obsplus_spark.operators.dedup import simhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_signatures(docs, bits=_SIMHASH_BITS)
+
+
+def _simhash_sql(bits: int = _SIMHASH_BITS) -> str:
+    # bit k of the 32-bit md5-prefix hash, derived from the hex digits:
+    # digit at string position 8 - k//4 holds bits (k%4)
+    votes = ",\n           ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
+        ">> {shift}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}".format(
+            pos=8 - k // 4, shift=k % 4, k=k
+        )
+        for k in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(bits)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_common_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream2contiguous (utils/waveforms.py:305-372): time windows where
+    ALL event types have an active coverage segment — sweep-line program
+    over the sessionized intervals."""
+    from obsplus_spark.operators.gaps import segments_df
+    from obsplus_spark.operators.waveforms import common_coverage
+
+    iv = _event_intervals(spark, sf_dir)
+    segs = segments_df(
+        iv, keys=["event_type"], min_gap=MIN_GAP_NS, sampling_period_col=None
+    )
+    return common_coverage(
+        segs, seed_col="event_type", start_col="seg_start", end_col="seg_end"
+    )
+
+
+_SQL_COVERAGE = f"""
+    WITH iv AS ({_IV_SQL}),
+    flagged AS (
+      SELECT event_type, starttime, endtime,
+             CASE WHEN max(endtime) OVER (PARTITION BY event_type
+                       ORDER BY starttime, endtime
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       + {MIN_GAP_NS} < starttime
+                  OR max(endtime) OVER (PARTITION BY event_type
+                       ORDER BY starttime, endtime
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM iv
+    ),
+    sess AS (
+      SELECT event_type, starttime, endtime,
+             sum(new_session) OVER (PARTITION BY event_type
+                                    ORDER BY starttime, endtime
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ),
+    segs AS (
+      SELECT event_type, session_id, min(starttime) AS seg_start,
+             max(endtime) AS seg_end
+      FROM sess GROUP BY event_type, session_id
+    ),
+    n AS (SELECT count(DISTINCT event_type) AS n_seeds FROM segs),
+    ev AS (
+      SELECT seg_start AS t, 1 AS delta FROM segs
+      UNION ALL
+      SELECT seg_end AS t, -1 AS delta FROM segs
+    ),
+    swept AS (
+      SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS covering,
+             lead(t) OVER (ORDER BY t, delta) AS next_t
+      FROM ev
+    )
+    SELECT t AS window_start, next_t AS window_end
+    FROM swept, n
+    WHERE covering = n.n_seeds AND next_t IS NOT NULL AND next_t > t
+"""
+
+
+def q_nested_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested array-of-struct handling (event-tree layer shape): per user,
+    collect the sorted event list, then element_at(-1) — the preferred-
+    object 'last in list' fallback (utils/events.py:425-480) exercised on
+    the driver tables. Oracle computes the same result via arg_max."""
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(_ts_ns().alias("t_ns"), "event_type", "value"))
+        ).alias("events")
+    )
+    last = F.element_at(F.col("events"), -1)
+    return nested.select(
+        "user_id",
+        F.size("events").alias("n_events"),
+        last["t_ns"].alias("last_ns"),
+        last["event_type"].alias("last_type"),
+        last["value"].alias("last_value"),
+    )
+
+
+_SQL_NESTED = """
+    SELECT user_id, count(*) AS n_events,
+           max(epoch_ns(ts)) AS last_ns,
+           arg_max(event_type, epoch_ns(ts)) AS last_type,
+           arg_max(value, epoch_ns(ts)) AS last_value
+    FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dateline oracle needs the haversine fragment from the geo module
 # ---------------------------------------------------------------------------
 
@@ -1164,6 +1301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_chunks": q_time_chunks,
         "offset_limit": q_offset_limit,
         "nearest_association": q_nearest_association,
+        "simhash": q_simhash,
+        "common_coverage": q_common_coverage,
+        "nested_last_event": q_nested_last_event,
     }
 
 
@@ -1197,6 +1337,9 @@ def oracle_sql() -> dict[str, str]:
         "time_chunks": _SQL_CHUNKS,
         "offset_limit": _SQL_OFFSET,
         "nearest_association": _SQL_ASSOC,
+        "simhash": _simhash_sql(),
+        "common_coverage": _SQL_COVERAGE,
+        "nested_last_event": _SQL_NESTED,
     }
     out.update(_geo_oracles())
     return out

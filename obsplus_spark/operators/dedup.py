@@ -179,6 +179,55 @@ def ngram_jaccard(
     )
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash: per-bit majority vote over token hashes.
+
+    Each distinct token hashes (md5 → first 8 hex chars → uint32); bit k of
+    the signature is 1 iff more tokens have bit k set than unset. Hamming-
+    close signatures ⇒ similar token sets. One explode + one groupBy with
+    ``bits`` conditional sums — all map-side combinable, engine-portable
+    (same md5-derived hash convention as the MinHash family).
+    """
+    from obsplus_spark.util import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .distinct()
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{k}")
+        for k in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = sum(
+        (F.when(F.col(f"b{k}") > 0, F.lit(2**k)).otherwise(F.lit(0)) for k in range(bits)),
+        F.lit(0),
+    )
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def hamming_distance(a, b) -> F.Column:
+    """Popcount of XOR via bin()-string counting (no Python UDF)."""
+    x = (F.col(a) if isinstance(a, str) else a).bitwiseXOR(
+        F.col(b) if isinstance(b, str) else b
+    )
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
 def near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,86 @@
+"""Multimodal plumbing + simhash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from obsplus_spark.operators.dedup import hamming_distance, simhash_signatures
+from obsplus_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    media_dedup_exact,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, bytearray(b"\x89PNG fake image bytes AAAA"), ("image", "png", 64, 64, None, None)),
+        (2, bytearray(b"\x89PNG fake image bytes AAAA"), ("image", "png", 64, 64, None, None)),
+        (3, bytearray(b"RIFF fake wav bytes"), ("audio", "wav", None, None, 2500, 44100)),
+        (4, bytearray(b"\x00\x00video"), ("video", "mp4", 640, 480, 3500, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic(media):
+    a = {r.media_id: r for r in extract_features(media, dim=8).collect()}
+    b = {r.media_id: r for r in extract_features(media, dim=8).collect()}
+    assert all(a[i].features == b[i].features for i in a)
+    # identical payloads → identical features; different payloads differ
+    assert a[1].features == a[2].features
+    assert a[1].features != a[3].features
+    assert all(len(r.features) == 8 for r in a.values())
+    assert all(0.0 <= x < 1.0 for x in a[1].features)
+    assert a[1].n_bytes == 26
+
+
+def test_real_decode_is_stubbed(media):
+    with pytest.raises(Exception) as exc_info:
+        extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "media decoding" in str(
+        exc_info.value
+    )
+
+
+def test_media_dedup_exact(media):
+    out = {r.canonical_id: r.n_dups for r in media_dedup_exact(media).collect()}
+    assert out[1] == 2 and out[3] == 1 and out[4] == 1
+
+
+def test_frame_sample_plan(media):
+    out = frame_sample_plan(media, every_ms=1000).collect()
+    frames = {}
+    for r in out:
+        frames.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    # 3.5 s video → frames at 0,1000,2000,3000; audio 2.5 s → 0,1000,2000
+    assert sorted(frames[4]) == [0, 1000, 2000, 3000]
+    assert sorted(frames[3]) == [0, 1000, 2000]
+    # images (no duration) → single frame at 0
+    assert frames[1] == [0]
+
+
+def test_simhash_near_and_far(spark):
+    base = "the quick brown fox jumps over the lazy dog again today"
+    near = "the quick brown fox jumps over the lazy cat again today"
+    far = "completely unrelated words about spark shuffle partitions"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    sig = simhash_signatures(df, bits=32)
+    pairs = (
+        sig.alias("a")
+        .crossJoin(sig.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+        )
+    )
+    d = {(r.i, r.j): r.d for r in pairs.collect()}
+    assert d[(1, 2)] == 0                      # identical text → same simhash
+    assert d[(1, 3)] < d[(1, 4)]               # near-dup closer than unrelated
+    assert d[(1, 3)] <= 10
