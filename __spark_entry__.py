@@ -124,8 +124,12 @@ def q_fdsn_event_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = 1704844800 * NS  # 2024-01-10 00:00:00 UTC
     t2 = 1705708800 * NS  # 2024-01-20 00:00:00 UTC
     pred = compile_filters(event_type=["click", "purchase"])
+    # redundant raw-column range (implied by the truncated predicate, since
+    # trunc(ts) ∈ (t1, t2) ⇒ ts ∈ (t1, t2+1000)) — pushable to the parquet
+    # scan for row-group min/max skipping, unlike the truncation expression
+    pushable = (F.col("ts") > t1) & (F.col("ts") < t2 + 1000)
     return (
-        ev.filter((_ts_ns() > t1) & (_ts_ns() < t2) & pred)
+        ev.filter(pushable & (_ts_ns() > t1) & (_ts_ns() < t2) & pred)
         .filter(F.col("value") > 5.0)
         .select("event_id", _ts_ns().alias("time_ns"), "user_id", "event_type", "value")
     )
