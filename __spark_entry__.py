@@ -1206,6 +1206,71 @@ _SQL_NESTED = """
 
 
 # ---------------------------------------------------------------------------
+# bulk-request join (wavebank.get_waveforms_bulk) over a derived index
+# ---------------------------------------------------------------------------
+
+_BULK_REQUESTS = [
+    # (network, station, location, channel, t1_ns, t2_ns) — NSLC mapped onto
+    # (source-ish codes): exact rows and glob rows, matching the reference's
+    # exact/wildcard split (utils/waveforms.py:582-606)
+    ("EV", "click", "", "u3", 1704844800 * NS, 1705708800 * NS),
+    ("EV", "p*", "", "u?", 1704067200 * NS, 1704672000 * NS),
+    ("EV", "view", "", "u9", 1704067200 * NS, 1706745600 * NS),
+]
+
+
+def q_bulk_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_waveforms_bulk: request table (exact + glob NSLC patterns,
+    per-row windows) × interval index; overlap + seed match."""
+    from obsplus_spark.operators.joins import bulk_request_join
+
+    iv = _event_intervals(spark, sf_dir).select(
+        F.lit("EV").alias("network"),
+        F.col("event_type").alias("station"),
+        F.lit("").alias("location"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias(
+            "channel"
+        ),
+        "starttime",
+        "endtime",
+        "event_id",
+    )
+    req = spark.createDataFrame(
+        _BULK_REQUESTS,
+        "network string, station string, location string, channel string, "
+        "starttime long, endtime long",
+    )
+    out = bulk_request_join(iv, req)
+    return out.select("network", "station", "channel", "starttime", "endtime", "event_id")
+
+
+def _bulk_sql() -> str:
+    # glob → SQL LIKE (the oracle-side twin of fnmatch translation)
+    def like(p: str) -> str:
+        return p.replace("*", "%").replace("?", "_")
+
+    clauses = []
+    for n, s, l, c, t1, t2 in _BULK_REQUESTS:
+        clauses.append(
+            f"(network LIKE '{like(n)}' AND station LIKE '{like(s)}' AND "
+            f"location LIKE '{like(l)}' AND channel LIKE '{like(c)}' AND "
+            f"starttime < {t2} AND endtime > {t1})"
+        )
+    return f"""
+    WITH iv AS ({_IV_SQL}),
+    idx AS (
+      SELECT 'EV' AS network, event_type AS station, '' AS location,
+             'u' || CAST(user_id % 10 AS VARCHAR) AS channel,
+             starttime, endtime, event_id
+      FROM iv
+    )
+    SELECT DISTINCT network, station, channel, starttime, endtime, event_id
+    FROM idx
+    WHERE {" OR ".join(clauses)}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dateline oracle needs the haversine fragment from the geo module
 # ---------------------------------------------------------------------------
 
@@ -1308,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "common_coverage": q_common_coverage,
         "nested_last_event": q_nested_last_event,
+        "bulk_request": q_bulk_request,
     }
 
 
@@ -1344,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "common_coverage": _SQL_COVERAGE,
         "nested_last_event": _SQL_NESTED,
+        "bulk_request": _bulk_sql(),
     }
     out.update(_geo_oracles())
     return out

@@ -83,13 +83,18 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 16,
     shingle_size: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: ``sig_j = min_shingle md5(j ':' s)``.
 
     One wide aggregate over the exploded shingle table — n_hashes ``min``
-    aggregations, all map-side combinable.
+    aggregations, all map-side combinable. Pass ``shingles_df`` (e.g. a
+    persisted table from :func:`shingles`) to share the explode across
+    pipeline stages.
     """
-    sh = shingles(df, id_col, text_col, shingle_size)
+    sh = shingles_df if shingles_df is not None else shingles(
+        df, id_col, text_col, shingle_size
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
         for j in range(n_hashes)
@@ -146,13 +151,16 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_size: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
     intersection via equi-join of the two shingle sets, sizes via the
     per-doc shingle counts; ``J = |∩| / (|A| + |B| − |∩|)``.
     """
-    sh = shingles(df, id_col, text_col, shingle_size)
+    sh = shingles_df if shingles_df is not None else shingles(
+        df, id_col, text_col, shingle_size
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
@@ -236,10 +244,32 @@ def near_duplicates(
     bands: int = 4,
     shingle_size: int = 3,
     threshold: float = 0.7,
+    persist_shingles: bool | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signature → banding →
-    candidate pairs → exact Jaccard → threshold."""
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
+    candidate pairs → exact Jaccard → threshold.
+
+    The shingle table feeds three consumers (signatures, sizes,
+    intersections); Catalyst re-plans the explode per consumer (no
+    exchange reuse). ``persist_shingles`` caches it once instead:
+    - ``None`` (default): auto — persist only when the corpus scan has
+      many partitions (a real corpus); tiny/local inputs recompute,
+      which measures faster than the cache round-trip.
+    - ``True``/``False``: force. At 100 TB the shingle table is the thing
+      you materialize (it is tokens-sized; re-deriving it 3× re-reads the
+      corpus 3×). The persist stays in force for the caller's action;
+      Spark LRU-evicts, or unpersist via ``spark.catalog.clearCache()``.
+    """
+    sh = shingles(df, id_col, text_col, shingle_size)
+    if persist_shingles is None:
+        persist_shingles = df.rdd.getNumPartitions() > 16
+    if persist_shingles:
+        sh = sh.persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_size, shingles_df=sh
+    )
     pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
-    scored = ngram_jaccard(df, pairs, id_col, text_col, shingle_size)
+    scored = ngram_jaccard(
+        df, pairs, id_col, text_col, shingle_size, shingles_df=sh
+    )
     return scored.filter(F.col("jaccard") >= threshold)

@@ -115,3 +115,27 @@ def test_wavebank_bulk(spark, tmp_path, wave_index):
     )
     out = bank.get_waveforms_bulk(req)
     assert {r.path for r in out.collect()} == {"f1", "f3"}
+
+
+def test_archive_to_sds(spark, tmp_path):
+    """Day-rechunk with leading overlap into Hive-partitioned layout."""
+    NS_DAY = 86_400 * NS
+    rows = [
+        # spans two days: [day0 12:00, day1 12:00), sp = 1 hour
+        ("UU", "A", "", "HHZ", NS_DAY // 2, NS_DAY + NS_DAY // 2,
+         3_600_000_000_000, [float(i) for i in range(24)]),
+    ]
+    traces = spark.createDataFrame(
+        rows,
+        "network string, station string, location string, channel string, "
+        "starttime long, endtime long, sampling_period long, samples array<double>",
+    )
+    out_path = tmp_path / "sds"
+    WaveBank.archive_to_sds(traces, out_path, overlap_ns=0)
+    back = spark.read.parquet(str(out_path))
+    days = sorted((r.doy, r.starttime, len(r.samples)) for r in back.collect())
+    # day 1 (1970-01-01): samples 0..11; day 2: samples 12..23
+    assert days == [(1, NS_DAY // 2, 12), (2, NS_DAY, 12)]
+    # Hive layout gives partition pruning on (year, doy, station)
+    parts = {p.name for p in (out_path / "year=1970").glob("doy=*")}
+    assert parts == {"doy=1", "doy=2"}
