@@ -94,6 +94,62 @@ def dedup_channels(stations: DataFrame) -> DataFrame:
     )
 
 
+def strip_events(
+    df: DataFrame,
+    keep_columns: list[str],
+    reject_status: str = "rejected",
+    status_col: str = "evaluation_status",
+) -> DataFrame:
+    """Reduce rows to a minimal column set and drop rejected rows
+    (utils/events.py:151-222 strip_events: strip derived/rejected content
+    so the catalog re-processes cleanly)."""
+    out = df
+    if status_col in df.columns:
+        out = out.filter(
+            F.col(status_col).isNull() | (F.col(status_col) != reject_status)
+        )
+    return out.select(*[c for c in keep_columns if c in out.columns])
+
+
+def attach_new_origin(
+    events: DataFrame,
+    new_origins: DataFrame,
+    preferred: bool = True,
+) -> DataFrame:
+    """Attach a fabricated origin per event and (optionally) mark it
+    preferred (utils/events.py:258-317 make_origins + merge.py:135-194
+    attach_new_origin): append the origin struct to the event's list and
+    point preferred_origin_id at it."""
+    o = new_origins.select(
+        "event_id",
+        F.struct(
+            F.col("resource_id"),
+            F.col("time"),
+            F.col("latitude"),
+            F.col("longitude"),
+            F.col("depth"),
+        ).alias("_new_origin"),
+        F.col("resource_id").alias("_new_oid"),
+    )
+    joined = events.join(o, "event_id", "left")
+    with_origin = joined.withColumn(
+        "origins",
+        F.when(
+            F.col("_new_origin").isNotNull(),
+            F.concat(
+                F.coalesce(F.col("origins"), F.array()),
+                F.array(F.col("_new_origin")),
+            ),
+        ).otherwise(F.col("origins")),
+    )
+    if preferred:
+        with_origin = with_origin.withColumn(
+            "preferred_origin_id",
+            F.coalesce(F.col("_new_oid"), F.col("preferred_origin_id")),
+        )
+    return with_origin.drop("_new_origin", "_new_oid")
+
+
 def duplicate_resource_ids(df: DataFrame, id_col: str = "resource_id") -> DataFrame:
     """Resource-id uniqueness check (utils/events.py:36-71 duplicate_events
     guard): ids appearing more than once."""

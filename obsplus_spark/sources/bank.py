@@ -163,6 +163,67 @@ class WaveBank:
 
     def __init__(self, spark: SparkSession, path: str | os.PathLike):
         self.table = _GenerationTable(spark, Path(path) / "waveform_index")
+        self._payload = _GenerationTable(spark, Path(path) / "waveform_data")
+
+    def put_waveforms(self, traces: DataFrame) -> "WaveBank":
+        """Sink trace rows (samples included) and refresh the index.
+
+        Mirror of ``wavebank.py:708-754 put_waveforms``: the reference
+        groups traces into target files and rewrites them; here the payload
+        is a partitioned table upserted by (seed, starttime) and the index
+        derives from the payload's metadata columns — one write, no
+        read-modify-write of individual files.
+        """
+        keyed = traces.withColumn(
+            "_trace_key",
+            F.concat_ws(
+                "|", "network", "station", "location", "channel",
+                F.col("starttime").cast("string"),
+            ),
+        )
+        self._payload.upsert(
+            _with_part_year(keyed, "starttime"), "_trace_key",
+            partition_by=["part_year"],
+        )
+        index_rows = traces.select(
+            "network", "station", "location", "channel",
+            "starttime", "endtime", "sampling_period",
+        ).withColumn("path", F.lit("<payload>"))
+        return self.update_index(index_rows)
+
+    def get_waveforms(
+        self,
+        network: str | None = None,
+        station: str | None = None,
+        location: str | None = None,
+        channel: str | None = None,
+        starttime: int | None = None,
+        endtime: int | None = None,
+        merge: bool = True,
+    ) -> DataFrame:
+        """Indexed read of stored traces, trimmed (and merged) to the window
+        (``wavebank.py:616-647 get_waveforms`` → ``_prep_output_stream``)."""
+        from obsplus_spark.functions.strings import glob_match
+        from obsplus_spark.operators.waveforms import merge_traces, trim_traces
+        from obsplus_spark.plans.predicates import interval_overlap
+        from obsplus_spark.schemas import LARGEDT_NS, SMALLDT_NS
+
+        df = self._payload.read().drop("part_year", "_trace_key")
+        pred = interval_overlap(starttime, endtime, buffer_ns=self.buffer_ns)
+        for col, pat in (
+            ("network", network),
+            ("station", station),
+            ("location", location),
+            ("channel", channel),
+        ):
+            if pat is not None:
+                pred = pred & glob_match(col, pat)
+        out = df.filter(pred)
+        if merge:
+            out = merge_traces(out)
+        t1 = SMALLDT_NS if starttime is None else starttime
+        t2 = LARGEDT_NS if endtime is None else endtime
+        return trim_traces(out, t1, t2)
 
     def update_index(self, index_rows: DataFrame) -> "WaveBank":
         """Append/refresh index rows (``wavebank.py:247-276 update_index``);

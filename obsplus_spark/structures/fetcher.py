@@ -135,3 +135,17 @@ class Fetcher:
                 if c not in NSLC + ["starttime", "endtime"]
             ],
         )
+
+
+def apply_stream_processor(
+    df: DataFrame,
+    fn,
+    output_schema: str,
+    keys: list[str] = ("event_id",),
+) -> DataFrame:
+    """Per-event-group processing hook (``fetcher.py:178-197,491-499``
+    ``stream_processor`` callback): the reference calls a user Stream →
+    Stream function per event; here the user function is pandas DataFrame →
+    pandas DataFrame per group, executed as ``applyInPandas`` — Arrow
+    batches, state bounded by the group, no driver round-trip."""
+    return df.groupBy(*keys).applyInPandas(fn, output_schema)
