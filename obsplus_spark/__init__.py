@@ -19,6 +19,20 @@ Layout
 
 from obsplus_spark.session import get_spark
 
+
+def __getattr__(name):
+    """Lazy top-level exports for the main user-facing classes."""
+    if name == "EventBank" or name == "WaveBank":
+        from obsplus_spark.sources import bank
+
+        return getattr(bank, name)
+    if name == "Fetcher":
+        from obsplus_spark.structures import Fetcher
+
+        return Fetcher
+    raise AttributeError(f"module 'obsplus_spark' has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "EventBank", "WaveBank", "Fetcher", "__version__"]

@@ -122,3 +122,55 @@ def test_sliding_window_batch_equivalence(spark):
     ).select("id", F.to_timestamp("ts_s").alias("ts"))
     out = sliding_window_agg(df, duration="60 seconds").collect()
     assert len(out) == 1 and out[0].n == 2
+
+
+def test_streaming_gap_detector_cross_batch(spark, tmp_path):
+    """State must carry the running-max end ACROSS micro-batches: a gap
+    spanning two batches is only visible to the stateful operator."""
+    from obsplus_spark.streaming.stateful import streaming_gap_detector
+
+    src = str(tmp_path / "segs")
+    schema = (
+        "network string, station string, location string, channel string, "
+        "starttime long, endtime long, sampling_period long"
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out_dir = str(tmp_path / "gaps_out")
+
+    def run_to_parquet():
+        # parquet sink: fault-tolerant, supports checkpoint recovery
+        # (the memory sink does not)
+        q = (
+            streaming_gap_detector(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: contiguous coverage up to t=200 → no gaps
+    write_batch([("UU", "A", "", "HHZ", 0, 100, 10),
+                 ("UU", "A", "", "HHZ", 100, 200, 10)])
+    run_to_parquet()
+    assert spark.read.parquet(out_dir).count() == 0
+
+    # batch 2 (separate run, state restored from checkpoint): segment far
+    # beyond the remembered max_end=200 → one gap [200, 10000]
+    write_batch([("UU", "A", "", "HHZ", 10_000, 10_100, 10)])
+    run_to_parquet()
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r.gap_start, r.gap_end, r.gap_duration) for r in rows] == [
+        (200, 10_000, 9_800)
+    ]
