@@ -30,7 +30,14 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
+    # shuffle partitions sized to the data, not the core count: sf0.1's
+    # largest table is ~25 MB, so ~8 partitions keeps every shuffle above
+    # the per-task overhead floor (measured ~26% faster than 32 on the
+    # heavy queries). At real scale the same rule gives data_bytes/64MB.
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+    )
 
     qs = entrymod.queries()
 

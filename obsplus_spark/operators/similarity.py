@@ -66,6 +66,117 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic seeding + Lloyd refinement.
+
+    Returns ``(assignments, centroids)``: every vector labeled with its
+    nearest centroid (``cluster``), centroids as (cluster, centroid
+    array<double>). Seeding = the first ``n_clusters`` vectors by id
+    (deterministic, no RNG); each refinement is one cross-join argmin +
+    one element-wise mean (posexplode → avg → rebuild), all DataFrame ops.
+    At corpus scale this is the standard one-pass IVF build: centroids are
+    broadcast-sized, the corpus is touched ``refine_iterations + 1`` times.
+    """
+    from obsplus_spark.operators.joins import topk_per_group
+    from obsplus_spark.util import ensure_parallelism
+
+    vectors = ensure_parallelism(vectors)
+    centroids = (
+        vectors.orderBy(id_col)
+        .limit(n_clusters)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("cluster"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            vec_col,
+            "cluster",
+            cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+        )
+        return topk_per_group(
+            scored, [id_col], [F.col("_sim").desc(), F.col("cluster").asc()], k=1
+        ).drop("_sim")
+
+    assignments = assign(centroids)
+    for _ in range(refine_iterations):
+        centroids = (
+            assignments.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            )
+        )
+        assignments = assign(centroids)
+    return assignments, centroids
+
+
+def ivf_topk(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF probe search: rank centroids per query, scan only ``nprobe``
+    inverted lists — the corpus-side join is an equi-join on ``cluster``
+    instead of a full cross join (candidate fraction ≈ nprobe/n_clusters).
+    """
+    from obsplus_spark.operators.joins import topk_per_group
+
+    probe = queries.crossJoin(F.broadcast(centroids)).select(
+        query_id_col,
+        query_vec_col,
+        "cluster",
+        cosine(F.col(query_vec_col), F.col("centroid")).alias("_csim"),
+    )
+    probes = topk_per_group(
+        probe,
+        [query_id_col],
+        [F.col("_csim").desc(), F.col("cluster").asc()],
+        k=nprobe,
+    ).select(query_id_col, query_vec_col, "cluster")
+
+    scored = assignments.join(F.broadcast(probes), "cluster").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     hyperplanes: list[list[float]],

@@ -161,9 +161,17 @@ class WaveBank:
     #: index-query edge buffer, 1 s in ns (reference wavebank.py:173)
     buffer_ns = 1_000_000_000
 
-    def __init__(self, spark: SparkSession, path: str | os.PathLike):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | os.PathLike,
+        cache_size: int = 5,
+    ):
+        from obsplus_spark.sources.index_cache import IndexCache
+
         self.table = _GenerationTable(spark, Path(path) / "waveform_index")
         self._payload = _GenerationTable(spark, Path(path) / "waveform_data")
+        self._cache = IndexCache(cache_size=cache_size)
 
     def put_waveforms(self, traces: DataFrame) -> "WaveBank":
         """Sink trace rows (samples included) and refresh the index.
@@ -246,21 +254,36 @@ class WaveBank:
         channel: str | None = None,
         starttime: int | None = None,
         endtime: int | None = None,
+        use_cache: bool = True,
     ) -> DataFrame:
         """Indexed scan with pushed-down time + NSLC predicates
         (``wavebank.py:329-361``): interval **overlap** with the 1 s edge
-        buffer, glob matches on codes."""
-        df = self.table.read().drop("part_year", "_idx_key")
-        pred = interval_overlap(starttime, endtime, buffer_ns=self.buffer_ns)
-        for col, pat in (
-            ("network", network),
-            ("station", station),
-            ("location", location),
-            ("channel", channel),
-        ):
-            if pat is not None:
-                pred = pred & glob_match(col, pat)
-        return df.filter(pred)
+        buffer, glob matches on codes. Repeated queries inside an already-
+        read span serve from the superset cache (``utils/bank.py:159-196``
+        semantics) — a hit scans cached in-memory partitions, no parquet.
+        """
+        patterns = (network, station, location, channel)
+
+        def build(t1, t2):
+            df = self.table.read().drop("part_year", "_idx_key")
+            pred = interval_overlap(t1, t2, buffer_ns=self.buffer_ns)
+            for col, pat in zip(("network", "station", "location", "channel"), patterns):
+                if pat is not None:
+                    pred = pred & glob_match(col, pat)
+            return df.filter(pred)
+
+        if not use_cache:
+            return build(starttime, endtime)
+
+        def trim(df, t1, t2):
+            return df.filter(
+                interval_overlap(t1, t2, buffer_ns=self.buffer_ns)
+            )
+
+        meta = self.table._read_meta()
+        return self._cache.get(
+            starttime, endtime, patterns, meta["generation"], build, trim
+        )
 
     # -- index analytics (delegate to the operator layer) --------------------
     def availability(self, **kwargs) -> DataFrame:

@@ -139,3 +139,32 @@ def test_archive_to_sds(spark, tmp_path):
     # Hive layout gives partition pruning on (year, doy, station)
     parts = {p.name for p in (out_path / "year=1970").glob("doy=*")}
     assert parts == {"doy=1", "doy=2"}
+
+
+def test_index_cache_superset_and_invalidation(spark, tmp_path, wave_index):
+    bank = WaveBank(spark, tmp_path)
+    bank.update_index(wave_index)
+
+    # wide query populates the cache
+    wide = bank.read_index(starttime=Y2020, endtime=Y2020 + 1000 * NS)
+    assert wide.count() == 3
+    assert len(bank._cache.entries) == 1
+
+    # contained query → served from the cached superset (no new entry)
+    narrow = bank.read_index(starttime=Y2020 + 10 * NS, endtime=Y2020 + 20 * NS)
+    assert {r.path for r in narrow.collect()} == {"f1", "f3"}
+    assert len(bank._cache.entries) == 1
+    assert bank._cache.entries[0].hits == 1
+
+    # different NSLC kwargs → separate entry
+    bank.read_index(network="U?", starttime=Y2020, endtime=Y2020 + 1000 * NS).count()
+    assert len(bank._cache.entries) == 2
+
+    # upsert bumps the generation → cache invalidates, fresh data visible
+    extra = spark.createDataFrame(
+        [("XX", "N", "", "ZZZ", Y2020 + 5 * NS, Y2020 + 6 * NS, 10_000_000, "f4")],
+        wave_index.schema,
+    )
+    bank.update_index(extra)
+    fresh = bank.read_index(starttime=Y2020, endtime=Y2020 + 1000 * NS)
+    assert fresh.count() == 4

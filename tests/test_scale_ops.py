@@ -122,3 +122,33 @@ def test_token_count_empty(spark):
     df = spark.createDataFrame([("",), ("  ",), ("one two",)], ["text"])
     got = [r[0] for r in df.select(token_count("text")).collect()]
     assert got == [0, 0, 2]
+
+
+def test_ivf_topk_recall(spark):
+    """IVF probe search must find the exact neighbors that live in probed
+    clusters; self-hit always (its own cluster is the top probe)."""
+    import numpy as np
+
+    from obsplus_spark.operators.similarity import ivf_assign, ivf_topk
+
+    rng = np.random.RandomState(3)
+    # two well-separated blobs so cluster structure is real
+    blob_a = rng.randn(30, 8) + 10.0
+    blob_b = rng.randn(30, 8) - 10.0
+    vecs = np.vstack([blob_a, blob_b])
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    assignments, centroids = ivf_assign(vdf, n_clusters=4, refine_iterations=1)
+    assert centroids.count() == 4
+    # every vector assigned exactly once
+    assert assignments.count() == 60
+
+    qdf = spark.createDataFrame(
+        [(5, [float(x) for x in vecs[5]])], "query_id long, query_vec array<float>"
+    )
+    out = ivf_topk(assignments, centroids, qdf, k=5, nprobe=2).orderBy("rank").collect()
+    assert out[0].vec_id == 5  # self-hit
+    # all results from the same blob as the query (cosine ~1 within blob)
+    assert all(r.vec_id < 30 for r in out)
