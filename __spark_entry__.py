@@ -42,6 +42,12 @@ WIN_NS = 600 * NS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensive session conf: the driver may build its own SparkSession.
+    # nanosAsLong is required to read events.parquet (TIMESTAMP(NANOS));
+    # UTC pins timestamp-literal parsing to match the DuckDB oracle.
+    # Both are runtime-settable; idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
