@@ -184,7 +184,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON = """
     SELECT event_type,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            count(CAST(props->>'$.k' AS BIGINT)) AS n_k,
            min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            max(CAST(props->>'$.k' AS BIGINT)) AS max_k
@@ -422,13 +422,14 @@ def q_topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", _ts_ns().alias("t_ns")
     )
-    return topk_per_group(
+    out = topk_per_group(
         ev,
         ["user_id"],
         [F.col("value").desc(), F.col("t_ns").asc(), F.col("event_id").asc()],
         k=3,
         keep_rank=True,
     )
+    return out.withColumn("rn", F.col("rn").cast("long"))
 
 
 _SQL_TOPK = """
@@ -500,9 +501,10 @@ _SQL_SEGMENTS = f"""
     {_SEG_FLAG_SQL},
     sess AS (
       SELECT user_id, starttime, endtime,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY starttime, endtime
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY starttime, endtime
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -537,13 +539,13 @@ _SQL_UPTIME = f"""
       FROM iv GROUP BY user_id
     ),
     gap_tot AS (
-      SELECT user_id, sum(next_start - cum_end) AS gap_duration
+      SELECT user_id, CAST(sum(next_start - cum_end) AS BIGINT) AS gap_duration
       FROM flagged
       WHERE next_start IS NOT NULL AND cum_end + {MIN_GAP_NS} < next_start
       GROUP BY user_id
     )
     SELECT a.user_id, avail_start, avail_end, duration,
-           coalesce(g.gap_duration, 0) AS gap_duration,
+           CAST(coalesce(g.gap_duration, 0) AS BIGINT) AS gap_duration,
            (duration - coalesce(g.gap_duration, 0)) / CAST(duration AS DOUBLE)
              AS availability
     FROM avail a LEFT JOIN gap_tot g ON a.user_id = g.user_id
@@ -595,7 +597,7 @@ def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "c_custkey",
         F.round(F.col("distance_m"), 3).alias("distance_m"),
-        F.col("rn").alias("rank"),
+        F.col("rn").cast("long").alias("rank"),
     )
 
 
@@ -765,7 +767,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "vec_id",
-        F.col("rank"),
+        F.col("rank").cast("long").alias("rank"),
         F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
     )
 
@@ -1006,7 +1008,7 @@ def q_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("value").desc(), F.col("event_id").asc())
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter((F.col("rn") > 10) & (F.col("rn") <= 30))
     )
 
@@ -1195,7 +1197,7 @@ def q_nested_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     last = F.element_at(F.col("events"), -1)
     return nested.select(
         "user_id",
-        F.size("events").alias("n_events"),
+        F.size("events").cast("long").alias("n_events"),
         last["t_ns"].alias("last_ns"),
         last["event_type"].alias("last_type"),
         last["value"].alias("last_value"),

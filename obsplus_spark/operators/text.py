@@ -43,11 +43,12 @@ def text_stats(
     sw_arr = F.array(*[F.lit(s) for s in sw])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
     n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    # counts as longs — matches the BIGINT the oracle engines produce
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars_calc"),
-        n_tok.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_calc"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         (F.size(F.array_distinct(toks)) / n_tok.cast("double")).alias(
             "distinct_ratio"
         ),

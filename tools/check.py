@@ -88,6 +88,47 @@ def main() -> int:
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1
             continue
+        # arrow-normalized type compare (the driver checks schema, not just names)
+        def _canon(t: str) -> str:
+            t = t.lower()
+            if "int" in t or t in ("long", "short", "byte"):
+                return "int"
+            if any(n in t for n in ("float", "double", "decimal")):
+                return "float"
+            if any(n in t for n in ("string", "varchar", "utf8")):
+                return "str"
+            if t.startswith("bool"):
+                return "bool"
+            if t.startswith(("list", "array")):
+                return "list"
+            return t
+        stypes = {f.name: _canon(f.dataType.simpleString()) for f in sdf.schema.fields}
+        try:
+            arrow = con.execute(sql).arrow()
+            otypes = {
+                fld.name: _canon(str(fld.type)) for fld in arrow.schema
+            }
+        except Exception:
+            otypes = {}
+        type_mismatch = [
+            (c, stypes[c], otypes.get(c))
+            for c in stypes
+            if otypes and stypes[c] != otypes.get(c)
+        ]
+        if type_mismatch:
+            print(f"FAIL {name}: type mismatch {type_mismatch}")
+            n_fail += 1
+            continue
+        # exact-width check: int32 vs int64 etc. (warn only — driver strictness unknown)
+        warrow = {fld.name: str(fld.type) for fld in arrow.schema} if otypes else {}
+        for f in sdf.schema.fields:
+            st = f.dataType.simpleString()
+            ot = warrow.get(f.name, "")
+            pairs = {("int", "int32"), ("bigint", "int64"), ("double", "double"),
+                     ("string", "string"), ("string", "large_string")}
+            if ot and (st, ot) not in pairs and _canon(st) == _canon(ot) and st in ("int", "bigint"):
+                if (st == "int") != (ot == "int32"):
+                    print(f"  WARN {name}: width {f.name}: spark={st} duck={ot}")
         if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             n_fail += 1
