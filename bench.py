@@ -50,11 +50,16 @@ def main() -> None:
     for fn in qs.values():
         fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
+    # best-of-2 per query: the host is shared, single runs show ±5×
+    # scheduler noise; the min is the reproducible cost of the plan
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

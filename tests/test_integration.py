@@ -1,0 +1,82 @@
+"""Cross-layer integration: the pipelines a real user would compose."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_media_features_to_ann_dedup(spark):
+    """Multimodal → similarity pipeline: binary payloads → feature vectors
+    → IVF ANN → near-duplicate detection by cosine. The shape of an
+    image-dedup job at corpus scale, end-to-end through public APIs."""
+    from obsplus_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+    from obsplus_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (i, bytearray(f"image-bytes-{i % 4}".encode()), ("image", "png", 8, 8, None, None))
+        for i in range(12)  # 4 distinct payloads × 3 copies
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, dim=8).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    queries = feats.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = cosine_topk(feats, queries, k=4).collect()
+    # the 3 payload-identical copies score exactly 1.0
+    perfect = [r.vec_id for r in top if abs(r.cosine_sim - 1.0) < 1e-12]
+    assert len(perfect) == 3
+    assert {v % 4 for v in perfect} == {0}
+
+
+def test_bank_fetcher_gaps_roundtrip(spark, tmp_path):
+    """Banks → Fetcher → window analytics: ingest index rows, extract
+    per-event windows, compute coverage on the result."""
+    from obsplus_spark import Fetcher, WaveBank
+    from obsplus_spark.operators.gaps import segments_df
+
+    NS = 10**9
+    bank = WaveBank(spark, tmp_path / "wb")
+    idx_rows = [
+        ("UU", "S1", "", "HHZ", i * 100 * NS, (i * 100 + 90) * NS, 10_000_000, f"f{i}")
+        for i in range(10)
+    ]
+    bank.update_index(
+        spark.createDataFrame(
+            idx_rows,
+            "network string, station string, location string, channel string, "
+            "starttime long, endtime long, sampling_period long, path string",
+        )
+    )
+    events = spark.createDataFrame(
+        [("e1", 250 * NS), ("e2", 700 * NS)], "event_id string, time long"
+    )
+    stations = spark.createDataFrame(
+        [("UU", "S1", "", "HHZ", 0, None)],
+        "network string, station string, location string, channel string, "
+        "start_date long, end_date long",
+    )
+    f = Fetcher(events, stations, bank.read_index())
+    hits = f.yield_event_waveforms(100 * NS, 100 * NS)
+    # e1 window [150,350] overlaps segments 1,2,3; e2 [600,800] overlaps
+    # 6,7 only (segment 8 starts AT the window end — strict overlap)
+    per_event = {
+        r[0]: r[1]
+        for r in hits.groupBy("event_id").count().collect()
+    }
+    assert per_event == {"e1": 3, "e2": 2}
+
+    # downstream analytics compose on the join output
+    segs = segments_df(
+        hits.select(
+            "network", "station", "location", "channel",
+            F.col("seg_start").alias("starttime"),
+            F.col("seg_end").alias("endtime"),
+        ),
+        min_gap=20 * NS,
+        sampling_period_col=None,
+    )
+    assert segs.count() == 2  # one merged island per event window
