@@ -1214,6 +1214,62 @@ _SQL_NESTED = """
 
 
 # ---------------------------------------------------------------------------
+# pivot + salted skew aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type value matrix (the reference's per-type
+    magnitude columns, constants.py:493-497, as a general pivot)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum(dec).cast("double"), 4))
+    )
+
+
+_SQL_PIVOT = """
+    SELECT user_id,
+           round(CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS click,
+           round(CAST(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS error,
+           round(CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS purchase,
+           round(CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS signup,
+           round(CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS view
+    FROM events GROUP BY user_id
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: identical results to a plain
+    groupBy (the salt is internal), hot keys spread across salt tasks."""
+    from obsplus_spark.operators.joins import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _ts_ns().alias("t_ns")
+    )
+    return salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count, F.sum, "t_ns"),
+            "min_ns": (F.min, F.min, "t_ns"),
+            "max_ns": (F.max, F.max, "t_ns"),
+        },
+        salt=8,
+    )
+
+
+_SQL_SALTED = """
+    SELECT event_type, count(*) AS n,
+           min(epoch_ns(ts)) AS min_ns, max(epoch_ns(ts)) AS max_ns
+    FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # bulk-request join (wavebank.get_waveforms_bulk) over a derived index
 # ---------------------------------------------------------------------------
 
@@ -1382,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_coverage": q_common_coverage,
         "nested_last_event": q_nested_last_event,
         "bulk_request": q_bulk_request,
+        "pivot_by_type": q_pivot_by_type,
+        "salted_agg": q_salted_agg,
     }
 
 
@@ -1419,6 +1477,8 @@ def oracle_sql() -> dict[str, str]:
         "common_coverage": _SQL_COVERAGE,
         "nested_last_event": _SQL_NESTED,
         "bulk_request": _bulk_sql(),
+        "pivot_by_type": _SQL_PIVOT,
+        "salted_agg": _SQL_SALTED,
     }
     out.update(_geo_oracles())
     return out

@@ -179,6 +179,37 @@ def topk_per_group(
     return out if keep_rank else out.drop(rank_col)
 
 
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed groups.
+
+    When one group key dominates (the classic hot-user/hot-seed skew), a
+    plain ``groupBy`` sends the whole hot group to one reducer. Salting
+    splits each group into ``salt`` sub-groups for the partial phase, then
+    merges partials — the hot key's work spreads across ``salt`` tasks and
+    the final shuffle only moves ``salt`` rows per group.
+
+    ``aggs`` maps output column → (partial_fn, merge_fn, input_col), e.g.
+    ``{"n": (F.count, F.sum, "x"), "mx": (F.max, F.max, "x")}``. Only
+    aggregations with an associative merge decompose this way (count→sum,
+    sum→sum, min→min, max→max).
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=0) * salt).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[pf(F.col(c) if pf is not F.count else F.lit(1)).alias(f"_p_{out}")
+          for out, (pf, _mf, c) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[mf(F.col(f"_p_{out}")).alias(out) for out, (_pf, mf, c) in aggs.items()]
+    )
+
+
 def bulk_request_join(
     index: DataFrame,
     requests: DataFrame,

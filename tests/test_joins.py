@@ -175,3 +175,24 @@ def test_bulk_request_join_exact_and_glob(spark, waveform_index):
     assert ("UU", "A", "HHZ", 500) in seeds          # glob hit (HHZ)
     assert ("UU", "B", "HHN", 900) in seeds          # glob hit (HHN, overlap)
     assert all(r.network != "XX" for r in out)
+
+
+def test_salted_aggregate_equals_plain(spark):
+    """Salting is internal: results must equal the plain groupBy even on a
+    pathologically hot key."""
+    from obsplus_spark.operators.joins import salted_aggregate
+
+    rows = [("hot", i) for i in range(500)] + [("cold", 1), ("cold", 7)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = salted_aggregate(
+        df,
+        keys=["k"],
+        aggs={
+            "n": (F.count, F.sum, "v"),
+            "mn": (F.min, F.min, "v"),
+            "mx": (F.max, F.max, "v"),
+        },
+        salt=8,
+    )
+    got = {r.k: (r.n, r.mn, r.mx) for r in out.collect()}
+    assert got == {"hot": (500, 0, 499), "cold": (2, 1, 7)}
