@@ -126,8 +126,16 @@ class EventBank:
     to pushdown predicates over the partitioned parquet index.
     """
 
-    def __init__(self, spark: SparkSession, path: str | os.PathLike):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | os.PathLike,
+        cache_size: int = 5,
+    ):
+        from obsplus_spark.sources.index_cache import IndexCache
+
         self.table = _GenerationTable(spark, Path(path) / "event_index")
+        self._cache = IndexCache(cache_size=cache_size)
 
     def put_events(self, events: DataFrame) -> "EventBank":
         """Upsert event-summary rows keyed on event_id
@@ -139,10 +147,45 @@ class EventBank:
     # update_index is put_events in this engine: the index IS the table
     update_index = put_events
 
-    def read_index(self, **kwargs) -> DataFrame:
-        """FDSN-style query (``eventbank.py:225-261 read_index``)."""
-        df = self.table.read().drop("part_year")
-        return fdsn_event_filter(df, **kwargs)
+    def read_index(self, use_cache: bool = True, **kwargs) -> DataFrame:
+        """FDSN-style query (``eventbank.py:225-261 read_index``).
+
+        Time-contained repeats with identical residual kwargs serve from
+        the superset cache (same semantics as WaveBank's; events are point
+        times so the trim is a ``time`` range filter).
+        """
+
+        kwargs = dict(kwargs)
+        kwargs_start = kwargs.pop("starttime", None)
+        kwargs_end = kwargs.pop("endtime", None)
+
+        def build(t1, t2):
+            df = self.table.read().drop("part_year")
+            return fdsn_event_filter(df, starttime=t1, endtime=t2, **kwargs)
+
+        if not use_cache:
+            return build(kwargs_start, kwargs_end)
+
+        if kwargs.get("limit") is not None:
+            # limited queries are not cache-shareable (the cached superset
+            # would re-limit after trimming, changing semantics)
+            return build(kwargs_start, kwargs_end)
+
+        def trim(df, t1, t2):
+            from pyspark.sql import functions as F
+
+            out = df
+            if t1 is not None:
+                out = out.filter(F.col("time") > F.lit(int(t1)))
+            if t2 is not None:
+                out = out.filter(F.col("time") < F.lit(int(t2)))
+            return out
+
+        key = tuple(sorted((k, str(v)) for k, v in kwargs.items()))
+        meta = self.table._read_meta()
+        return self._cache.get(
+            kwargs_start, kwargs_end, key, meta["generation"], build, trim
+        )
 
     get_events = read_index
 

@@ -168,3 +168,20 @@ def test_index_cache_superset_and_invalidation(spark, tmp_path, wave_index):
     bank.update_index(extra)
     fresh = bank.read_index(starttime=Y2020, endtime=Y2020 + 1000 * NS)
     assert fresh.count() == 4
+
+
+def test_eventbank_cache(spark, tmp_path, event_rows):
+    bank = EventBank(spark, tmp_path)
+    bank.put_events(event_rows)
+    wide = bank.read_index(starttime=Y2020, endtime=Y2020 + 400 * 86400 * NS)
+    assert wide.count() == 3
+    narrow = bank.read_index(starttime=Y2020 + 50 * NS, endtime=Y2020 + 150 * NS)
+    assert {r.event_id for r in narrow.collect()} == {"e2"}
+    assert len(bank._cache.entries) == 1 and bank._cache.entries[0].hits == 1
+    # limited queries bypass the cache (re-limiting a trimmed superset
+    # would change semantics)
+    assert bank.read_index(minmagnitude=0, limit=2).count() == 2
+    assert len(bank._cache.entries) == 1
+    # upsert invalidates
+    bank.put_events(event_rows.limit(1))
+    assert bank.read_index(starttime=Y2020, endtime=Y2020 + 400 * 86400 * NS).count() == 3
