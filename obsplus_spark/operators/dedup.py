@@ -85,7 +85,16 @@ def minhash_signatures(
     shingle_size: int = 3,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: ``sig_j = min_shingle md5(j ':' s)``.
+    """MinHash signature per document: ``sig_j = min_shingle rot_j(md5(s))``.
+
+    Hash family: **one** md5 per shingle; lane ``j`` is the 32-hex-char
+    digest rotated left by ``2·j`` characters, so each lane's lexicographic
+    order is led by a different digit pair of the digest — 16 near-
+    independent orderings for the price of a single hash (the j-keyed
+    md5-per-lane family costs 16× the hashing and dominated the round-1
+    bench). Lanes only gate LSH candidate recall; the exact Jaccard pass
+    downstream decides membership, so lane independence needs to be good,
+    not perfect.
 
     One wide aggregate over the exploded shingle table — n_hashes ``min``
     aggregations, all map-side combinable. Pass ``shingles_df`` (e.g. a
@@ -95,8 +104,15 @@ def minhash_signatures(
     sh = shingles_df if shingles_df is not None else shingles(
         df, id_col, text_col, shingle_size
     )
+    h = F.md5(F.col("shingle"))
+    sh = sh.withColumn("_h", h)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        F.min(
+            F.concat(
+                F.substring(F.col("_h"), 2 * j + 1, 32 - 2 * j),
+                F.substring(F.col("_h"), 1, 2 * j),
+            )
+        ).alias(f"mh_{j}")
         for j in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -262,7 +278,13 @@ def near_duplicates(
     """
     sh = shingles(df, id_col, text_col, shingle_size)
     if persist_shingles is None:
-        persist_shingles = df.rdd.getNumPartitions() > 16
+        # auto: persist on a real cluster (any non-local master — the
+        # corpus re-read × 3 is the dominant cost there); tiny local runs
+        # recompute, which measures faster than the cache round-trip. No
+        # df.rdd partition probe — that would force plan materialization.
+        from obsplus_spark.util import is_local_master
+
+        persist_shingles = not is_local_master(df)
     if persist_shingles:
         sh = sh.persist()
     sig = minhash_signatures(

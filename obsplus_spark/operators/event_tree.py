@@ -169,7 +169,10 @@ def origin_quality(tree: DataFrame) -> DataFrame:
     """Per-event quality counts (events/pd.py:73-163 _OriginQualityExtractor):
     P/S pick counts excluding rejected picks, distinct station count."""
     p = tree.select("event_id", F.explode("picks").alias("p"))
-    ok = F.col("p.evaluation_status") != "rejected"
+    # null-safe: a missing status is NOT rejected (reference pandas
+    # semantics: ``None != 'rejected'`` is True) — plain != drops nulls
+    status = F.col("p.evaluation_status")
+    ok = status.isNull() | (status != "rejected")
     return p.groupBy("event_id").agg(
         F.count(F.when((F.col("p.phase_hint") == "P") & ok, 1)).alias(
             "p_pick_count"

@@ -41,6 +41,11 @@ def interval_overlap_join(
     side broadcasts; pass ``broadcast_left`` for small window tables).
     """
     on = on or []
+    if bucket is not None and how != "inner":
+        # the bucketed path explodes each side into per-bucket copies; an
+        # outer join would null-extend every non-canonical copy of an
+        # unmatched row, duplicating left rows — only inner is correct
+        raise ValueError("bucketed interval join supports how='inner' only")
     overlap = (F.col(f"l.{left_start}") < F.col(f"r.{right_end}")) & (
         F.col(f"l.{left_end}") > F.col(f"r.{right_start}")
     )
@@ -101,64 +106,62 @@ def asof_join(
     ``right_values`` are emitted as ``<col>_right``; ``tolerance`` (same
     units as ts) nulls matches older than ``left_ts − tolerance``;
     ``strict`` excludes equal timestamps (< instead of <=).
+
+    The right payload travels as **one struct** carried by a single
+    ``last(ignorenulls=True)`` — the whole matched row wins or loses
+    atomically. (Per-column carry would silently substitute an older row's
+    value wherever the matched row holds a NULL.)
     """
+    from pyspark.sql import types as T
+
     right_values = right_values or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
     lcols = left.columns
     side = F.lit(1) if not strict else F.lit(-1)  # ties: right first unless strict
 
+    payload_type = T.StructType(
+        [T.StructField("_rt", right.schema[right_ts].dataType, True)]
+        + [T.StructField(c, right.schema[c].dataType, True) for c in right_values]
+    )
     r = right.select(
         *on,
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}_right") for c in right_values],
+        F.struct(
+            F.col(right_ts).alias("_rt"),
+            *[F.col(c) for c in right_values],
+        ).alias("_rp"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
-    ).withColumn("_rt", F.col("_t"))
+    )
     l = left.select(
         *on,
         F.col(left_ts).alias("_t"),
         side.alias("_side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}_right")
-            for c in right_values
-        ],
+        F.lit(None).cast(payload_type).alias("_rp"),
         *[F.col(c) for c in lcols if c not in on],
-    ).withColumn("_rt", F.lit(None).cast(right.schema[right_ts].dataType))
+    )
 
     w = (
         Window.partitionBy(*on)
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l).withColumns(
-        {
-            **{
-                f"{c}_right": F.last(f"{c}_right", ignorenulls=True).over(w)
-                for c in right_values
-            },
-            "_matched_t": F.last("_rt", ignorenulls=True).over(w),
-        }
+    carried = r.unionByName(l).withColumn(
+        "_rpc", F.last("_rp", ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("_side") != 0)
     if tolerance is not None:
-        too_old = F.col("_matched_t") < F.col("_t") - F.lit(int(tolerance))
-        out = out.withColumns(
-            {
-                f"{c}_right": F.when(too_old, F.lit(None)).otherwise(
-                    F.col(f"{c}_right")
-                )
-                for c in right_values
-            }
-        ).withColumn(
-            "_matched_t", F.when(too_old, F.lit(None)).otherwise(F.col("_matched_t"))
+        too_old = F.col("_rpc._rt") < F.col("_t") - F.lit(int(tolerance))
+        out = out.withColumn(
+            "_rpc", F.when(too_old, F.lit(None).cast(payload_type)).otherwise(F.col("_rpc"))
         )
     return out.select(
         *on,
         F.col("_t").alias(left_ts),
         *[c for c in lcols if c not in set(on) | {left_ts}],
-        *[f"{c}_right" for c in right_values],
-        F.col("_matched_t").alias(f"{right_ts}_matched"),
+        *[F.col(f"_rpc.{c}").alias(f"{c}_right") for c in right_values],
+        F.col("_rpc._rt").alias(f"{right_ts}_matched"),
     )
 
 
@@ -221,9 +224,13 @@ def bulk_request_join(
 
     Mirror of ``utils/waveforms.py:567-608 _filter_index_to_bulk`` with the
     reference's exact/glob split kept as a physical-plan split: rows whose
-    four codes contain no wildcard join on **equality** (hashable, fast
-    path); wildcard rows join via ``rlike`` on a broadcast of the (small)
-    request side. Results union.
+    four codes contain no wildcard **semi-join** on equality (broadcast hash,
+    fast path, at most one output row per index row); wildcard rows
+    semi-join via ``regexp_like`` against a broadcast of the (small) request
+    side, minus rows the exact branch already emitted (broadcast anti join).
+    Both branches build unconditionally — an empty side joins to nothing —
+    so plan construction fires no Spark job, and the branch split replaces
+    the full-output dedup shuffle a plain inner-join union would need.
     """
     from obsplus_spark.functions.strings import glob_to_regex
 
@@ -236,27 +243,29 @@ def bulk_request_join(
     overlap = (F.col(f"i.{start_col}") < F.col(f"r.{end_col}")) & (
         F.col(f"i.{end_col}") > F.col(f"r.{start_col}")
     )
-
-    i = index.alias("i")
-    cond = overlap
+    exact_cond = overlap
     for c in nslc:
-        cond = cond & (F.col(f"i.{c}") == F.col(f"r.{c}"))
-    out = i.join(F.broadcast(exact_req.alias("r")), cond, "inner").select("i.*")
+        exact_cond = exact_cond & (F.col(f"i.{c}") == F.col(f"r.{c}"))
 
-    if glob_req.take(1):
-        # glob→regex runs only over the (dimension-small) request side;
-        # the match itself is regexp_like on the distributed index side.
-        to_regex = F.udf(lambda p: glob_to_regex(p), "string")
-        glob_regex = glob_req.select(
-            *[to_regex(F.col(c)).alias(c) for c in nslc],
-            start_col,
-            end_col,
-        )
-        gcond = overlap
-        for c in nslc:
-            gcond = gcond & F.regexp_like(F.col(f"i.{c}"), F.col(f"r.{c}"))
-        gout = i.join(F.broadcast(glob_regex.alias("r")), gcond, "inner").select(
-            "i.*"
-        )
-        out = out.unionByName(gout)
-    return out.dropDuplicates()
+    exact_hits = index.alias("i").join(
+        F.broadcast(exact_req.alias("r")), exact_cond, "left_semi"
+    )
+
+    # glob→regex runs only over the (dimension-small) request side;
+    # the match itself is regexp_like on the distributed index side.
+    to_regex = F.udf(lambda p: glob_to_regex(p), "string")
+    glob_regex = glob_req.select(
+        *[to_regex(F.col(c)).alias(c) for c in nslc],
+        start_col,
+        end_col,
+    )
+    gcond = overlap
+    for c in nslc:
+        gcond = gcond & F.regexp_like(F.col(f"i.{c}"), F.col(f"r.{c}"))
+    glob_hits = (
+        index.alias("i")
+        .join(F.broadcast(glob_regex.alias("r")), gcond, "left_semi")
+        .alias("i")
+        .join(F.broadcast(exact_req.alias("r")), exact_cond, "left_anti")
+    )
+    return exact_hits.unionByName(glob_hits)

@@ -52,31 +52,41 @@ def prune_rejected(
 
     ``edges`` is (parent, child). A child is dropped when its parent is
     dropped; iterate to a fixed point (bounded — event trees are shallow,
-    the reference's walk is equivalent). Each round is one anti join, so
-    the whole prune is ``depth × shuffle`` — no driver-side recursion over
-    rows.
+    the reference's walk is equivalent). Each round persists its frontier
+    and pays **one** count action (the persisted frontier is already
+    materialized by it), then unpersists the previous round — lineage and
+    executor memory stay bounded at one round's working set.
     """
-    alive = nodes.filter(F.col(status_col) != "rejected").select(id_col).distinct()
+    not_rejected = F.col(status_col).isNull() | (F.col(status_col) != "rejected")
+    roots = nodes.select(id_col).join(
+        edges.select(F.col("child").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    ).persist()
+    alive = nodes.filter(not_rejected).select(id_col).distinct().persist()
+    n_alive = alive.count()
     for _ in range(max_iterations):
         # a node stays only if it is not a child of a dropped parent
         reachable_children = edges.join(
             alive.withColumnRenamed(id_col, "parent"), "parent", "inner"
         ).select(F.col("child").alias(id_col))
-        roots = nodes.select(id_col).join(
-            edges.select(F.col("child").alias(id_col)).distinct(),
-            id_col,
-            "left_anti",
-        )
         new_alive = (
             roots.unionByName(reachable_children)
             .distinct()
             .join(alive, id_col, "left_semi")
-        )
-        if new_alive.count() == alive.count():
-            alive = new_alive
+        ).persist()
+        n_new = new_alive.count()  # also materializes the persist
+        prev, alive = alive, new_alive
+        prev.unpersist(blocking=False)
+        if n_new == n_alive:
             break
-        alive = new_alive
-    return nodes.join(alive, id_col, "left_semi")
+        n_alive = n_new
+    # the final frontier stays persisted — it backs the returned plan (a
+    # small id set, already materialized); Spark LRU-evicts, or callers
+    # release it via spark.catalog.clearCache()
+    out = nodes.join(alive, id_col, "left_semi")
+    roots.unpersist(blocking=False)
+    return out
 
 
 def bump_version(df: DataFrame, version_col: str = "version") -> DataFrame:

@@ -37,8 +37,9 @@ def duplicate_picks(picks: DataFrame, include_channel: bool = False) -> DataFram
     keys = ["event_id", "phase_hint", "network", "station", "location"]
     if include_channel:
         keys.append("channel")
+    status = F.col("evaluation_status")
     dup = (
-        picks.filter(F.col("evaluation_status") != "rejected")
+        picks.filter(status.isNull() | (status != "rejected"))
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
@@ -49,7 +50,9 @@ def duplicate_picks(picks: DataFrame, include_channel: bool = False) -> DataFram
 def s_before_p(picks: DataFrame) -> DataFrame:
     """Stations where the S pick is not after the P pick
     (events/validate.py:132-167: 'S ≥ P')."""
-    ok = picks.filter(F.col("evaluation_status") != "rejected")
+    # null-safe like duplicate_picks: missing status counts as not-rejected
+    status = F.col("evaluation_status")
+    ok = picks.filter(status.isNull() | (status != "rejected"))
     agg = (
         ok.groupBy("event_id", "network", "station")
         .agg(

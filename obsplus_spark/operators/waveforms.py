@@ -78,12 +78,16 @@ def merge_traces(
         t1 = int(pdf["endtime"].max())
         n = max(int(round((t1 - t0) / sp)), 0)
         buf = np.full(n, np.nan)
-        for _, row in pdf.iterrows():
-            s = row["samples"]
+        # vectorized overlay: offsets via numpy arithmetic, each segment a
+        # single slice assignment in sorted order (later rows win) — no
+        # per-row pandas iteration
+        starts = pdf["starttime"].to_numpy(dtype=np.int64)
+        offsets = np.round((starts - t0) / sp).astype(np.int64)
+        for i0, s in zip(offsets, pdf["samples"].to_numpy()):
             if s is None:
                 continue
-            i0 = int(round((int(row["starttime"]) - t0) / sp))
-            buf[i0 : i0 + len(s)] = s[: max(n - i0, 0)]
+            end = min(i0 + len(s), n)
+            buf[i0:end] = np.asarray(s)[: end - i0]
         head = {k: pdf[k].iloc[0] for k in keys}
         return pd.DataFrame(
             [
@@ -147,27 +151,97 @@ def common_coverage(
 
     The reference iterates python-side over gap groups
     (``stream2contiguous``/``_get_new_stream``); here: segment boundaries
-    become (+1 at start, −1 at end) events, a running sum over the global
-    time order counts covering seeds, and stretches where the count equals
-    the number of distinct seeds are the all-channels windows. One global
-    sort — acceptable because boundaries (not samples) are sorted; for
-    per-key variants pass pre-filtered input.
+    become (+1 at start, −1 at end) events and a running sum over the time
+    order counts covering seeds; stretches where the count equals the
+    number of distinct seeds are the all-channels windows.
+
+    Scale shape: the global cumulative sum is **two-pass range-partitioned**
+    — boundaries bucket on the time axis, each bucket computes its local
+    running sum and lead, per-bucket totals (one tiny row per bucket) are
+    prefix-summed and broadcast back as offsets, and the lead of each
+    bucket's last row patches in from the next bucket's first boundary. No
+    single-partition window over the boundary table, so the sweep survives
+    boundary tables that outgrow one executor. The bucket id is derived
+    from the data (broadcast min/max scalars), NOT ``spark_partition_id``
+    after a range exchange — a re-executed range exchange may sample
+    different boundaries, so physical partition ids are not safe to join
+    on. ``n_seeds`` and the bounds are one broadcast scalar aggregate — no
+    driver-side action at plan-build.
     """
-    n_seeds = segments.select(seed_col).distinct().count()
+    spark = segments.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scalars = segments.select(
+        F.count_distinct(F.col(seed_col)).alias("_n_seeds"),
+        F.min(start_col).alias("_lo"),
+        F.max(end_col).alias("_hi"),
+    )
+    n_seeds_df = scalars.select("_n_seeds")
     starts = segments.select(
         F.col(start_col).alias("t"), F.lit(1).alias("delta")
     )
     ends = segments.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
-    events = starts.unionByName(ends)
     # at equal t, ends sort before starts → half-open [start, end) semantics
-    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
-    swept = (
-        events.withColumn("covering", F.sum("delta").over(w))
-        .withColumn("next_t", F.lead("t").over(Window.orderBy("t", "delta")))
+    events = (
+        starts.unionByName(ends)
+        .join(F.broadcast(scalars.select("_lo", "_hi")))
+        # divide-first bucket math: width-then-index never overflows long,
+        # unlike (t - lo) * n_buckets on wide time spans
+        .withColumn(
+            "_width",
+            F.floor((F.col("_hi") - F.col("_lo")) / F.lit(n_buckets)) + 1,
+        )
+        .withColumn(
+            "_pid", F.floor((F.col("t") - F.col("_lo")) / F.col("_width"))
+        )
+        .drop("_lo", "_hi", "_width")
+    )
+
+    wp = Window.partitionBy("_pid").orderBy("t", "delta")
+    local = events.withColumns(
+        {
+            "_run": F.sum("delta").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+            "_next_t": F.lead("t").over(wp),
+        }
+    )
+
+    # one row per non-empty bucket: its delta total and first boundary.
+    # The bucket table is |buckets| rows — bounded by the partition count,
+    # not data size — so its prefix sums come from a broadcast self-join
+    # (an unpartitioned window would fold to a single-partition WindowExec)
+    parts = events.groupBy("_pid").agg(
+        F.sum("delta").alias("_tot"),
+        F.min(F.struct("t", "delta")).alias("_first"),
+    )
+    pa, pb = parts.alias("pa"), parts.alias("pb")
+    parts = (
+        pa.join(F.broadcast(pb), F.col("pb._pid") != F.col("pa._pid"), "left")
+        .groupBy(F.col("pa._pid").alias("_pid"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("pb._pid") < F.col("pa._pid"), F.col("pb._tot"))
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+            F.min(
+                F.when(
+                    F.col("pb._pid") > F.col("pa._pid"),
+                    F.struct(F.col("pb._pid").alias("p"), F.col("pb._first.t").alias("t")),
+                )
+            )["t"].alias("_next_first_t"),
+        )
+    )
+
+    swept = local.join(F.broadcast(parts), "_pid").withColumns(
+        {
+            "covering": F.col("_run") + F.col("_offset"),
+            "next_t": F.coalesce(F.col("_next_t"), F.col("_next_first_t")),
+        }
     )
     return (
-        swept.filter(
-            (F.col("covering") == n_seeds)
+        swept.join(F.broadcast(n_seeds_df))
+        .filter(
+            (F.col("covering") == F.col("_n_seeds"))
             & F.col("next_t").isNotNull()
             & (F.col("next_t") > F.col("t"))
         )

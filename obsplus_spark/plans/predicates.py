@@ -110,6 +110,11 @@ def interval_overlap(
     t2 = LARGEDT_NS if query_end is None else int(query_end)
     lo = t1 - buffer_ns if t1 > SMALLDT_NS + buffer_ns else SMALLDT_NS
     hi = t2 + buffer_ns if t2 < LARGEDT_NS - buffer_ns else LARGEDT_NS
+    if buffer_ns == 0:
+        # reference is inclusive (``~((end < t1) | (start > t2))`` keeps
+        # boundary-touching rows); strict bounds are correct only when a
+        # buffer already widens the window past the edge
+        return (F.col(start_col) <= F.lit(hi)) & (F.col(end_col) >= F.lit(lo))
     return (F.col(start_col) < F.lit(hi)) & (F.col(end_col) > F.lit(lo))
 
 

@@ -84,9 +84,13 @@ class _GenerationTable:
         self._write_meta(
             {"generation": new_gen, "last_updated_ns": time.time_ns()}
         )
-        old = self._gen_dir(meta["generation"])
-        if meta["generation"] >= 0 and old.exists():
-            shutil.rmtree(old, ignore_errors=True)
+        # snapshot isolation: keep the immediately-prior generation so any
+        # DataFrame handed out before this write (including a lazy cached
+        # index) still reads live files; garbage-collect older ones only.
+        for gen in range(new_gen - 1):
+            old = self._gen_dir(gen)
+            if old.exists():
+                shutil.rmtree(old, ignore_errors=True)
 
     def upsert(
         self,

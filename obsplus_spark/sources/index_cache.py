@@ -65,7 +65,15 @@ class IndexCache:
         t2)`` applies the residual range filter on a hit.
         """
         q1, q2 = self._norm(t1, t2)
-        self.entries = [e for e in self.entries if e.generation == generation]
+        fresh = []
+        for e in self.entries:
+            if e.generation == generation:
+                fresh.append(e)
+            else:
+                # stale generation: unpersist, or the cached partitions
+                # strand in executor memory until LRU pressure
+                e.df.unpersist(blocking=False)
+        self.entries = fresh
         for e in self.entries:
             if e.kwargs_key == kwargs_key and e.t1 <= q1 and e.t2 >= q2:
                 e.hits += 1

@@ -5,15 +5,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def is_local_master(df: DataFrame) -> bool:
+    """True when the session runs a ``local[...]`` master."""
+    return df.sparkSession.sparkContext.master.startswith("local")
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition iff the plan has fewer partitions than the cluster can use.
+    """Repartition under-partitioned inputs ahead of compute-heavy stages.
 
     Compute-heavy narrow stages (trig cross joins, shingle explodes, hash
     fan-outs) inherit the scan's partitioning; a small single-file input
-    serializes them onto one core. This guard repartitions **only when
-    under-partitioned** — on a real cluster reading many files/splits it is
-    a no-op, so it never introduces a shuffle at scale.
+    serializes them onto one core. On a cluster master the scan's split
+    planning already yields parallelism, so this is an identity — no
+    ``df.rdd`` probe (which would force physical planning on the driver)
+    ever runs in cluster plans. On a local master the probe is a cheap
+    driver-side plan conversion (no job) and the repartition it gates moves
+    only the compact pre-fan-out rows.
     """
+    if not is_local_master(df) and min_partitions is None:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
