@@ -60,13 +60,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Both are runtime-settable; idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if os.environ.get("SPARK_GRAFT_CACHE", "1") == "0":
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return spark.read.parquet(path)
     key = (id(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
-        _TABLE_CACHE[key] = spark.read.parquet(
-            f"{sf_dir}/{name}.parquet"
-        ).persist()
+        df = spark.read.parquet(path)
+        # fact tables: a single small parquet file scans with row-group
+        # parallelism (often 1-3 tasks); repartition once at cache
+        # materialization so every downstream query reads the cached
+        # blocks in parallel. Partition count sized to the file (~1 MB
+        # compressed each, clamped) — over-splitting small tables costs
+        # more per-task overhead than it buys. File size comes from
+        # driver-side fs metadata — no Spark job. Dims stay unsplit.
+        try:
+            n_bytes = os.path.getsize(path)
+        except OSError:
+            n_bytes = 0
+        target = min(
+            max(n_bytes // (1024 * 1024), 1),
+            spark.sparkContext.defaultParallelism,
+        )
+        if target > 1:
+            df = df.repartition(int(target))
+        _TABLE_CACHE[key] = df.persist()
     return _TABLE_CACHE[key]
 
 
@@ -1170,9 +1187,13 @@ def q_common_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from obsplus_spark.operators.waveforms import common_coverage
 
     iv = _event_intervals(spark, sf_dir)
+    # the sessionized segment table is tiny (one row per coverage island —
+    # hundreds of rows per key set at any scale factor) but costs a full
+    # shuffle+window pass to derive; persist it so the sweep's scalar
+    # aggregate and boundary explode share one derivation
     segs = segments_df(
         iv, keys=["event_type"], min_gap=MIN_GAP_NS, sampling_period_col=None
-    )
+    ).persist()
     return common_coverage(
         segs, seed_col="event_type", start_col="seg_start", end_col="seg_end"
     )
@@ -1326,9 +1347,11 @@ _BULK_REQUESTS = [
 
 
 def q_bulk_request(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_waveforms_bulk: request table (exact + glob NSLC patterns,
-    per-row windows) × interval index; overlap + seed match."""
-    from obsplus_spark.operators.joins import bulk_request_join
+    """get_waveforms_bulk: literal request list (exact + glob NSLC
+    patterns, per-row windows) compiled into one scan predicate — the
+    reference's bulk API shape (a Python list), so no join at all; the
+    DataFrame-request twin (bulk_request_join) is exercised by tests."""
+    from obsplus_spark.operators.joins import bulk_request_filter
 
     iv = _event_intervals(spark, sf_dir).select(
         F.lit("EV").alias("network"),
@@ -1341,12 +1364,7 @@ def q_bulk_request(spark: SparkSession, sf_dir: str) -> DataFrame:
         "endtime",
         "event_id",
     )
-    req = spark.createDataFrame(
-        _BULK_REQUESTS,
-        "network string, station string, location string, channel string, "
-        "starttime long, endtime long",
-    )
-    out = bulk_request_join(iv, req)
+    out = bulk_request_filter(iv, _BULK_REQUESTS)
     return out.select("network", "station", "channel", "starttime", "endtime", "event_id")
 
 

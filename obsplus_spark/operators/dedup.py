@@ -84,6 +84,7 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_size: int = 3,
     shingles_df: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: ``sig_j = min_shingle rot_j(md5(s))``.
 
@@ -115,6 +116,11 @@ def minhash_signatures(
         ).alias(f"mh_{j}")
         for j in range(n_hashes)
     ]
+    if with_size:
+        # per-doc shingle count rides the same aggregate — downstream
+        # Jaccard needs it and this saves a whole extra pass over the
+        # shingle table
+        aggs.append(F.count(F.lit(1)).alias("n_shingles"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -168,16 +174,23 @@ def ngram_jaccard(
     text_col: str = "text",
     shingle_size: int = 3,
     shingles_df: DataFrame | None = None,
+    sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
     intersection via equi-join of the two shingle sets, sizes via the
-    per-doc shingle counts; ``J = |∩| / (|A| + |B| − |∩|)``.
+    per-doc shingle counts; ``J = |∩| / (|A| + |B| − |∩|)``. Pass
+    ``sizes_df`` (id_col, n_shingles) when the counts already exist —
+    e.g. folded into the MinHash aggregate — to skip a shingle-table pass.
     """
     sh = shingles_df if shingles_df is not None else shingles(
         df, id_col, text_col, shingle_size
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = (
+        sizes_df
+        if sizes_df is not None
+        else sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
 
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle"))
@@ -213,30 +226,32 @@ def simhash_signatures(
 
     Each distinct token hashes (md5 → first 8 hex chars → uint32); bit k of
     the signature is 1 iff more tokens have bit k set than unset. Hamming-
-    close signatures ⇒ similar token sets. One explode + one groupBy with
-    ``bits`` conditional sums — all map-side combinable, engine-portable
-    (same md5-derived hash convention as the MinHash family).
+    close signatures ⇒ similar token sets. Entirely **narrow**: the
+    distinct-token hash array materializes once per row (one md5 per
+    token), then ``bits`` array-aggregates vote per bit — no explode, no
+    shuffle, at any scale (the explode → groupBy formulation shuffles the
+    full token stream for an answer each row already holds). Engine-
+    portable: same md5-derived hash convention as the MinHash family.
     """
     from obsplus_spark.util import ensure_parallelism
 
-    toks = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col),
-            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-        )
-        .distinct()
-        .withColumn(
-            "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        )
+    hashes = F.transform(
+        F.array_distinct(F.split(normalize_text(text_col), " ")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
+    with_h = ensure_parallelism(df).select(F.col(id_col), hashes.alias("_hashes"))
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
+        F.aggregate(
+            F.col("_hashes"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, k).bitwiseAND(1) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
         ).alias(f"b{k}")
         for k in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = with_h.select(F.col(id_col), *votes)
     sig = sum(
         (F.when(F.col(f"b{k}") > 0, F.lit(2**k)).otherwise(F.lit(0)) for k in range(bits)),
         F.lit(0),
@@ -265,33 +280,27 @@ def near_duplicates(
     """End-to-end MinHash-LSH near-dup detection: signature → banding →
     candidate pairs → exact Jaccard → threshold.
 
-    The shingle table feeds three consumers (signatures, sizes,
-    intersections); Catalyst re-plans the explode per consumer (no
-    exchange reuse). ``persist_shingles`` caches it once instead:
-    - ``None`` (default): auto — persist only when the corpus scan has
-      many partitions (a real corpus); tiny/local inputs recompute,
-      which measures faster than the cache round-trip.
-    - ``True``/``False``: force. At 100 TB the shingle table is the thing
-      you materialize (it is tokens-sized; re-deriving it 3× re-reads the
-      corpus 3×). The persist stays in force for the caller's action;
-      Spark LRU-evicts, or unpersist via ``spark.catalog.clearCache()``.
+    The shingle table feeds multiple consumers (signatures+sizes in one
+    aggregate, both sides of the intersection join); Catalyst re-plans the
+    explode per consumer (no exchange reuse), so ``persist_shingles``
+    (default True) caches it once — at 100 TB the shingle table is the
+    thing you materialize (it is tokens-sized; re-deriving it re-reads the
+    corpus each time), and it measures faster locally too. The persist
+    stays in force for the caller's action; Spark LRU-evicts, or unpersist
+    via ``spark.catalog.clearCache()``.
     """
     sh = shingles(df, id_col, text_col, shingle_size)
     if persist_shingles is None:
-        # auto: persist on a real cluster (any non-local master — the
-        # corpus re-read × 3 is the dominant cost there); tiny local runs
-        # recompute, which measures faster than the cache round-trip. No
-        # df.rdd partition probe — that would force plan materialization.
-        from obsplus_spark.util import is_local_master
-
-        persist_shingles = not is_local_master(df)
+        persist_shingles = True
     if persist_shingles:
         sh = sh.persist()
     sig = minhash_signatures(
-        df, id_col, text_col, n_hashes, shingle_size, shingles_df=sh
+        df, id_col, text_col, n_hashes, shingle_size,
+        shingles_df=sh, with_size=True,
     )
     pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
     scored = ngram_jaccard(
-        df, pairs, id_col, text_col, shingle_size, shingles_df=sh
+        df, pairs, id_col, text_col, shingle_size,
+        shingles_df=sh, sizes_df=sig.select(id_col, "n_shingles"),
     )
     return scored.filter(F.col("jaccard") >= threshold)

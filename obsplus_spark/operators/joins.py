@@ -213,6 +213,38 @@ def salted_aggregate(
     )
 
 
+def bulk_request_filter(
+    index: DataFrame,
+    requests: list[tuple],
+    nslc: tuple[str, ...] = ("network", "station", "location", "channel"),
+    start_col: str = "starttime",
+    end_col: str = "endtime",
+) -> DataFrame:
+    """Bulk request as one compiled scan predicate — the literal-list path.
+
+    The reference's ``get_waveforms_bulk`` takes a Python list of
+    ``(net, sta, loc, chan, t1, t2)`` tuples (``wavebank.py:581-614``);
+    when the requests are plan-build constants, the whole bulk match
+    compiles to a single OR-of-conjunctions filter over the index scan: no
+    join, no shuffle, each glob regex compiled once (``glob_match``
+    exact/wildcard split), and the time bounds + exact codes reach the
+    parquet scan as pushable predicates. Use :func:`bulk_request_join`
+    when the request table is itself distributed data.
+    """
+    from obsplus_spark.functions.strings import glob_match
+
+    pred = None
+    for req in requests:
+        codes, (t1, t2) = req[: len(nslc)], req[len(nslc) :]
+        p = (F.col(start_col) < F.lit(int(t2))) & (F.col(end_col) > F.lit(int(t1)))
+        for col, pat in zip(nslc, codes):
+            p = p & glob_match(col, pat)
+        pred = p if pred is None else (pred | p)
+    if pred is None:
+        return index.filter(F.lit(False))
+    return index.filter(pred)
+
+
 def bulk_request_join(
     index: DataFrame,
     requests: DataFrame,

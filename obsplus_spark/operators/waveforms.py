@@ -170,20 +170,25 @@ def common_coverage(
     """
     spark = segments.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # one scalar aggregate supplies every global the sweep needs; it rides
+    # the boundary rows through one broadcast join
     scalars = segments.select(
         F.count_distinct(F.col(seed_col)).alias("_n_seeds"),
         F.min(start_col).alias("_lo"),
         F.max(end_col).alias("_hi"),
     )
-    n_seeds_df = scalars.select("_n_seeds")
-    starts = segments.select(
-        F.col(start_col).alias("t"), F.lit(1).alias("delta")
-    )
-    ends = segments.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
-    # at equal t, ends sort before starts → half-open [start, end) semantics
+    # one pass over segments: each row explodes into its (+1 start, -1 end)
+    # boundary pair (a union of two selects would scan segments twice)
+    boundary = F.explode(
+        F.array(
+            F.struct(F.col(start_col).alias("t"), F.lit(1).alias("delta")),
+            F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("delta")),
+        )
+    ).alias("b")
     events = (
-        starts.unionByName(ends)
-        .join(F.broadcast(scalars.select("_lo", "_hi")))
+        segments.select(boundary)
+        .select("b.t", "b.delta")
+        .join(F.broadcast(scalars))
         # divide-first bucket math: width-then-index never overflows long,
         # unlike (t - lo) * n_buckets on wide time spans
         .withColumn(
@@ -196,6 +201,7 @@ def common_coverage(
         .drop("_lo", "_hi", "_width")
     )
 
+    # at equal t, ends (−1) sort before starts (+1) → half-open [start, end)
     wp = Window.partitionBy("_pid").orderBy("t", "delta")
     local = events.withColumns(
         {
@@ -204,11 +210,14 @@ def common_coverage(
         }
     )
 
-    # one row per non-empty bucket: its delta total and first boundary.
-    # The bucket table is |buckets| rows — bounded by the partition count,
-    # not data size — so its prefix sums come from a broadcast self-join
-    # (an unpartitioned window would fold to a single-partition WindowExec)
-    parts = events.groupBy("_pid").agg(
+    # one row per non-empty bucket: its delta total and first boundary —
+    # derived from `local` so both branches share the same hash exchange
+    # on _pid (deriving it from `events` would plan a second, partial-agg
+    # exchange and recompute the boundary subtree). The bucket table is
+    # |buckets| rows — bounded by the partition count, not data size — so
+    # its prefix sums come from a broadcast self-join (an unpartitioned
+    # window would fold to a single-partition WindowExec).
+    parts = local.groupBy("_pid").agg(
         F.sum("delta").alias("_tot"),
         F.min(F.struct("t", "delta")).alias("_first"),
     )
@@ -238,14 +247,10 @@ def common_coverage(
             "next_t": F.coalesce(F.col("_next_t"), F.col("_next_first_t")),
         }
     )
-    return (
-        swept.join(F.broadcast(n_seeds_df))
-        .filter(
-            (F.col("covering") == F.col("_n_seeds"))
-            & F.col("next_t").isNotNull()
-            & (F.col("next_t") > F.col("t"))
-        )
-        .select(
-            F.col("t").alias("window_start"), F.col("next_t").alias("window_end")
-        )
+    return swept.filter(
+        (F.col("covering") == F.col("_n_seeds"))
+        & F.col("next_t").isNotNull()
+        & (F.col("next_t") > F.col("t"))
+    ).select(
+        F.col("t").alias("window_start"), F.col("next_t").alias("window_end")
     )

@@ -353,13 +353,19 @@ class WaveBank:
 
         return uptime(self.read_index(**kwargs))
 
-    def get_waveforms_bulk(self, requests: DataFrame) -> DataFrame:
-        """Request-table join (``wavebank.py:581-614``)."""
-        from obsplus_spark.operators.joins import bulk_request_join
-
-        return bulk_request_join(
-            self.table.read().drop("part_year", "_idx_key"), requests
+    def get_waveforms_bulk(self, requests: DataFrame | list) -> DataFrame:
+        """Bulk request (``wavebank.py:581-614``): a literal list compiles
+        into one scan predicate (the reference's API shape, no join); a
+        DataFrame request table goes through the broadcast semi-join."""
+        from obsplus_spark.operators.joins import (
+            bulk_request_filter,
+            bulk_request_join,
         )
+
+        index = self.table.read().drop("part_year", "_idx_key")
+        if isinstance(requests, list):
+            return bulk_request_filter(index, requests)
+        return bulk_request_join(index, requests)
 
     @property
     def last_updated_ns(self) -> int | None:
