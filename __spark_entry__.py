@@ -1395,6 +1395,307 @@ def _bulk_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# §2.1/§2.11 payload lookup, JSON round-trip, recursive prune, keyed merge
+# ---------------------------------------------------------------------------
+
+
+def q_event_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventBank.get_events payload path (eventbank.py:392-418): an index
+    predicate resolves matching keys, a left_semi join pulls the stored
+    nested payload rows, which flatten back to full detail — the exact
+    join program EventBank.get_events runs against its payload table."""
+    ev = _t(spark, sf_dir, "events")
+    payload = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(_ts_ns().alias("t_ns"), "event_type", "value")
+        ).alias("events")
+    )
+    index = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+    idx = index.filter((F.col("max_value") > 100.0) & (F.col("n_events") > 70))
+    trees = payload.join(idx.select("user_id"), "user_id", "left_semi")
+    return trees.select(
+        "user_id", F.explode("events").alias("e")
+    ).select(
+        "user_id",
+        F.col("e.t_ns").alias("t_ns"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+    )
+
+
+_SQL_PAYLOAD = """
+    SELECT e.user_id, epoch_ns(e.ts) AS t_ns, e.event_type, e.value
+    FROM events e
+    JOIN (SELECT user_id FROM events GROUP BY user_id
+          HAVING max(value) > 100.0 AND count(*) > 70) s
+      ON e.user_id = s.user_id
+"""
+
+
+def q_json_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event JSON round-trip (events/json.py:35-57 cat_to_json →
+    dict_to_cat): build nested event trees, serialize to JSON strings,
+    parse back through the fixed schema, flatten the picks view. The
+    oracle computes the flattened rows directly — any field the
+    round-trip loses or mangles breaks the hash match."""
+    from obsplus_spark.operators.event_tree import (
+        json_to_tree,
+        picks_to_df,
+        tree_to_json,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    picks = F.collect_list(
+        F.struct(
+            F.col("event_id").cast("string").alias("resource_id"),
+            _ts_ns().alias("time"),
+            F.col("event_type").alias("phase_hint"),
+            F.lit(None).cast("string").alias("evaluation_status"),
+            F.lit("EV").alias("network"),
+            F.col("event_type").alias("station"),
+            F.lit("").alias("location"),
+            F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias(
+                "channel"
+            ),
+        )
+    )
+    tree = ev.groupBy("user_id").agg(
+        picks.alias("picks"),
+        F.min(_ts_ns()).alias("first_ns"),
+        F.max(_ts_ns()).alias("creation_time"),
+    ).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("event_id"),
+        F.lit(None).cast("string").alias("event_description"),
+        F.lit(None).cast("string").alias("preferred_origin_id"),
+        F.lit(None).cast("string").alias("preferred_magnitude_id"),
+        F.col("creation_time"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("o"), F.col("user_id").cast("string")).alias(
+                    "resource_id"
+                ),
+                F.col("first_ns").alias("time"),
+                F.lit(None).cast("double").alias("latitude"),
+                F.lit(None).cast("double").alias("longitude"),
+                F.lit(None).cast("double").alias("depth"),
+            )
+        ).alias("origins"),
+        F.array().cast(
+            "array<struct<resource_id:string,mag:double,magnitude_type:string,origin_id:string>>"
+        ).alias("magnitudes"),
+        "picks",
+    )
+    round_tripped = json_to_tree(tree_to_json(tree).select("json"))
+    flat = picks_to_df(round_tripped)
+    return flat.select(
+        "event_id",
+        "event_time",
+        "resource_id",
+        "time",
+        "phase_hint",
+        "network",
+        "station",
+        "channel",
+        "seed_id",
+    )
+
+
+_SQL_JSON_RT = """
+    WITH firsts AS (
+      SELECT user_id, min(epoch_ns(ts)) AS first_ns FROM events GROUP BY user_id
+    )
+    SELECT 'u' || CAST(e.user_id AS VARCHAR) AS event_id,
+           f.first_ns AS event_time,
+           CAST(e.event_id AS VARCHAR) AS resource_id,
+           epoch_ns(e.ts) AS time,
+           e.event_type AS phase_hint,
+           'EV' AS network,
+           e.event_type AS station,
+           'u' || CAST(e.user_id % 10 AS VARCHAR) AS channel,
+           'EV.' || e.event_type || '..u' || CAST(e.user_id % 10 AS VARCHAR)
+             AS seed_id
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+"""
+
+
+def q_prune_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive prune (utils/events.py:74-148 prune_events): a two-level
+    ownership forest over the events table (user-first event → day-first
+    events → the day's other events); rejected nodes drop their whole
+    subtree. Spark side runs the iterative anti-join fixed point
+    (prune_rejected); the oracle is a DuckDB WITH RECURSIVE closure."""
+    from obsplus_spark.operators.surgery import prune_rejected
+
+    NS_DAY = 86400 * NS
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("resource_id"),
+        "user_id",
+        _ts_ns().alias("t_ns"),
+        F.when(F.col("value") > 200.0, F.lit("rejected"))
+        .when(F.col("value") < 1.0, F.lit(None).cast("string"))
+        .otherwise(F.lit("ok"))
+        .alias("evaluation_status"),
+    ).withColumn("day", F.floor(F.col("t_ns") / F.lit(NS_DAY)))
+    wu = Window.partitionBy("user_id").orderBy("t_ns", "resource_id")
+    wd = Window.partitionBy("user_id", "day").orderBy("t_ns", "resource_id")
+    ranked = ev.withColumns(
+        {
+            "rn_u": F.row_number().over(wu),
+            "rn_d": F.row_number().over(wd),
+            "uf_id": F.first("resource_id").over(wu),
+            "df_id": F.first("resource_id").over(wd),
+        }
+    )
+    day_first_edges = ranked.filter(
+        (F.col("rn_d") == 1) & (F.col("rn_u") > 1)
+    ).select(F.col("uf_id").alias("parent"), F.col("resource_id").alias("child"))
+    other_edges = ranked.filter(F.col("rn_d") > 1).select(
+        F.col("df_id").alias("parent"), F.col("resource_id").alias("child")
+    )
+    edges = day_first_edges.unionByName(other_edges)
+    nodes = ranked.select("resource_id", "evaluation_status")
+    alive = prune_rejected(nodes, edges)
+    return alive.select("resource_id")
+
+
+_SQL_PRUNE = f"""
+    WITH RECURSIVE base AS (
+      SELECT event_id AS id, user_id, epoch_ns(ts) AS t_ns,
+             CASE WHEN value > 200.0 THEN 'rejected'
+                  WHEN value < 1.0 THEN NULL
+                  ELSE 'ok' END AS status,
+             CAST(floor(epoch_ns(ts) / {86400 * NS}.0) AS BIGINT) AS day
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id ORDER BY t_ns, id) AS rn_u,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY t_ns, id) AS rn_d,
+             first_value(id) OVER (PARTITION BY user_id ORDER BY t_ns, id) AS uf_id,
+             first_value(id) OVER (PARTITION BY user_id, day ORDER BY t_ns, id) AS df_id
+      FROM base
+    ),
+    edges AS (
+      SELECT uf_id AS parent, id AS child FROM ranked WHERE rn_d = 1 AND rn_u > 1
+      UNION ALL
+      SELECT df_id AS parent, id AS child FROM ranked WHERE rn_d > 1
+    ),
+    alive AS (
+      SELECT id FROM ranked
+      WHERE rn_u = 1 AND (status IS NULL OR status <> 'rejected')
+      UNION
+      SELECT e.child
+      FROM edges e
+      JOIN alive a ON e.parent = a.id
+      JOIN ranked n ON n.id = e.child
+      WHERE n.status IS NULL OR n.status <> 'rejected'
+    )
+    SELECT id AS resource_id FROM alive
+"""
+
+
+def q_merge_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_events pick path (events/merge.py:66-92): column-level keyed
+    merge — shared keys take the incoming attributes but keep the target
+    resource_id (version bumps when content changed), incoming-only keys
+    append, target-only keys survive as 'rejected' (reject_old)."""
+    from obsplus_spark.operators.joins import topk_per_group
+    from obsplus_spark.operators.surgery import merge_events
+
+    ev = _t(spark, sf_dir, "events")
+
+    def picks_from(event_type: str, bucket_pred, phase: str, version):
+        rows = ev.filter(F.col("event_type") == event_type).withColumn(
+            "bucket", (F.col("user_id") % 50).cast("long")
+        )
+        if bucket_pred is not None:
+            rows = rows.filter(bucket_pred(F.col("bucket")))
+        last = topk_per_group(
+            rows.select("bucket", "event_id", _ts_ns().alias("t_ns")),
+            ["bucket"],
+            [F.col("t_ns").desc(), F.col("event_id").desc()],
+            k=1,
+        )
+        return last.select(
+            F.lit("EV").alias("network"),
+            F.concat(F.lit("s"), F.col("bucket").cast("string")).alias("station"),
+            F.lit("").alias("location"),
+            F.lit("c").alias("channel"),
+            F.lit(phase).alias("phase_hint"),
+            F.col("event_id").alias("resource_id"),
+            F.col("t_ns").alias("time"),
+            F.lit(None).cast("string").alias("evaluation_status"),
+            F.lit(version).cast("string").alias("version"),
+        )
+
+    target = picks_from("click", None, "P", "1")
+    incoming = picks_from("purchase", lambda b: b < 30, "P", None).unionByName(
+        picks_from("purchase", lambda b: b >= 40, "S", None)
+    )
+    merged, _ = merge_events(target, incoming, reject_old=True)
+    return merged
+
+
+def _merge_sql() -> str:
+    pick_cte = """
+      SELECT 'EV' AS network, 's' || CAST(bucket AS VARCHAR) AS station,
+             '' AS location, 'c' AS channel, '{phase}' AS phase_hint,
+             event_id AS resource_id, t_ns AS time,
+             CAST(NULL AS VARCHAR) AS evaluation_status,
+             {version} AS version
+      FROM (
+        SELECT bucket, event_id, t_ns,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY t_ns DESC, event_id DESC) AS rn
+        FROM (SELECT user_id % 50 AS bucket, event_id, epoch_ns(ts) AS t_ns
+              FROM events WHERE event_type = '{etype}' {extra})
+      ) WHERE rn = 1
+    """
+    tgt = pick_cte.format(phase="P", version="'1'", etype="click", extra="")
+    inc_p = pick_cte.format(
+        phase="P", version="CAST(NULL AS VARCHAR)", etype="purchase",
+        extra="AND user_id % 50 < 30",
+    )
+    inc_s = pick_cte.format(
+        phase="S", version="CAST(NULL AS VARCHAR)", etype="purchase",
+        extra="AND user_id % 50 >= 40",
+    )
+    return f"""
+    WITH tgt AS ({tgt}),
+    inc AS ({inc_p} UNION ALL {inc_s}),
+    m AS (
+      SELECT coalesce(t.network, i.network) AS network,
+             coalesce(t.station, i.station) AS station,
+             coalesce(t.location, i.location) AS location,
+             coalesce(t.channel, i.channel) AS channel,
+             coalesce(t.phase_hint, i.phase_hint) AS phase_hint,
+             t.resource_id AS t_rid, i.resource_id AS i_rid,
+             t.time AS t_time, i.time AS i_time,
+             t.version AS t_ver, i.version AS i_ver,
+             t.resource_id IS NOT NULL AS in_t,
+             i.resource_id IS NOT NULL AS in_i
+      FROM tgt t FULL JOIN inc i
+        ON t.network = i.network AND t.station = i.station
+       AND t.location = i.location AND t.channel = i.channel
+       AND t.phase_hint = i.phase_hint
+    )
+    SELECT network, station, location, channel, phase_hint,
+           CASE WHEN in_t THEN t_rid ELSE i_rid END AS resource_id,
+           CASE WHEN in_i THEN i_time ELSE t_time END AS time,
+           CASE WHEN in_t AND NOT in_i THEN 'rejected'
+                ELSE CAST(NULL AS VARCHAR) END AS evaluation_status,
+           CASE WHEN in_t AND in_i AND t_time IS DISTINCT FROM i_time
+                  THEN CAST(CAST(coalesce(t_ver, '0') AS BIGINT) + 1 AS VARCHAR)
+                WHEN in_t AND NOT in_i THEN t_ver
+                ELSE coalesce(i_ver, t_ver) END AS version
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # dateline oracle needs the haversine fragment from the geo module
 # ---------------------------------------------------------------------------
 
@@ -1500,6 +1801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_request": q_bulk_request,
         "pivot_by_type": q_pivot_by_type,
         "salted_agg": q_salted_agg,
+        "event_payload": q_event_payload,
+        "json_round_trip": q_json_round_trip,
+        "prune_orphans": q_prune_orphans,
+        "merge_picks": q_merge_picks,
     }
 
 
@@ -1539,6 +1844,10 @@ def oracle_sql() -> dict[str, str]:
         "bulk_request": _bulk_sql(),
         "pivot_by_type": _SQL_PIVOT,
         "salted_agg": _SQL_SALTED,
+        "event_payload": _SQL_PAYLOAD,
+        "json_round_trip": _SQL_JSON_RT,
+        "prune_orphans": _SQL_PRUNE,
+        "merge_picks": _merge_sql(),
     }
     out.update(_geo_oracles())
     return out

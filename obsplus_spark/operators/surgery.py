@@ -16,7 +16,7 @@ transform over the flattened tables:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -87,6 +87,201 @@ def prune_rejected(
     out = nodes.join(alive, id_col, "left_semi")
     roots.unpersist(blocking=False)
     return out
+
+
+def merge_keyed(
+    target: DataFrame,
+    incoming: DataFrame,
+    key_col: str = "_merge_key",
+    keep_from_target: tuple[str, ...] = ("resource_id",),
+    reject_old: bool = True,
+    version_col: str | None = "version",
+    status_col: str = "evaluation_status",
+) -> DataFrame:
+    """Column-level keyed merge — the reference's ``merge_events`` core.
+
+    Mirror of ``events/merge.py:66-92 _merge_picks`` as one full-outer
+    join:
+
+    - key in **both**: the incoming row's attributes overwrite the
+      target's, except ``keep_from_target`` (the reference's
+      ``attrs_no_update`` — identity survives, content updates); when any
+      updatable attribute actually changed, the version bumps
+      (``bump_creation_version``).
+    - key only in **incoming**: appended as-is.
+    - key only in **target**: kept, but marked ``rejected`` when
+      ``reject_old`` (``merge.py:121-132 _reject_old`` sets status, it
+      does not delete).
+
+    Both sides must share a schema; ``key_col`` is the precomputed
+    identity hash (:func:`pick_merge_key` for picks).
+    """
+    cols = [c for c in target.columns if c != key_col]
+    updatable = [c for c in cols if c not in keep_from_target]
+    # presence flags must not rely on a nullable payload column — carry a
+    # non-null sentinel per side through the full-outer join
+    t = target.withColumn("_in_t", F.lit(True)).alias("t")
+    i = incoming.withColumn("_in_i", F.lit(True)).alias("i")
+    joined = t.join(i, key_col, "full_outer")
+    in_t = F.col("t._in_t").isNotNull()
+    in_i = F.col("i._in_i").isNotNull()
+    changed = F.lit(False)
+    for c in updatable:
+        if c in (version_col, status_col):
+            continue
+        changed = changed | ~(
+            F.col(f"t.{c}").eqNullSafe(F.col(f"i.{c}"))
+        )
+    out_cols = []
+    for c in cols:
+        tc, ic = F.col(f"t.{c}"), F.col(f"i.{c}")
+        if c in keep_from_target:
+            out_cols.append(F.when(in_t, tc).otherwise(ic).alias(c))
+        elif c == version_col and version_col is not None:
+            bumped = (
+                F.coalesce(tc.cast("long"), F.lit(0)) + 1
+            ).cast("string")
+            out_cols.append(
+                F.when(in_t & in_i & changed, bumped)
+                .when(in_t & ~in_i, tc)
+                .otherwise(F.coalesce(ic, tc))
+                .alias(c)
+            )
+        elif c == status_col and reject_old:
+            out_cols.append(
+                F.when(in_t & ~in_i, F.lit("rejected"))
+                .otherwise(F.coalesce(ic, tc))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.when(in_i, ic).otherwise(tc).alias(c))
+    return joined.select(F.col(key_col), *out_cols)
+
+
+def merge_events(
+    target_picks: DataFrame,
+    incoming_picks: DataFrame,
+    target_amps: DataFrame | None = None,
+    incoming_amps: DataFrame | None = None,
+    reject_old: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Full ``merge_events`` (``events/merge.py:18-132``): picks AND
+    amplitudes, column-level reconciliation.
+
+    Picks merge on the station-channel-phase hash. Amplitudes key through
+    the pick they reference (``_merge_amplitudes``: ``amp.pick_id`` →
+    pick → identity hash), so an incoming amplitude lands on the target
+    amplitude attached to the *same physical pick* even when resource ids
+    differ; ``pick_id`` and ``resource_id`` survive from the target side
+    (``attrs_no_update``).
+    """
+    t = pick_merge_key(target_picks)
+    i = pick_merge_key(incoming_picks)
+    merged_picks = merge_keyed(t, i, reject_old=reject_old)
+
+    if target_amps is None or incoming_amps is None:
+        return merged_picks.drop("_merge_key"), None
+
+    t_key = t.select(F.col("resource_id").alias("pick_id"), "_merge_key")
+    i_key = i.select(F.col("resource_id").alias("pick_id"), "_merge_key")
+    ta = target_amps.join(t_key, "pick_id", "inner")
+    ia = incoming_amps.join(i_key, "pick_id", "inner")
+    merged_amps = merge_keyed(
+        ta, ia, keep_from_target=("resource_id", "pick_id"), reject_old=reject_old
+    )
+    return merged_picks.drop("_merge_key"), merged_amps.drop("_merge_key")
+
+
+def duplicate_events(
+    tree: DataFrame, suffix: str = "dup", id_len: int = 12
+) -> DataFrame:
+    """Systematic resource-id remap of a nested event tree.
+
+    Mirror of ``utils/events.py:36-71 duplicate_events``: every internal
+    object (event, origins, magnitudes, picks) gets a fresh id from a
+    deterministic generator (md5 of old id + suffix); **references** to
+    those objects (``preferred_origin_id``, ``preferred_magnitude_id``,
+    ``magnitudes[].origin_id``) remap iff they point at an internal
+    object — ids referencing external resources pass through unchanged.
+    Pure array/struct expressions over the nested rows; no explode, no
+    shuffle, no Python per row.
+    """
+
+    def remap(col: Column) -> Column:
+        return F.concat(
+            F.lit(f"{suffix}:"),
+            F.substring(F.md5(F.concat(col, F.lit(":" + suffix))), 1, id_len),
+        )
+
+    # withColumns applies column replacements sequentially, so membership
+    # checks must snapshot the ORIGINAL id arrays before origins/magnitudes
+    # are rewritten — otherwise references compare against already-remapped
+    # ids and never match
+    tree = tree.withColumns(
+        {
+            "_oid0": F.transform(
+                F.coalesce(F.col("origins"), F.array()), lambda o: o["resource_id"]
+            ),
+            "_mid0": F.transform(
+                F.coalesce(F.col("magnitudes"), F.array()),
+                lambda m: m["resource_id"],
+            ),
+        }
+    )
+    origin_ids = F.col("_oid0")
+    mag_ids = F.col("_mid0")
+
+    def remap_if_internal(col: Column, internal: Column) -> Column:
+        return F.when(
+            col.isNotNull() & F.array_contains(internal, col), remap(col)
+        ).otherwise(col)
+
+    new_origins = F.transform(
+        F.col("origins"),
+        lambda o: F.struct(
+            remap(o["resource_id"]).alias("resource_id"),
+            o["time"].alias("time"),
+            o["latitude"].alias("latitude"),
+            o["longitude"].alias("longitude"),
+            o["depth"].alias("depth"),
+        ),
+    )
+    new_mags = F.transform(
+        F.col("magnitudes"),
+        lambda m: F.struct(
+            remap(m["resource_id"]).alias("resource_id"),
+            m["mag"].alias("mag"),
+            m["magnitude_type"].alias("magnitude_type"),
+            remap_if_internal(m["origin_id"], origin_ids).alias("origin_id"),
+        ),
+    )
+    new_picks = F.transform(
+        F.col("picks"),
+        lambda p: F.struct(
+            remap(p["resource_id"]).alias("resource_id"),
+            p["time"].alias("time"),
+            p["phase_hint"].alias("phase_hint"),
+            p["evaluation_status"].alias("evaluation_status"),
+            p["network"].alias("network"),
+            p["station"].alias("station"),
+            p["location"].alias("location"),
+            p["channel"].alias("channel"),
+        ),
+    )
+    return tree.withColumns(
+        {
+            "event_id": remap(F.col("event_id")),
+            "preferred_origin_id": remap_if_internal(
+                F.col("preferred_origin_id"), origin_ids
+            ),
+            "preferred_magnitude_id": remap_if_internal(
+                F.col("preferred_magnitude_id"), mag_ids
+            ),
+            "origins": new_origins,
+            "magnitudes": new_mags,
+            "picks": new_picks,
+        }
+    ).drop("_oid0", "_mid0")
 
 
 def bump_version(df: DataFrame, version_col: str = "version") -> DataFrame:

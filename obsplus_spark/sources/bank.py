@@ -139,13 +139,30 @@ class EventBank:
         from obsplus_spark.sources.index_cache import IndexCache
 
         self.table = _GenerationTable(spark, Path(path) / "event_index")
+        self._payload = _GenerationTable(spark, Path(path) / "event_payload")
         self._cache = IndexCache(cache_size=cache_size)
 
-    def put_events(self, events: DataFrame) -> "EventBank":
+    def put_events(
+        self, events: DataFrame, trees: DataFrame | None = None
+    ) -> "EventBank":
         """Upsert event-summary rows keyed on event_id
-        (``eventbank.py:441-494 put_events``)."""
+        (``eventbank.py:441-494 put_events``).
+
+        When ``events`` carries the nested tree columns (``origins`` in
+        the schema) it is stored as the payload table and the index
+        derives from it (``events_to_df``), mirroring the reference's
+        QuakeML-file + SQLite-index pair; ``trees`` passes the payload
+        explicitly alongside a precomputed summary.
+        """
+        if trees is None and "origins" in events.columns:
+            trees = events
+            from obsplus_spark.operators.event_tree import events_to_df
+
+            events = events_to_df(trees)
         df = _with_part_year(events, "time")
         self.table.upsert(df, "event_id", partition_by=["part_year"])
+        if trees is not None:
+            self._payload.upsert(trees, "event_id")
         return self
 
     # update_index is put_events in this engine: the index IS the table
@@ -191,7 +208,21 @@ class EventBank:
             kwargs_start, kwargs_end, key, meta["generation"], build, trim
         )
 
-    get_events = read_index
+    def get_events(self, use_cache: bool = True, **kwargs) -> DataFrame:
+        """Full event payload for an index query.
+
+        Mirror of ``eventbank.py:392-418 get_events``: the index filter
+        resolves matching event_ids, a ``left_semi`` join pulls the stored
+        nested trees — the filter does the pruning, the payload read only
+        touches matching rows. Falls back to index rows when no payload
+        table exists (summary-only banks).
+        """
+        idx = self.read_index(use_cache=use_cache, **kwargs)
+        if not self._payload.exists():
+            return idx
+        return self._payload.read().join(
+            idx.select("event_id"), "event_id", "left_semi"
+        )
 
     @property
     def last_updated_ns(self) -> int | None:

@@ -129,3 +129,121 @@ def test_dedup_channels(spark):
         "start_date long, end_date long",
     )
     assert dedup_channels(df).count() == 2
+
+
+def test_merge_events_picks_full(spark):
+    """Column-level merge (events/merge.py:66-92): shared key takes
+    incoming content but keeps target resource_id + bumps version;
+    incoming-only appends; target-only is rejected, not deleted."""
+    from obsplus_spark.operators.surgery import merge_events
+
+    cols = (
+        "network string, station string, location string, channel string, "
+        "phase_hint string, resource_id string, time long, "
+        "evaluation_status string, version string"
+    )
+    target = spark.createDataFrame(
+        [
+            ("UU", "S1", "", "HHZ", "P", "p1", 100, None, "1"),  # shared, changes
+            ("UU", "S2", "", "HHZ", "P", "p2", 200, None, "1"),  # target-only
+            ("UU", "S3", "", "HHZ", "P", "p3", 300, None, "3"),  # shared, unchanged
+        ],
+        cols,
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("UU", "S1", "", "HHZ", "P", "p1x", 150, None, None),  # updates p1
+            ("UU", "S3", "", "HHZ", "P", "p3x", 300, None, None),  # same content
+            ("UU", "S4", "", "HHZ", "S", "p4", 400, None, None),   # new
+        ],
+        cols,
+    )
+    merged, _ = merge_events(target, incoming, reject_old=True)
+    rows = {r.station + "/" + r.phase_hint: r for r in merged.collect()}
+    assert len(rows) == 4
+    # shared & changed: target identity, incoming content, version bump
+    assert rows["S1/P"].resource_id == "p1"
+    assert rows["S1/P"].time == 150
+    assert rows["S1/P"].version == "2"
+    assert rows["S1/P"].evaluation_status is None
+    # target-only: kept but rejected
+    assert rows["S2/P"].resource_id == "p2"
+    assert rows["S2/P"].evaluation_status == "rejected"
+    assert rows["S2/P"].version == "1"
+    # shared & unchanged: no version bump
+    assert rows["S3/P"].version == "3"
+    # incoming-only: appended as-is
+    assert rows["S4/S"].resource_id == "p4"
+    assert rows["S4/S"].evaluation_status is None
+
+
+def test_merge_events_amplitudes(spark):
+    """Amplitudes key through the pick they reference (merge.py:96-118):
+    incoming amp maps via its pick's NSLC+phase hash onto the target amp,
+    keeping target pick_id and resource_id."""
+    from obsplus_spark.operators.surgery import merge_events
+
+    pick_cols = (
+        "network string, station string, location string, channel string, "
+        "phase_hint string, resource_id string, time long, "
+        "evaluation_status string, version string"
+    )
+    amp_cols = (
+        "resource_id string, pick_id string, generic_amplitude double, "
+        "evaluation_status string, version string"
+    )
+    t_picks = spark.createDataFrame(
+        [("UU", "S1", "", "HHZ", "P", "p1", 100, None, "1")], pick_cols
+    )
+    i_picks = spark.createDataFrame(
+        [("UU", "S1", "", "HHZ", "P", "p1x", 150, None, None)], pick_cols
+    )
+    t_amps = spark.createDataFrame([("a1", "p1", 1.5, None, "1")], amp_cols)
+    i_amps = spark.createDataFrame([("a1x", "p1x", 2.5, None, None)], amp_cols)
+    _, amps = merge_events(t_picks, i_picks, t_amps, i_amps, reject_old=True)
+    row = amps.collect()[0]
+    # same physical pick despite different resource ids → content updated,
+    # identity (resource_id, pick_id) kept from target
+    assert row.resource_id == "a1"
+    assert row.pick_id == "p1"
+    assert row.generic_amplitude == 2.5
+    assert row.version == "2"
+
+
+def test_duplicate_events_remap(spark):
+    """utils/events.py:36-71: all internal ids remapped consistently;
+    references follow iff they point at internal objects."""
+    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA
+    from obsplus_spark.operators.surgery import duplicate_events
+
+    rows = [
+        (
+            "e1",
+            "desc",
+            "o1",              # preferred → internal origin, must follow
+            "m_external",      # preferred → NOT an internal magnitude id
+            1000,
+            [("o1", 100, 40.0, -111.0, 5.0)],
+            [("m1", 2.0, "ML", "o1"), ("m2", 2.5, "MW", "o_external")],
+            [("p1", 110, "P", None, "UU", "S1", "", "HHZ")],
+        ),
+    ]
+    tree = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    dup = duplicate_events(tree).collect()[0]
+    orig = tree.collect()[0]
+    # every internal id changed, deterministically
+    assert dup.event_id != "e1"
+    new_o1 = dup.origins[0].resource_id
+    assert new_o1 != "o1"
+    # references into the tree follow the remap
+    assert dup.preferred_origin_id == new_o1
+    assert dup.magnitudes[0].origin_id == new_o1
+    # external references pass through unchanged
+    assert dup.preferred_magnitude_id == "m_external"
+    assert dup.magnitudes[1].origin_id == "o_external"
+    # non-id content untouched
+    assert dup.picks[0].time == orig.picks[0].time
+    assert dup.origins[0].latitude == orig.origins[0].latitude
+    # duplicating twice gives the same ids (deterministic generator)
+    dup2 = duplicate_events(tree).collect()[0]
+    assert dup2.event_id == dup.event_id
