@@ -1555,9 +1555,13 @@ def q_prune_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     other_edges = ranked.filter(F.col("rn_d") > 1).select(
         F.col("df_id").alias("parent"), F.col("resource_id").alias("child")
     )
-    edges = day_first_edges.unionByName(other_edges)
-    nodes = ranked.select("resource_id", "evaluation_status")
-    alive = prune_rejected(nodes, edges)
+    # the fixed point consults nodes/edges every round — persist the
+    # window-derived tables once instead of re-ranking per iteration.
+    # The forest depth is 2 by construction, so the lazy fixed-iteration
+    # mode applies: the whole prune is one job, no driver-side counts.
+    edges = day_first_edges.unionByName(other_edges).persist()
+    nodes = ranked.select("resource_id", "evaluation_status").persist()
+    alive = prune_rejected(nodes, edges, max_iterations=2, check_convergence=False)
     return alive.select("resource_id")
 
 
@@ -1602,23 +1606,26 @@ def q_merge_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge — shared keys take the incoming attributes but keep the target
     resource_id (version bumps when content changed), incoming-only keys
     append, target-only keys survive as 'rejected' (reject_old)."""
-    from obsplus_spark.operators.joins import topk_per_group
     from obsplus_spark.operators.surgery import merge_events
 
     ev = _t(spark, sf_dir, "events")
 
-    def picks_from(event_type: str, bucket_pred, phase: str, version):
-        rows = ev.filter(F.col("event_type") == event_type).withColumn(
-            "bucket", (F.col("user_id") % 50).cast("long")
+    def last_per_bucket(event_type: str):
+        # last-row-per-group as max_by (map-side combinable aggregate) —
+        # a row_number window would sort the whole partition for k=1
+        rows = ev.filter(F.col("event_type") == event_type).select(
+            (F.col("user_id") % 50).cast("long").alias("bucket"),
+            "event_id",
+            _ts_ns().alias("t_ns"),
         )
-        if bucket_pred is not None:
-            rows = rows.filter(bucket_pred(F.col("bucket")))
-        last = topk_per_group(
-            rows.select("bucket", "event_id", _ts_ns().alias("t_ns")),
-            ["bucket"],
-            [F.col("t_ns").desc(), F.col("event_id").desc()],
-            k=1,
+        best = rows.groupBy("bucket").agg(
+            F.max_by(
+                F.struct("event_id", "t_ns"), F.struct("t_ns", "event_id")
+            ).alias("b")
         )
+        return best.select("bucket", F.col("b.event_id").alias("event_id"), F.col("b.t_ns").alias("t_ns"))
+
+    def as_picks(last, phase: str, version):
         return last.select(
             F.lit("EV").alias("network"),
             F.concat(F.lit("s"), F.col("bucket").cast("string")).alias("station"),
@@ -1631,9 +1638,11 @@ def q_merge_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(version).cast("string").alias("version"),
         )
 
-    target = picks_from("click", None, "P", "1")
-    incoming = picks_from("purchase", lambda b: b < 30, "P", None).unionByName(
-        picks_from("purchase", lambda b: b >= 40, "S", None)
+    target = as_picks(last_per_bucket("click"), "P", "1")
+    # one window pass over purchases, split by bucket afterwards
+    purch = last_per_bucket("purchase")
+    incoming = as_picks(purch.filter(F.col("bucket") < 30), "P", None).unionByName(
+        as_picks(purch.filter(F.col("bucket") >= 40), "S", None)
     )
     merged, _ = merge_events(target, incoming, reject_old=True)
     return merged

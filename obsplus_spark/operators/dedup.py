@@ -192,10 +192,14 @@ def ngram_jaccard(
         else sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     )
 
+    # the candidate-pair table is the LSH collision set — orders of
+    # magnitude smaller than the shingle table by construction — so it
+    # broadcasts through every join here; only the (id2, shingle)
+    # intersection equi-join shuffles shingle-table rows
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle"))
     inter = (
-        pairs.join(s1, "id1")
+        F.broadcast(pairs).join(s1, "id1")
         .join(s2, ["id2", "shingle"], "inner")
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -203,7 +207,7 @@ def ngram_jaccard(
     n1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_shingles").alias("n1"))
     n2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_shingles").alias("n2"))
     return (
-        pairs.join(inter, ["id1", "id2"], "left")
+        F.broadcast(pairs.join(F.broadcast(inter), ["id1", "id2"], "left"))
         .join(n1, "id1")
         .join(n2, "id2")
         .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
@@ -240,20 +244,23 @@ def simhash_signatures(
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
     with_h = ensure_parallelism(df).select(F.col(id_col), hashes.alias("_hashes"))
-    votes = [
-        F.aggregate(
-            F.col("_hashes"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, k).bitwiseAND(1) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        ).alias(f"b{k}")
-        for k in range(bits)
-    ]
-    agg = with_h.select(F.col(id_col), *votes)
+    # ONE aggregate pass accumulates all per-bit votes into an int array
+    # (higher-order functions evaluate interpreted — k separate aggregates
+    # would re-walk the hash array k times); SQL-expression lambdas because
+    # the bit index is itself a lambda variable
+    votes = F.expr(
+        f"aggregate(_hashes, array_repeat(0, {bits}), "
+        "(acc, h) -> zip_with(acc, sequence(0, size(acc) - 1), "
+        "(a, k) -> a + CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END))"
+    )
+    agg = with_h.select(F.col(id_col), votes.alias("_votes"))
     sig = sum(
-        (F.when(F.col(f"b{k}") > 0, F.lit(2**k)).otherwise(F.lit(0)) for k in range(bits)),
+        (
+            F.when(F.element_at(F.col("_votes"), k + 1) > 0, F.lit(2**k)).otherwise(
+                F.lit(0)
+            )
+            for k in range(bits)
+        ),
         F.lit(0),
     )
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

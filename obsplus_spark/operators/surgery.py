@@ -47,23 +47,48 @@ def prune_rejected(
     id_col: str = "resource_id",
     status_col: str = "evaluation_status",
     max_iterations: int = 10,
+    check_convergence: bool = True,
 ) -> DataFrame:
     """Remove rejected nodes and everything reachable only through them.
 
     ``edges`` is (parent, child). A child is dropped when its parent is
     dropped; iterate to a fixed point (bounded — event trees are shallow,
-    the reference's walk is equivalent). Each round persists its frontier
-    and pays **one** count action (the persisted frontier is already
-    materialized by it), then unpersists the previous round — lineage and
-    executor memory stay bounded at one round's working set.
+    the reference's walk is equivalent).
+
+    Two execution modes:
+
+    - ``check_convergence=True`` (default, unknown depth): each round
+      persists its frontier and pays **one** count action (the persisted
+      frontier is already materialized by it), then unpersists the
+      previous round — lineage and executor memory stay bounded at one
+      round's working set, and the loop exits at the first stable round.
+    - ``check_convergence=False`` (depth known ≤ ``max_iterations``, e.g.
+      the fixed QuakeML nesting): builds the ``max_iterations``-round plan
+      **lazily** — zero driver actions, one job when the caller acts. The
+      result is the fixed point iff the true depth is within the bound.
     """
     not_rejected = F.col(status_col).isNull() | (F.col(status_col) != "rejected")
     roots = nodes.select(id_col).join(
         edges.select(F.col("child").alias(id_col)).distinct(),
         id_col,
         "left_anti",
-    ).persist()
-    alive = nodes.filter(not_rejected).select(id_col).distinct().persist()
+    )
+    alive = nodes.filter(not_rejected).select(id_col).distinct()
+
+    if not check_convergence:
+        for _ in range(max_iterations):
+            reachable_children = edges.join(
+                alive.withColumnRenamed(id_col, "parent"), "parent", "inner"
+            ).select(F.col("child").alias(id_col))
+            alive = (
+                roots.unionByName(reachable_children)
+                .distinct()
+                .join(alive, id_col, "left_semi")
+            )
+        return nodes.join(alive, id_col, "left_semi")
+
+    roots = roots.persist()
+    alive = alive.persist()
     n_alive = alive.count()
     for _ in range(max_iterations):
         # a node stays only if it is not a child of a dropped parent

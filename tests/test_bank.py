@@ -243,3 +243,18 @@ def test_index_cache_unpersists_on_generation_bump(spark, tmp_path, event_rows):
     assert bank._cache.entries[0].generation == 1
     # the stale entry must have been unpersisted, not just dropped
     assert not old_cached.storageLevel.useMemory
+
+
+def test_generation_retention_snapshot_isolation(spark, tmp_path, event_rows):
+    """ADVICE r1: an upsert must not delete the generation an in-flight
+    reader (or lazy cache entry) still points at — only older ones GC."""
+    bank = EventBank(spark, tmp_path)
+    bank.put_events(event_rows)
+    snapshot = bank.table.read()          # holds generation 0
+    bank.put_events(event_rows.limit(1))  # writes gen 1; gen 0 must survive
+    assert snapshot.count() == 3          # old snapshot still readable
+    gens = {d.name for d in (tmp_path / "event_index").glob("gen=*")}
+    assert gens == {"gen=0", "gen=1"}
+    bank.put_events(event_rows.limit(1))  # gen 2: gen 0 now GCs
+    gens = {d.name for d in (tmp_path / "event_index").glob("gen=*")}
+    assert gens == {"gen=1", "gen=2"}

@@ -196,3 +196,56 @@ def test_salted_aggregate_equals_plain(spark):
     )
     got = {r.k: (r.n, r.mn, r.mx) for r in out.collect()}
     assert got == {"hot": (500, 0, 499), "cold": (2, 1, 7)}
+
+
+def test_asof_join_null_payload_atomic(spark):
+    """ADVICE r1: the matched right row wins atomically — a NULL in the
+    most-recent right row must surface as NULL, not an older row's value."""
+    from obsplus_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 100, "L1")], "k string, ts long, lbl string")
+    right = spark.createDataFrame(
+        [("k", 10, "old-val"), ("k", 50, None)],  # newest right row has NULL
+        "k string, ts long, val string",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts").collect()[0]
+    assert out.ts_matched == 50          # matched the newest row...
+    assert out.val_right is None         # ...and carried ITS null, atomically
+
+
+def test_interval_overlap_join_bucket_requires_inner(spark):
+    from obsplus_spark.operators.joins import interval_overlap_join
+
+    df = spark.createDataFrame([("k", 0, 10)], "k string, starttime long, endtime long")
+    with pytest.raises(ValueError, match="inner"):
+        interval_overlap_join(df, df, on=["k"], bucket=100, how="left")
+
+
+def test_bulk_request_filter_matches_join(spark):
+    """The literal-list predicate path and the DataFrame join path must
+    select the same index rows."""
+    from obsplus_spark.operators.joins import bulk_request_filter, bulk_request_join
+
+    index = spark.createDataFrame(
+        [
+            ("UU", "STA1", "", "HHZ", 0, 100),
+            ("UU", "STA2", "", "HHZ", 0, 100),
+            ("XX", "STA1", "", "EHZ", 50, 150),
+            ("UU", "STA9", "", "HHZ", 500, 600),  # out of window
+        ],
+        "network string, station string, location string, channel string, "
+        "starttime long, endtime long",
+    )
+    reqs = [
+        ("UU", "STA1", "", "HHZ", 0, 100),   # exact
+        ("*", "STA1", "", "?HZ", 40, 160),   # glob
+    ]
+    via_filter = {tuple(r) for r in bulk_request_filter(index, reqs).collect()}
+    req_df = spark.createDataFrame(
+        reqs,
+        "network string, station string, location string, channel string, "
+        "starttime long, endtime long",
+    )
+    via_join = {tuple(r) for r in bulk_request_join(index, req_df).collect()}
+    assert via_filter == via_join
+    assert {r[1] for r in via_filter} == {"STA1"}
