@@ -1705,6 +1705,170 @@ def _merge_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# §2.2/§2.8 scalar + validation shapes: ci glob, seed ids, trim, S-before-P
+# ---------------------------------------------------------------------------
+
+
+def q_ci_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive glob matching (stations/get_stations.py:22-24 —
+    station kwargs match case-insensitively, unlike events/waveforms)."""
+    from obsplus_spark.functions.strings import glob_match
+
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        glob_match("p_type", "stand?rd", case_insensitive=True)
+        | glob_match("p_brand", "brand#1?", case_insensitive=True)
+    ).select("p_partkey", "p_type", "p_brand")
+
+
+_SQL_CI_GLOB = """
+    SELECT p_partkey, p_type, p_brand
+    FROM part
+    WHERE upper(p_type) LIKE upper('stand_rd')
+       OR upper(p_brand) LIKE upper('brand#1_')
+"""
+
+
+def q_seed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-id scalar family (utils/pd.py:256-333 get_seed_id_series +
+    zero-pad codes + split inverse): build NSLC from driver columns,
+    zero-pad the numeric location code, concat → split round-trip."""
+    from obsplus_spark.functions.strings import zero_pad_code
+    from obsplus_spark.schemas import split_seed_id, with_seed_id
+
+    ev = _t(spark, sf_dir, "events")
+    nslc = ev.select(
+        F.col("event_id"),
+        F.lit("EV").alias("network"),
+        F.col("event_type").alias("station"),
+        zero_pad_code((F.col("user_id") % 99).cast("string"), 2).alias("location"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias(
+            "channel"
+        ),
+    )
+    seeded = with_seed_id(nslc)
+    # round-trip: split back and re-derive, proving concat/split inverse
+    back = split_seed_id(seeded.select("event_id", "seed_id"))
+    return back.select(
+        "event_id", "seed_id", "network", "station", "location", "channel"
+    )
+
+
+_SQL_SEED = """
+    SELECT event_id,
+           'EV' || '.' || event_type || '.' || lpad(CAST(user_id % 99 AS VARCHAR), 2, '0')
+                || '.' || 'u' || CAST(user_id % 10 AS VARCHAR) AS seed_id,
+           'EV' AS network,
+           event_type AS station,
+           lpad(CAST(user_id % 99 AS VARCHAR), 2, '0') AS location,
+           'u' || CAST(user_id % 10 AS VARCHAR) AS channel
+    FROM events
+"""
+
+
+def q_trim_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-window slice semantics (wavebank.py:783-798
+    _prep_output_stream / Stream.trim): synthetic per-user traces (samples
+    derived deterministically from the key), trimmed to a window; kept
+    index range is [ceil((t1-start)/sp), floor-bound) clamped — off-by-one
+    behavior is exactly what the oracle's list_slice math checks."""
+    from obsplus_spark.operators.waveforms import trim_traces
+
+    c = _t(spark, sf_dir, "customer")
+    traces = c.select(
+        F.col("c_custkey"),
+        F.lit("EV").alias("network"),
+        F.lit("S").alias("station"),
+        F.lit("").alias("location"),
+        F.lit("Z").alias("channel"),
+        ((F.col("c_custkey") % 7) * 10).cast("long").alias("starttime"),
+        (((F.col("c_custkey") % 7) * 10) + 200).cast("long").alias("endtime"),
+        F.lit(10).cast("long").alias("sampling_period"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda i: (F.col("c_custkey") % 100).cast("double") + i,
+        ).alias("samples"),
+    )
+    out = trim_traces(traces, starttime=45, endtime=155)
+    return out.select(
+        "c_custkey",
+        "trim_start",
+        "trim_end",
+        F.size("samples").cast("long").alias("n_kept"),
+        F.round(
+            F.aggregate(
+                "samples", F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("sum_kept"),
+    )
+
+
+_SQL_TRIM = """
+    WITH traces AS (
+      SELECT c_custkey,
+             CAST((c_custkey % 7) * 10 AS BIGINT) AS starttime,
+             10 AS sp,
+             [CAST(c_custkey % 100 AS DOUBLE) + i FOR i IN range(0, 20)] AS samples
+      FROM customer
+    ),
+    idx AS (
+      SELECT c_custkey, starttime, sp, samples,
+             greatest(CAST(ceil((45 - starttime) / sp) AS BIGINT), 0) AS first_i,
+             least(CAST(ceil((155 - starttime) / sp) AS BIGINT), len(samples)) AS last_i
+      FROM traces
+    )
+    SELECT c_custkey,
+           starttime + first_i * sp AS trim_start,
+           starttime + last_i * sp AS trim_end,
+           last_i - first_i AS n_kept,
+           round(list_sum(list_slice(samples, first_i + 1, last_i)), 6) AS sum_kept
+    FROM idx
+    WHERE last_i > first_i
+"""
+
+
+def q_s_before_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick-order validation (events/validate.py:132-167 'S must follow
+    P') mapped onto driver data: per (user, day) the first 'view' (P)
+    must precede the first 'purchase' (S); violations surface as rows."""
+    ev = _t(spark, sf_dir, "events")
+    NS_DAY = 86400 * NS
+    typed = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        F.floor(_ts_ns() / F.lit(NS_DAY)).alias("day"),
+        "event_type",
+        _ts_ns().alias("t_ns"),
+    )
+    agg = typed.groupBy("user_id", "day").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t_ns"))).alias("p_time"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t_ns"))).alias(
+            "s_time"
+        ),
+    )
+    return agg.filter(
+        F.col("p_time").isNotNull()
+        & F.col("s_time").isNotNull()
+        & (F.col("s_time") < F.col("p_time"))
+    )
+
+
+_SQL_SBP = f"""
+    SELECT user_id,
+           CAST(floor(epoch_ns(ts) / {86400 * NS}.0) AS BIGINT) AS day,
+           min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS p_time,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS s_time
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY 1, 2
+    HAVING min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) IS NOT NULL
+       AND min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) IS NOT NULL
+       AND min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+         < min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+"""
+
+
+# ---------------------------------------------------------------------------
 # dateline oracle needs the haversine fragment from the geo module
 # ---------------------------------------------------------------------------
 
@@ -1814,6 +1978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_round_trip": q_json_round_trip,
         "prune_orphans": q_prune_orphans,
         "merge_picks": q_merge_picks,
+        "ci_glob": q_ci_glob,
+        "seed_ids": q_seed_ids,
+        "trim_traces": q_trim_traces,
+        "s_before_p": q_s_before_p,
     }
 
 
@@ -1857,6 +2025,10 @@ def oracle_sql() -> dict[str, str]:
         "json_round_trip": _SQL_JSON_RT,
         "prune_orphans": _SQL_PRUNE,
         "merge_picks": _merge_sql(),
+        "ci_glob": _SQL_CI_GLOB,
+        "seed_ids": _SQL_SEED,
+        "trim_traces": _SQL_TRIM,
+        "s_before_p": _SQL_SBP,
     }
     out.update(_geo_oracles())
     return out
