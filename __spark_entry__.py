@@ -77,8 +77,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             n_bytes = os.path.getsize(path)
         except OSError:
             n_bytes = 0
+        # 256 KB compressed per cached partition: snappy parquet expands
+        # ~4-6× in the deserialized cache and every downstream query does
+        # CPU work per row, so 1 MB slices left 100k-row tables on 2 tasks
+        # — measurably starving multi-pass queries (two scans of events at
+        # 2 partitions cost more than the whole rest of their plan)
         target = min(
-            max(n_bytes // (1024 * 1024), 1),
+            max(n_bytes // (256 * 1024), 1),
             spark.sparkContext.defaultParallelism,
         )
         if target > 1:
@@ -1539,29 +1544,43 @@ def q_prune_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("evaluation_status"),
     ).withColumn("day", F.floor(F.col("t_ns") / F.lit(NS_DAY)))
-    wu = Window.partitionBy("user_id").orderBy("t_ns", "resource_id")
-    wd = Window.partitionBy("user_id", "day").orderBy("t_ns", "resource_id")
-    ranked = ev.withColumns(
-        {
-            "rn_u": F.row_number().over(wu),
-            "rn_d": F.row_number().over(wd),
-            "uf_id": F.first("resource_id").over(wu),
-            "df_id": F.first("resource_id").over(wd),
-        }
+    # first-per-group via min_by aggregation, not windows: map-side
+    # combinable (partial aggregation before the shuffle), and the
+    # user-first cascades from the already-tiny per-day table instead of
+    # re-sorting the event table. At scale this shuffles only the agg
+    # partials; the window formulation sorts every event row twice.
+    okey = F.struct("t_ns", "resource_id")
+    df_first = ev.groupBy("user_id", "day").agg(
+        F.min_by("resource_id", okey).alias("df_id"),
+        F.min(okey).alias("_dkey"),
     )
-    day_first_edges = ranked.filter(
-        (F.col("rn_d") == 1) & (F.col("rn_u") > 1)
-    ).select(F.col("uf_id").alias("parent"), F.col("resource_id").alias("child"))
-    other_edges = ranked.filter(F.col("rn_d") > 1).select(
-        F.col("df_id").alias("parent"), F.col("resource_id").alias("child")
+    uf_first = df_first.groupBy("user_id").agg(
+        F.min_by("df_id", "_dkey").alias("uf_id")
     )
-    # the fixed point consults nodes/edges every round — persist the
-    # window-derived tables once instead of re-ranking per iteration.
+    firsts = df_first.drop("_dkey").join(uf_first, "user_id")
+    # one row per (user, day) — broadcast at bench scale; at cluster scale
+    # drop the hint and the join co-partitions on the agg's own keys
+    evf = ev.join(F.broadcast(firsts), ["user_id", "day"])
+    rid = F.col("resource_id")
+    day_first_edges = evf.filter(
+        (rid == F.col("df_id")) & (rid != F.col("uf_id"))
+    ).select(F.col("uf_id").alias("parent"), rid.alias("child"))
+    other_edges = evf.filter(rid != F.col("df_id")).select(
+        F.col("df_id").alias("parent"), rid.alias("child")
+    )
     # The forest depth is 2 by construction, so the lazy fixed-iteration
     # mode applies: the whole prune is one job, no driver-side counts.
+    # Ownership is a strict forest (each child one parent, unique ids) →
+    # assume_forest skips every per-round dedup shuffle, and ids_only
+    # skips the payload-recovery semi join (only the id set is returned).
+    # The edge table is consulted by every fixed-point round — persist it
+    # so the agg cascade runs once, not once per plan reference.
     edges = day_first_edges.unionByName(other_edges).persist()
-    nodes = ranked.select("resource_id", "evaluation_status").persist()
-    alive = prune_rejected(nodes, edges, max_iterations=2, check_convergence=False)
+    nodes = ev.select("resource_id", "evaluation_status")
+    alive = prune_rejected(
+        nodes, edges, max_iterations=2, check_convergence=False,
+        assume_forest=True, ids_only=True,
+    )
     return alive.select("resource_id")
 
 
@@ -1610,39 +1629,58 @@ def q_merge_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
 
-    def last_per_bucket(event_type: str):
-        # last-row-per-group as max_by (map-side combinable aggregate) —
-        # a row_number window would sort the whole partition for k=1
-        rows = ev.filter(F.col("event_type") == event_type).select(
+    def last_per_bucket(pred):
+        # last-row-per-group via ONE hash-aggregable max: the (t_ns,
+        # event_id) order key packs into a zero-padded string whose
+        # lexicographic order matches the numeric order (both fields are
+        # non-negative), so the agg stays a map-side-combinable
+        # HashAggregate — max_by over a struct ordering falls back to
+        # SortAggregate, which sorts the whole input twice
+        packed = F.concat(
+            F.lpad(F.col("t_ns").cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        )
+        rows = ev.filter(pred).select(
             (F.col("user_id") % 50).cast("long").alias("bucket"),
             "event_id",
             _ts_ns().alias("t_ns"),
         )
-        best = rows.groupBy("bucket").agg(
-            F.max_by(
-                F.struct("event_id", "t_ns"), F.struct("t_ns", "event_id")
-            ).alias("b")
+        best = rows.groupBy("bucket").agg(F.max(packed).alias("_p"))
+        sp = F.split("_p", r"\|")
+        return best.select(
+            "bucket",
+            sp[1].cast("long").alias("event_id"),
+            sp[0].cast("long").alias("t_ns"),
         )
-        return best.select("bucket", F.col("b.event_id").alias("event_id"), F.col("b.t_ns").alias("t_ns"))
 
-    def as_picks(last, phase: str, version):
+    def as_picks(last, phase, version):
         return last.select(
             F.lit("EV").alias("network"),
             F.concat(F.lit("s"), F.col("bucket").cast("string")).alias("station"),
             F.lit("").alias("location"),
             F.lit("c").alias("channel"),
-            F.lit(phase).alias("phase_hint"),
+            (F.lit(phase) if isinstance(phase, str) else phase).alias(
+                "phase_hint"
+            ),
             F.col("event_id").alias("resource_id"),
             F.col("t_ns").alias("time"),
             F.lit(None).cast("string").alias("evaluation_status"),
             F.lit(version).cast("string").alias("version"),
         )
 
-    target = as_picks(last_per_bucket("click"), "P", "1")
-    # one window pass over purchases, split by bucket afterwards
-    purch = last_per_bucket("purchase")
-    incoming = as_picks(purch.filter(F.col("bucket") < 30), "P", None).unionByName(
-        as_picks(purch.filter(F.col("bucket") >= 40), "S", None)
+    target = as_picks(
+        last_per_bucket(F.col("event_type") == "click"), "P", "1"
+    )
+    # both incoming branches come from ONE aggregation over the purchase
+    # rows (disjoint bucket ranges; phase decided per row afterwards) —
+    # splitting first would push the filters below the agg and run it twice
+    purch = last_per_bucket(
+        (F.col("event_type") == "purchase")
+        & ((F.col("user_id") % 50 < 30) | (F.col("user_id") % 50 >= 40))
+    )
+    incoming = as_picks(
+        purch, F.when(F.col("bucket") < 30, "P").otherwise("S"), None
     )
     merged, _ = merge_events(target, incoming, reject_old=True)
     return merged

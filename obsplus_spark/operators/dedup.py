@@ -37,12 +37,12 @@ def exact_dedup(
 
     Output: one row per distinct content — ``fingerprint``, canonical id
     (min id), duplicate count. A single groupBy on the hash: map-side
-    partial agg, one shuffle, no join.
+    partial agg, one shuffle, no join. No pre-repartition: one md5 per row
+    is too cheap to amortize an extra exchange (heavier per-row ops like
+    the shingle/simhash pipelines do repartition).
     """
-    from obsplus_spark.util import ensure_parallelism
-
     return (
-        ensure_parallelism(df)
+        df
         .select(
             F.md5(normalize_text(text_col)).alias(fingerprint_col),
             F.col(id_col),
@@ -55,25 +55,91 @@ def exact_dedup(
     )
 
 
+def shingle_array(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """Distinct word n-gram shingle **set** per document, as one array row.
+
+    Entirely narrow: shingle sets are per-document, so deduplication is
+    ``array_distinct`` on the row — no explode, no shuffle. Documents
+    shorter than ``n`` tokens get an empty array (no shingles).
+    """
+    from obsplus_spark.util import ensure_parallelism
+
+    tokens = F.split(normalize_text(text_col), " ")
+    # slice is 1-indexed; sequence(1, size-n+1) enumerates shingle starts.
+    # Guard short docs: sequence(1, 0) would count DOWN, not produce empty.
+    starts = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    )
+    return ensure_parallelism(df).select(F.col(id_col), sh.alias(out_col))
+
+
+def shingle_digest_array(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """Distinct md5 digests of a document's word n-gram shingles.
+
+    The whole MinHash/LSH/Jaccard pipeline only ever consumes shingles
+    through their md5 digest (lane minima, band hashes, set intersection),
+    so the shingle strings themselves never need to exist: n-grams are
+    formed by zipping n shifted slices of the token array — n array
+    slices + (n−1) zip passes per row instead of a slice-and-join lambda
+    per shingle — and the md5 is fused into the last zip. Distinct md5
+    sets are bijective with distinct shingle sets (collision odds ~2⁻¹²⁸),
+    so every downstream count is identical to string-set semantics.
+    Narrow at any scale; short docs yield an empty array.
+    """
+    from obsplus_spark.util import ensure_parallelism
+
+    tokens = F.split(normalize_text(text_col), " ")
+
+    def build(toks: F.Column) -> F.Column:
+        n_sh = F.size(toks) - (n - 1)
+        parts = [F.slice(toks, k + 1, n_sh) for k in range(n)]
+        acc = parts[0]
+        for k in range(1, n - 1):
+            acc = F.zip_with(
+                acc, parts[k], lambda a, b: F.concat(a, F.lit(" "), b)
+            )
+        return F.zip_with(
+            acc, parts[n - 1], lambda a, b: F.md5(F.concat(a, F.lit(" "), b))
+        )
+
+    sh = F.when(F.size(tokens) >= n, build(tokens)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.array_distinct(sh).alias(out_col)
+    )
+
+
 def shingles(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document (exploded long table)."""
-    from obsplus_spark.util import ensure_parallelism
+    """Distinct word n-gram shingles per document (exploded long table).
 
-    tokens = F.split(normalize_text(text_col), " ")
-    # slice is 1-indexed; sequence(1, size-n+1) enumerates shingle starts
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
-    return (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+    Same rows as the historical explode→distinct formulation, but the
+    dedup happens per row (:func:`shingle_array`) before the explode — the
+    corpus-wide distinct shuffle was pure waste since (id, shingle) pairs
+    can only repeat within a document.
+    """
+    return shingle_array(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -85,6 +151,7 @@ def minhash_signatures(
     shingle_size: int = 3,
     shingles_df: DataFrame | None = None,
     with_size: bool = False,
+    digest_arrays_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: ``sig_j = min_shingle rot_j(md5(s))``.
 
@@ -97,16 +164,42 @@ def minhash_signatures(
     downstream decides membership, so lane independence needs to be good,
     not perfect.
 
-    One wide aggregate over the exploded shingle table — n_hashes ``min``
-    aggregations, all map-side combinable. Pass ``shingles_df`` (e.g. a
-    persisted table from :func:`shingles`) to share the explode across
-    pipeline stages.
+    Two execution paths, identical results:
+
+    - no ``shingles_df``: **fully narrow** — each row derives its shingle
+      digest set (:func:`shingle_digest_array`) and takes the 16 lane
+      minima with ``array_min``. Zero explode, zero shuffle: the signature
+      is a per-row expression at any scale (documents are bounded; the
+      corpus is not). Pass ``digest_arrays_df`` (e.g. a persisted digest
+      table shared with the Jaccard stage) to reuse the digest pass.
+    - with ``shingles_df`` (a shared exploded table, e.g. persisted by a
+      pipeline that also needs the long form): one wide aggregate —
+      n_hashes ``min`` aggregations, all map-side combinable.
     """
-    sh = shingles_df if shingles_df is not None else shingles(
-        df, id_col, text_col, shingle_size
-    )
-    h = F.md5(F.col("shingle"))
-    sh = sh.withColumn("_h", h)
+    if shingles_df is None:
+        arr = (
+            digest_arrays_df
+            if digest_arrays_df is not None
+            else shingle_digest_array(df, id_col, text_col, shingle_size).filter(
+                F.size("shingles") > 0
+            )
+        )
+        cols = [
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda h: F.concat(
+                        F.substring(h, 2 * j + 1, 32 - 2 * j),
+                        F.substring(h, 1, 2 * j),
+                    ),
+                )
+            ).alias(f"mh_{j}")
+            for j in range(n_hashes)
+        ]
+        if with_size:
+            cols.append(F.size("shingles").cast("long").alias("n_shingles"))
+        return arr.select(F.col(id_col), *cols)
+    sh = shingles_df.withColumn("_h", F.md5(F.col("shingle")))
     aggs = [
         F.min(
             F.concat(
@@ -220,6 +313,45 @@ def ngram_jaccard(
     )
 
 
+def pair_jaccard_arrays(
+    shingle_arrays: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    arr_col: str = "shingles",
+    broadcast_pairs: bool = True,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, from per-doc arrays.
+
+    ``|∩|`` is ``size(array_intersect(a, b))`` after joining each pair to
+    its two shingle arrays — with the LSH collision set broadcast, both
+    joins are map-side and nothing reshuffles the corpus. At a scale where
+    the pair table outgrows broadcast, pass ``broadcast_pairs=False`` and
+    the same plan shuffles on the id keys (each doc array moves at most
+    once per side).
+    """
+    sa = shingle_arrays.select(
+        F.col(id_col).alias("id1"), F.col(arr_col).alias("_sh1")
+    )
+    sb = shingle_arrays.select(
+        F.col(id_col).alias("id2"), F.col(arr_col).alias("_sh2")
+    )
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
+    j1 = p.join(sa, "id1")
+    j1 = F.broadcast(j1) if broadcast_pairs else j1
+    out = j1.join(sb, "id2")
+    n_inter = F.size(F.array_intersect("_sh1", "_sh2"))
+    n1 = F.size("_sh1")
+    n2 = F.size("_sh2")
+    return out.select(
+        "id1",
+        "id2",
+        n_inter.cast("long").alias("n_inter"),
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        (n_inter / (n1 + n2 - n_inter).cast("double")).alias("jaccard"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -287,27 +419,32 @@ def near_duplicates(
     """End-to-end MinHash-LSH near-dup detection: signature → banding →
     candidate pairs → exact Jaccard → threshold.
 
-    The shingle table feeds multiple consumers (signatures+sizes in one
-    aggregate, both sides of the intersection join); Catalyst re-plans the
-    explode per consumer (no exchange reuse), so ``persist_shingles``
-    (default True) caches it once — at 100 TB the shingle table is the
-    thing you materialize (it is tokens-sized; re-deriving it re-reads the
-    corpus each time), and it measures faster locally too. The persist
-    stays in force for the caller's action; Spark LRU-evicts, or unpersist
-    via ``spark.catalog.clearCache()``.
+    Pipeline shape: the per-doc shingle **array** table feeds three
+    consumers (narrow signatures, both sides of the pair scoring); it is
+    doc-count rows of bounded arrays — persist it once
+    (``persist_shingles``, default True) and every stage after the LSH
+    band self-join is a broadcast join. The only corpus-sized shuffle in
+    the whole pipeline is the banding join, which moves 'bands' small rows
+    per document — not the token stream. The persist stays in force for
+    the caller's action; Spark LRU-evicts, or unpersist via
+    ``spark.catalog.clearCache()``.
     """
-    sh = shingles(df, id_col, text_col, shingle_size)
+    arr = shingle_digest_array(df, id_col, text_col, shingle_size).filter(
+        F.size("shingles") > 0
+    )
     if persist_shingles is None:
         persist_shingles = True
     if persist_shingles:
-        sh = sh.persist()
+        arr = arr.persist()
     sig = minhash_signatures(
-        df, id_col, text_col, n_hashes, shingle_size,
-        shingles_df=sh, with_size=True,
+        df,
+        id_col,
+        text_col,
+        n_hashes,
+        shingle_size,
+        with_size=True,
+        digest_arrays_df=arr,
     )
     pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
-    scored = ngram_jaccard(
-        df, pairs, id_col, text_col, shingle_size,
-        shingles_df=sh, sizes_df=sig.select(id_col, "n_shingles"),
-    )
+    scored = pair_jaccard_arrays(arr, pairs, id_col)
     return scored.filter(F.col("jaccard") >= threshold)

@@ -48,12 +48,19 @@ def prune_rejected(
     status_col: str = "evaluation_status",
     max_iterations: int = 10,
     check_convergence: bool = True,
+    assume_forest: bool = False,
+    ids_only: bool = False,
 ) -> DataFrame:
     """Remove rejected nodes and everything reachable only through them.
 
     ``edges`` is (parent, child). A child is dropped when its parent is
     dropped; iterate to a fixed point (bounded — event trees are shallow,
     the reference's walk is equivalent).
+
+    A rejected node can never become alive, so edges *into* rejected
+    children are dead from the start: they are semi-joined away **once**
+    (``live_edges``), which leaves each round a single parent join instead
+    of a join plus a not-rejected re-check.
 
     Two execution modes:
 
@@ -66,40 +73,49 @@ def prune_rejected(
       the fixed QuakeML nesting): builds the ``max_iterations``-round plan
       **lazily** — zero driver actions, one job when the caller acts. The
       result is the fixed point iff the true depth is within the bound.
+
+    ``assume_forest=True`` asserts every child has exactly one parent and
+    node ids are unique (true for event trees — QuakeML nesting is strict
+    containment). Then roots and reachable children are disjoint and
+    duplicate-free, so every per-round ``distinct`` drops — each round is
+    exactly one shuffle on the parent key.
     """
     not_rejected = F.col(status_col).isNull() | (F.col(status_col) != "rejected")
-    roots = nodes.select(id_col).join(
-        edges.select(F.col("child").alias(id_col)).distinct(),
-        id_col,
-        "left_anti",
+    live = nodes.filter(not_rejected).select(id_col)
+    if not assume_forest:
+        live = live.distinct()
+    # right side of an anti join needs no distinct — existence only
+    roots = live.join(
+        edges.select(F.col("child").alias(id_col)), id_col, "left_anti"
     )
-    alive = nodes.filter(not_rejected).select(id_col).distinct()
+    live_edges = edges.join(
+        live.withColumnRenamed(id_col, "child"), "child", "left_semi"
+    )
 
-    if not check_convergence:
-        for _ in range(max_iterations):
-            reachable_children = edges.join(
-                alive.withColumnRenamed(id_col, "parent"), "parent", "inner"
-            ).select(F.col("child").alias(id_col))
-            alive = (
-                roots.unionByName(reachable_children)
-                .distinct()
-                .join(alive, id_col, "left_semi")
-            )
-        return nodes.join(alive, id_col, "left_semi")
-
-    roots = roots.persist()
-    alive = alive.persist()
-    n_alive = alive.count()
-    for _ in range(max_iterations):
-        # a node stays only if it is not a child of a dropped parent
-        reachable_children = edges.join(
+    def step(alive: DataFrame) -> DataFrame:
+        children = live_edges.join(
             alive.withColumnRenamed(id_col, "parent"), "parent", "inner"
         ).select(F.col("child").alias(id_col))
-        new_alive = (
-            roots.unionByName(reachable_children)
-            .distinct()
-            .join(alive, id_col, "left_semi")
-        ).persist()
+        out = roots.unionByName(children)
+        # in a forest, roots ∩ children = ∅ and each child appears once;
+        # in a DAG a child is reachable via several parents → dedup
+        return out if assume_forest else out.distinct()
+
+    if not check_convergence:
+        alive = live
+        for _ in range(max_iterations):
+            alive = step(alive)
+        if ids_only:
+            # alive ⊆ node ids by construction — the semi join back to
+            # nodes only recovers payload columns; skip it when the caller
+            # wants the surviving id set
+            return alive
+        return nodes.join(alive, id_col, "left_semi")
+
+    alive = live.persist()
+    n_alive = alive.count()
+    for _ in range(max_iterations):
+        new_alive = step(alive).persist()
         n_new = new_alive.count()  # also materializes the persist
         prev, alive = alive, new_alive
         prev.unpersist(blocking=False)
@@ -109,9 +125,9 @@ def prune_rejected(
     # the final frontier stays persisted — it backs the returned plan (a
     # small id set, already materialized); Spark LRU-evicts, or callers
     # release it via spark.catalog.clearCache()
-    out = nodes.join(alive, id_col, "left_semi")
-    roots.unpersist(blocking=False)
-    return out
+    if ids_only:
+        return alive
+    return nodes.join(alive, id_col, "left_semi")
 
 
 def merge_keyed(
