@@ -103,25 +103,33 @@ def shingle_digest_array(
     """
     from obsplus_spark.util import ensure_parallelism
 
-    tokens = F.split(normalize_text(text_col), " ")
-
-    def build(toks: F.Column) -> F.Column:
-        n_sh = F.size(toks) - (n - 1)
-        parts = [F.slice(toks, k + 1, n_sh) for k in range(n)]
-        acc = parts[0]
-        for k in range(1, n - 1):
-            acc = F.zip_with(
-                acc, parts[k], lambda a, b: F.concat(a, F.lit(" "), b)
-            )
-        return F.zip_with(
-            acc, parts[n - 1], lambda a, b: F.md5(F.concat(a, F.lit(" "), b))
-        )
-
-    sh = F.when(F.size(tokens) >= n, build(tokens)).otherwise(
-        F.array().cast("array<string>")
+    # single JVM-parsed expression strings: the equivalent Column-object
+    # tree costs hundreds of py4j round-trips to construct, which showed
+    # up as ~0.5 s of driver time per plan build
+    # NB: SQL single-quoted literals eat one level of backslash escaping,
+    # so the regex must be written '\\s+' to reach the engine as \s+
+    toks = (
+        rf"split(trim(regexp_replace(lower({text_col}), '\\s+', ' ')), ' ')"
     )
-    return ensure_parallelism(df).select(
-        F.col(id_col), F.array_distinct(sh).alias(out_col)
+    nsh = f"(size(_toks) - {n - 1})"
+    acc = f"slice(_toks, 1, {nsh})"
+    for k in range(1, n - 1):
+        acc = (
+            f"zip_with({acc}, slice(_toks, {k + 1}, {nsh}),"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+    dig = (
+        f"zip_with({acc}, slice(_toks, {n}, {nsh}),"
+        " (a, b) -> md5(concat(a, ' ', b)))"
+    )
+    sh = (
+        f"array_distinct(CASE WHEN size(_toks) >= {n} THEN {dig}"
+        " ELSE array() END)"
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .select(F.col(id_col), F.expr(sh).alias(out_col))
     )
 
 
@@ -185,13 +193,14 @@ def minhash_signatures(
             )
         )
         cols = [
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda h: F.concat(
-                        F.substring(h, 2 * j + 1, 32 - 2 * j),
-                        F.substring(h, 1, 2 * j),
-                    ),
+            (
+                # lane 0 is the identity rotation — plain array_min
+                F.expr("array_min(shingles)")
+                if j == 0
+                else F.expr(
+                    "array_min(transform(shingles, h -> concat("
+                    f"substring(h, {2 * j + 1}, {32 - 2 * j}),"
+                    f" substring(h, 1, {2 * j}))))"
                 )
             ).alias(f"mh_{j}")
             for j in range(n_hashes)
@@ -231,17 +240,18 @@ def lsh_candidate_pairs(
     the corpus is pathologically duplicated; salting hook would go here).
     """
     rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [f"mh_{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'band_hash', md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{j}"
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
         )
+        for b in range(bands)
+    )
     banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
+        F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("bh")
     ).select(id_col, "bh.band", "bh.band_hash")
     a = banded.alias("a")
     b_ = banded.alias("b")

@@ -171,43 +171,40 @@ def common_coverage(
     spark = segments.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # one scalar aggregate supplies every global the sweep needs; it rides
-    # the boundary rows through one broadcast join
-    scalars = segments.select(
-        F.count_distinct(F.col(seed_col)).alias("_n_seeds"),
-        F.min(start_col).alias("_lo"),
-        F.max(end_col).alias("_hi"),
+    # the boundary rows through one broadcast join. JVM-parsed expression
+    # strings throughout — the Column-object formulation of this operator
+    # cost ~0.3 s of py4j round-trips per plan build.
+    scalars = segments.selectExpr(
+        f"count(DISTINCT {seed_col}) AS _n_seeds",
+        f"min({start_col}) AS _lo",
+        f"max({end_col}) AS _hi",
     )
     # one pass over segments: each row explodes into its (+1 start, -1 end)
     # boundary pair (a union of two selects would scan segments twice)
-    boundary = F.explode(
-        F.array(
-            F.struct(F.col(start_col).alias("t"), F.lit(1).alias("delta")),
-            F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("delta")),
-        )
-    ).alias("b")
     events = (
-        segments.select(boundary)
-        .select("b.t", "b.delta")
+        segments.selectExpr(
+            "inline(array("
+            f"named_struct('t', {start_col}, 'delta', 1),"
+            f" named_struct('t', {end_col}, 'delta', -1)))"
+        )
         .join(F.broadcast(scalars))
         # divide-first bucket math: width-then-index never overflows long,
         # unlike (t - lo) * n_buckets on wide time spans
-        .withColumn(
-            "_width",
-            F.floor((F.col("_hi") - F.col("_lo")) / F.lit(n_buckets)) + 1,
+        .selectExpr(
+            "t",
+            "delta",
+            "_n_seeds",
+            f"floor((t - _lo) / (floor((_hi - _lo) / {n_buckets}) + 1))"
+            " AS _pid",
         )
-        .withColumn(
-            "_pid", F.floor((F.col("t") - F.col("_lo")) / F.col("_width"))
-        )
-        .drop("_lo", "_hi", "_width")
     )
 
     # at equal t, ends (−1) sort before starts (+1) → half-open [start, end)
-    wp = Window.partitionBy("_pid").orderBy("t", "delta")
-    local = events.withColumns(
-        {
-            "_run": F.sum("delta").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
-            "_next_t": F.lead("t").over(wp),
-        }
+    local = events.selectExpr(
+        "*",
+        "sum(delta) OVER (PARTITION BY _pid ORDER BY t, delta"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run",
+        "lead(t) OVER (PARTITION BY _pid ORDER BY t, delta) AS _next_t",
     )
 
     # one row per non-empty bucket: its delta total and first boundary —
@@ -218,39 +215,35 @@ def common_coverage(
     # its prefix sums come from a broadcast self-join (an unpartitioned
     # window would fold to a single-partition WindowExec).
     parts = local.groupBy("_pid").agg(
-        F.sum("delta").alias("_tot"),
-        F.min(F.struct("t", "delta")).alias("_first"),
+        F.expr("sum(delta) AS _tot"),
+        F.expr("min(struct(t, delta)) AS _first"),
     )
     pa, pb = parts.alias("pa"), parts.alias("pb")
     parts = (
-        pa.join(F.broadcast(pb), F.col("pb._pid") != F.col("pa._pid"), "left")
+        pa.join(F.broadcast(pb), F.expr("pb._pid != pa._pid"), "left")
         .groupBy(F.col("pa._pid").alias("_pid"))
         .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("pb._pid") < F.col("pa._pid"), F.col("pb._tot"))
-                ),
-                F.lit(0),
-            ).alias("_offset"),
-            F.min(
-                F.when(
-                    F.col("pb._pid") > F.col("pa._pid"),
-                    F.struct(F.col("pb._pid").alias("p"), F.col("pb._first.t").alias("t")),
-                )
-            )["t"].alias("_next_first_t"),
+            F.expr(
+                "coalesce(sum(CASE WHEN pb._pid < pa._pid THEN pb._tot END),"
+                " 0) AS _offset"
+            ),
+            F.expr(
+                "min(CASE WHEN pb._pid > pa._pid THEN"
+                " named_struct('p', pb._pid, 't', pb._first.t) END).t"
+                " AS _next_first_t"
+            ),
         )
     )
 
-    swept = local.join(F.broadcast(parts), "_pid").withColumns(
-        {
-            "covering": F.col("_run") + F.col("_offset"),
-            "next_t": F.coalesce(F.col("_next_t"), F.col("_next_first_t")),
-        }
-    )
-    return swept.filter(
-        (F.col("covering") == F.col("_n_seeds"))
-        & F.col("next_t").isNotNull()
-        & (F.col("next_t") > F.col("t"))
-    ).select(
-        F.col("t").alias("window_start"), F.col("next_t").alias("window_end")
+    return (
+        local.join(F.broadcast(parts), "_pid")
+        .where(
+            "(_run + _offset) = _n_seeds"
+            " AND coalesce(_next_t, _next_first_t) IS NOT NULL"
+            " AND coalesce(_next_t, _next_first_t) > t"
+        )
+        .selectExpr(
+            "t AS window_start",
+            "coalesce(_next_t, _next_first_t) AS window_end",
+        )
     )
