@@ -1907,6 +1907,444 @@ _SQL_SBP = f"""
 
 
 # ---------------------------------------------------------------------------
+# §2.11 catalog-surgery + validation + ANN oracle queries (round 2 batch 2)
+# ---------------------------------------------------------------------------
+
+
+def _pick_struct() -> F.Column:
+    """A PICK_STRUCT-shaped struct from an events row (field order matches
+    event_tree.PICK_STRUCT so arrays concat/transform cleanly)."""
+    return F.struct(
+        F.col("event_id").cast("string").alias("resource_id"),
+        _ts_ns().alias("time"),
+        F.col("event_type").alias("phase_hint"),
+        F.when(F.col("value") > 200.0, "rejected")
+        .cast("string")
+        .alias("evaluation_status"),
+        F.lit("EV").alias("network"),
+        F.col("event_type").alias("station"),
+        F.lit("").alias("location"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias(
+            "channel"
+        ),
+    )
+
+
+def q_dup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_events id remap (utils/events.py:36-71): every internal
+    object of a nested tree gets a deterministic fresh id; references
+    remap iff they point at an internal object (external ids pass
+    through). The oracle replays the md5 remap formula column-wise."""
+    from obsplus_spark.operators.surgery import duplicate_events
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    g = ev.groupBy("user_id").agg(
+        F.collect_list(_pick_struct()).alias("picks"),
+        F.min(_ts_ns()).alias("first_ns"),
+        F.max(_ts_ns()).alias("creation_time"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    tree = g.select(
+        F.concat(F.lit("u"), uid).alias("event_id"),
+        F.lit(None).cast("string").alias("event_description"),
+        F.when(F.col("user_id") % 2 == 0, F.concat(F.lit("o"), uid))
+        .otherwise(F.concat(F.lit("ext:"), uid))
+        .alias("preferred_origin_id"),
+        F.lit(None).cast("string").alias("preferred_magnitude_id"),
+        "creation_time",
+        F.array(
+            F.struct(
+                F.concat(F.lit("o"), uid).alias("resource_id"),
+                F.col("first_ns").alias("time"),
+                F.lit(None).cast("double").alias("latitude"),
+                F.lit(None).cast("double").alias("longitude"),
+                F.lit(None).cast("double").alias("depth"),
+            )
+        ).alias("origins"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("m"), uid).alias("resource_id"),
+                ((F.col("user_id") % 7) / 2.0).alias("mag"),
+                F.lit("ML").alias("magnitude_type"),
+                F.when(F.col("user_id") % 4 == 0, F.concat(F.lit("o"), uid))
+                .otherwise(F.lit("oext"))
+                .alias("origin_id"),
+            )
+        ).alias("magnitudes"),
+        "picks",
+        F.col("user_id"),
+        F.col("_n"),
+    )
+    # user_id/_n are passthrough columns — duplicate_events only rewrites
+    # the id/reference/array columns, so they ride along for the output
+    dup = duplicate_events(tree, suffix="dup")
+    return dup.select(
+        "user_id",
+        "event_id",
+        "preferred_origin_id",
+        "preferred_magnitude_id",
+        F.element_at("origins", 1)["resource_id"].alias("o0"),
+        F.element_at("magnitudes", 1)["origin_id"].alias("m_oid"),
+        F.array_min(
+            F.transform(F.col("picks"), lambda p: p["resource_id"])
+        ).alias("min_pick"),
+        F.col("_n").cast("long").alias("n_picks"),
+    )
+
+
+_REMAP = "'dup:' || substr(md5({x} || ':dup'), 1, 12)"
+
+_SQL_DUP_REMAP = f"""
+    WITH g AS (
+      SELECT user_id, count(*) AS n_picks,
+             min({_REMAP.format(x="CAST(event_id AS VARCHAR)")}) AS min_pick
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           {_REMAP.format(x="'u' || CAST(user_id AS VARCHAR)")} AS event_id,
+           CASE WHEN user_id % 2 = 0
+                THEN {_REMAP.format(x="'o' || CAST(user_id AS VARCHAR)")}
+                ELSE 'ext:' || CAST(user_id AS VARCHAR) END
+             AS preferred_origin_id,
+           CAST(NULL AS VARCHAR) AS preferred_magnitude_id,
+           {_REMAP.format(x="'o' || CAST(user_id AS VARCHAR)")} AS o0,
+           CASE WHEN user_id % 4 = 0
+                THEN {_REMAP.format(x="'o' || CAST(user_id AS VARCHAR)")}
+                ELSE 'oext' END AS m_oid,
+           min_pick, n_picks
+    FROM g
+"""
+
+
+def q_attach_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_origins + attach_new_origin (utils/events.py:258-317,
+    merge.py:135-194): events lacking origins get one fabricated at the
+    earliest pick time and marked preferred."""
+    from obsplus_spark.operators.event_tree import (
+        ORIGIN_STRUCT,
+        first_pick_origins,
+    )
+    from obsplus_spark.operators.surgery import attach_new_origin
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    tree = ev.groupBy("user_id").agg(
+        F.collect_list(_pick_struct()).alias("picks"),
+        F.max(_ts_ns()).alias("creation_time"),
+    ).select(
+        F.concat(F.lit("u"), uid).alias("event_id"),
+        F.lit(None).cast("string").alias("event_description"),
+        F.lit(None).cast("string").alias("preferred_origin_id"),
+        F.lit(None).cast("string").alias("preferred_magnitude_id"),
+        "creation_time",
+        F.array().cast(T.ArrayType(ORIGIN_STRUCT)).alias("origins"),
+        "picks",
+    )
+    first = first_pick_origins(tree)
+    new_origins = first.select(
+        "event_id",
+        F.concat(F.lit("fpo:"), F.col("event_id")).alias("resource_id"),
+        F.col("first_pick_time").alias("time"),
+        F.lit(None).cast("double").alias("latitude"),
+        F.lit(None).cast("double").alias("longitude"),
+        F.lit(None).cast("double").alias("depth"),
+    )
+    out = attach_new_origin(tree, new_origins, preferred=True)
+    return out.select(
+        "event_id",
+        "preferred_origin_id",
+        F.size("origins").cast("long").alias("n_origins"),
+        F.element_at("origins", -1)["time"].alias("o_time"),
+    )
+
+
+_SQL_ATTACH = """
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS event_id,
+           'fpo:u' || CAST(user_id AS VARCHAR) AS preferred_origin_id,
+           CAST(1 AS BIGINT) AS n_origins,
+           min(epoch_ns(ts)) AS o_time
+    FROM events GROUP BY user_id
+"""
+
+
+def q_preferred_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_preferred fallback chain (utils/events.py:425-480): the element
+    matching the preferred id, else the LAST list element, else null —
+    all three branches exercised (matching ids for user%3==0, dangling
+    ids otherwise, users with no origins at all)."""
+    from obsplus_spark.operators.event_tree import preferred
+
+    ev = _t(spark, sf_dir, "events")
+    o = F.when(
+        F.col("event_type") == "signup",
+        F.struct(
+            _ts_ns().alias("time"),
+            F.concat(F.lit("o"), F.col("event_id").cast("string")).alias(
+                "resource_id"
+            ),
+            F.col("value").alias("latitude"),
+        ),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(o)).alias("origins"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("event_id"))).alias(
+            "_min_sid"
+        ),
+    )
+    tree = g.select(
+        "user_id",
+        "origins",
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit("o"), F.col("_min_sid").cast("string")),
+        )
+        .otherwise(F.lit("o-ext"))
+        .alias("preferred_origin_id"),
+    )
+    pref = preferred("origins", "preferred_origin_id")
+    return tree.select(
+        "user_id",
+        F.size("origins").cast("long").alias("n_origins"),
+        pref["resource_id"].alias("pref_id"),
+        pref["time"].alias("pref_time"),
+        pref["latitude"].alias("pref_lat"),
+    )
+
+
+_SQL_PREF = """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS t, value
+      FROM events WHERE event_type = 'signup'
+    ),
+    agg AS (
+      SELECT user_id, count(*) AS n_o, min(event_id) AS min_sid,
+             arg_max('o' || CAST(event_id AS VARCHAR),
+                     lpad(CAST(t AS VARCHAR), 20, '0') || '|o'
+                       || CAST(event_id AS VARCHAR)) AS last_oid,
+             arg_max(t, lpad(CAST(t AS VARCHAR), 20, '0') || '|o'
+                       || CAST(event_id AS VARCHAR)) AS last_t,
+             arg_max(value, lpad(CAST(t AS VARCHAR), 20, '0') || '|o'
+                       || CAST(event_id AS VARCHAR)) AS last_lat,
+             arg_min(t, event_id) AS m_t,
+             arg_min(value, event_id) AS m_lat
+      FROM s GROUP BY user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CAST(coalesce(n_o, 0) AS BIGINT) AS n_origins,
+           CASE WHEN u.user_id % 3 = 0 THEN
+                  CASE WHEN min_sid IS NOT NULL
+                       THEN 'o' || CAST(min_sid AS VARCHAR) END
+                WHEN n_o > 0 THEN last_oid END AS pref_id,
+           CASE WHEN u.user_id % 3 = 0 THEN
+                  CASE WHEN min_sid IS NOT NULL THEN m_t END
+                WHEN n_o > 0 THEN last_t END AS pref_time,
+           CASE WHEN u.user_id % 3 = 0 THEN
+                  CASE WHEN min_sid IS NOT NULL THEN m_lat END
+                WHEN n_o > 0 THEN last_lat END AS pref_lat
+    FROM u LEFT JOIN agg USING (user_id)
+"""
+
+
+def q_strip_bump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_events + bump_creation_version (utils/events.py:151-222,
+    :225-255): version increment then rejected-row strip + projection."""
+    from obsplus_spark.operators.surgery import bump_version, strip_events
+
+    ev = _t(spark, sf_dir, "events")
+    picks = ev.select(
+        F.col("event_id").cast("string").alias("resource_id"),
+        _ts_ns().alias("t_ns"),
+        F.col("event_type").alias("phase_hint"),
+        F.when(F.col("value") > 200.0, "rejected")
+        .when(F.col("value") < 1.0, F.lit(None).cast("string"))
+        .otherwise("ok")
+        .alias("evaluation_status"),
+        F.when(
+            F.col("user_id") % 3 == 0, F.lit(None).cast("string")
+        )
+        .otherwise((F.col("user_id") % 5).cast("string"))
+        .alias("version"),
+    )
+    bumped = bump_version(picks)
+    return strip_events(
+        bumped, keep_columns=["resource_id", "t_ns", "phase_hint", "version"]
+    )
+
+
+_SQL_STRIP = """
+    SELECT CAST(event_id AS VARCHAR) AS resource_id,
+           epoch_ns(ts) AS t_ns,
+           event_type AS phase_hint,
+           CAST((CASE WHEN user_id % 3 = 0 THEN 0
+                      ELSE user_id % 5 END) + 1 AS VARCHAR) AS version
+    FROM events
+    WHERE NOT value > 200.0
+"""
+
+
+def q_p_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-pick outlier rule (events/validate.py:170-184): picks further
+    than the limit from their event's median P time."""
+    from obsplus_spark.operators.validate import p_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    picks = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+            "event_id"
+        ),
+        F.col("event_id").cast("string").alias("resource_id"),
+        F.lit("P").alias("phase_hint"),
+        _ts_ns().alias("time"),
+    )
+    v = p_outliers(picks, limit_ns=10 * 86400 * NS)
+    return v.select(
+        "rule",
+        "event_id",
+        F.get_json_object("detail", "$.resource_id").alias("resource_id"),
+        F.get_json_object("detail", "$.time").cast("long").alias("t_ns"),
+    )
+
+
+_SQL_P_OUT = f"""
+    WITH p AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS event_id,
+             CAST(event_id AS VARCHAR) AS rid, epoch_ns(ts) AS t
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    med AS (SELECT event_id, median(t) AS m FROM p GROUP BY event_id)
+    SELECT 'p_outlier' AS rule, p.event_id, p.rid AS resource_id,
+           p.t AS t_ns
+    FROM p JOIN med USING (event_id)
+    WHERE abs(p.t - m) > {10 * 86400 * NS}
+"""
+
+
+def q_orphan_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival→pick referential integrity (events/validate.py:64-79):
+    arrivals whose pick_id resolves to no pick, as an anti join."""
+    from obsplus_spark.operators.validate import arrivals_reference_picks
+
+    ev = _t(spark, sf_dir, "events")
+    picks = ev.filter(F.col("event_type") == "click").select(
+        F.concat(F.lit("p"), F.col("event_id").cast("string")).alias(
+            "resource_id"
+        )
+    )
+    arrivals = ev.filter(F.col("event_type") == "error").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+            "event_id"
+        ),
+        F.concat(
+            F.lit("p"),
+            (F.col("event_id") - (F.col("event_id") % 2)).cast("string"),
+        ).alias("pick_id"),
+    )
+    v = arrivals_reference_picks(arrivals, picks)
+    return v.select(
+        "rule",
+        "event_id",
+        F.get_json_object("detail", "$.pick_id").alias("pick_id"),
+    )
+
+
+_SQL_ORPHAN = """
+    WITH picks AS (
+      SELECT 'p' || CAST(event_id AS VARCHAR) AS rid
+      FROM events WHERE event_type = 'click'
+    ),
+    arr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS event_id,
+             'p' || CAST(event_id - (event_id % 2) AS VARCHAR) AS pick_id
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT 'orphan_arrival' AS rule, event_id, pick_id
+    FROM arr WHERE pick_id NOT IN (SELECT rid FROM picks)
+"""
+
+
+def q_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assign + probe (ANN scale path) with nprobe = n_clusters: every
+    inverted list is scanned, so the result is exactly brute-force top-k —
+    the invariant that makes the approximate structure oracle-checkable."""
+    from obsplus_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_assign(
+        emb, n_clusters=8, refine_iterations=0
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(assignments, centroids, queries, k=8, nprobe=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+    )
+
+
+_SQL_IVF = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    s AS (
+      SELECT query_id, vec_id,
+             list_dot_product(ev, qv)
+               / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+               AS sim
+      FROM v CROSS JOIN q
+    ),
+    r AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT query_id, vec_id, rank, round(sim, 6) AS cosine_sim
+    FROM r WHERE rank <= 8
+"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over label blocks: per-block
+    gram matrix via an Arrow-batched pandas UDF (the dense-similarity
+    scale shape — one BLAS matmul per block, one shuffle on the block
+    key)."""
+    from obsplus_spark.operators.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup(emb, threshold=0.33, block_col="label")
+    return out.select(
+        "id1", "id2", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
+
+
+_SQL_EMBED_ND = """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.ev, b.ev)
+               / (sqrt(list_dot_product(a.ev, a.ev))
+                  * sqrt(list_dot_product(b.ev, b.ev))) AS c
+      FROM v a JOIN v b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id1, id2, round(c, 6) AS cosine_sim
+    FROM p WHERE c >= 0.33
+"""
+
+
+# ---------------------------------------------------------------------------
 # dateline oracle needs the haversine fragment from the geo module
 # ---------------------------------------------------------------------------
 
@@ -2020,6 +2458,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_ids": q_seed_ids,
         "trim_traces": q_trim_traces,
         "s_before_p": q_s_before_p,
+        "dup_remap": q_dup_remap,
+        "attach_origin": q_attach_origin,
+        "preferred_fallback": q_preferred_fallback,
+        "strip_bump": q_strip_bump,
+        "p_outliers": q_p_outliers,
+        "orphan_arrivals": q_orphan_arrivals,
+        "ivf_flat": q_ivf_flat,
+        "embed_near_dup": q_embed_near_dup,
     }
 
 
@@ -2067,6 +2513,14 @@ def oracle_sql() -> dict[str, str]:
         "seed_ids": _SQL_SEED,
         "trim_traces": _SQL_TRIM,
         "s_before_p": _SQL_SBP,
+        "dup_remap": _SQL_DUP_REMAP,
+        "attach_origin": _SQL_ATTACH,
+        "preferred_fallback": _SQL_PREF,
+        "strip_bump": _SQL_STRIP,
+        "p_outliers": _SQL_P_OUT,
+        "orphan_arrivals": _SQL_ORPHAN,
+        "ivf_flat": _SQL_IVF,
+        "embed_near_dup": _SQL_EMBED_ND,
     }
     out.update(_geo_oracles())
     return out

@@ -87,17 +87,28 @@ def ivf_assign(
     from obsplus_spark.util import ensure_parallelism
 
     vectors = ensure_parallelism(vectors)
-    centroids = (
+    # seed rank WITHOUT a global window (an unpartitioned row_number would
+    # single-partition the exchange): the seed set is ≤ n_clusters rows by
+    # construction, so rank = broadcast self-join count of ids ≤ own id
+    seeds = (
         vectors.orderBy(id_col)
         .limit(n_clusters)
         .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .alias("cluster"),
+            F.col(id_col).alias("_sid"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
                 "centroid"
             ),
         )
+    )
+    sa, sb = seeds.alias("sa"), seeds.alias("sb")
+    centroids = (
+        sa.join(F.broadcast(sb), F.expr("sb._sid <= sa._sid"))
+        .groupBy(F.col("sa._sid").alias("_sid"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("cluster"),
+            F.first(F.col("sa.centroid")).alias("centroid"),
+        )
+        .select("cluster", "centroid")
     )
 
     def assign(cents: DataFrame) -> DataFrame:
@@ -174,6 +185,81 @@ def ivf_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "blocked",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id1 < id2, cosine ≥ τ).
+
+    All-pairs cosine is quadratic, so candidates are restricted to a
+    blocking key (metadata blocking — same language/source/cluster; or an
+    IVF/LSH bucket from :func:`ivf_assign` / :func:`hyperplane_lsh_buckets`
+    materialized as a column). Two execution paths:
+
+    - ``blocked`` (default): per-block **gram matrix** via
+      ``applyInPandas`` — each block's vectors become one numpy matrix,
+      pairs come from a single BLAS matmul. This is the scale shape for
+      dense similarity: Arrow-batched, no per-element interpretation, one
+      shuffle on the block key; block sizes are bounded by the blocking
+      granularity, not corpus size.
+    - ``exact``: pure zip_with/aggregate join math — JVM-side, no Python,
+      right for small candidate sets.
+    """
+    if method == "exact":
+        a = vectors.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("id1"),
+            F.col(vec_col).alias("_v1"),
+        )
+        b = vectors.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("id2"),
+            F.col(vec_col).alias("_v2"),
+        )
+        pairs = a.join(b, "_blk").filter(F.col("id1") < F.col("id2"))
+        return pairs.select(
+            "id1",
+            "id2",
+            cosine(F.col("_v1"), F.col("_v2")).alias("cosine_sim"),
+        ).filter(F.col("cosine_sim") >= threshold)
+
+    import pandas as pd
+
+    out_schema = (
+        f"id1 long, id2 long, cosine_sim double"
+    )
+
+    def _gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        g = xn @ xn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = g[iu, ju] >= threshold
+        i, j = iu[keep], ju[keep]
+        lo = np.minimum(ids[i], ids[j])
+        hi = np.maximum(ids[i], ids[j])
+        return pd.DataFrame(
+            {"id1": lo, "id2": hi, "cosine_sim": g[iu, ju][keep]}
+        )
+
+    return (
+        vectors.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(_gram, out_schema)
     )
 
 

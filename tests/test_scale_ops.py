@@ -152,3 +152,54 @@ def test_ivf_topk_recall(spark):
     assert out[0].vec_id == 5  # self-hit
     # all results from the same blob as the query (cosine ~1 within blob)
     assert all(r.vec_id < 30 for r in out)
+
+
+def test_embedding_near_dup_paths_agree(spark):
+    """Blocked (pandas gram) and exact (zip_with) paths return the same
+    pair set with matching cosines; near-identical vectors found."""
+    import numpy as np
+
+    from obsplus_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 8)
+    base[14] = base[4] + 1e-4 * rng.randn(8)  # planted near-dup, same block
+    rows = [
+        (i, int(i % 2), [float(x) for x in base[i]]) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    blocked = {
+        (r.id1, r.id2): r.cosine_sim
+        for r in embedding_near_dup(df, 0.9, method="blocked").collect()
+    }
+    exact = {
+        (r.id1, r.id2): r.cosine_sim
+        for r in embedding_near_dup(df, 0.9, method="exact").collect()
+    }
+    assert set(blocked) == set(exact)
+    assert (4, 14) in blocked
+    for k in blocked:
+        assert blocked[k] == pytest.approx(exact[k], abs=1e-9)
+        assert blocked[k] >= 0.9
+
+
+def test_embedding_near_dup_blocking_limits_pairs(spark):
+    """Pairs never cross blocks — a cross-block near-identical pair is
+    invisible (the documented approximate contract)."""
+    import numpy as np
+
+    from obsplus_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.RandomState(4)
+    v = rng.randn(8)
+    rows = [
+        (0, 0, [float(x) for x in v]),
+        (1, 1, [float(x) for x in v]),  # identical but different block
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    assert embedding_near_dup(df, 0.5, method="blocked").count() == 0
+    assert embedding_near_dup(df, 0.5, method="exact").count() == 0
