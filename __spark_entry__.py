@@ -2273,14 +2273,14 @@ def q_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     assignments, centroids = ivf_assign(
-        emb, n_clusters=8, refine_iterations=0
+        emb, n_clusters=4, refine_iterations=0
     )
     queries = emb.filter(
         (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ivf_topk(assignments, centroids, queries, k=8, nprobe=8)
+    out = ivf_topk(assignments, centroids, queries, k=8, nprobe=4)
     return out.select(
         "query_id",
         "vec_id",

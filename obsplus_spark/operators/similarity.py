@@ -83,7 +83,6 @@ def ivf_assign(
     At corpus scale this is the standard one-pass IVF build: centroids are
     broadcast-sized, the corpus is touched ``refine_iterations + 1`` times.
     """
-    from obsplus_spark.operators.joins import topk_per_group
     from obsplus_spark.util import ensure_parallelism
 
     vectors = ensure_parallelism(vectors)
@@ -112,15 +111,43 @@ def ivf_assign(
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        scored = vectors.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            vec_col,
-            "cluster",
-            cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+        # centroids fold into ONE array row (they are broadcast-sized by
+        # construction); each vector then picks its argmax-cosine cluster
+        # as a narrow per-row expression. No corpus×K intermediate, no
+        # window, no shuffle of the corpus — the only data movement is the
+        # one-row centroid array. Ties break to the smallest cluster id
+        # (max of (sim, -cluster)), matching the old rank ordering.
+        carr = cents.agg(
+            F.expr(
+                "sort_array(collect_list(named_struct("
+                "'cluster', cluster, 'centroid', centroid,"
+                " 'nrm', sqrt(aggregate(centroid, 0.0D, (a, x) -> a + x * x))"
+                "))) AS _cents"
+            )
         )
-        return topk_per_group(
-            scored, [id_col], [F.col("_sim").desc(), F.col("cluster").asc()], k=1
-        ).drop("_sim")
+        vn = vectors.withColumn(
+            "_vn",
+            F.expr(
+                f"sqrt(aggregate({vec_col}, 0.0D,"
+                " (a, x) -> a + cast(x AS double) * cast(x AS double)))"
+            ),
+        )
+        best = F.expr(
+            "array_max(transform(_cents, c -> named_struct("
+            f"'sim', aggregate(zip_with({vec_col}, c.centroid,"
+            " (x, y) -> cast(x AS double) * y), 0.0D, (a, x) -> a + x)"
+            " / (_vn * c.nrm),"
+            " 'nc', -c.cluster)))"
+        )
+        return (
+            vn.crossJoin(F.broadcast(carr))
+            .withColumn("_best", best)
+            .select(
+                id_col,
+                vec_col,
+                (-F.col("_best.nc")).cast("int").alias("cluster"),
+            )
+        )
 
     assignments = assign(centroids)
     for _ in range(refine_iterations):
