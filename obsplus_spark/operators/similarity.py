@@ -86,9 +86,11 @@ def ivf_assign(
     from obsplus_spark.util import ensure_parallelism
 
     vectors = ensure_parallelism(vectors)
-    # seed rank WITHOUT a global window (an unpartitioned row_number would
-    # single-partition the exchange): the seed set is ≤ n_clusters rows by
-    # construction, so rank = broadcast self-join count of ids ≤ own id
+    # seeds = the n_clusters smallest-id vectors (deterministic, no RNG);
+    # orderBy().limit() is distributed TakeOrdered, never a global window.
+    # The seed set is ≤ n_clusters rows, so folding it into ONE array row
+    # and deriving cluster ids from the sorted position is a single tiny
+    # aggregate — no self-join, no rank.
     seeds = (
         vectors.orderBy(id_col)
         .limit(n_clusters)
@@ -99,32 +101,14 @@ def ivf_assign(
             ),
         )
     )
-    sa, sb = seeds.alias("sa"), seeds.alias("sb")
-    centroids = (
-        sa.join(F.broadcast(sb), F.expr("sb._sid <= sa._sid"))
-        .groupBy(F.col("sa._sid").alias("_sid"))
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("cluster"),
-            F.first(F.col("sa.centroid")).alias("centroid"),
-        )
-        .select("cluster", "centroid")
-    )
+    carr = _fold_centroids(seeds, sid_col="_sid")
 
-    def assign(cents: DataFrame) -> DataFrame:
-        # centroids fold into ONE array row (they are broadcast-sized by
-        # construction); each vector then picks its argmax-cosine cluster
-        # as a narrow per-row expression. No corpus×K intermediate, no
-        # window, no shuffle of the corpus — the only data movement is the
-        # one-row centroid array. Ties break to the smallest cluster id
-        # (max of (sim, -cluster)), matching the old rank ordering.
-        carr = cents.agg(
-            F.expr(
-                "sort_array(collect_list(named_struct("
-                "'cluster', cluster, 'centroid', centroid,"
-                " 'nrm', sqrt(aggregate(centroid, 0.0D, (a, x) -> a + x * x))"
-                "))) AS _cents"
-            )
-        )
+    def assign(cents_arr: DataFrame) -> DataFrame:
+        # centroids live in ONE broadcast array row; each vector picks its
+        # argmax-cosine cluster as a narrow per-row expression. No
+        # corpus×K intermediate, no window, no shuffle of the corpus — the
+        # only data movement is the one-row centroid array. Ties break to
+        # the smallest cluster id (max of (sim, -cluster)).
         vn = vectors.withColumn(
             "_vn",
             F.expr(
@@ -140,7 +124,7 @@ def ivf_assign(
             " 'nc', -c.cluster)))"
         )
         return (
-            vn.crossJoin(F.broadcast(carr))
+            vn.crossJoin(F.broadcast(cents_arr))
             .withColumn("_best", best)
             .select(
                 id_col,
@@ -149,9 +133,9 @@ def ivf_assign(
             )
         )
 
-    assignments = assign(centroids)
+    assignments = assign(carr)
     for _ in range(refine_iterations):
-        centroids = (
+        cent_rows = (
             assignments.select(
                 "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
             )
@@ -168,8 +152,52 @@ def ivf_assign(
                 F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
             )
         )
-        assignments = assign(centroids)
+        carr = _fold_centroids(cent_rows, cluster_col="cluster")
+        assignments = assign(carr)
+    centroids = carr.select(
+        F.inline(
+            F.expr(
+                "transform(_cents, c ->"
+                " named_struct('cluster', c.cluster, 'centroid', c.centroid))"
+            )
+        )
+    )
     return assignments, centroids
+
+
+def _fold_centroids(
+    rows: DataFrame,
+    sid_col: str | None = None,
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Fold ≤K centroid rows into one array row ``_cents`` of
+    (cluster, centroid, nrm), sorted by cluster. With ``sid_col`` set the
+    cluster ids are assigned 1..K by ascending seed id (single aggregate —
+    no self-join rank needed for a bounded seed set)."""
+    if sid_col is not None:
+        folded = rows.agg(
+            F.expr(
+                f"sort_array(collect_list(named_struct('_k', {sid_col},"
+                " 'centroid', centroid))) AS _s"
+            )
+        ).select(
+            F.expr(
+                "transform(_s, (c, i) -> named_struct("
+                "'cluster', i + 1, 'centroid', c.centroid,"
+                " 'nrm', sqrt(aggregate(c.centroid, 0.0D,"
+                " (a, x) -> a + x * x)))) AS _cents"
+            )
+        )
+    else:
+        folded = rows.agg(
+            F.expr(
+                f"sort_array(collect_list(named_struct('cluster', {cluster_col},"
+                " 'centroid', centroid,"
+                " 'nrm', sqrt(aggregate(centroid, 0.0D, (a, x) -> a + x * x))"
+                "))) AS _cents"
+            )
+        )
+    return folded
 
 
 def ivf_topk(
@@ -186,21 +214,30 @@ def ivf_topk(
     """IVF probe search: rank centroids per query, scan only ``nprobe``
     inverted lists — the corpus-side join is an equi-join on ``cluster``
     instead of a full cross join (candidate fraction ≈ nprobe/n_clusters).
-    """
-    from obsplus_spark.operators.joins import topk_per_group
 
-    probe = queries.crossJoin(F.broadcast(centroids)).select(
-        query_id_col,
-        query_vec_col,
-        "cluster",
-        cosine(F.col(query_vec_col), F.col("centroid")).alias("_csim"),
+    The probe list is a per-query array expression (sort the broadcast
+    centroid array by cosine, slice nprobe, explode) — map-only, no window
+    shuffle; the only shuffle in the whole plan is the final per-query
+    top-k rank.
+    """
+    carr = _fold_centroids(centroids, cluster_col="cluster")
+    probes = (
+        queries.crossJoin(F.broadcast(carr))
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(sort_array(transform(_cents,"
+                    f" c -> named_struct('ns', -aggregate(zip_with("
+                    f"{query_vec_col}, c.centroid,"
+                    " (x, y) -> cast(x AS double) * y), 0.0D,"
+                    " (a, x) -> a + x) / c.nrm, 'cluster', c.cluster)))"
+                    f", 1, {int(nprobe)}), s -> s.cluster)"
+                )
+            ).alias("cluster"),
+        )
     )
-    probes = topk_per_group(
-        probe,
-        [query_id_col],
-        [F.col("_csim").desc(), F.col("cluster").asc()],
-        k=nprobe,
-    ).select(query_id_col, query_vec_col, "cluster")
 
     scored = assignments.join(F.broadcast(probes), "cluster").select(
         F.col(query_id_col),
