@@ -323,14 +323,23 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,10)"
     )
+    # aggregate-below-join: lineitem collapses to one partial row per
+    # order BEFORE the join shuffle (decimal partials are exact, so the
+    # regrouped nation totals are identical); the orders side picks up
+    # nation via broadcast dims map-side. Shuffle volume drops from every
+    # lineitem row to one row per order — the 100-TB shape.
+    li_part = li.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("_cnt")
+    )
+    o_dim = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        li_part.join(o_dim, li_part.l_orderkey == o_dim.o_orderkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("_rev").cast("double"), 4).alias("revenue"),
+            F.sum("_cnt").alias("n_items"),
         )
     )
 
@@ -974,7 +983,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    only_click = clickers.exceptAll(clickers.intersect(buyers)).select(
+    # clickers \ buyers ≡ clickers \ (clickers ∩ buyers) on distinct
+    # inputs; EXCEPT over distinct inputs is exactly a left_anti join,
+    # which shares one broadcast of the buyers side with the intersect
+    # branch below (exceptAll would plan a union + multiplicity subtree)
+    only_click = clickers.join(buyers, "user_id", "left_anti").select(
         "user_id", F.lit("click_only").alias("cohort")
     )
     both = clickers.intersect(buyers).select(
@@ -2021,11 +2034,7 @@ def q_attach_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_origins + attach_new_origin (utils/events.py:258-317,
     merge.py:135-194): events lacking origins get one fabricated at the
     earliest pick time and marked preferred."""
-    from obsplus_spark.operators.event_tree import (
-        ORIGIN_STRUCT,
-        first_pick_origins,
-    )
-    from obsplus_spark.operators.surgery import attach_new_origin
+    from obsplus_spark.operators.event_tree import ORIGIN_STRUCT, make_origins
     from pyspark.sql import types as T
 
     ev = _t(spark, sf_dir, "events")
@@ -2042,16 +2051,7 @@ def q_attach_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array().cast(T.ArrayType(ORIGIN_STRUCT)).alias("origins"),
         "picks",
     )
-    first = first_pick_origins(tree)
-    new_origins = first.select(
-        "event_id",
-        F.concat(F.lit("fpo:"), F.col("event_id")).alias("resource_id"),
-        F.col("first_pick_time").alias("time"),
-        F.lit(None).cast("double").alias("latitude"),
-        F.lit(None).cast("double").alias("longitude"),
-        F.lit(None).cast("double").alias("depth"),
-    )
-    out = attach_new_origin(tree, new_origins, preferred=True)
+    out = make_origins(tree, rid_prefix="fpo:", preferred=True)
     return out.select(
         "event_id",
         "preferred_origin_id",

@@ -202,17 +202,64 @@ def last_magnitude_per_type(tree: DataFrame) -> DataFrame:
 
 def first_pick_origins(tree: DataFrame) -> DataFrame:
     """make_origins (utils/events.py:258-317): for events lacking origins,
-    fabricate one at the earliest pick time."""
-    from pyspark.sql import Window
+    fabricate one at the earliest pick time.
 
-    picks = picks_to_df(tree).filter(F.col("resource_id").isNotNull())
-    w = Window.partitionBy("event_id").orderBy("time", "resource_id")
-    first = (
-        picks.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", F.col("time").alias("first_pick_time"))
+    The picks already live inside each event row, so the earliest pick is
+    an array_min over the nested list — map-only, no explode, no window
+    shuffle. Returns (event_id, first_pick_time) for events with ≥1
+    resolvable pick."""
+    fp = F.array_min(
+        F.expr(
+            "transform(filter(picks, p -> p.resource_id IS NOT NULL),"
+            " p -> p.time)"
+        )
     )
-    return first
+    return tree.select(
+        "event_id", fp.alias("first_pick_time")
+    ).filter(F.col("first_pick_time").isNotNull())
+
+
+def make_origins(
+    tree: DataFrame,
+    rid_prefix: str = "fpo:",
+    preferred: bool = True,
+    only_missing: bool = True,
+) -> DataFrame:
+    """Tree-native make_origins (utils/events.py:258-317): fabricate an
+    origin at the earliest pick time for events lacking one, append it to
+    ``origins`` and (optionally) mark it preferred — one projection over
+    the nested rows, zero shuffles/joins. The general attach path for
+    externally-supplied origins stays :func:`surgery.attach_new_origin`."""
+    fp = F.array_min(
+        F.expr(
+            "transform(filter(picks, p -> p.resource_id IS NOT NULL),"
+            " p -> p.time)"
+        )
+    )
+    need = fp.isNotNull()
+    if only_missing:
+        need = need & (F.size(F.coalesce(F.col("origins"), F.array())) == 0)
+    rid = F.concat(F.lit(rid_prefix), F.col("event_id"))
+    new_origin = F.struct(
+        rid.alias("resource_id"),
+        fp.alias("time"),
+        F.lit(None).cast("double").alias("latitude"),
+        F.lit(None).cast("double").alias("longitude"),
+        F.lit(None).cast("double").alias("depth"),
+    )
+    out = tree.withColumn("_need", need).withColumn(
+        "origins",
+        F.when(
+            F.col("_need"),
+            F.concat(F.coalesce(F.col("origins"), F.array()), F.array(new_origin)),
+        ).otherwise(F.col("origins")),
+    )
+    if preferred:
+        out = out.withColumn(
+            "preferred_origin_id",
+            F.when(F.col("_need"), rid).otherwise(F.col("preferred_origin_id")),
+        )
+    return out.drop("_need")
 
 
 def tree_to_json(tree: DataFrame) -> DataFrame:
