@@ -2402,6 +2402,121 @@ def _geo_oracles() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# approximate sketches (HLL rollup, KLL quantiles, Bloom join pruning).
+# Estimates are implementation-specific, so each query emits EXACT values
+# plus a deterministic sketch-within-tolerance boolean — byte-stable
+# against the ANSI oracle while executing the sketch path end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL rollup (the hypertable pattern): daily per-type user
+    sketches union into per-type estimates without rescanning raw rows;
+    checked against the exact distinct count at ≤5% relative error."""
+    from obsplus_spark.operators.sketches import (
+        hll_estimate,
+        hll_partials,
+        hll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(_ts_ns() / F.lit(86_400_000_000_000)).alias("_day"),
+    )
+    daily = hll_partials(ev, ["event_type", "_day"], "user_id", lg_k=14)
+    merged = hll_rollup(daily, ["event_type"]).select(
+        "event_type", hll_estimate("hll").alias("_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_ok"),
+    )
+
+
+_SQL_HLL = """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style quantile sketch (percentile_approx, rank error 1/accuracy)
+    per event_type, checked inside a value band around the exact quantile;
+    emits the exact quantiles so the oracle is byte-stable."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("_apx"),
+        F.expr(
+            "percentile(value, array(0.495, 0.5, 0.505, 0.945, 0.95, 0.955))"
+        ).alias("_ex"),
+    )
+    band_ok = (
+        "(_apx[{i}] >= least(_ex[{lo}], _ex[{hi}])"
+        " AND _apx[{i}] <= greatest(_ex[{lo}], _ex[{hi}]))"
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.expr("_ex[1]"), 6).alias("exact_p50"),
+        F.round(F.expr("_ex[4]"), 6).alias("exact_p95"),
+        F.expr(band_ok.format(i=0, lo=0, hi=2)).alias("p50_ok"),
+        F.expr(band_ok.format(i=1, lo=3, hi=5)).alias("p95_ok"),
+    )
+
+
+_SQL_APXQ = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events GROUP BY event_type
+"""
+
+
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact semi join: a bit_or-aggregated bitset over the
+    filtered orders keys broadcasts to lineitem and drops non-matching
+    rows map-side BEFORE the join; the exact semi join removes false
+    positives, so the aggregate is exact (the manual twin of AQE's
+    runtime bloom filter)."""
+    from obsplus_spark.operators.sketches import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    kept = bloom_semi_join(
+        li, o, "l_orderkey", "o_orderkey", num_bits=1 << 17, num_hashes=5
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_BLOOM = """
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2466,6 +2581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_arrivals": q_orphan_arrivals,
         "ivf_flat": q_ivf_flat,
         "embed_near_dup": q_embed_near_dup,
+        "hll_users": q_hll_users,
+        "approx_quantiles": q_approx_quantiles,
+        "bloom_semi": q_bloom_semi,
     }
 
 
@@ -2521,6 +2639,9 @@ def oracle_sql() -> dict[str, str]:
         "orphan_arrivals": _SQL_ORPHAN,
         "ivf_flat": _SQL_IVF,
         "embed_near_dup": _SQL_EMBED_ND,
+        "hll_users": _SQL_HLL,
+        "approx_quantiles": _SQL_APXQ,
+        "bloom_semi": _SQL_BLOOM,
     }
     out.update(_geo_oracles())
     return out
