@@ -7,12 +7,12 @@ Spark re-expression: ``spark.read.format("binaryFile")`` scans the
 directory tree distributed (one task per file batch), and an Arrow-batched
 ``mapInPandas`` summarizer emits index rows — bytes stay on executors.
 
-The miniSEED header parse itself is STUBBED (obspy/libmseed are not in
-this container): ``summarize_stub`` derives deterministic index rows from
-a tiny header convention so the whole distributed pipeline — recursive
-file discovery, mtime filtering, batched summarization, bank upsert — is
-real and tested. Swap ``_parse_header`` for an obspy call on a full
-cluster.
+The miniSEED header parse is REAL: ``sources/mseed.py`` implements the
+public FDSN SEED v2.4 fixed-header + blockette-1000 walk in pure stdlib
+(no obspy/libmseed needed). The default parser tries miniSEED first and
+falls back to a deterministic text-header convention (kept for fixtures
+and as the ``summarize_generic_stream`` stand-in for formats whose codecs
+aren't in this container).
 """
 
 from __future__ import annotations
@@ -87,9 +87,20 @@ def _parse_header_stub(content: bytes, path: str) -> list[dict]:
     return rows
 
 
+def auto_parser(content: bytes, path: str) -> list[dict]:
+    """Default parser: real miniSEED header walk first (``sources/mseed``),
+    then the text-convention fallback (reference ``utils/bank.py:61-83``
+    summarize_generic_stream ordering: format-specific fast path, generic
+    reader on miss)."""
+    from obsplus_spark.sources.mseed import parse_mseed_records
+
+    rows = parse_mseed_records(content, path)
+    return rows if rows else _parse_header_stub(content, path)
+
+
 def summarize_files(
     files: DataFrame,
-    parser: Callable[[bytes, str], list[dict]] = _parse_header_stub,
+    parser: Callable[[bytes, str], list[dict]] = auto_parser,
 ) -> DataFrame:
     """binaryFile rows → index rows via Arrow-batched ``mapInPandas``.
 
