@@ -269,6 +269,23 @@ def tree_to_quakeml(tree: DataFrame) -> DataFrame:
     return tree.mapInPandas(_batches, "event_id string, quakeml string")
 
 
+def update_eventbank_from_files(
+    spark,
+    bank,
+    path: str,
+    glob: str = "*.xml",
+    incremental: bool = True,
+) -> None:
+    """EventBank ingest from a QuakeML directory end-to-end (reference
+    ``bank/eventbank.py:267-327 update_index``): discover (new) files by
+    mtime, parse distributed, upsert payload trees + derived index."""
+    from obsplus_spark.sources.summarize import binary_file_scan
+
+    after = bank.last_updated_ns if incremental else None
+    files = binary_file_scan(spark, path, glob, modified_after_ns=after)
+    bank.put_events(quakeml_to_tree(files))
+
+
 # --- StationXML -----------------------------------------------------------
 
 

@@ -154,3 +154,21 @@ def test_spark_quakeml_pipeline(spark, tmp_path):
     sdf = stationxml_to_df(binary_file_scan(spark, str(s), glob="*.xml"))
     assert sdf.count() == 2
     assert {r.channel for r in sdf.collect()} == {"EHZ", "EHN"}
+
+
+def test_eventbank_quakeml_ingest(spark, tmp_path):
+    from obsplus_spark.sources.bank import EventBank
+    from obsplus_spark.sources.quakeml import update_eventbank_from_files
+
+    d = tmp_path / "qml"
+    d.mkdir()
+    (d / "cat1.xml").write_text(QML)
+    bank = EventBank(spark, tmp_path / "bank")
+    update_eventbank_from_files(spark, bank, str(d), incremental=False)
+    idx = bank.read_index(use_cache=False)
+    assert idx.count() == 2
+    got = bank.get_events(use_cache=False, minmagnitude=2.0)
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0].event_id == "smi:local/ev1"
+    assert rows[0].picks[0]["station"] == "CAPS"
