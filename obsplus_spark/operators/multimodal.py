@@ -5,13 +5,14 @@ columns (or object-store paths) beside typed metadata structs; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes never
 cross the driver and each task holds one batch.
 
-The actual codec step is STUBBED — image/audio libraries are not in this
-container (round-1 environment constraint). The Spark-side plumbing —
-schema, batching, UDF signatures, partitioning — is real and tested:
-``decode_stub=True`` swaps the codec for a deterministic byte-level fake
-with the same output schema, so plans, shuffles, and downstream joins are
-exercised end-to-end. Drop-in: replace ``_fake_image_features`` with a
-PIL/librosa call on a real cluster.
+Codec status: **real** for uncompressed public formats — WAV/RIFF PCM,
+netpbm PPM/PGM, 24-bit BMP decode + deterministic descriptors live in
+:mod:`obsplus_spark.operators.codecs` (pure numpy, no external libs).
+Compressed formats (JPEG/PNG/MP4…) still fall back to a deterministic
+byte-level fake with the same output schema — their codecs aren't in
+this container and the fallback keeps plans/shuffles/joins exercised
+end-to-end. Drop-in: extend ``codecs.decode_features`` with a PIL/librosa
+call on a full cluster.
 """
 
 from __future__ import annotations
@@ -88,20 +89,38 @@ def extract_features(
     ``features`` column feeds directly into
     :mod:`obsplus_spark.operators.similarity` (ANN) — the intended
     pipeline shape for image-dedup at scale.
+
+    Per-row dispatch: formats with a real pure-numpy codec
+    (``codecs.DECODABLE``: wav/ppm/pgm/bmp) decode for real; everything
+    else uses the deterministic fake when ``decode_stub`` (default) or
+    raises via ``_decode_real`` when not.
     """
     import pandas as pd
 
+    from obsplus_spark.operators.codecs import decode_features
     from obsplus_spark.util import ensure_parallelism
+
+    has_meta = "meta" in media.columns
+
+    def _one(payload: bytes, fmt: str | None) -> list[float]:
+        real = decode_features(payload, fmt, dim)
+        if real is not None:
+            return real
+        if decode_stub:
+            return _fake_image_features(payload, dim)
+        return _decode_real(payload, None)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            feats = [
-                _fake_image_features(p, dim)
-                if decode_stub
-                else _decode_real(p, None)
-                for p in payloads
-            ]
+            if has_meta:
+                fmts = [
+                    (m.get("format") if isinstance(m, dict) else None)
+                    for m in pdf["meta"]
+                ]
+            else:
+                fmts = [None] * len(pdf)
+            feats = [_one(p, f) for p, f in zip(payloads, fmts)]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -127,6 +146,52 @@ def media_dedup_exact(media: DataFrame) -> DataFrame:
         )
         .groupBy("payload_sha")
         .agg(F.min("media_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Real distributed image resize for decodable formats (ppm/pgm/bmp):
+    decode → nearest-neighbor index-map resize → re-encode netpbm. Rows
+    whose payload can't be decoded (compressed formats, corrupt bytes)
+    are dropped — the PERMISSIVE convention."""
+    import pandas as pd
+
+    from obsplus_spark.operators.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+    from obsplus_spark.util import ensure_parallelism
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = None
+                for dec in (decode_ppm, decode_bmp):
+                    try:
+                        arr = dec(bytes(p))
+                        break
+                    except Exception:
+                        continue
+                if arr is None:
+                    continue
+                ids.append(mid)
+                payloads.append(encode_ppm(resize_nearest(arr, out_h, out_w)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "height": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return ensure_parallelism(media).mapInPandas(
+        _batches, "media_id long, width int, height int, payload binary"
     )
 
 
