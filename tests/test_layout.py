@@ -1,0 +1,80 @@
+"""Z-order layout: interleave correctness + clustering effectiveness."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from obsplus_spark.plans.layout import (
+    clustering_stats,
+    write_zordered,
+    zorder_key,
+    zorder_repartition,
+)
+
+
+def _morton2(x: int, y: int, bits: int = 16) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_interleave_matches_reference_morton(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    out = zorder_key(df, ["x", "y"], bits=3).collect()
+    # uniform binning over 0..7 with 8 bins is the identity map, so the
+    # key must equal the textbook Morton code of (x, y)
+    for r in out:
+        assert r._zkey == _morton2(r.x, r.y, 3), (r.x, r.y, r._zkey)
+
+
+def test_zorder_clusters_both_dims(spark):
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 141).cast("double").alias("a"),
+        ((F.col("id") * 7919) % 139).cast("double").alias("b"),
+    )
+    files = 16
+
+    def avg_span(frame):
+        stats = clustering_stats(frame, ["a", "b"]).collect()
+        sa = sum(r.a_max - r.a_min for r in stats) / len(stats)
+        sb = sum(r.b_max - r.b_min for r in stats) / len(stats)
+        return sa / 141 + sb / 139  # normalized combined span
+
+    plain = df.repartition(files)
+    zed = zorder_repartition(df, ["a", "b"], num_files=files, bits=8)
+    # z-ordered partitions are tight in BOTH dimensions; random
+    # round-robin partitions span nearly the full range of each
+    assert avg_span(zed) < 0.5 * avg_span(plain)
+
+
+def test_quantile_binning_under_skew(spark):
+    # heavy-tailed column: uniform bins collapse most rows into one bin,
+    # quantile bins keep partitions genuinely tight
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).cast("double").alias("a"),
+        F.when(F.col("id") % 100 < 99, (F.col("id") % 50).cast("double"))
+        .otherwise((F.col("id") % 1000) * 1000.0)
+        .alias("b"),
+    )
+    zq = zorder_repartition(df, ["a", "b"], num_files=8, bits=8, binning="quantile")
+    stats = clustering_stats(zq, ["a"]).collect()
+    avg_a = sum(r.a_max - r.a_min for r in stats) / len(stats)
+    assert avg_a < 70  # still clustered on `a` despite b's outliers
+
+
+def test_write_zordered_roundtrip(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 31).cast("double").alias("a"),
+        (F.col("id") % 37).cast("double").alias("b"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["a", "b"], num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert set(back.columns) == {"k", "a", "b"}
+    # same content
+    assert back.agg(F.sum("k")).collect()[0][0] == 999 * 1000 // 2
