@@ -2273,7 +2273,7 @@ def q_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     assignments, centroids = ivf_assign(
-        emb, n_clusters=4, refine_iterations=0
+        emb, n_clusters=4, refine_iterations=0, folded=True
     )
     queries = emb.filter(
         (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)

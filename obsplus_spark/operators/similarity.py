@@ -66,22 +66,46 @@ def cosine_topk(
     )
 
 
+def _refine(assignments: DataFrame, vec_col: str) -> DataFrame:
+    """One Lloyd step: element-wise mean per cluster
+    (posexplode → avg → rebuild), all DataFrame ops."""
+    return (
+        assignments.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm")
+        )
+        .select(
+            "cluster",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iterations: int = 1,
+    folded: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic seeding + Lloyd refinement.
 
     Returns ``(assignments, centroids)``: every vector labeled with its
     nearest centroid (``cluster``), centroids as (cluster, centroid
-    array<double>). Seeding = the first ``n_clusters`` vectors by id
-    (deterministic, no RNG); each refinement is one cross-join argmin +
-    one element-wise mean (posexplode → avg → rebuild), all DataFrame ops.
-    At corpus scale this is the standard one-pass IVF build: centroids are
-    broadcast-sized, the corpus is touched ``refine_iterations + 1`` times.
+    array<double>) — or, with ``folded=True``, as the one-row ``_cents``
+    array form that :func:`ivf_topk` consumes directly (skips an
+    explode → re-fold round trip). Seeding = the first ``n_clusters``
+    vectors by id (deterministic, no RNG). At corpus scale this is the
+    standard one-pass IVF build: centroids are broadcast-sized, the
+    corpus is touched ``refine_iterations + 1`` times.
     """
     from obsplus_spark.util import ensure_parallelism
 
@@ -133,26 +157,21 @@ def ivf_assign(
             )
         )
 
+    if folded:
+        # centroids returned in folded one-row form (accepted verbatim by
+        # ivf_topk) — skips the explode → re-fold round trip of the
+        # row-form contract
+        assignments = assign(carr)
+        for _ in range(refine_iterations):
+            carr = _fold_centroids(
+                _refine(assignments, vec_col), cluster_col="cluster"
+            )
+            assignments = assign(carr)
+        return assignments, carr
+
     assignments = assign(carr)
     for _ in range(refine_iterations):
-        cent_rows = (
-            assignments.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                ).alias("pm")
-            )
-            .select(
-                "cluster",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
-            )
-        )
-        carr = _fold_centroids(cent_rows, cluster_col="cluster")
+        carr = _fold_centroids(_refine(assignments, vec_col), cluster_col="cluster")
         assignments = assign(carr)
     centroids = carr.select(
         F.inline(
@@ -173,7 +192,10 @@ def _fold_centroids(
     """Fold ≤K centroid rows into one array row ``_cents`` of
     (cluster, centroid, nrm), sorted by cluster. With ``sid_col`` set the
     cluster ids are assigned 1..K by ascending seed id (single aggregate —
-    no self-join rank needed for a bounded seed set)."""
+    no self-join rank needed for a bounded seed set). Already-folded
+    input (a ``_cents`` column) passes through untouched."""
+    if "_cents" in rows.columns:
+        return rows
     if sid_col is not None:
         folded = rows.agg(
             F.expr(

@@ -212,26 +212,34 @@ def common_coverage(
     # on _pid (deriving it from `events` would plan a second, partial-agg
     # exchange and recompute the boundary subtree). The bucket table is
     # |buckets| rows — bounded by the partition count, not data size — so
-    # its prefix sums come from a broadcast self-join (an unpartitioned
-    # window would fold to a single-partition WindowExec).
-    parts = local.groupBy("_pid").agg(
-        F.expr("sum(delta) AS _tot"),
-        F.expr("min(struct(t, delta)) AS _first"),
-    )
-    pa, pb = parts.alias("pa"), parts.alias("pb")
+    # it folds into ONE sorted array row whose prefix sums and next-bucket
+    # lookups are per-element array expressions (an unpartitioned window
+    # would fold to a single-partition WindowExec; the previous broadcast
+    # self-join + regroup spent an extra broadcast job and agg stage on
+    # the same ≤|buckets| rows).
     parts = (
-        pa.join(F.broadcast(pb), F.expr("pb._pid != pa._pid"), "left")
-        .groupBy(F.col("pa._pid").alias("_pid"))
+        local.groupBy("_pid")
+        .agg(
+            F.expr("sum(delta) AS _tot"),
+            F.expr("min(struct(t, delta)) AS _first"),
+        )
         .agg(
             F.expr(
-                "coalesce(sum(CASE WHEN pb._pid < pa._pid THEN pb._tot END),"
-                " 0) AS _offset"
-            ),
-            F.expr(
-                "min(CASE WHEN pb._pid > pa._pid THEN"
-                " named_struct('p', pb._pid, 't', pb._first.t) END).t"
-                " AS _next_first_t"
-            ),
+                "sort_array(collect_list(named_struct("
+                "'p', _pid, 'tot', _tot, 'ft', _first.t))) AS _ps"
+            )
+        )
+        .select(
+            F.inline(
+                F.expr(
+                    "transform(_ps, (e, i) -> named_struct("
+                    " '_pid', e.p,"
+                    " '_offset', aggregate(slice(_ps, 1, i), CAST(0 AS"
+                    "   BIGINT), (a, x) -> a + x.tot),"
+                    " '_next_first_t', CASE WHEN i < size(_ps) - 1"
+                    "   THEN _ps[i + 1].ft END))"
+                )
+            )
         )
     )
 
