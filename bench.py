@@ -31,9 +31,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     # shuffle partitions sized to the data, not the core count: sf0.1's
-    # largest table is ~25 MB, so ~8 partitions keeps every shuffle above
-    # the per-task overhead floor (measured ~26% faster than 32 on the
-    # heavy queries). At real scale the same rule gives data_bytes/64MB.
+    # largest table is ~25 MB, so a handful of partitions keeps every
+    # shuffle above the per-task overhead floor. Swept 2/3/4/5/6/8/32:
+    # 4 is the measured minimum (9.3 s vs 11.8 s at 8, 11.1 s at 2 —
+    # below 4 the compute-heavy narrow stages lose real parallelism).
+    # At real scale the same data-sized rule gives data_bytes/64MB.
     # AQE stays ON in the engine's default session (its skew/coalesce
     # re-planning is the 100-TB path); here shuffle partitions are already
     # hand-sized to the data, so AQE's only effect is a stage-by-stage
@@ -42,7 +44,7 @@ def main() -> None:
     # the measurement session only.
     spark = get_spark(
         "bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4")),
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
 
