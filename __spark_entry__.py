@@ -981,19 +981,25 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti/semi set arithmetic (merge.py:83-118 new-picks-only): users who
     clicked but never purchased, and users who did both."""
     ev = _t(spark, sf_dir, "events")
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    # clickers \ buyers ≡ clickers \ (clickers ∩ buyers) on distinct
-    # inputs; EXCEPT over distinct inputs is exactly a left_anti join,
-    # which shares one broadcast of the buyers side with the intersect
-    # branch below (exceptAll would plan a union + multiplicity subtree)
-    only_click = clickers.join(buyers, "user_id", "left_anti").select(
-        "user_id", F.lit("click_only").alias("cohort")
+    # EXCEPT and INTERSECT over distinct per-type membership collapse
+    # into ONE hash aggregate: bool_or membership flags per user_id
+    # (map-side combinable — each mapper emits ≤1 row per user), then a
+    # map-only CASE. One shuffle total, vs 2 distincts + anti + intersect
+    # (4 exchanges) for the literal set-algebra plan; same result set.
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("_c"),
+            F.max(F.col("event_type") == "purchase").alias("_b"),
+        )
     )
-    both = clickers.intersect(buyers).select(
-        "user_id", F.lit("both").alias("cohort")
+    return flags.filter(F.col("_c")).select(
+        "user_id",
+        F.when(F.col("_b"), F.lit("both")).otherwise(F.lit("click_only")).alias(
+            "cohort"
+        ),
     )
-    return only_click.unionByName(both)
 
 
 _SQL_SETOPS = """
