@@ -2523,6 +2523,342 @@ _SQL_BLOOM = """
 
 
 # ---------------------------------------------------------------------------
+# §2.3/§2.10 LSH ANN (hyperplane-sign buckets — the scale path of cosine
+# search). The bucketed computation is deterministic given literal
+# hyperplanes, so it is exactly SQL-expressible: the oracle is the same
+# bucket-join + rank, not exact top-k (an ANN's contract is its structure).
+# ---------------------------------------------------------------------------
+
+_LSH_DIM = 64
+#: 4 deterministic integer hyperplanes (values −3..3) → ≤16 buckets.
+_LSH_PLANES = [
+    [(((p * _LSH_DIM + d) * 37 + 13) % 7) - 3 for d in range(_LSH_DIM)]
+    for p in range(4)
+]
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH top-k (similarity.py cosine_topk_lsh): candidates
+    restricted to the query's sign-bucket; one equi-join on the bucket
+    string replaces the corpus cross join."""
+    from obsplus_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_lsh(
+        emb, queries, [[float(x) for x in h] for h in _LSH_PLANES], k=5
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+    )
+
+
+def _lsh_sql() -> str:
+    def bucket(vec: str) -> str:
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product({v}, {h}::DOUBLE[]) >= 0"
+            " THEN '1' ELSE '0' END)".format(v=vec, h=h)
+            for h in _LSH_PLANES
+        )
+        return f"({bits})"
+
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+                 {bucket('embedding::DOUBLE[]')} AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, ev AS qv, bucket
+          FROM v WHERE vec_id >= 5 AND vec_id < 10
+        ),
+        s AS (
+          SELECT q.query_id, v.vec_id,
+                 list_dot_product(v.ev, q.qv)
+                   / (sqrt(list_dot_product(v.ev, v.ev))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+          FROM v JOIN q ON v.bucket = q.bucket
+        ),
+        r AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM s
+        )
+        SELECT query_id, vec_id, rank, round(sim, 6) AS cosine_sim
+        FROM r WHERE rank <= 5
+    """
+
+
+# ---------------------------------------------------------------------------
+# §2.1 archive_to_sds day-rechunk kernel (pure-expression twin of the
+# partitioned write — the write itself is tested in test_bank)
+# ---------------------------------------------------------------------------
+
+_SDS_SP_NS = 3_600 * NS  # one sample per hour → spans cross day boundaries
+_SDS_OVL_NS = 30 * NS
+
+
+def q_sds_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day re-chunk (archive_to_sds kernel, reference
+    utils/waveforms.py:404-459): hour-sampled traces derived from events
+    explode into UTC day windows with a 30 s leading overlap; samples trim
+    per day; year/doy are the Hive partition columns."""
+    from obsplus_spark.operators.waveforms import sds_day_chunks
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    n = (F.lit(1) + F.col("event_id") % 96).cast("int")
+    traces = ev.select(
+        "event_id",
+        _ts_ns().alias("starttime"),
+        (_ts_ns() + n.cast("long") * F.lit(_SDS_SP_NS)).alias("endtime"),
+        F.lit(_SDS_SP_NS).alias("sampling_period"),
+        F.sequence(F.lit(1).cast("long"), n.cast("long")).alias("samples"),
+    )
+    out = sds_day_chunks(traces, overlap_ns=_SDS_OVL_NS)
+    return out.select(
+        "event_id",
+        F.col("year").cast("long").alias("year"),
+        F.col("doy").cast("long").alias("doy"),
+        "starttime",
+        "endtime",
+        F.size("samples").cast("long").alias("n_out"),
+        F.element_at("samples", 1).alias("first_s"),
+        F.element_at("samples", -1).alias("last_s"),
+    )
+
+
+_SQL_SDS = f"""
+    WITH tr AS (
+      SELECT event_id,
+             (epoch_ns(ts) // 1000) * 1000 AS st,
+             CAST(1 + event_id % 96 AS BIGINT) AS n
+      FROM events WHERE user_id < 30
+    ),
+    d AS (
+      SELECT event_id, st, n,
+             unnest(generate_series(
+               CAST(floor(st / 86400000000000.0) AS BIGINT),
+               CAST(floor((st + n * {_SDS_SP_NS} - 1) / 86400000000000.0) AS BIGINT)
+             )) AS day_idx
+      FROM tr
+    ),
+    b AS (
+      SELECT event_id, st, n, day_idx,
+             greatest(CAST(ceil((day_idx * 86400000000000 - {_SDS_OVL_NS} - st)
+                                / {_SDS_SP_NS}.0) AS BIGINT), 0) AS f,
+             least(CAST(ceil(((day_idx + 1) * 86400000000000 - st)
+                             / {_SDS_SP_NS}.0) AS BIGINT), n) AS l
+      FROM d
+    )
+    SELECT event_id,
+           CAST(year(make_timestamp((day_idx * 86400000000000) // 1000)) AS BIGINT) AS year,
+           CAST(dayofyear(make_timestamp((day_idx * 86400000000000) // 1000)) AS BIGINT) AS doy,
+           st + f * {_SDS_SP_NS} AS starttime,
+           st + l * {_SDS_SP_NS} AS endtime,
+           l - f AS n_out,
+           f + 1 AS first_s,
+           l AS last_s
+    FROM b WHERE l > f
+"""
+
+
+# ---------------------------------------------------------------------------
+# §multimodal WAV codec round trip: synth samples → encode_wav → decode_wav
+# → integer-exact stats. The PCM16 quantization (trunc(s·32767)/32768) is
+# exactly invertible, so the oracle recomputes the stats straight from the
+# synthesis formula — the codec path is verified end-to-end, bytes never
+# leave the executors.
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user audio: events.value → [-1,1) samples → WAV PCM16 encode →
+    decode → sum of squared int samples (exact), rms/peak derived in
+    closed form (single IEEE ops — deterministic across engines)."""
+    import pandas as pd
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.lit(2.0) * (F.col("value") - F.floor(F.col("value"))) - F.lit(1.0)).alias(
+                "s"
+            ),
+        )
+    )
+
+    def _rt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        from obsplus_spark.operators.codecs import decode_wav, encode_wav
+
+        pdf = pdf.sort_values("event_id")
+        payload = encode_wav(
+            pdf["s"].to_numpy().reshape(-1, 1), _WAV_RATE, bits=16
+        )
+        arr, rate = decode_wav(payload)
+        k = np.rint(arr[:, 0] * 32768.0).astype(np.int64)  # exact int recovery
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_samples": [len(k)],
+                "sample_rate": [rate],
+                "sum_sq": [int((k * k).sum())],
+                "peak_k": [int(np.abs(k).max()) if len(k) else 0],
+            }
+        )
+
+    stats = ev.groupBy("user_id").applyInPandas(
+        _rt,
+        "user_id long, n_samples long, sample_rate int, sum_sq long, peak_k long",
+    )
+    return stats.select(
+        "user_id",
+        "n_samples",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.sqrt(F.col("sum_sq") / F.col("n_samples")).alias("_r"),
+        (F.col("peak_k") / F.lit(32768.0)).alias("peak"),
+    ).select(
+        "user_id",
+        "n_samples",
+        "sample_rate",
+        F.round(F.col("_r") / F.lit(32768.0), 9).alias("rms"),
+        F.round("peak", 9).alias("peak"),
+    )
+
+
+_SQL_WAV = f"""
+    WITH s AS (
+      SELECT user_id,
+             CAST(trunc((2.0 * (value - floor(value)) - 1.0) * 32767.0) AS BIGINT) AS k
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n_samples, sum(k * k) AS sum_sq,
+             max(abs(k)) AS peak_k
+      FROM s GROUP BY user_id
+    )
+    SELECT user_id, n_samples, CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+           round(sqrt(sum_sq / n_samples) / 32768.0, 9) AS rms,
+           round(peak_k / 32768.0, 9) AS peak
+    FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1 miniSEED round trip: build_mseed_record → parse_mseed_records on the
+# executors (mapInPandas; record bytes never reach the driver); the oracle
+# recomputes every header field from the synthesis formulas.
+# ---------------------------------------------------------------------------
+
+_MSEED_RATES = [20, 25, 40, 50, 100]  # all divide 1e9 → exact periods
+
+
+def q_mseed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """miniSEED v2 header round trip (reference utils/mseed.py:70-112):
+    deterministic per-event records (alternating endianness) serialized
+    and re-parsed distributed; emits the parsed index row."""
+    import pandas as pd
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "event_id",
+            "user_id",
+            (_ts_ns() - _ts_ns() % F.lit(100_000)).alias("t100us"),
+        )
+    )
+
+    def _rt(batches):
+        from obsplus_spark.sources.mseed import (
+            build_mseed_record,
+            parse_mseed_records,
+        )
+
+        for pdf in batches:
+            rows = []
+            for eid, uid, t in zip(
+                pdf["event_id"], pdf["user_id"], pdf["t100us"]
+            ):
+                eid, uid, t = int(eid), int(uid), int(t)
+                rec = build_mseed_record(
+                    network=f"N{uid % 10}",
+                    station=f"S{eid % 1000}",
+                    location="00",
+                    channel="HH" + "ZNE"[eid % 3],
+                    start_ns=t,
+                    n_samples=100 + eid % 400,
+                    sample_rate=_MSEED_RATES[eid % 5],
+                    big_endian=(eid % 2 == 0),
+                )
+                for row in parse_mseed_records(rec, path=""):
+                    rows.append(
+                        {
+                            "event_id": eid,
+                            "network": row["network"],
+                            "station": row["station"],
+                            "location": row["location"],
+                            "channel": row["channel"],
+                            "starttime": row["starttime"],
+                            "endtime": row["endtime"],
+                            "sampling_period": row["sampling_period"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "event_id",
+                    "network",
+                    "station",
+                    "location",
+                    "channel",
+                    "starttime",
+                    "endtime",
+                    "sampling_period",
+                ],
+            )
+
+    return ev.mapInPandas(
+        _rt,
+        "event_id long, network string, station string, location string,"
+        " channel string, starttime long, endtime long, sampling_period long",
+    )
+
+
+_SQL_MSEED = """
+    WITH p AS (
+      SELECT event_id,
+             'N' || (user_id % 10) AS network,
+             'S' || (event_id % 1000) AS station,
+             '00' AS location,
+             'HH' || substr('ZNE', CAST(event_id % 3 AS INT) + 1, 1) AS channel,
+             epoch_ns(ts) - epoch_ns(ts) % 100000 AS starttime,
+             100 + event_id % 400 AS nsamp,
+             CAST(1000000000 / ([20, 25, 40, 50, 100])[CAST(event_id % 5 AS INT) + 1] AS BIGINT)
+               AS sampling_period
+      FROM events WHERE user_id < 10
+    )
+    SELECT event_id, network, station, location, channel, starttime,
+           starttime + (nsamp - 1) * sampling_period AS endtime,
+           sampling_period
+    FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2590,6 +2926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": q_hll_users,
         "approx_quantiles": q_approx_quantiles,
         "bloom_semi": q_bloom_semi,
+        "lsh_ann": q_lsh_ann,
+        "sds_chunks": q_sds_chunks,
+        "wav_roundtrip": q_wav_roundtrip,
+        "mseed_roundtrip": q_mseed_roundtrip,
     }
 
 
@@ -2648,6 +2988,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": _SQL_HLL,
         "approx_quantiles": _SQL_APXQ,
         "bloom_semi": _SQL_BLOOM,
+        "lsh_ann": _lsh_sql(),
+        "sds_chunks": _SQL_SDS,
+        "wav_roundtrip": _SQL_WAV,
+        "mseed_roundtrip": _SQL_MSEED,
     }
     out.update(_geo_oracles())
     return out

@@ -141,6 +141,67 @@ def trim_traces(
     )
 
 
+def sds_day_chunks(
+    traces: DataFrame,
+    overlap_ns: int = 30 * 1_000_000_000,
+    samples_col: str = "samples",
+) -> DataFrame:
+    """Day re-chunk kernel of ``WaveBank.archive_to_sds`` (reference
+    ``utils/waveforms.py:404-459``): explode each trace row into its UTC
+    day windows (each with a leading ``overlap_ns``, the reference's 30 s
+    default), trim samples per day, and stamp ``year``/``doy`` partition
+    columns. Pure expressions — no Python, no shuffle; the write side
+    adds only ``partitionBy``.
+
+    All input columns pass through; ``starttime``/``endtime``/``samples``
+    are replaced by the per-day trimmed values.
+    """
+    from obsplus_spark.functions.timeutils import NS_PER_DAY
+
+    day = F.explode(
+        F.sequence(
+            F.floor(F.col("starttime") / NS_PER_DAY),
+            F.floor((F.col("endtime") - 1) / NS_PER_DAY),
+        )
+    ).alias("_day_idx")
+    per_day = traces.select("*", day).withColumns(
+        {
+            "_day_start": F.col("_day_idx") * NS_PER_DAY - F.lit(overlap_ns),
+            "_day_end": (F.col("_day_idx") + 1) * NS_PER_DAY,
+        }
+    )
+    sp = F.col("sampling_period")
+    n = F.size(samples_col)
+    first = F.greatest(
+        F.ceil((F.col("_day_start") - F.col("starttime")) / sp), F.lit(0)
+    ).cast("long")
+    last = F.least(
+        F.ceil((F.col("_day_end") - F.col("starttime")) / sp), n.cast("long")
+    ).cast("long")
+    day_ts = F.timestamp_micros(
+        ((F.col("_day_idx") * NS_PER_DAY) / 1000).cast("long")
+    )
+    passthrough = [
+        c for c in traces.columns if c not in ("starttime", "endtime", samples_col)
+    ]
+    return (
+        per_day.withColumns({"_first": first, "_last": last})
+        .filter(F.col(samples_col).isNotNull() & (F.col("_last") > F.col("_first")))
+        .select(
+            *passthrough,
+            (F.col("starttime") + F.col("_first") * sp).alias("starttime"),
+            (F.col("starttime") + F.col("_last") * sp).alias("endtime"),
+            F.slice(
+                F.col(samples_col),
+                (F.col("_first") + 1).cast("int"),
+                (F.col("_last") - F.col("_first")).cast("int"),
+            ).alias(samples_col),
+            F.year(day_ts).alias("year"),
+            F.dayofyear(day_ts).alias("doy"),
+        )
+    )
+
+
 def common_coverage(
     segments: DataFrame,
     seed_col: str = "seed_id",

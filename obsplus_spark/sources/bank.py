@@ -418,47 +418,9 @@ class WaveBank:
         read prunes to one directory. The day explode + trim is pure
         expressions; the write is one partitioned job.
         """
-        from obsplus_spark.functions.timeutils import NS_PER_DAY
+        from obsplus_spark.operators.waveforms import sds_day_chunks
 
-        day = F.explode(
-            F.sequence(
-                F.floor(F.col("starttime") / NS_PER_DAY),
-                F.floor((F.col("endtime") - 1) / NS_PER_DAY),
-            )
-        ).alias("day_idx")
-        per_day = traces.select("*", day).withColumns(
-            {
-                "day_start": F.col("day_idx") * NS_PER_DAY - overlap_ns,
-                "day_end": (F.col("day_idx") + 1) * NS_PER_DAY,
-            }
-        )
-        sp = F.col("sampling_period")
-        n = F.size("samples")
-        first = F.greatest(
-            F.ceil((F.col("day_start") - F.col("starttime")) / sp), F.lit(0)
-        ).cast("long")
-        last = F.least(
-            F.ceil((F.col("day_end") - F.col("starttime")) / sp), n.cast("long")
-        ).cast("long")
-        day_ts = F.timestamp_micros(
-            ((F.col("day_idx") * NS_PER_DAY) / 1000).cast("long")
-        )
-        out = per_day.filter(F.col("samples").isNotNull() & (last > first)).select(
-            "network",
-            "station",
-            "location",
-            "channel",
-            "sampling_period",
-            (F.col("starttime") + first * sp).alias("starttime"),
-            (F.col("starttime") + last * sp).alias("endtime"),
-            F.slice(
-                F.col("samples"),
-                (first + 1).cast("int"),
-                (last - first).cast("int"),
-            ).alias("samples"),
-            F.year(day_ts).alias("year"),
-            F.dayofyear(day_ts).alias("doy"),
-        )
+        out = sds_day_chunks(traces, overlap_ns=overlap_ns)
         out.write.mode("overwrite").partitionBy(
             "year", "doy", "network", "station", "channel"
         ).parquet(str(sds_path))
