@@ -30,9 +30,21 @@ def __getattr__(name):
         from obsplus_spark.structures import Fetcher
 
         return Fetcher
+    if name in ("DataSet", "load_dataset"):
+        from obsplus_spark.structures import datasets
+
+        return getattr(datasets, name)
     raise AttributeError(f"module 'obsplus_spark' has no attribute {name!r}")
 
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "EventBank", "WaveBank", "Fetcher", "__version__"]
+__all__ = [
+    "get_spark",
+    "EventBank",
+    "WaveBank",
+    "Fetcher",
+    "DataSet",
+    "load_dataset",
+    "__version__",
+]
