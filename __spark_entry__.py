@@ -1024,23 +1024,32 @@ _CHUNK_OVL_NS = 3600 * NS  # 1 hour overlap
 
 def q_time_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_time_chunks + per-chunk counts (utils/time.py:378-421 →
-    wavebank.yield_waveforms): sequence+explode windows, interval join."""
-    from obsplus_spark.functions.timeutils import time_chunks
+    wavebank.yield_waveforms). Chunk membership is closed-form
+    (assign_time_chunks: O(rows) arithmetic explode, no O(rows×chunks)
+    nested-loop join); the tiny chunk table re-enters only to keep empty
+    chunks, as a broadcast right side of ≤|chunks| aggregated rows."""
+    from obsplus_spark.functions.timeutils import assign_time_chunks, time_chunks
 
-    chunks = time_chunks(
-        spark, _CHUNK_START_NS, _CHUNK_END_NS, _CHUNK_DUR_NS, _CHUNK_OVL_NS
-    )
     ev = _t(spark, sf_dir, "events").select(_ts_ns().alias("t_ns"), "value")
-    joined = chunks.join(
-        ev,
-        (F.col("t_ns") >= F.col("chunk_start")) & (F.col("t_ns") < F.col("chunk_end")),
-        "left",
+    assigned = assign_time_chunks(
+        ev, "t_ns", _CHUNK_START_NS, _CHUNK_END_NS, _CHUNK_DUR_NS, _CHUNK_OVL_NS
     )
-    return joined.groupBy("chunk_start", "chunk_end").agg(
-        F.count(F.col("t_ns")).alias("n_events"),
+    agg = assigned.groupBy("chunk_start", "chunk_end").agg(
+        F.count(F.lit(1)).alias("_n"),
         F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias(
             "sum_value"
         ),
+    )
+    chunks = time_chunks(
+        spark, _CHUNK_START_NS, _CHUNK_END_NS, _CHUNK_DUR_NS, _CHUNK_OVL_NS
+    )
+    return chunks.join(
+        F.broadcast(agg), ["chunk_start", "chunk_end"], "left"
+    ).select(
+        "chunk_start",
+        "chunk_end",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+        "sum_value",
     )
 
 
@@ -1128,17 +1137,22 @@ def q_nearest_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = p.join(c, "user_id").filter(
         F.abs(F.col("c_ns") - F.col("p_ns")) <= _ASSOC_TOL_NS
     )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.abs(F.col("c_ns") - F.col("p_ns")).asc(), F.col("click_id").asc()
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "purchase_id",
-            "click_id",
+    # nearest = lexicographic struct-min (|Δt|, click_id) — a hash
+    # aggregate instead of a rank window. Grouping on (user_id,
+    # purchase_id) lets the join's hash(user_id) partitioning satisfy the
+    # aggregate's clustering (user_id functionally determines the rest),
+    # so the whole pick-the-winner step adds NO exchange and combines
+    # map-side; a Window.partitionBy(purchase_id) would re-shuffle + sort.
+    best = cand.select(
+        "user_id",
+        "purchase_id",
+        F.struct(
             F.abs(F.col("c_ns") - F.col("p_ns")).alias("abs_dt_ns"),
-        )
+            F.col("click_id"),
+        ).alias("_s"),
+    ).groupBy("user_id", "purchase_id").agg(F.min("_s").alias("_s"))
+    return best.select(
+        "purchase_id", F.col("_s.click_id").alias("click_id"), F.col("_s.abs_dt_ns").alias("abs_dt_ns")
     )
 
 
@@ -2684,44 +2698,47 @@ _WAV_RATE = 8000
 def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user audio: events.value → [-1,1) samples → WAV PCM16 encode →
     decode → sum of squared int samples (exact), rms/peak derived in
-    closed form (single IEEE ops — deterministic across engines)."""
-    import pandas as pd
+    closed form (single IEEE ops — deterministic across engines).
+
+    Uses sorted_group_apply (one Arrow stream per partition, numpy split
+    at user boundaries) rather than groupBy().applyInPandas — the
+    per-group harness cost of the latter (~5 ms) dwarfs the ~20 µs codec
+    work for these small-and-many groups. No ordering requirement:
+    quantization is elementwise and every stat is order-invariant."""
+    from obsplus_spark.util import sorted_group_apply
 
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "user_id",
-            "event_id",
             (F.lit(2.0) * (F.col("value") - F.floor(F.col("value"))) - F.lit(1.0)).alias(
                 "s"
             ),
         )
     )
 
-    def _rt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _emit(user_id, chunks):
         import numpy as np
 
         from obsplus_spark.operators.codecs import decode_wav, encode_wav
 
-        pdf = pdf.sort_values("event_id")
-        payload = encode_wav(
-            pdf["s"].to_numpy().reshape(-1, 1), _WAV_RATE, bits=16
-        )
+        x = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        payload = encode_wav(x.reshape(-1, 1), _WAV_RATE, bits=16)
         arr, rate = decode_wav(payload)
         k = np.rint(arr[:, 0] * 32768.0).astype(np.int64)  # exact int recovery
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_samples": [len(k)],
-                "sample_rate": [rate],
-                "sum_sq": [int((k * k).sum())],
-                "peak_k": [int(np.abs(k).max()) if len(k) else 0],
-            }
+        return (
+            int(user_id),
+            len(k),
+            rate,
+            int((k * k).sum()),
+            int(np.abs(k).max()) if len(k) else 0,
         )
 
-    stats = ev.groupBy("user_id").applyInPandas(
-        _rt,
+    stats = sorted_group_apply(
+        ev,
+        "user_id",
+        _emit,
         "user_id long, n_samples long, sample_rate int, sum_sq long, peak_k long",
     )
     return stats.select(

@@ -56,6 +56,56 @@ def floor_day_ns(col: Column | str) -> Column:
     return c - (c % F.lit(NS_PER_DAY))
 
 
+def assign_time_chunks(
+    df: DataFrame,
+    ts_col: str,
+    start_ns: int,
+    end_ns: int,
+    duration_ns: int,
+    overlap_ns: int = 0,
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Map each row to the chunk windows containing ``ts_col`` — pure
+    arithmetic, no join.
+
+    The interval-join formulation (rows θ-joined against the chunk table)
+    is O(rows × chunks) — a BroadcastNestedLoopJoin that re-tests every
+    chunk per row. Chunks are *regular*, so membership is closed-form:
+    row t belongs to chunk k iff ``start + k·dur ≤ t < start + k·dur +
+    dur + overlap``, i.e. ``k ∈ [floor((t-start-dur-ovl)/dur)+1,
+    floor((t-start)/dur)]`` — a ≤⌈1+ovl/dur⌉-element sequence explode per
+    row, O(rows) total at any scale. Rows outside [start, end) drop (as
+    in the join form with inner semantics; keep empty chunks by
+    re-joining the chunk table on the aggregated output)."""
+    t = F.col(ts_col)
+    in_range = (t >= F.lit(start_ns)) & (t < F.lit(end_ns))
+    k_hi = F.least(
+        F.floor((t - F.lit(start_ns)) / F.lit(duration_ns)),
+        F.lit((end_ns - 1 - start_ns) // duration_ns),
+    )
+    k_lo = F.greatest(
+        F.floor(
+            (t - F.lit(start_ns + duration_ns + overlap_ns)) / F.lit(duration_ns)
+        )
+        + F.lit(1),
+        F.lit(0),
+    )
+    out = df.filter(in_range).select(
+        "*", F.explode(F.sequence(k_lo, k_hi)).alias(idx_col)
+    )
+    return out.withColumns(
+        {
+            "chunk_start": F.lit(start_ns) + F.col(idx_col) * F.lit(duration_ns),
+            "chunk_end": F.least(
+                F.lit(start_ns)
+                + F.col(idx_col) * F.lit(duration_ns)
+                + F.lit(duration_ns + overlap_ns),
+                F.lit(end_ns),
+            ),
+        }
+    )
+
+
 def time_chunks(
     df_or_spark,
     start_ns: int,

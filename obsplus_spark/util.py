@@ -2,7 +2,74 @@
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterator
+
 from pyspark.sql import DataFrame
+
+
+def sorted_group_apply(
+    df: DataFrame,
+    key_col: str,
+    emit: "Callable",
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Grouped apply for HIGH-CARDINALITY SMALL groups: one Arrow stream
+    per partition instead of one pandas frame per group.
+
+    ``groupBy().applyInPandas`` pays a fixed per-group cost (Arrow slice +
+    pandas construction + a Python call) — measured ~5 ms/group, which
+    dwarfs the work when groups are small and numerous (5 ms × 1M groups
+    ≈ 80 CPU-minutes of pure harness overhead at scale). This operator
+    keeps the same semantics with per-*batch* overhead instead: hash
+    repartition on the key, sort within partitions, then a
+    ``mapInPandas`` scan that splits each Arrow batch at key boundaries
+    (numpy, no per-group pandas objects) and carries the trailing group
+    across batch/bundle boundaries.
+
+    ``emit(key, [numpy_chunk, ...]) -> tuple`` receives every chunk of
+    one group's rows (in partition sort order) and returns one output
+    row. ``df`` must have exactly the key column plus one value column;
+    ``schema`` is the output schema string.
+    """
+    import numpy as np
+    import pandas as pd
+
+    val_cols = [c for c in df.columns if c != key_col]
+    if len(val_cols) != 1:
+        raise ValueError("sorted_group_apply expects one value column")
+    vcol = val_cols[0]
+    out_names = [f.strip().split()[0] for f in schema.split(",")]
+
+    def _scan(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cur_key = None
+        chunks: list = []
+        for pdf in batches:
+            k = pdf[key_col].to_numpy()
+            v = pdf[vcol].to_numpy()
+            if not len(k):
+                continue
+            cuts = np.nonzero(k[1:] != k[:-1])[0] + 1
+            bounds = np.concatenate([[0], cuts, [len(k)]])
+            out = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                kk = k[lo]
+                if cur_key is None or kk != cur_key:
+                    if cur_key is not None:
+                        out.append(emit(cur_key, chunks))
+                    cur_key, chunks = kk, []
+                chunks.append(v[lo:hi])
+            if out:
+                yield pd.DataFrame(out, columns=out_names)
+        if cur_key is not None:
+            yield pd.DataFrame([emit(cur_key, chunks)], columns=out_names)
+
+    part = (
+        df.repartition(num_partitions, key_col)
+        if num_partitions
+        else df.repartition(key_col)
+    )
+    return part.sortWithinPartitions(key_col).mapInPandas(_scan, schema)
 
 
 def is_local_master(df: DataFrame) -> bool:

@@ -84,3 +84,36 @@ def test_simhash_near_and_far(spark):
     assert d[(1, 2)] == 0                      # identical text → same simhash
     assert d[(1, 3)] < d[(1, 4)]               # near-dup closer than unrelated
     assert d[(1, 3)] <= 10
+
+
+def test_sorted_group_apply_carries_across_batches(spark):
+    """Groups that span Arrow batch boundaries must still emit once, with
+    every chunk delivered (the carry path of the sorted-stream scan)."""
+    from obsplus_spark.util import sorted_group_apply
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        n, n_groups = 500, 9
+        df = spark.range(n).select(
+            (F.col("id") % n_groups).alias("g"), F.col("id").alias("v")
+        )
+        out = sorted_group_apply(
+            df,
+            "g",
+            lambda g, chunks: (
+                int(g),
+                int(sum(int(c.sum()) for c in chunks)),
+                int(sum(len(c) for c in chunks)),
+            ),
+            "g long, total long, n long",
+            num_partitions=3,
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    got = {r.g: (r.total, r.n) for r in out}
+    assert len(out) == n_groups  # one row per group, no splits
+    expect = {}
+    for i in range(n):
+        t, c = expect.get(i % n_groups, (0, 0))
+        expect[i % n_groups] = (t + i, c + 1)
+    assert got == expect
