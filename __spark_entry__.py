@@ -2876,6 +2876,449 @@ _SQL_MSEED = """
 
 
 # ---------------------------------------------------------------------------
+# §2.1 CSV codec round trip: the readers.read_csv semantics exercised fully
+# in-plan (to_csv ↔ from_csv are the same Univocity codec the file source
+# uses), including quoting of separator-bearing fields. JVM-side, no UDF.
+# ---------------------------------------------------------------------------
+
+_CSV_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, value double,"
+    " memo string"
+)
+
+
+def q_csv_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip (reference bank CSV index I/O, utils/pd.py readers):
+    rows serialize to CSV lines (quoted memo carries the separator) and
+    parse back through the declared schema; any quoting/typing defect
+    breaks the value hash. Oracle is the identity projection."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    rec = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.concat(
+            F.col("event_type"),
+            F.lit(","),
+            F.col("user_id").cast("string"),
+        ).alias("memo"),
+    )
+    line = F.to_csv(F.struct(*[F.col(c) for c in rec.columns]))
+    return (
+        rec.select(line.alias("_csv"))
+        .select(F.from_csv("_csv", _CSV_SCHEMA).alias("r"))
+        .select("r.*")
+    )
+
+
+_SQL_CSV_RT = """
+    SELECT event_id, user_id, event_type, value,
+           event_type || ',' || CAST(user_id AS VARCHAR) AS memo
+    FROM events WHERE event_id % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1 QuakeML round trip: nested trees → <event> XML (tree_to_quakeml) →
+# parse_quakeml on executors → flattened picks + event-level fields. The
+# serializer/parser pair is the EventBank QuakeML ingest path
+# (reference bank/eventbank.py:267-327 via obspy read_events).
+# ---------------------------------------------------------------------------
+
+
+def q_quakeml_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuakeML XML round trip: per-user synthetic events (origin with
+    lat/lon, magnitude, picks with evaluation status) serialize to QuakeML
+    and re-parse distributed; every emitted field crossed the XML codec
+    (ns times via ISO-8601, floats via shortest-repr)."""
+    from obsplus_spark.sources.quakeml import quakeml_to_tree, tree_to_quakeml
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    uid = F.col("user_id")
+    tree = (
+        ev.groupBy("user_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("event_id").cast("string").alias("resource_id"),
+                    _ts_ns().alias("time"),
+                    F.col("event_type").alias("phase_hint"),
+                    F.when(F.col("value") > 200.0, F.lit("rejected"))
+                    .when(F.col("value") < 1.0, F.lit(None).cast("string"))
+                    .otherwise(F.lit("ok"))
+                    .alias("evaluation_status"),
+                    F.lit("EV").alias("network"),
+                    F.col("event_type").alias("station"),
+                    F.lit("").alias("location"),
+                    F.concat(F.lit("u"), (uid % 10).cast("string")).alias(
+                        "channel"
+                    ),
+                )
+            ).alias("picks"),
+            F.min(_ts_ns()).alias("_o_time"),
+            F.max(_ts_ns()).alias("creation_time"),
+            F.max("value").alias("_maxv"),
+        )
+        .select(
+            F.concat(F.lit("u"), uid.cast("string")).alias("event_id"),
+            F.lit(None).cast("string").alias("event_description"),
+            F.lit(None).cast("string").alias("preferred_origin_id"),
+            F.lit(None).cast("string").alias("preferred_magnitude_id"),
+            "creation_time",
+            F.array(
+                F.struct(
+                    F.concat(F.lit("o"), uid.cast("string")).alias(
+                        "resource_id"
+                    ),
+                    F.col("_o_time").alias("time"),
+                    (uid * 0.5 - 30).alias("latitude"),
+                    (uid * 1.7 - 100).alias("longitude"),
+                    (uid * 10.0).alias("depth"),
+                )
+            ).alias("origins"),
+            F.array(
+                F.struct(
+                    F.concat(F.lit("m"), uid.cast("string")).alias(
+                        "resource_id"
+                    ),
+                    (F.col("_maxv") / 100).alias("mag"),
+                    F.lit("ML").alias("magnitude_type"),
+                    F.concat(F.lit("o"), uid.cast("string")).alias(
+                        "origin_id"
+                    ),
+                )
+            ).alias("magnitudes"),
+            "picks",
+        )
+    )
+    xml = tree_to_quakeml(tree)
+    rt = quakeml_to_tree(
+        xml.select(
+            F.col("event_id").alias("path"),
+            F.encode("quakeml", "UTF-8").alias("content"),
+        )
+    )
+    return rt.select(
+        "event_id",
+        "creation_time",
+        F.col("origins")[0]["time"].alias("o_time"),
+        F.col("origins")[0]["latitude"].alias("lat"),
+        F.col("origins")[0]["longitude"].alias("lon"),
+        F.col("magnitudes")[0]["mag"].alias("mag"),
+        F.explode("picks").alias("p"),
+    ).select(
+        "event_id",
+        "creation_time",
+        "o_time",
+        "lat",
+        "lon",
+        "mag",
+        F.col("p.resource_id").alias("pick_id"),
+        F.col("p.time").alias("t"),
+        F.col("p.phase_hint").alias("phase_hint"),
+        F.col("p.evaluation_status").alias("evaluation_status"),
+        F.concat_ws(
+            ".", "p.network", "p.station", "p.location", "p.channel"
+        ).alias("seed_id"),
+    )
+
+
+_SQL_QML_RT = """
+    WITH a AS (
+      SELECT user_id, min(epoch_ns(ts)) AS o_time,
+             max(epoch_ns(ts)) AS creation_time, max(value) AS maxv
+      FROM events WHERE user_id % 5 = 0 GROUP BY user_id
+    )
+    SELECT 'u' || CAST(e.user_id AS VARCHAR) AS event_id,
+           a.creation_time,
+           a.o_time,
+           e.user_id * CAST(0.5 AS DOUBLE) - 30 AS lat,
+           e.user_id * CAST(1.7 AS DOUBLE) - 100 AS lon,
+           a.maxv / 100 AS mag,
+           CAST(e.event_id AS VARCHAR) AS pick_id,
+           epoch_ns(e.ts) AS t,
+           e.event_type AS phase_hint,
+           CASE WHEN e.value > 200 THEN 'rejected'
+                WHEN e.value < 1 THEN NULL ELSE 'ok' END AS evaluation_status,
+           'EV.' || e.event_type || '..u' || CAST(e.user_id % 10 AS VARCHAR)
+             AS seed_id
+    FROM events e JOIN a ON e.user_id = a.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1 StationXML ingest: documents built with JVM string expressions (the
+# export side is pure SQL — no Python until the parse under test), parsed
+# by parse_stationxml into the flat channel index (operators/stations.py
+# input shape; reference utils/stations).
+# ---------------------------------------------------------------------------
+
+
+def q_stationxml_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StationXML round trip: per-nation documents (Network→Station→
+    Channel with lat/lon/elevation/epochs) assembled in-plan, parsed
+    distributed back to channel rows; ISO epochs cross the codec, odd
+    nations carry open end epochs (null end_date)."""
+    from obsplus_spark.sources.quakeml import stationxml_to_df
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    start_s = (F.lit(1_600_000_000) + key * 3600).cast("long")
+    iso = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    end_attr = F.when(
+        key % 2 == 0,
+        F.concat(
+            F.lit(' endDate="'),
+            F.date_format(F.timestamp_seconds(start_s + 2_592_000), iso),
+            F.lit('"'),
+        ),
+    ).otherwise(F.lit(""))
+    frag = F.concat(
+        F.lit('<Station code="C'),
+        key.cast("string"),
+        F.lit('"><Channel code="BHZ" locationCode="" startDate="'),
+        F.date_format(F.timestamp_seconds(start_s), iso),
+        F.lit('"'),
+        end_attr,
+        F.lit("><Latitude>"),
+        ((key % 180) - 90 + 0.25).cast("string"),
+        F.lit("</Latitude><Longitude>"),
+        (((key * 7) % 360) - 180 + 0.5).cast("string"),
+        F.lit("</Longitude><Elevation>"),
+        F.col("c_acctbal").cast("string"),
+        F.lit("</Elevation><Depth>"),
+        (key * 0.1).cast("string"),
+        F.lit("</Depth><SampleRate>40.0</SampleRate>"),
+        F.lit("</Channel></Station>"),
+    )
+    docs = (
+        c.select(F.col("c_nationkey").alias("nk"), frag.alias("frag"))
+        .groupBy("nk")
+        .agg(F.concat_ws("", F.collect_list("frag")).alias("body"))
+        .select(
+            F.col("nk").cast("string").alias("path"),
+            F.encode(
+                F.concat(
+                    F.lit('<FDSNStationXML><Network code="N'),
+                    F.col("nk").cast("string"),
+                    F.lit('">'),
+                    F.col("body"),
+                    F.lit("</Network></FDSNStationXML>"),
+                ),
+                "UTF-8",
+            ).alias("content"),
+        )
+    )
+    return stationxml_to_df(docs)
+
+
+_SQL_STXML = """
+    SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS network,
+           'C' || CAST(c_custkey AS VARCHAR) AS station,
+           '' AS location,
+           'BHZ' AS channel,
+           CAST((c_custkey % 180) - 90 AS DOUBLE) + 0.25 AS latitude,
+           CAST(((c_custkey * 7) % 360) - 180 AS DOUBLE) + 0.5 AS longitude,
+           c_acctbal AS elevation,
+           c_custkey * CAST(0.1 AS DOUBLE) AS depth,
+           CAST(40.0 AS DOUBLE) AS sample_rate,
+           (1600000000 + c_custkey * 3600) * 1000000000 AS start_date,
+           CASE WHEN c_custkey % 2 = 0
+                THEN (1600000000 + c_custkey * 3600 + 2592000) * 1000000000
+                ELSE NULL END AS end_date
+    FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2/§2.8 NSLC normalization pipeline: sentinel-null codes → "" →
+# seed_id concat → split back → order_columns against a declared schema
+# (schemas.py normalize_nslc / with_seed_id / split_seed_id /
+# order_columns; reference utils/misc.py:326-376 + utils/pd.py:201-235).
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-code normalization round trip: messy NSLC (nulls + every
+    sentinel string) normalizes to "", concatenates to seed_id, splits
+    back, and reindexes through order_columns (missing column → typed
+    null, schema order)."""
+    from pyspark.sql import types as T
+
+    from obsplus_spark.schemas import (
+        normalize_nslc,
+        order_columns,
+        split_seed_id,
+        with_seed_id,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    uid = F.col("user_id")
+    messy = ev.select(
+        "event_id",
+        F.when(uid % 5 == 1, F.lit("None"))
+        .when(uid % 5 == 2, F.lit("nan"))
+        .when(uid % 5 == 3, F.lit("<NA>"))
+        .when(uid % 5 == 4, F.lit("EV"))
+        .alias("network"),
+        F.col("event_type").alias("station"),
+        F.when(uid % 3 == 0, F.lit("--"))
+        .when(uid % 3 == 1, F.lit("00"))
+        .otherwise(F.lit("null"))
+        .alias("location"),
+        F.concat(F.lit("u"), (uid % 10).cast("string")).alias("channel"),
+    )
+    norm = with_seed_id(normalize_nslc(messy))
+    back = split_seed_id(norm.select("event_id", "seed_id"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("seed_id", T.StringType()),
+            T.StructField("network", T.StringType()),
+            T.StructField("station", T.StringType()),
+            T.StructField("location", T.StringType()),
+            T.StructField("channel", T.StringType()),
+            T.StructField("sample_rate", T.DoubleType()),
+        ]
+    )
+    return order_columns(back, schema)
+
+
+_SQL_NORM_SEED = """
+    WITH m AS (
+      SELECT event_id,
+             CASE CAST(user_id % 5 AS INT)
+                  WHEN 1 THEN 'None' WHEN 2 THEN 'nan'
+                  WHEN 3 THEN '<NA>' WHEN 4 THEN 'EV' END AS network,
+             event_type AS station,
+             CASE CAST(user_id % 3 AS INT)
+                  WHEN 0 THEN '--' WHEN 1 THEN '00' ELSE 'null' END AS location,
+             'u' || CAST(user_id % 10 AS VARCHAR) AS channel
+      FROM events WHERE event_id % 5 = 0
+    ),
+    n AS (
+      SELECT event_id,
+             CASE WHEN network IS NULL OR network IN
+                    ('None','--','nan','null','NaN','<NA>')
+                  THEN '' ELSE network END AS network,
+             station,
+             CASE WHEN location IS NULL OR location IN
+                    ('None','--','nan','null','NaN','<NA>')
+                  THEN '' ELSE location END AS location,
+             channel
+      FROM m
+    )
+    SELECT event_id,
+           network || '.' || station || '.' || location || '.' || channel
+             AS seed_id,
+           network, station, location, channel,
+           CAST(NULL AS DOUBLE) AS sample_rate
+    FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.10 stream_processor hook: the user's per-event Stream→Stream callback
+# as grouped applyInPandas (structures/fetcher.py apply_stream_processor;
+# reference fetcher.py:178-197,491-499). Rebase-to-group-min keeps the
+# arithmetic IEEE-exact on both sides (min is order-independent).
+# ---------------------------------------------------------------------------
+
+
+def q_stream_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group user callback (detrend-style offset removal): each
+    user's values rebase against the group minimum inside the
+    applyInPandas hook — Arrow batches, group-bounded state."""
+    from obsplus_spark.structures.fetcher import apply_stream_processor
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("user_id") < 60))
+        .select("user_id", "event_id", "value")
+    )
+
+    def _rebase(pdf):
+        pdf = pdf.copy()
+        pdf["value"] = pdf["value"] - pdf["value"].min()
+        return pdf
+
+    out = apply_stream_processor(
+        ev, _rebase, "user_id long, event_id long, value double",
+        keys=["user_id"],
+    )
+    return out.withColumnRenamed("value", "rebased")
+
+
+_SQL_STREAM_PROC = """
+    SELECT user_id, event_id,
+           value - min(value) OVER (PARTITION BY user_id) AS rebased
+    FROM events WHERE value IS NOT NULL AND user_id < 60
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 availability-aware request pruning: Fetcher.event_windows builds
+# origin-referenced extraction windows × station channels and drops
+# requests outside the channel's operating epoch (reference
+# fetcher.py:522-535) — the join-input pruning that keeps the flagship
+# interval join from requesting data that cannot exist.
+# ---------------------------------------------------------------------------
+
+
+def q_fetcher_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-reference request windows with epoch pruning: purchases ×
+    25 station channels (staggered epochs, odd stations open-ended);
+    windows ±5 min around the event keep only channels whose epoch
+    overlaps the window."""
+    from obsplus_spark.structures.fetcher import Fetcher
+
+    NS_DAY = 86_400 * NS
+    base = F.lit(1_704_067_200 * NS)  # 2024-01-01T00:00:00Z
+    ev = _t(spark, sf_dir, "events")
+    events = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0)
+    ).select("event_id", _ts_ns().alias("time"))
+    n = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("long")
+    stations = n.select(
+        F.lit("EV").alias("network"),
+        F.col("n_name").alias("station"),
+        F.lit("").alias("location"),
+        F.lit("BHZ").alias("channel"),
+        (base + nk * NS_DAY).alias("start_date"),
+        F.when(nk % 2 == 0, base + (nk + 20) * NS_DAY)
+        .otherwise(F.lit(None).cast("long"))
+        .alias("end_date"),
+    )
+    f = Fetcher(events, stations, waveform_index=stations)
+    return f.event_windows(300 * NS, 300 * NS, reference="origin")
+
+
+_SQL_FETCH_WIN = """
+    WITH e AS (
+      SELECT event_id, epoch_ns(ts) AS t FROM events
+      WHERE event_type = 'purchase' AND user_id % 7 = 0
+    ),
+    s AS (
+      SELECT 'EV' AS network, n_name AS station, '' AS location,
+             'BHZ' AS channel,
+             1704067200000000000 + n_nationkey * 86400000000000 AS start_date,
+             CASE WHEN n_nationkey % 2 = 0
+                  THEN 1704067200000000000
+                       + (n_nationkey + 20) * 86400000000000
+                  ELSE NULL END AS end_date
+      FROM nation
+    )
+    SELECT e.event_id, s.network, s.station, s.location, s.channel,
+           e.t - 300000000000 AS starttime, e.t + 300000000000 AS endtime
+    FROM e CROSS JOIN s
+    WHERE s.start_date < e.t + 300000000000
+      AND COALESCE(s.end_date, 9223372036854775807) > e.t - 300000000000
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2947,6 +3390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sds_chunks": q_sds_chunks,
         "wav_roundtrip": q_wav_roundtrip,
         "mseed_roundtrip": q_mseed_roundtrip,
+        "csv_round_trip": q_csv_round_trip,
+        "quakeml_rt": q_quakeml_rt,
+        "stationxml_rt": q_stationxml_rt,
+        "normalize_seed": q_normalize_seed,
+        "stream_proc": q_stream_proc,
+        "fetcher_windows": q_fetcher_windows,
     }
 
 
@@ -3009,6 +3458,12 @@ def oracle_sql() -> dict[str, str]:
         "sds_chunks": _SQL_SDS,
         "wav_roundtrip": _SQL_WAV,
         "mseed_roundtrip": _SQL_MSEED,
+        "csv_round_trip": _SQL_CSV_RT,
+        "quakeml_rt": _SQL_QML_RT,
+        "stationxml_rt": _SQL_STXML,
+        "normalize_seed": _SQL_NORM_SEED,
+        "stream_proc": _SQL_STREAM_PROC,
+        "fetcher_windows": _SQL_FETCH_WIN,
     }
     out.update(_geo_oracles())
     return out
