@@ -2876,6 +2876,102 @@ _SQL_MSEED = """
 
 
 # ---------------------------------------------------------------------------
+# multimodal image path: PPM (P5) + BMP (24-bit) codec round trip, nearest
+# resize, and the deterministic feature extractor — the image twin of
+# wav_roundtrip. Pixel bytes derive from event ids, so the oracle
+# recomputes every stat from the synthesis formula while the engine's
+# numbers crossed encode→decode→resize→features on executors.
+# ---------------------------------------------------------------------------
+
+
+def q_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image codec round trip per user: sorted per-user bytes become a
+    1×n grayscale PPM and a 1×n×3 BMP, decode back, resize to 1×8
+    (nearest), and run image_features; all emitted stats are exact
+    integers or single-division floats. Packs (event_id, byte) into one
+    int64 so the group kernel can sort deterministically."""
+    from obsplus_spark.util import sorted_group_apply
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.col("event_id") * 256 + (F.col("event_id") * 37 + 11) % 256
+        ).alias("pk"),
+    )
+
+    def _emit(user_id, chunks):
+        import numpy as np
+
+        from obsplus_spark.operators.codecs import (
+            decode_bmp,
+            decode_ppm,
+            encode_bmp,
+            encode_ppm,
+            image_features,
+            resize_nearest,
+        )
+
+        x = np.sort(
+            chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        )
+        b = (x % 256).astype(np.uint8)
+        gray = decode_ppm(encode_ppm(b.reshape(1, -1)))
+        rgb = decode_bmp(
+            encode_bmp(
+                np.stack([b, 255 - b, b], axis=-1).reshape(1, -1, 3)
+            )
+        )
+        feats = image_features(gray)
+        rz = resize_nearest(gray, 1, 8)
+        return (
+            int(user_id),
+            int(gray.size),
+            int(gray.sum()),
+            int(gray.min()),
+            int(gray.max()),
+            float(feats[2]),
+            int(rgb[:, :, 1].sum()),
+            int(rz.sum()),
+        )
+
+    return sorted_group_apply(
+        ev,
+        "user_id",
+        _emit,
+        "user_id long, n_px long, sum_b long, min_b long, max_b long,"
+        " mean_ch double, inv_sum long, resized_sum long",
+    )
+
+
+_SQL_PPM = """
+    WITH base AS (
+      SELECT user_id,
+             (event_id * 37 + 11) % 256 AS b,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n_px, CAST(sum(b) AS BIGINT) AS sum_b,
+             min(b) AS min_b, max(b) AS max_b
+      FROM base GROUP BY user_id
+    ),
+    r AS (
+      SELECT b2.user_id, CAST(sum(b2.b) AS BIGINT) AS resized_sum
+      FROM base b2, generate_series(0, 7) AS g2(i)
+      WHERE b2.rn = (g2.i * b2.n) // 8
+      GROUP BY b2.user_id
+    )
+    SELECT g.user_id, g.n_px, g.sum_b, g.min_b, g.max_b,
+           (CAST(g.sum_b AS DOUBLE) / g.n_px) / 255.0 AS mean_ch,
+           255 * g.n_px - g.sum_b AS inv_sum,
+           r.resized_sum
+    FROM g JOIN r USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.1 CSV codec round trip: the readers.read_csv semantics exercised fully
 # in-plan (to_csv ↔ from_csv are the same Univocity codec the file source
 # uses), including quoting of separator-bearing fields. JVM-side, no UDF.
@@ -3396,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_seed": q_normalize_seed,
         "stream_proc": q_stream_proc,
         "fetcher_windows": q_fetcher_windows,
+        "ppm_roundtrip": q_ppm_roundtrip,
     }
 
 
@@ -3464,6 +3561,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_seed": _SQL_NORM_SEED,
         "stream_proc": _SQL_STREAM_PROC,
         "fetcher_windows": _SQL_FETCH_WIN,
+        "ppm_roundtrip": _SQL_PPM,
     }
     out.update(_geo_oracles())
     return out

@@ -33,6 +33,7 @@ SF_DIR = "/root/testdata/sf0.001"
 PYTHON_STAGE_QUERIES = {
     "embed_near_dup",   # per-block gram matrix (BLAS) pandas UDF
     "wav_roundtrip",    # WAV PCM codec
+    "ppm_roundtrip",    # PPM/BMP image codecs + resize + features
     "mseed_roundtrip",  # miniSEED header codec
     "quakeml_rt",       # QuakeML XML codec
     "stationxml_rt",    # StationXML parser
