@@ -416,6 +416,22 @@ def hamming_distance(a, b) -> F.Column:
     return F.length(F.regexp_replace(F.bin(x), "0", ""))
 
 
+#: per-session ring of persisted shingle tables (newest last). Two entries
+#: stay live — the current pipeline plus one predecessor a caller may still
+#: be executing — older ones unpersist lazily (non-blocking).
+_SHINGLE_CACHES: dict[int, list] = {}
+
+
+def _register_shingle_cache(arr: DataFrame) -> None:
+    ring = _SHINGLE_CACHES.setdefault(id(arr.sparkSession), [])
+    ring.append(arr)
+    while len(ring) > 2:
+        try:
+            ring.pop(0).unpersist()
+        except Exception:
+            pass  # session torn down; nothing to release
+
+
 def near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -436,8 +452,10 @@ def near_duplicates(
     band self-join is a broadcast join. The only corpus-sized shuffle in
     the whole pipeline is the banding join, which moves 'bands' small rows
     per document — not the token stream. The persist stays in force for
-    the caller's action; Spark LRU-evicts, or unpersist via
-    ``spark.catalog.clearCache()``.
+    the caller's action; repeated invocations in one session keep only
+    the two most recent shingle caches (older ones unpersist
+    automatically, so a loop of near-dup scans cannot strand executor
+    memory behind the LRU).
     """
     arr = shingle_digest_array(df, id_col, text_col, shingle_size).filter(
         F.size("shingles") > 0
@@ -446,6 +464,7 @@ def near_duplicates(
         persist_shingles = True
     if persist_shingles:
         arr = arr.persist()
+        _register_shingle_cache(arr)
     sig = minhash_signatures(
         df,
         id_col,

@@ -58,6 +58,24 @@ def test_near_duplicates_pipeline(docs):
     assert not any(5 in k for k in pairs)
 
 
+def test_shingle_cache_ring_bounded(docs):
+    """Repeated near-dup scans keep at most two persisted shingle tables
+    per session; older ones must be unpersisted (no cache accumulation
+    across a scan loop)."""
+    from obsplus_spark.operators.dedup import _SHINGLE_CACHES
+
+    frames = []
+    for _ in range(4):
+        out = near_duplicates(docs, n_hashes=8, bands=4, threshold=0.5)
+        out.count()  # materialize so the persist actually happens
+        ring = _SHINGLE_CACHES[id(docs.sparkSession)]
+        frames.extend(f for f in ring if f not in frames)
+    ring = _SHINGLE_CACHES[id(docs.sparkSession)]
+    assert len(ring) == 2
+    live = [f for f in frames if f.storageLevel.useMemory]
+    assert set(map(id, live)) <= set(map(id, ring))
+
+
 def test_jaccard_values(docs):
     sig = minhash_signatures(docs, n_hashes=16)
     pairs = lsh_candidate_pairs(sig, n_hashes=16, bands=8)
