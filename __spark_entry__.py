@@ -2285,6 +2285,121 @@ _SQL_ORPHAN = """
 """
 
 
+def q_amp_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four amplitude QC rules (events/validate.py:187-283:
+    check_amp_lims, check_amp_filter_ids, check_amps_on_z_component,
+    check_amp_times_contain_pick_time) as one unioned violation frame.
+    Picks/amplitudes synthesized deterministically from the events table;
+    the oracle replays the same formulas in SQL."""
+    from obsplus_spark.operators import validate as V
+
+    ev = _t(spark, sf_dir, "events")
+    ts = "cast(ts as bigint) - (cast(ts as bigint) % 1000)"
+    picks = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).selectExpr(
+        "'p' || cast(event_id as string) AS resource_id",
+        "'u' || cast(user_id as string) AS event_id",
+        f"{ts} AS time",
+        "CASE WHEN event_type = 'view' THEN 'AML' ELSE 'IAML' END AS phase_hint",
+        "CASE WHEN value > 200 THEN 'rejected' END AS evaluation_status",
+        "'EV' AS network",
+        "'S' || cast(user_id % 5 as string) AS station",
+        "'' AS location",
+        "CASE WHEN event_id % 4 = 0 THEN 'HHZ' ELSE 'HHN' END AS channel",
+    )
+    amps = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "'u' || cast(user_id as string) AS event_id",
+        "'EV' AS network",
+        "'S' || cast(user_id % 5 as string) AS station",
+        "'' AS location",
+        "CASE WHEN event_id % 4 = 0 THEN 'HHZ' ELSE 'HHN' END AS channel",
+        "value AS generic_amplitude",
+        "CASE WHEN event_id % 13 = 0 THEN NULL"
+        " ELSE 'smi:local/f' || cast(event_id % 4 as string) END AS filter_id",
+        "'p' || cast(CASE WHEN event_id % 5 = 0 THEN event_id * 1000 + 7"
+        " ELSE event_id END as string) AS pick_id",
+        "CASE WHEN value > 200 THEN 'rejected' END AS evaluation_status",
+        "(event_id % 7) <> 0 AS has_time_window",
+        f"CASE WHEN event_id % 11 = 0 THEN NULL ELSE ({ts}) +"
+        " (CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END) END AS reference_time",
+    )
+    reports = [
+        V.amp_limits(amps, amp_lim=150.0),
+        V.amp_filter_ids(
+            amps, ["smi:local/f0", "smi:local/f1", "smi:local/f2"]
+        ),
+        V.amp_times_contain_pick_time(amps, picks),
+        V.amps_on_z_component(picks),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.selectExpr(
+        "rule",
+        "event_id",
+        "concat(get_json_object(detail, '$.network'), '.',"
+        " get_json_object(detail, '$.station'), '.',"
+        " coalesce(get_json_object(detail, '$.location'), ''), '.',"
+        " get_json_object(detail, '$.channel')) AS seed_id",
+    )
+
+
+_SQL_AMP_VIOLATIONS = """
+    WITH picks AS (
+      SELECT 'p' || CAST(event_id AS VARCHAR) AS resource_id,
+             'u' || CAST(user_id AS VARCHAR) AS event_id,
+             epoch_ns(ts) AS time,
+             CASE WHEN event_type = 'view' THEN 'AML' ELSE 'IAML' END AS phase_hint,
+             CASE WHEN value > 200 THEN 'rejected' END AS evaluation_status,
+             'EV' AS network,
+             'S' || CAST(user_id % 5 AS VARCHAR) AS station,
+             '' AS location,
+             CASE WHEN event_id % 4 = 0 THEN 'HHZ' ELSE 'HHN' END AS channel
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    amps AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS event_id,
+             'EV' AS network,
+             'S' || CAST(user_id % 5 AS VARCHAR) AS station,
+             '' AS location,
+             CASE WHEN event_id % 4 = 0 THEN 'HHZ' ELSE 'HHN' END AS channel,
+             value AS generic_amplitude,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE 'smi:local/f' || CAST(event_id % 4 AS VARCHAR) END AS filter_id,
+             'p' || CAST(CASE WHEN event_id % 5 = 0 THEN event_id * 1000 + 7
+                              ELSE event_id END AS VARCHAR) AS pick_id,
+             CASE WHEN value > 200 THEN 'rejected' END AS evaluation_status,
+             (event_id % 7) <> 0 AS has_time_window,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE epoch_ns(ts) + (CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END)
+             END AS reference_time
+      FROM events WHERE event_type = 'purchase'
+    ),
+    nslc AS (SELECT *, network || '.' || station || '.' || location || '.' || channel AS seed_id FROM amps),
+    pnslc AS (SELECT *, network || '.' || station || '.' || location || '.' || channel AS seed_id FROM picks)
+    SELECT 'amp_above_limit' AS rule, event_id, seed_id
+    FROM nslc WHERE generic_amplitude > 150.0
+    UNION ALL
+    SELECT 'amp_bad_filter', event_id, seed_id
+    FROM nslc
+    WHERE filter_id IS NULL
+       OR filter_id NOT IN ('smi:local/f0', 'smi:local/f1', 'smi:local/f2')
+    UNION ALL
+    SELECT 'amp_time_mismatch', a.event_id, a.seed_id
+    FROM nslc a LEFT JOIN picks p ON a.pick_id = p.resource_id
+    WHERE a.has_time_window
+      AND (a.evaluation_status IS NULL OR a.evaluation_status <> 'rejected')
+      AND (a.reference_time IS NULL OR p.time IS NULL
+           OR a.reference_time <> p.time)
+    UNION ALL
+    SELECT 'amp_pick_on_z', event_id, seed_id
+    FROM pnslc
+    WHERE (evaluation_status IS NULL OR evaluation_status <> 'rejected')
+      AND phase_hint IN ('AML', 'IAML') AND channel LIKE '%Z'
+"""
+
+
 def q_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assign + probe (ANN scale path) with nprobe = n_clusters: every
     inverted list is scanned, so the result is exactly brute-force top-k —
@@ -3425,7 +3540,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: CORRECTNESS_r02 recorded rows for only the first 50
+    # entries, so queries without a driver-verified row yet (plus each
+    # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "amp_violations": q_amp_violations,
+        "orphan_arrivals": q_orphan_arrivals,
+        "ivf_flat": q_ivf_flat,
+        "embed_near_dup": q_embed_near_dup,
+        "hll_users": q_hll_users,
+        "approx_quantiles": q_approx_quantiles,
+        "bloom_semi": q_bloom_semi,
+        "lsh_ann": q_lsh_ann,
+        "sds_chunks": q_sds_chunks,
+        "wav_roundtrip": q_wav_roundtrip,
+        "mseed_roundtrip": q_mseed_roundtrip,
+        "csv_round_trip": q_csv_round_trip,
+        "quakeml_rt": q_quakeml_rt,
+        "stationxml_rt": q_stationxml_rt,
+        "normalize_seed": q_normalize_seed,
+        "stream_proc": q_stream_proc,
+        "fetcher_windows": q_fetcher_windows,
+        "ppm_roundtrip": q_ppm_roundtrip,
         "fdsn_event_query": q_fdsn_event_query,
         "glob_filter": q_glob_filter,
         "json_props": q_json_props,
@@ -3476,28 +3612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preferred_fallback": q_preferred_fallback,
         "strip_bump": q_strip_bump,
         "p_outliers": q_p_outliers,
-        "orphan_arrivals": q_orphan_arrivals,
-        "ivf_flat": q_ivf_flat,
-        "embed_near_dup": q_embed_near_dup,
-        "hll_users": q_hll_users,
-        "approx_quantiles": q_approx_quantiles,
-        "bloom_semi": q_bloom_semi,
-        "lsh_ann": q_lsh_ann,
-        "sds_chunks": q_sds_chunks,
-        "wav_roundtrip": q_wav_roundtrip,
-        "mseed_roundtrip": q_mseed_roundtrip,
-        "csv_round_trip": q_csv_round_trip,
-        "quakeml_rt": q_quakeml_rt,
-        "stationxml_rt": q_stationxml_rt,
-        "normalize_seed": q_normalize_seed,
-        "stream_proc": q_stream_proc,
-        "fetcher_windows": q_fetcher_windows,
-        "ppm_roundtrip": q_ppm_roundtrip,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "amp_violations": _SQL_AMP_VIOLATIONS,
         "fdsn_event_query": _SQL_FDSN,
         "glob_filter": _SQL_GLOB,
         "json_props": _SQL_JSON,

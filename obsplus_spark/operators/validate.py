@@ -11,6 +11,9 @@ Rules mirrored from ``events/validate.py``:
 - single-P/S per station and S-after-P ordering (:132-167)
 - P-pick time outliers vs the event median (:170-184)
 - referential integrity: every arrival.pick_id exists in picks (:64-79)
+- amplitude limits (:187-206), amplitude filter ids (:209-235),
+  amplitude picks on Z components (:238-256), amplitude time windows
+  containing the referenced pick time (:259-283)
 """
 
 from __future__ import annotations
@@ -91,8 +94,77 @@ def arrivals_reference_picks(arrivals: DataFrame, picks: DataFrame) -> DataFrame
     return _violation(orphan, "orphan_arrival", ["pick_id"])
 
 
+_NSLC = ["network", "station", "location", "channel"]
+
+
+def _not_rejected() -> F.Column:
+    # null status counts as not-rejected throughout the reference rules
+    status = F.col("evaluation_status")
+    return status.isNull() | (status != "rejected")
+
+
+def amp_limits(amps: DataFrame, amp_lim: float) -> DataFrame:
+    """Amplitudes whose generic_amplitude exceeds ``amp_lim``
+    (events/validate.py:187-206 ``check_amp_lims``). The reference
+    iterates every amplitude regardless of status; so do we."""
+    bad = amps.filter(F.col("generic_amplitude") > F.lit(amp_lim))
+    return _violation(bad, "amp_above_limit", _NSLC + ["generic_amplitude"])
+
+
+def amp_filter_ids(amps: DataFrame, filter_ids) -> DataFrame:
+    """Amplitudes whose filter_id is not in the allowed set
+    (events/validate.py:209-235 ``check_amp_filter_ids``). Empty set →
+    rule is a no-op, mirroring the reference's early return. A null
+    filter_id stringifies to something outside any set → violation."""
+    ids = [str(x) for x in (filter_ids or [])]
+    if not ids:
+        return _violation(amps.limit(0), "amp_bad_filter", _NSLC + ["filter_id"])
+    fid = F.col("filter_id")
+    bad = amps.filter(fid.isNull() | ~fid.isin(ids))
+    return _violation(bad, "amp_bad_filter", _NSLC + ["filter_id"])
+
+
+def amps_on_z_component(
+    picks: DataFrame, phase_hints=("AML", "IAML")
+) -> DataFrame:
+    """Non-rejected amplitude picks recorded on vertical (``*Z``)
+    channels (events/validate.py:238-256 ``check_amps_on_z_component``
+    with ``no_z_amps=True``)."""
+    bad = picks.filter(
+        _not_rejected()
+        & F.col("phase_hint").isin(list(phase_hints))
+        & F.col("channel").endswith("Z")
+    )
+    return _violation(bad, "amp_pick_on_z", _NSLC + ["phase_hint"])
+
+
+def amp_times_contain_pick_time(amps: DataFrame, picks: DataFrame) -> DataFrame:
+    """Amplitudes whose time-window reference does not equal the
+    referenced pick's time (events/validate.py:259-283
+    ``check_amp_times_contain_pick_time``). Amplitudes without a time
+    window or with rejected status are skipped (reference :264-265); a
+    null reference, an unresolvable pick, or a time mismatch is a
+    violation. Equi-join on pick_id — pick resource_ids are unique, so
+    no fan-out; at scale this is a plain shuffle hash join."""
+    a = amps.filter(F.col("has_time_window") & _not_rejected())
+    p = picks.select(
+        F.col("resource_id").alias("pick_id"), F.col("time").alias("pick_time")
+    )
+    j = a.join(p, "pick_id", "left")
+    bad = j.filter(
+        F.col("reference_time").isNull()
+        | F.col("pick_time").isNull()
+        | (F.col("reference_time") != F.col("pick_time"))
+    )
+    return _violation(bad, "amp_time_mismatch", _NSLC + ["pick_id"])
+
+
 def validate(picks: DataFrame, arrivals: DataFrame | None = None,
-             p_outlier_limit_ns: int | None = None) -> DataFrame:
+             p_outlier_limit_ns: int | None = None,
+             amplitudes: DataFrame | None = None,
+             amp_lim: float | None = None,
+             amp_filter_id_set=None,
+             no_z_amps: bool = False) -> DataFrame:
     """Run the rule set, union the violation reports
     (utils/validate.py:181-219 report form)."""
     reports = [duplicate_picks(picks), s_before_p(picks)]
@@ -100,6 +172,14 @@ def validate(picks: DataFrame, arrivals: DataFrame | None = None,
         reports.append(p_outliers(picks, p_outlier_limit_ns))
     if arrivals is not None:
         reports.append(arrivals_reference_picks(arrivals, picks))
+    if amplitudes is not None:
+        if amp_lim is not None:
+            reports.append(amp_limits(amplitudes, amp_lim))
+        if amp_filter_id_set:
+            reports.append(amp_filter_ids(amplitudes, amp_filter_id_set))
+        reports.append(amp_times_contain_pick_time(amplitudes, picks))
+    if no_z_amps:
+        reports.append(amps_on_z_component(picks))
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

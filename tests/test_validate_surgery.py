@@ -62,6 +62,87 @@ def test_validate_report(spark, picks):
     assert outlier_ids == {"p3", "p10"}
 
 
+AMP_COLS = (
+    "event_id string, network string, station string, location string, "
+    "channel string, generic_amplitude double, filter_id string, "
+    "pick_id string, evaluation_status string, has_time_window boolean, "
+    "reference_time long"
+)
+
+
+@pytest.fixture(scope="module")
+def amps(spark):
+    rows = [
+        # a1: over limit, good filter, tw matches pick p1 → only amp_above_limit
+        ("e1", "UU", "STA1", "", "HHN", 9.0, "f0", "p1", None, True, 100),
+        # a2: under limit, bad filter, tw reference off by 1 → filter + time
+        ("e1", "UU", "STA2", "", "HHN", 1.0, "f9", "p3", None, True, 201),
+        # a3: rejected → skipped by time rule even though reference is null
+        ("e2", "UU", "STA1", "", "HHN", 1.0, "f0", "p5", "rejected", True, None),
+        # a4: no time window → time rule skips; null filter → filter violation
+        ("e2", "UU", "STA1", "", "HHE", 1.0, None, "p7", None, False, None),
+        # a5: orphan pick reference with a time window → time violation
+        ("e3", "UU", "STA3", "", "HHN", 1.0, "f1", "p_missing", None, True, 500),
+    ]
+    return spark.createDataFrame(rows, AMP_COLS)
+
+
+def test_amp_limits(spark, amps):
+    from obsplus_spark.operators.validate import amp_limits
+
+    rows = amp_limits(amps, amp_lim=5.0).collect()
+    assert len(rows) == 1 and rows[0].event_id == "e1"
+
+
+def test_amp_filter_ids(spark, amps):
+    from obsplus_spark.operators.validate import amp_filter_ids
+
+    rows = amp_filter_ids(amps, ["f0", "f1"]).collect()
+    # a2 (f9) and a4 (null filter_id)
+    assert sorted(r.event_id for r in rows) == ["e1", "e2"]
+    # empty allow-set mirrors the reference's early return: no-op
+    assert amp_filter_ids(amps, []).count() == 0
+
+
+def test_amp_times_contain_pick_time(spark, picks, amps):
+    import json
+
+    from obsplus_spark.operators.validate import amp_times_contain_pick_time
+
+    rows = amp_times_contain_pick_time(amps, picks).collect()
+    bad = {json.loads(r.detail)["pick_id"] for r in rows}
+    # a1 matches p1@100 exactly → clean; a3 rejected, a4 no window → skipped
+    assert bad == {"p3", "p_missing"}
+
+
+def test_amps_on_z_component(spark):
+    from obsplus_spark.operators.validate import amps_on_z_component
+
+    picks = spark.createDataFrame(
+        [
+            ("e1", "p1", 100, "AML", None, "UU", "S1", "", "HHZ"),
+            ("e1", "p2", 100, "IAML", "rejected", "UU", "S1", "", "HHZ"),
+            ("e1", "p3", 100, "AML", None, "UU", "S1", "", "HHN"),
+            ("e1", "p4", 100, "P", None, "UU", "S1", "", "HHZ"),
+        ],
+        PICK_COLS,
+    )
+    rows = amps_on_z_component(picks).collect()
+    assert len(rows) == 1  # only p1: non-rejected amp phase on *Z
+
+
+def test_validate_with_amplitude_rules(spark, picks, amps):
+    report = validate(
+        picks,
+        amplitudes=amps,
+        amp_lim=5.0,
+        amp_filter_id_set=["f0", "f1"],
+        no_z_amps=True,
+    )
+    rules = {r.rule for r in report.collect()}
+    assert {"amp_above_limit", "amp_bad_filter", "amp_time_mismatch"} <= rules
+
+
 def test_validate_clean_is_empty(spark):
     clean = spark.createDataFrame(
         [("e1", "p1", 100, "P", "reviewed", "UU", "S1", "", "HHZ"),
