@@ -55,17 +55,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
     # defensive session conf: the driver may build its own SparkSession.
-    # nanosAsLong is required to read events.parquet (TIMESTAMP(NANOS));
+    # nanosAsLong keeps old TIMESTAMP(NANOS) testdata readable as int64;
     # UTC pins timestamp-literal parsing to match the DuckDB oracle.
     # Both are runtime-settable; idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if os.environ.get("SPARK_GRAFT_CACHE", "1") == "0":
-        return spark.read.parquet(path)
+        return _norm_ts(spark.read.parquet(path))
     key = (id(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
-        df = spark.read.parquet(path)
+        df = _norm_ts(spark.read.parquet(path))
         # fact tables: a single small parquet file scans with row-group
         # parallelism (often 1-3 tasks); repartition once at cache
         # materialization so every downstream query reads the cached
@@ -92,11 +92,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _TABLE_CACHE[key]
 
 
-def _ts_ns(col: str = "ts") -> F.Column:
-    """events.ts (raw int64 ns via nanosAsLong) → µs-truncated ns.
+def _norm_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events-style ``ts`` column to int64 epoch nanoseconds.
 
-    The truncation matters: DuckDB's parquet reader narrows TIMESTAMP(NANOS)
-    to µs TIMESTAMP, so the oracle sees ``(ns // 1000) * 1000``; we match.
+    The driver's testdata has shipped ``ts`` two ways across rounds:
+    TIMESTAMP(NANOS) (surfaced as int64 ns via ``nanosAsLong``) and plain
+    ``timestamp[us]`` / TIMESTAMP_NTZ. Converting at scan time —
+    ``unix_micros(cast(ts as timestamp)) * 1000`` under a UTC session —
+    makes every downstream expression dtype-independent and matches
+    DuckDB's ``epoch_ns(ts)`` (µs precision → ns) exactly. Pure JVM
+    expression, folded into the cached scan; no extra pass.
+    """
+    from pyspark.sql import types as T
+
+    if "ts" not in df.columns:
+        return df
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return df.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    return df
+
+
+def _ts_ns(col: str = "ts") -> F.Column:
+    """events.ts (int64 ns, normalized by ``_norm_ts``) → µs-truncated ns.
+
+    The truncation matters for legacy nanos data: DuckDB's parquet reader
+    narrows TIMESTAMP(NANOS) to µs TIMESTAMP, so the oracle sees
+    ``(ns // 1000) * 1000``; we match. On timestamp[us] inputs the value is
+    already µs-truncated and the modulo is a no-op.
     """
     c = F.col(col).cast("long")
     return c - (c % F.lit(1000))
