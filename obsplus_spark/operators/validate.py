@@ -115,7 +115,12 @@ def amp_filter_ids(amps: DataFrame, filter_ids) -> DataFrame:
     """Amplitudes whose filter_id is not in the allowed set
     (events/validate.py:209-235 ``check_amp_filter_ids``). Empty set →
     rule is a no-op, mirroring the reference's early return. A null
-    filter_id stringifies to something outside any set → violation."""
+    filter_id stringifies to something outside any set → violation.
+    A bare string is treated as a single id, not iterated char-by-char
+    (the reference's ``iterate()`` wraps lone strings the same way,
+    utils/misc.py:277-278)."""
+    if isinstance(filter_ids, str):
+        filter_ids = [filter_ids]
     ids = [str(x) for x in (filter_ids or [])]
     if not ids:
         return _violation(amps.limit(0), "amp_bad_filter", _NSLC + ["filter_id"])
@@ -129,7 +134,12 @@ def amps_on_z_component(
 ) -> DataFrame:
     """Non-rejected amplitude picks recorded on vertical (``*Z``)
     channels (events/validate.py:238-256 ``check_amps_on_z_component``
-    with ``no_z_amps=True``)."""
+    with ``no_z_amps=True``).
+
+    Deliberate divergence: the reference asserts ``len(df) == 0`` on the
+    UNFILTERED picks frame (an upstream bug — it fails for any event with
+    picks when ``no_z_amps=True``); we implement the intended semantics
+    and flag only the filtered amplitude-on-Z picks."""
     bad = picks.filter(
         _not_rejected()
         & F.col("phase_hint").isin(list(phase_hints))

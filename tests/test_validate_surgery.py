@@ -102,6 +102,14 @@ def test_amp_filter_ids(spark, amps):
     assert sorted(r.event_id for r in rows) == ["e1", "e2"]
     # empty allow-set mirrors the reference's early return: no-op
     assert amp_filter_ids(amps, []).count() == 0
+    # a bare string is one id, not a per-character allow set
+    # (reference iterate() wraps lone strings, utils/misc.py:277)
+    import json
+
+    only_f0 = amp_filter_ids(amps, "f0").collect()
+    assert sorted(
+        json.loads(r.detail).get("filter_id") or "null" for r in only_f0
+    ) == ["f1", "f9", "null"]
 
 
 def test_amp_times_contain_pick_time(spark, picks, amps):
