@@ -122,12 +122,31 @@ def prune_rejected(
         if n_new == n_alive:
             break
         n_alive = n_new
-    # the final frontier stays persisted — it backs the returned plan (a
-    # small id set, already materialized); Spark LRU-evicts, or callers
-    # release it via spark.catalog.clearCache()
+    # the final frontier backs the returned plan (a small id set, already
+    # materialized). It joins the bounded per-session ring: the newest two
+    # frontiers stay live, older ones unpersist — repeated prune calls in a
+    # long session no longer strand one cached id-set each.
+    _register_frontier_cache(alive)
     if ids_only:
         return alive
     return nodes.join(alive, id_col, "left_semi")
+
+
+#: per-session ring of persisted prune frontiers (newest last). Two stay
+#: live — the current result plus one predecessor a caller may still be
+#: executing — older ones unpersist lazily (same pattern as the shingle
+#: cache ring in dedup.py).
+_FRONTIER_CACHES: dict[int, list] = {}
+
+
+def _register_frontier_cache(df: DataFrame) -> None:
+    ring = _FRONTIER_CACHES.setdefault(id(df.sparkSession), [])
+    ring.append(df)
+    while len(ring) > 2:
+        try:
+            ring.pop(0).unpersist()
+        except Exception:
+            pass  # session torn down; nothing to release
 
 
 def merge_keyed(

@@ -27,8 +27,20 @@ GAP_SCHEMA = (
 STATE_SCHEMA = "max_end long, min_gap long"
 
 
+#: sentinel "no carry-in yet": large enough that prev + min_gap < start is
+#: always false (matching the loop semantics: no comparison before the
+#: first-ever row), far from int64 overflow when a min_gap is added
+_NO_CARRY = 2**62
+
+
 def _detect_gaps(key, pdf_iter, state: GroupState):
-    """Per-key stateful kernel: running-max end across micro-batches."""
+    """Per-key stateful kernel: running-max end across micro-batches.
+
+    Vectorized: the per-row running max is ``np.maximum.accumulate`` over
+    the sorted batch shifted by one (seeded with the carried state), and
+    gap detection is one boolean mask — no Python-level row iteration.
+    """
+    import numpy as np
     import pandas as pd
 
     network, station, location, channel = key
@@ -37,34 +49,53 @@ def _detect_gaps(key, pdf_iter, state: GroupState):
     else:
         max_end, min_gap = None, 0
 
-    gaps = []
+    cols = [
+        "network", "station", "location", "channel",
+        "gap_start", "gap_end", "gap_duration",
+    ]
+    out = []
     for pdf in pdf_iter:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["starttime", "endtime"])
-        for _, row in pdf.iterrows():
-            start, end = int(row["starttime"]), int(row["endtime"])
-            sp = int(row["sampling_period"])
-            min_gap = int(1.5 * sp)  # reference default (wavebank.py:446)
-            if max_end is not None and max_end + min_gap < start:
-                gaps.append(
+        starts = pdf["starttime"].to_numpy(np.int64)
+        ends = pdf["endtime"].to_numpy(np.int64)
+        # reference default threshold 1.5 × sampling period, per row
+        # (wavebank.py:446); floor matches the loop's int() truncation
+        min_gaps = (1.5 * pdf["sampling_period"].to_numpy(np.int64)).astype(np.int64)
+        # running max of end seen BEFORE each row, seeded with the carry-in
+        prev = np.empty_like(ends)
+        prev[0] = _NO_CARRY if max_end is None else max_end
+        prev[1:] = np.maximum.accumulate(ends[:-1])
+        if max_end is not None:
+            np.maximum(prev, max_end, out=prev)
+        mask = prev + min_gaps < starts
+        if mask.any():
+            g_start = prev[mask]
+            g_end = starts[mask]
+            out.append(
+                pd.DataFrame(
                     {
                         "network": network,
                         "station": station,
                         "location": location,
                         "channel": channel,
-                        "gap_start": max_end,
-                        "gap_end": start,
-                        "gap_duration": start - max_end,
-                    }
+                        "gap_start": g_start,
+                        "gap_end": g_end,
+                        "gap_duration": g_end - g_start,
+                    },
+                    columns=cols,
                 )
-            max_end = end if max_end is None else max(max_end, end)
+            )
+        batch_max = int(ends.max())
+        max_end = batch_max if max_end is None else max(max_end, batch_max)
+        min_gap = int(min_gaps[-1])
 
     state.update((max_end, min_gap))
-    yield pd.DataFrame(
-        gaps,
-        columns=[
-            "network", "station", "location", "channel",
-            "gap_start", "gap_end", "gap_duration",
-        ],
+    yield (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame({c: [] for c in cols})
     )
 
 

@@ -72,6 +72,21 @@ def sorted_group_apply(
     return part.sortWithinPartitions(key_col).mapInPandas(_scan, schema)
 
 
+_BYTE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark byte-size conf strings (``134217728``, ``128m``, ``1g``)."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in _BYTE_SUFFIXES:
+        mult = _BYTE_SUFFIXES[s[-1]]
+        s = s[:-1]
+    return int(float(s) * mult) if s else 1
+
+
 def is_local_master(df: DataFrame) -> bool:
     """True when the session runs a ``local[...]`` master."""
     return df.sparkSession.sparkContext.master.startswith("local")
@@ -82,17 +97,28 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
     Compute-heavy narrow stages (trig cross joins, shingle explodes, hash
     fan-outs) inherit the scan's partitioning; a small single-file input
-    serializes them onto one core. On a cluster master the scan's split
-    planning already yields parallelism, so this is an identity — no
-    ``df.rdd`` probe (which would force physical planning on the driver)
-    ever runs in cluster plans. On a local master the probe is a cheap
-    driver-side plan conversion (no job) and the repartition it gates moves
-    only the compact pre-fan-out rows.
+    serializes them onto one core. The gate is a **logical-plan stats
+    estimate** — ``ceil(sizeInBytes / maxPartitionBytes)`` approximates the
+    scan's natural split count — so no ``df.rdd`` probe (which would force
+    physical planning and an RDD conversion on the driver) ever runs. The
+    optimized-plan stats call is driver-side only, creates no job, and its
+    QueryExecution is memoized on the Dataset, so later execution reuses
+    the work. Inputs whose natural split count already meets the target
+    pass through untouched; the repartition only ever moves the compact
+    pre-fan-out rows.
     """
-    if not is_local_master(df) and min_partitions is None:
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if target <= 1:
         return df
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except Exception:  # stats unavailable (exotic plan) → leave the plan alone
+        return df
+    natural = max(1, -(-size // max_pb))
+    if natural < target:
         return df.repartition(target)
     return df

@@ -201,6 +201,29 @@ def test_prune_rejected_transitive(spark):
     assert out == {"root", "origin2", "arrival2"}
 
 
+def test_prune_frontier_ring_bounded(spark):
+    """Repeated prune calls keep at most two persisted frontiers per
+    session; older ones must be unpersisted (no cache accumulation)."""
+    from obsplus_spark.operators.surgery import _FRONTIER_CACHES
+
+    nodes = spark.createDataFrame(
+        [("a", None), ("b", "rejected"), ("c", None)],
+        "resource_id string, evaluation_status string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "parent string, child string"
+    )
+    frames = []
+    for _ in range(4):
+        prune_rejected(nodes, edges).count()
+        ring = _FRONTIER_CACHES[id(spark)]
+        frames.extend(f for f in ring if f not in frames)
+    ring = _FRONTIER_CACHES[id(spark)]
+    assert len(ring) == 2
+    live = [f for f in frames if f.storageLevel.useMemory]
+    assert set(map(id, live)) <= set(map(id, ring))
+
+
 def test_bump_version(spark):
     df = spark.createDataFrame([("1",), (None,), ("41",)], ["version"])
     got = sorted(r.version for r in bump_version(df).collect())
