@@ -234,10 +234,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
-    Band hash = md5 of the concatenated band rows; pairs come from the
-    self-equi-join on (band_index, band_hash) with ``id1 < id2`` — each
-    unordered pair once, shuffle keyed on the band hash (uniform unless
-    the corpus is pathologically duplicated; salting hook would go here).
+    Band hash = md5 of the concatenated band rows. Pairs come from ONE
+    shuffle: explode to (band, band_hash, id), groupBy the band key
+    collecting the bucket's ids, and expand each bucket's sorted id array
+    to its ``i < j`` pairs in-row — identical pair set to the classic
+    band self-equi-join, but the signature projection is evaluated once
+    (the join evaluated it on BOTH shuffle branches) and the data moves
+    once instead of twice. Bucket sizes are tiny for any non-degenerate
+    corpus; a pathologically duplicated corpus makes one quadratic bucket
+    (the self-join had the same blow-up — salting hook would go here).
     """
     rows_per_band = n_hashes // bands
     band_structs = ", ".join(
@@ -253,19 +258,19 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("bh")
     ).select(id_col, "bh.band", "bh.band_hash")
-    a = banded.alias("a")
-    b_ = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pair = F.expr(
+        "explode(flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> "
+        "named_struct('id1', x, 'id2', y)))))"
+    )
     return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            "inner",
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
-        )
+        buckets.select(pair.alias("_p"))
+        .select(F.col("_p.id1").alias("id1"), F.col("_p.id2").alias("id2"))
         .distinct()
     )
 
