@@ -115,6 +115,11 @@ def _norm_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Spark-SQL string twin of ``_ts_ns()`` for selectExpr-built plans
+#: (valid because ``_norm_ts`` already produced an int64-ns ``ts``)
+_TS_NS_SQL = "(cast(ts AS BIGINT) - (cast(ts AS BIGINT) % 1000))"
+
+
 def _ts_ns(col: str = "ts") -> F.Column:
     """events.ts (int64 ns, normalized by ``_norm_ts``) → µs-truncated ns.
 
@@ -768,10 +773,11 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
     rows_per_band = n_hashes // bands
-    # lane j = md5 hex digest rotated left by 2*j chars (lockstep with
+    # lane j = 8 hex chars of the 38-char extended digest (md5 ||
+    # substr(md5,1,6)) at stride-2 offset, parsed as uint32 (lockstep with
     # obsplus_spark.operators.dedup.minhash_signatures)
     mh_cols = ",\n           ".join(
-        f"min(substr(h, {2 * j + 1}) || substr(h, 1, {2 * j})) AS mh_{j}"
+        f"min(('0x' || substr(h, {2 * j + 1}, 8))::BIGINT) AS mh_{j}"
         for j in range(n_hashes)
     )
     band_rows = ",\n      ".join(
@@ -797,7 +803,8 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
     sig AS (
       SELECT doc_id,
            {mh_cols}
-      FROM (SELECT doc_id, md5(shingle) AS h FROM sh) hx
+      FROM (SELECT doc_id, h || substr(h, 1, 6) AS h
+            FROM (SELECT doc_id, md5(shingle) AS h FROM sh)) hx
       GROUP BY doc_id
     ),
     banded AS (
@@ -1593,15 +1600,15 @@ def q_prune_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from obsplus_spark.operators.surgery import prune_rejected
 
     NS_DAY = 86400 * NS
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_id").alias("resource_id"),
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_id AS resource_id",
         "user_id",
-        _ts_ns().alias("t_ns"),
-        F.when(F.col("value") > 200.0, F.lit("rejected"))
-        .when(F.col("value") < 1.0, F.lit(None).cast("string"))
-        .otherwise(F.lit("ok"))
-        .alias("evaluation_status"),
-    ).withColumn("day", F.floor(F.col("t_ns") / F.lit(NS_DAY)))
+        f"{_TS_NS_SQL} AS t_ns",
+        "CASE WHEN value > 200.0 THEN 'rejected'"
+        " WHEN value < 1.0 THEN CAST(NULL AS STRING)"
+        " ELSE 'ok' END AS evaluation_status",
+        f"CAST(floor(({_TS_NS_SQL}) / {NS_DAY}.0D) AS BIGINT) AS day",
+    )
     # first-per-group via min_by aggregation, not windows: map-side
     # combinable (partial aggregation before the shuffle), and the
     # user-first cascades from the already-tiny per-day table instead of
@@ -1687,58 +1694,52 @@ def q_merge_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
 
-    def last_per_bucket(pred):
+    def last_per_bucket(pred_sql):
         # last-row-per-group via ONE hash-aggregable max: the (t_ns,
         # event_id) order key packs into a zero-padded string whose
         # lexicographic order matches the numeric order (both fields are
         # non-negative), so the agg stays a map-side-combinable
         # HashAggregate — max_by over a struct ordering falls back to
         # SortAggregate, which sorts the whole input twice
-        packed = F.concat(
-            F.lpad(F.col("t_ns").cast("string"), 20, "0"),
-            F.lit("|"),
-            F.lpad(F.col("event_id").cast("string"), 20, "0"),
-        )
-        rows = ev.filter(pred).select(
-            (F.col("user_id") % 50).cast("long").alias("bucket"),
+        rows = ev.filter(pred_sql).selectExpr(
+            "CAST(user_id % 50 AS BIGINT) AS bucket",
             "event_id",
-            _ts_ns().alias("t_ns"),
+            f"{_TS_NS_SQL} AS t_ns",
         )
-        best = rows.groupBy("bucket").agg(F.max(packed).alias("_p"))
-        sp = F.split("_p", r"\|")
-        return best.select(
+        best = rows.groupBy("bucket").agg(
+            F.expr(
+                "max(concat(lpad(CAST(t_ns AS STRING), 20, '0'), '|',"
+                " lpad(CAST(event_id AS STRING), 20, '0'))) AS _p"
+            )
+        )
+        return best.selectExpr(
             "bucket",
-            sp[1].cast("long").alias("event_id"),
-            sp[0].cast("long").alias("t_ns"),
+            r"CAST(split(_p, '\\|')[1] AS BIGINT) AS event_id",
+            r"CAST(split(_p, '\\|')[0] AS BIGINT) AS t_ns",
         )
 
-    def as_picks(last, phase, version):
-        return last.select(
-            F.lit("EV").alias("network"),
-            F.concat(F.lit("s"), F.col("bucket").cast("string")).alias("station"),
-            F.lit("").alias("location"),
-            F.lit("c").alias("channel"),
-            (F.lit(phase) if isinstance(phase, str) else phase).alias(
-                "phase_hint"
-            ),
-            F.col("event_id").alias("resource_id"),
-            F.col("t_ns").alias("time"),
-            F.lit(None).cast("string").alias("evaluation_status"),
-            F.lit(version).cast("string").alias("version"),
+    def as_picks(last, phase_sql, version_sql):
+        return last.selectExpr(
+            "'EV' AS network",
+            "concat('s', CAST(bucket AS STRING)) AS station",
+            "'' AS location",
+            "'c' AS channel",
+            f"{phase_sql} AS phase_hint",
+            "event_id AS resource_id",
+            "t_ns AS time",
+            "CAST(NULL AS STRING) AS evaluation_status",
+            f"CAST({version_sql} AS STRING) AS version",
         )
 
-    target = as_picks(
-        last_per_bucket(F.col("event_type") == "click"), "P", "1"
-    )
+    target = as_picks(last_per_bucket("event_type = 'click'"), "'P'", "'1'")
     # both incoming branches come from ONE aggregation over the purchase
     # rows (disjoint bucket ranges; phase decided per row afterwards) —
     # splitting first would push the filters below the agg and run it twice
     purch = last_per_bucket(
-        (F.col("event_type") == "purchase")
-        & ((F.col("user_id") % 50 < 30) | (F.col("user_id") % 50 >= 40))
+        "event_type = 'purchase' AND (user_id % 50 < 30 OR user_id % 50 >= 40)"
     )
     incoming = as_picks(
-        purch, F.when(F.col("bucket") < 30, "P").otherwise("S"), None
+        purch, "CASE WHEN bucket < 30 THEN 'P' ELSE 'S' END", "NULL"
     )
     merged, _ = merge_events(target, incoming, reject_old=True)
     return merged
@@ -1969,23 +1970,23 @@ _SQL_SBP = f"""
 # ---------------------------------------------------------------------------
 
 
+#: one JVM-parsed string (the Column-object struct cost ~20 py4j calls per use)
+_PICK_STRUCT_SQL = (
+    "named_struct("
+    "'resource_id', CAST(event_id AS STRING), "
+    f"'time', {_TS_NS_SQL}, "
+    "'phase_hint', event_type, "
+    "'evaluation_status',"
+    " CAST(CASE WHEN value > 200.0 THEN 'rejected' END AS STRING), "
+    "'network', 'EV', 'station', event_type, 'location', '', "
+    "'channel', concat('u', CAST(user_id % 10 AS STRING)))"
+)
+
+
 def _pick_struct() -> F.Column:
     """A PICK_STRUCT-shaped struct from an events row (field order matches
     event_tree.PICK_STRUCT so arrays concat/transform cleanly)."""
-    return F.struct(
-        F.col("event_id").cast("string").alias("resource_id"),
-        _ts_ns().alias("time"),
-        F.col("event_type").alias("phase_hint"),
-        F.when(F.col("value") > 200.0, "rejected")
-        .cast("string")
-        .alias("evaluation_status"),
-        F.lit("EV").alias("network"),
-        F.col("event_type").alias("station"),
-        F.lit("").alias("location"),
-        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias(
-            "channel"
-        ),
-    )
+    return F.expr(_PICK_STRUCT_SQL)
 
 
 def q_dup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1996,58 +1997,49 @@ def q_dup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from obsplus_spark.operators.surgery import duplicate_events
 
     ev = _t(spark, sf_dir, "events")
-    uid = F.col("user_id").cast("string")
     g = ev.groupBy("user_id").agg(
-        F.collect_list(_pick_struct()).alias("picks"),
-        F.min(_ts_ns()).alias("first_ns"),
-        F.max(_ts_ns()).alias("creation_time"),
-        F.count(F.lit(1)).alias("_n"),
+        F.expr(f"collect_list({_PICK_STRUCT_SQL}) AS picks"),
+        F.expr(f"min({_TS_NS_SQL}) AS first_ns"),
+        F.expr(f"max({_TS_NS_SQL}) AS creation_time"),
+        F.expr("count(1) AS _n"),
     )
-    tree = g.select(
-        F.concat(F.lit("u"), uid).alias("event_id"),
-        F.lit(None).cast("string").alias("event_description"),
-        F.when(F.col("user_id") % 2 == 0, F.concat(F.lit("o"), uid))
-        .otherwise(F.concat(F.lit("ext:"), uid))
-        .alias("preferred_origin_id"),
-        F.lit(None).cast("string").alias("preferred_magnitude_id"),
+    tree = g.selectExpr(
+        "concat('u', CAST(user_id AS STRING)) AS event_id",
+        "CAST(NULL AS STRING) AS event_description",
+        "CASE WHEN user_id % 2 = 0 THEN concat('o', CAST(user_id AS STRING))"
+        " ELSE concat('ext:', CAST(user_id AS STRING)) END"
+        " AS preferred_origin_id",
+        "CAST(NULL AS STRING) AS preferred_magnitude_id",
         "creation_time",
-        F.array(
-            F.struct(
-                F.concat(F.lit("o"), uid).alias("resource_id"),
-                F.col("first_ns").alias("time"),
-                F.lit(None).cast("double").alias("latitude"),
-                F.lit(None).cast("double").alias("longitude"),
-                F.lit(None).cast("double").alias("depth"),
-            )
-        ).alias("origins"),
-        F.array(
-            F.struct(
-                F.concat(F.lit("m"), uid).alias("resource_id"),
-                ((F.col("user_id") % 7) / 2.0).alias("mag"),
-                F.lit("ML").alias("magnitude_type"),
-                F.when(F.col("user_id") % 4 == 0, F.concat(F.lit("o"), uid))
-                .otherwise(F.lit("oext"))
-                .alias("origin_id"),
-            )
-        ).alias("magnitudes"),
+        "array(named_struct("
+        "'resource_id', concat('o', CAST(user_id AS STRING)),"
+        " 'time', first_ns,"
+        " 'latitude', CAST(NULL AS DOUBLE),"
+        " 'longitude', CAST(NULL AS DOUBLE),"
+        " 'depth', CAST(NULL AS DOUBLE))) AS origins",
+        "array(named_struct("
+        "'resource_id', concat('m', CAST(user_id AS STRING)),"
+        " 'mag', (user_id % 7) / 2.0D,"
+        " 'magnitude_type', 'ML',"
+        " 'origin_id', CASE WHEN user_id % 4 = 0"
+        " THEN concat('o', CAST(user_id AS STRING))"
+        " ELSE 'oext' END)) AS magnitudes",
         "picks",
-        F.col("user_id"),
-        F.col("_n"),
+        "user_id",
+        "_n",
     )
     # user_id/_n are passthrough columns — duplicate_events only rewrites
     # the id/reference/array columns, so they ride along for the output
     dup = duplicate_events(tree, suffix="dup")
-    return dup.select(
+    return dup.selectExpr(
         "user_id",
         "event_id",
         "preferred_origin_id",
         "preferred_magnitude_id",
-        F.element_at("origins", 1)["resource_id"].alias("o0"),
-        F.element_at("magnitudes", 1)["origin_id"].alias("m_oid"),
-        F.array_min(
-            F.transform(F.col("picks"), lambda p: p["resource_id"])
-        ).alias("min_pick"),
-        F.col("_n").cast("long").alias("n_picks"),
+        "element_at(origins, 1).resource_id AS o0",
+        "element_at(magnitudes, 1).origin_id AS m_oid",
+        "array_min(transform(picks, p -> p.resource_id)) AS min_pick",
+        "CAST(_n AS BIGINT) AS n_picks",
     )
 
 

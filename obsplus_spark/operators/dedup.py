@@ -122,8 +122,14 @@ def shingle_digest_array(
         f"zip_with({acc}, slice(_toks, {n}, {nsh}),"
         " (a, b) -> md5(concat(a, ' ', b)))"
     )
+    # digests are EXTENDED to 38 chars (md5 || first 6 chars again): the
+    # MinHash lanes read 8 hex chars at stride-2 offsets (positions 1..31),
+    # so the tail lanes wrap around the digest — pre-extending once here is
+    # cheaper than a per-lane concat. Bijective with the md5 set, so every
+    # set operation downstream (intersect/distinct) is unaffected.
+    ext = f"transform({dig}, h -> concat(h, substring(h, 1, 6)))"
     sh = (
-        f"array_distinct(CASE WHEN size(_toks) >= {n} THEN {dig}"
+        f"array_distinct(CASE WHEN size(_toks) >= {n} THEN {ext}"
         " ELSE array() END)"
     )
     return (
@@ -192,30 +198,27 @@ def minhash_signatures(
                 F.size("shingles") > 0
             )
         )
+        # one selectExpr call with string expressions — the Column-object
+        # lane loop cost ~0.3 s of py4j round-trips per plan build.
+        # Numeric lanes: 8 hex chars at stride-2 offset → uint32-as-long,
+        # min over longs — no 32-char rotated-string allocations, and the
+        # per-element comparison is one integer op instead of a lex scan
         cols = [
-            (
-                # lane 0 is the identity rotation — plain array_min
-                F.expr("array_min(shingles)")
-                if j == 0
-                else F.expr(
-                    "array_min(transform(shingles, h -> concat("
-                    f"substring(h, {2 * j + 1}, {32 - 2 * j}),"
-                    f" substring(h, 1, {2 * j}))))"
-                )
-            ).alias(f"mh_{j}")
+            f"array_min(transform(shingles, h -> CAST(conv("
+            f"substring(h, {2 * j + 1}, 8), 16, 10) AS BIGINT))) AS mh_{j}"
             for j in range(n_hashes)
         ]
         if with_size:
-            cols.append(F.size("shingles").cast("long").alias("n_shingles"))
-        return arr.select(F.col(id_col), *cols)
-    sh = shingles_df.withColumn("_h", F.md5(F.col("shingle")))
+            cols.append("CAST(size(shingles) AS BIGINT) AS n_shingles")
+        return arr.selectExpr(id_col, *cols)
+    sh = shingles_df.withColumn(
+        "_h", F.expr("concat(md5(shingle), substring(md5(shingle), 1, 6))")
+    )
     aggs = [
-        F.min(
-            F.concat(
-                F.substring(F.col("_h"), 2 * j + 1, 32 - 2 * j),
-                F.substring(F.col("_h"), 1, 2 * j),
-            )
-        ).alias(f"mh_{j}")
+        F.expr(
+            f"min(CAST(conv(substring(_h, {2 * j + 1}, 8), 16, 10)"
+            f" AS BIGINT)) AS mh_{j}"
+        )
         for j in range(n_hashes)
     ]
     if with_size:
@@ -344,26 +347,20 @@ def pair_jaccard_arrays(
     the same plan shuffles on the id keys (each doc array moves at most
     once per side).
     """
-    sa = shingle_arrays.select(
-        F.col(id_col).alias("id1"), F.col(arr_col).alias("_sh1")
-    )
-    sb = shingle_arrays.select(
-        F.col(id_col).alias("id2"), F.col(arr_col).alias("_sh2")
-    )
+    sa = shingle_arrays.selectExpr(f"{id_col} AS id1", f"{arr_col} AS _sh1")
+    sb = shingle_arrays.selectExpr(f"{id_col} AS id2", f"{arr_col} AS _sh2")
     p = F.broadcast(pairs) if broadcast_pairs else pairs
     j1 = p.join(sa, "id1")
     j1 = F.broadcast(j1) if broadcast_pairs else j1
     out = j1.join(sb, "id2")
-    n_inter = F.size(F.array_intersect("_sh1", "_sh2"))
-    n1 = F.size("_sh1")
-    n2 = F.size("_sh2")
-    return out.select(
+    return out.selectExpr(
         "id1",
         "id2",
-        n_inter.cast("long").alias("n_inter"),
-        n1.cast("long").alias("n1"),
-        n2.cast("long").alias("n2"),
-        (n_inter / (n1 + n2 - n_inter).cast("double")).alias("jaccard"),
+        "CAST(size(array_intersect(_sh1, _sh2)) AS BIGINT) AS n_inter",
+        "CAST(size(_sh1) AS BIGINT) AS n1",
+        "CAST(size(_sh2) AS BIGINT) AS n2",
+        "size(array_intersect(_sh1, _sh2)) / CAST(size(_sh1) + size(_sh2)"
+        " - size(array_intersect(_sh1, _sh2)) AS DOUBLE) AS jaccard",
     )
 
 

@@ -361,13 +361,19 @@ def hyperplane_lsh_buckets(
     With ``b`` hyperplanes the corpus shards into ≤2^b buckets; ANN then
     probes only the query's bucket (plus optional neighbors) — turning a
     full-scan cross join into an equi-join on ``bucket``. Hyperplanes are
-    plan-time literals (broadcast-free).
+    plan-time literals (broadcast-free), embedded as ONE JVM-parsed
+    expression string — the Column-object formulation cost hundreds of
+    py4j round-trips (b × dim literal calls) per plan build.
     """
-    bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in h])) >= 0, "1").otherwise("0")
+    bits = ", ".join(
+        "CASE WHEN aggregate(zip_with({v}, array({h}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, x) -> a + x) >= 0 "
+        "THEN '1' ELSE '0' END".format(
+            v=vec_col, h=", ".join(f"{float(x)!r}D" for x in h)
+        )
         for h in hyperplanes
-    ]
-    return vectors.withColumn(bucket_col, F.concat(*bits))
+    )
+    return vectors.withColumn(bucket_col, F.expr(f"concat({bits})"))
 
 
 def cosine_topk_lsh(
@@ -392,10 +398,19 @@ def cosine_topk_lsh(
         query_id_col,
         vec_col,
     ).withColumnRenamed(vec_col, query_vec_col)
+    dot_s = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    cos_s = (
+        f"{dot_s.format(a=vec_col, b=query_vec_col)}"
+        f" / (sqrt({dot_s.format(a=vec_col, b=vec_col)})"
+        f" * sqrt({dot_s.format(a=query_vec_col, b=query_vec_col)}))"
+    )
     scored = vb.join(F.broadcast(qb), "bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        F.expr(cos_s).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
