@@ -3547,6 +3547,123 @@ _SQL_FETCH_WIN = """
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline: cluster resolution, deterministic splits, token estimation
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair set: every
+    member doc labeled with its component's min doc_id — the canonical-
+    document assignment step a 100 TB dedup pipeline runs after pair
+    detection. Iterative min-label propagation (one groupBy per round);
+    the oracle is a DuckDB WITH RECURSIVE min-label closure over the
+    identical pair set."""
+    from obsplus_spark.operators.dedup import dedup_clusters, near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, n_hashes=16, bands=4, shingle_size=3, threshold=0.2
+    ).select("id1", "id2")
+    # convergence mode: near-dup components are star/clique shaped, so
+    # the fixed point lands in ~2 rounds — paying one tiny driver action
+    # per round beats lazily chaining a worst-case round count (each
+    # round is two shuffles; a fixed 6-round chain costs 3× the wall
+    # time of the 2 rounds the data needs)
+    return dedup_clusters(pairs, max_iterations=20, check_convergence=True)
+
+
+def _clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE p AS ({_minhash_sql()}),
+    e AS (
+      SELECT id1 AS a, id2 AS b FROM p
+      UNION ALL
+      SELECT id2, id1 FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+      WHERE r.lbl < e.b
+    )
+    SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket — stable
+    across runs, engines, and data subsets (the property rand() splits
+    lack). Per-row expression, no shuffle."""
+    from obsplus_spark.operators.dedup import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, weights={"train": 90, "val": 5, "test": 5})
+
+
+_SQL_SPLIT = """
+    SELECT doc_id,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT
+               % 100 AS b
+      FROM documents
+    )
+"""
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced deterministic downsample: k=25 docs per (lang,
+    source) class by smallest md5(id) — reproducible 'random' selection;
+    compiles to WindowGroupLimit (rank inside the shuffle, no full
+    per-group sort at scale)."""
+    from obsplus_spark.operators.dedup import hash_downsample_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_downsample_per_group(docs, ["lang", "source"], k=25)
+
+
+_SQL_BALANCED = """
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ''), doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= 25
+"""
+
+
+def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budget estimate per document: regex pre-token count
+    plus subword splits for long letter runs. Scan-speed JVM expressions;
+    the corpus-level token budget is the sum a training pipeline plans
+    against."""
+    from obsplus_spark.operators.text import token_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_estimate("text").alias("n_tokens_est")
+    )
+
+
+_SQL_TOKEN_EST = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+             + coalesce(list_sum(list_transform(
+                 regexp_extract_all(text, '[A-Za-z]+'),
+                 w -> CAST(floor((length(w) - 1) / 4.0) AS INT))), 0)
+             AS BIGINT) AS n_tokens_est
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3561,6 +3678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "dedup_clusters": q_dedup_clusters,
+        "hash_split": q_hash_split,
+        "balanced_sample": q_balanced_sample,
+        "token_estimate": q_token_estimate,
         "amp_violations": q_amp_violations,
         "orphan_arrivals": q_orphan_arrivals,
         "ivf_flat": q_ivf_flat,
@@ -3634,6 +3755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "dedup_clusters": _clusters_sql(),
+        "hash_split": _SQL_SPLIT,
+        "balanced_sample": _SQL_BALANCED,
+        "token_estimate": _SQL_TOKEN_EST,
         "amp_violations": _SQL_AMP_VIOLATIONS,
         "fdsn_event_query": _SQL_FDSN,
         "glob_filter": _SQL_GLOB,

@@ -64,7 +64,12 @@ def main() -> None:
     # every rep so the rep re-materializes those caches — reusing one plan
     # object would let later reps read the first rep's cached intermediate
     # results, which is NOT steady-state execution, it's result caching.
-    rebuild_each_rep = {"minhash_near_dup", "prune_orphans", "common_coverage"}
+    rebuild_each_rep = {
+        "minhash_near_dup",
+        "prune_orphans",
+        "common_coverage",
+        "dedup_clusters",
+    }
 
     # best-of-3 per query: the host is shared, single runs show ±5×
     # scheduler noise; the min is the reproducible cost of the plan.

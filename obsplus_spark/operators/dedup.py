@@ -17,7 +17,7 @@ bucket-collision pairs pay the Jaccard verification.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -167,16 +167,19 @@ def minhash_signatures(
     with_size: bool = False,
     digest_arrays_df: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: ``sig_j = min_shingle rot_j(md5(s))``.
+    """MinHash signature per document: lane ``j`` = min over shingles of
+    the uint32 read from 8 hex chars of the extended md5 digest at offset
+    ``2·j``.
 
-    Hash family: **one** md5 per shingle; lane ``j`` is the 32-hex-char
-    digest rotated left by ``2·j`` characters, so each lane's lexicographic
-    order is led by a different digit pair of the digest — 16 near-
-    independent orderings for the price of a single hash (the j-keyed
-    md5-per-lane family costs 16× the hashing and dominated the round-1
-    bench). Lanes only gate LSH candidate recall; the exact Jaccard pass
-    downstream decides membership, so lane independence needs to be good,
-    not perfect.
+    Hash family: **one** md5 per shingle (extended to 38 chars, see
+    :func:`shingle_digest_array`); each lane parses a different stride-2
+    window of the digest as an integer — 16 near-independent orderings
+    for the price of a single hash (a j-keyed md5-per-lane family costs
+    16× the hashing; rotated-string lanes cost a 32-char allocation and a
+    lex compare per element where this costs one integer compare). Lanes
+    only gate LSH candidate recall; the exact Jaccard pass downstream
+    decides membership, so lane independence needs to be good, not
+    perfect.
 
     Two execution paths, identical results:
 
@@ -479,3 +482,150 @@ def near_duplicates(
     pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
     scored = pair_jaccard_arrays(arr, pairs, id_col)
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id1_col: str = "id1",
+    id2_col: str = "id2",
+    max_iterations: int = 20,
+    check_convergence: bool = True,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: each member id is
+    labeled with the **minimum id reachable** in its component
+    (``cluster_id``) — the canonical-document assignment a dedup pipeline
+    needs after pair detection (keep ``cluster_id``, drop the rest).
+
+    Algorithm: iterative min-label propagation. Labels start as each
+    node's own id; every round each node takes the min of its own label
+    and its neighbors' labels, via ONE groupBy per round over the
+    label-augmented undirected edge list. Converges in O(component
+    diameter) rounds — near-dup components are overwhelmingly
+    star/clique-shaped (diameter ≤ 3-4), so the fixed point lands in a
+    handful of rounds. Skew note: at 100 TB the hot key is the giant
+    component's min id; the groupBy is an aggregation (map-side
+    combinable), not a join, so skew costs one reducer's worth of
+    partial-agg merges, not a shuffle blow-up.
+
+    Two modes mirroring :func:`~obsplus_spark.operators.surgery.prune_rejected`:
+    ``check_convergence=True`` persists each round's labels, pays one
+    count action per round, and exits at the first stable round;
+    ``check_convergence=False`` lazily builds ``max_iterations`` rounds
+    (zero driver actions — correct iff the true diameter is within the
+    bound).
+
+    Returns (id, cluster_id), one row per id that appears in ``pairs``.
+    """
+    # undirected edge list WITH SELF-LOOPS, persisted once: the loop rows
+    # carry each node's own label through every propagation round, which
+    # lets a round be `agg(join(E, L))` — the label table referenced
+    # exactly ONCE per round. (A formulation that also unions/left-joins
+    # L references it twice per round, and in the lazy mode below that
+    # doubles the plan per round — 2^iterations evaluations of the whole
+    # upstream pair pipeline.)
+    directed = pairs.selectExpr(
+        f"{id1_col} AS _src", f"{id2_col} AS _dst"
+    ).unionByName(
+        pairs.selectExpr(f"{id2_col} AS _src", f"{id1_col} AS _dst")
+    )
+    loops = directed.select("_src").distinct().selectExpr(
+        "_src", "_src AS _dst"
+    )
+    edges = directed.unionByName(loops).persist()
+    _register_shingle_cache(edges)  # bounded per-session ring releases it
+
+    # seed = round 1 for free: min over direct neighbors (self-loop
+    # includes the node's own id) via one aggregate, no join
+    labels = edges.groupBy(F.col("_dst").alias("id")).agg(
+        F.min("_src").alias("cluster_id")
+    )
+
+    def step(lbl: DataFrame) -> DataFrame:
+        # every node's next label = min over in-neighbors' labels
+        # (self-loop ⇒ its own label participates); one shuffle per round
+        return (
+            edges.join(lbl.withColumnRenamed("id", "_src"), "_src")
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+
+    if not check_convergence:
+        lbl = labels
+        for _ in range(max_iterations):
+            lbl = step(lbl)
+        return lbl
+
+    lbl = labels.persist()
+    # change detector: 64-bit xor-fold of per-row (id, label) hashes —
+    # order-independent, overflow-free under ANSI mode, equal iff the
+    # label table is (2^-64-collision-)unchanged
+    digest = F.expr("bit_xor(xxhash64(id, cluster_id))")
+    prev_sum = lbl.agg(digest).collect()[0][0]
+    for _ in range(max_iterations):
+        nxt = step(lbl).persist()
+        new_sum = nxt.agg(digest).collect()[0][0]
+        old, lbl = lbl, nxt
+        old.unpersist(blocking=False)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    _register_shingle_cache(lbl)  # bounded ring releases it later
+    return lbl
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by content-free hash.
+
+    Bucket = first 8 hex chars of ``md5(id || salt)`` as uint32, mod 100;
+    split boundaries are the cumulative percentage weights (insertion
+    order). Pure per-row expression — no shuffle, no RNG state, stable
+    across runs/engines, and re-runnable on any subset of the data (the
+    property that matters for incremental 100 TB pipelines; a
+    ``rand()``-based split is neither stable nor subset-consistent).
+
+    ``weights`` defaults to ``{"train": 90, "val": 5, "test": 5}`` and
+    must sum to 100.
+    """
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    bucket = (
+        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
+        f" '{salt}')), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    case, lo = "CASE", 0
+    for name, w in weights.items():
+        hi = lo + w
+        case += f" WHEN _bucket < {hi} THEN '{name}'"
+        lo = hi
+    case += " END"
+    return df.selectExpr("*", f"{bucket} AS _bucket").selectExpr(
+        "*", f"{case} AS split"
+    ).drop("_bucket")
+
+
+def hash_downsample_per_group(
+    df: DataFrame,
+    group_cols: list,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic class-balanced downsampling: keep the ``k`` rows per
+    group with the smallest ``md5(id || salt)`` — an order-free,
+    engine-portable "random but reproducible" choice. Top-k per group
+    compiles to WindowGroupLimit (rank pushed into the shuffle, no full
+    sort of each group at scale).
+    """
+    h = f"md5(concat(CAST({id_col} AS STRING), '{salt}'))"
+    w = Window.partitionBy(*group_cols).orderBy(F.expr(h), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

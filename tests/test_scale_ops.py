@@ -221,3 +221,77 @@ def test_embedding_near_dup_blocking_limits_pairs(spark):
     )
     assert embedding_near_dup(df, 0.5, method="blocked").count() == 0
     assert embedding_near_dup(df, 0.5, method="exact").count() == 0
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation resolves transitive components: a 4-chain,
+    a triangle, and an isolated pair each collapse to their min id."""
+    from obsplus_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id1 long, id2 long",
+    )
+    for lazy in (False, True):
+        got = {
+            (r.id, r.cluster_id)
+            for r in dedup_clusters(
+                pairs, max_iterations=8, check_convergence=not lazy
+            ).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20),
+        }
+
+
+def test_hash_split_deterministic(spark):
+    from obsplus_spark.operators.dedup import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    # deterministic: second run identical
+    out2 = {r.split: r["count"] for r in hash_split(df).groupBy("split").count().collect()}
+    assert counts == out2
+    # roughly proportional (md5 is uniform; 2000 rows → loose bounds)
+    assert counts["train"] > 1600 and counts["val"] < 250 and counts["test"] < 250
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"train": 50, "val": 10})
+
+
+def test_hash_downsample_per_group(spark):
+    from obsplus_spark.operators.dedup import hash_downsample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(80)], "doc_id long, grp string"
+    )
+    out = hash_downsample_per_group(df, ["grp"], k=10)
+    by = out.groupBy("grp").count().collect()
+    assert {r.grp: r["count"] for r in by} == {"a": 10, "b": 10}
+    # deterministic selection
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in hash_downsample_per_group(df, ["grp"], k=10).collect())
+    assert ids1 == ids2
+
+
+def test_token_estimate_values(spark):
+    from obsplus_spark.operators.text import token_estimate
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a b, c!"), (3, "internationalization"), (4, "42")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", token_estimate("text").alias("n")).collect()}
+    # hello(5)→1+1 world(5)→1+1 = 4
+    assert got[1] == 4
+    # a b , c ! → 5 pre-tokens, no long runs
+    assert got[2] == 5
+    # 20-letter word → 1 pre-token + floor(19/4)=4 subword splits
+    assert got[3] == 5
+    # "42" → two single digits
+    assert got[4] == 2
