@@ -185,3 +185,26 @@ def test_whole_stage_codegen_everywhere(plans):
         n for n, (_, simple) in plans.items() if "*(1)" not in simple
     ]
     assert offenders == []
+
+
+def test_balanced_sample_is_window_group_limit(plans):
+    """Per-group deterministic downsampling keeps k rows per partition
+    before the shuffle — a full per-group sort at 100 TB is the failure
+    mode this pins."""
+    assert "WindowGroupLimit" in plans["balanced_sample"][0]
+
+
+def test_hash_split_is_narrow(plans):
+    """Split assignment is a pure per-row expression: any Exchange in
+    this plan means the operator started shuffling the corpus to label
+    rows — wrong at every scale."""
+    assert "Exchange" not in plans["hash_split"][0]
+
+
+def test_dedup_clusters_rounds_are_aggregates(plans):
+    """Label propagation must stay join+hash-aggregate per round (skew
+    lands on a combinable agg, not a blown-up shuffle join) and must
+    never fall back to Python or a cartesian pair expansion."""
+    p = plans["dedup_clusters"][0]
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
