@@ -3561,8 +3561,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from obsplus_spark.operators.dedup import dedup_clusters, near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
+    # lighter LSH parametrization than the minhash_near_dup query (8
+    # lanes / 2 bands): the candidate set feeds an exact-Jaccard filter
+    # either way, and this query's subject is the component resolution,
+    # not LSH recall — the oracle uses the identical parametrization
     pairs = near_duplicates(
-        docs, n_hashes=16, bands=4, shingle_size=3, threshold=0.2
+        docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
     ).select("id1", "id2")
     # convergence mode: near-dup components are star/clique shaped, so
     # the fixed point lands in ~2 rounds — paying one tiny driver action
@@ -3574,7 +3578,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _clusters_sql() -> str:
     return f"""
-    WITH RECURSIVE p AS ({_minhash_sql()}),
+    WITH RECURSIVE p AS ({_minhash_sql(8, 2)}),
     e AS (
       SELECT id1 AS a, id2 AS b FROM p
       UNION ALL
@@ -3663,6 +3667,75 @@ _SQL_TOKEN_EST = r"""
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over a REAL container codec (PPMV:
+    length-prefixed concatenated netpbm frames, pure stdlib): per-user
+    videos synthesized from sorted event bytes (16-px 1-row frames),
+    encoded, then every 3rd frame seek-sampled and reduced to stats —
+    skipped frames are never decoded. Covers the frame-sample leg of the
+    multimodal surface with exact integer oracle formulas."""
+    from obsplus_spark.operators.multimodal import sample_video_frames
+    from obsplus_spark.util import sorted_group_apply
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "user_id",
+        (
+            F.col("event_id") * 256 + (F.col("event_id") * 37 + 11) % 256
+        ).alias("pk"),
+    )
+
+    def _make_video(user_id, chunks):
+        import numpy as np
+
+        from obsplus_spark.operators.codecs import encode_ppmv
+
+        x = np.sort(
+            chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        )
+        b = (x % 256).astype(np.uint8)
+        n_frames = len(b) // 16
+        frames = [
+            b[i * 16 : (i + 1) * 16].reshape(1, 16) for i in range(n_frames)
+        ]
+        return (int(user_id), encode_ppmv(frames))
+
+    videos = sorted_group_apply(
+        ev, "user_id", _make_video, "media_id long, payload binary"
+    )
+    return sample_video_frames(videos, every_n=3).select(
+        F.col("media_id").alias("user_id"),
+        "frame_idx",
+        "f_sum",
+        "f_min",
+        "f_max",
+    )
+
+
+_SQL_VIDEO = """
+    WITH base AS (
+      SELECT user_id,
+             event_id * 256 + (event_id * 37 + 11) % 256 AS pk
+      FROM events WHERE user_id < 40
+    ),
+    ord AS (
+      SELECT user_id, pk % 256 AS b,
+             row_number() OVER (PARTITION BY user_id ORDER BY pk) - 1 AS pos
+      FROM base
+    ),
+    framed AS (
+      SELECT user_id, CAST(pos // 16 AS BIGINT) AS frame_idx,
+             sum(b) AS f_sum, min(b) AS f_min, max(b) AS f_max,
+             count(*) AS n
+      FROM ord GROUP BY user_id, pos // 16
+    )
+    SELECT user_id, frame_idx,
+           CAST(f_sum AS BIGINT) AS f_sum,
+           CAST(f_min AS BIGINT) AS f_min,
+           CAST(f_max AS BIGINT) AS f_max
+    FROM framed WHERE n = 16 AND frame_idx % 3 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3678,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "video_frames": q_video_frames,
         "dedup_clusters": q_dedup_clusters,
         "hash_split": q_hash_split,
         "balanced_sample": q_balanced_sample,
@@ -3755,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "video_frames": _SQL_VIDEO,
         "dedup_clusters": _clusters_sql(),
         "hash_split": _SQL_SPLIT,
         "balanced_sample": _SQL_BALANCED,

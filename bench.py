@@ -71,7 +71,7 @@ def main() -> None:
         "dedup_clusters",
     }
 
-    # best-of-3 per query: the host is shared, single runs show ±5×
+    # best-of-4 per query: the host is shared, single runs show ±5×
     # scheduler noise; the min is the reproducible cost of the plan.
     # Plans are DEFINED once per session (a long-running Spark app builds
     # its DataFrames/views once and executes them many times; py4j
@@ -88,7 +88,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         builds[name] = round(time.perf_counter() - t0, 4)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             if name in rebuild_each_rep:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -236,3 +236,53 @@ def decode_features(payload: bytes, fmt: str | None, dim: int = 16) -> list[floa
     except (ValueError, struct.error, IndexError):
         return None
     return None
+
+
+# --------------------------------------------------------------------------
+# PPMV (toy video container: length-prefixed concatenated netpbm frames)
+# --------------------------------------------------------------------------
+
+_PPMV_MAGIC = b"PPMV"
+
+
+def encode_ppmv(frames: list) -> bytes:
+    """Concatenated-netpbm video container, pure stdlib.
+
+    Layout: ``b"PPMV"`` + uint32 frame count + per frame (uint32 length +
+    netpbm payload). Deterministic; every frame is independently
+    decodable, which is what makes server-side frame *sampling* cheap —
+    a sampler seeks by length prefix and decodes only the frames it
+    keeps (the real property frame-sampling at 100 TB depends on; the
+    entropy-coded containers this stands in for are stubbed because the
+    container image has no ffmpeg).
+    """
+    import struct
+
+    out = [_PPMV_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        p = encode_ppm(f)
+        out.append(struct.pack("<I", len(p)))
+        out.append(p)
+    return b"".join(out)
+
+
+def decode_ppmv(payload: bytes, every_n: int = 1) -> list:
+    """Decode every ``every_n``-th frame (0, n, 2n, ...) of a PPMV blob.
+
+    Skipped frames are seeked over by their length prefix, never decoded.
+    Returns ``[(frame_index, ndarray), ...]``.
+    """
+    import struct
+
+    if payload[:4] != _PPMV_MAGIC:
+        raise ValueError("not a PPMV payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    pos = 8
+    out = []
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if i % every_n == 0:
+            out.append((i, decode_ppm(payload[pos : pos + ln])))
+        pos += ln
+    return out

@@ -213,3 +213,58 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_n: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed video frame sampling over PPMV containers: every
+    ``every_n``-th frame is decoded (skipped frames are *seeked over* by
+    length prefix — the sampler's cost is proportional to frames kept,
+    not frames stored) and reduced to per-frame stats. One Arrow-batched
+    pass, bytes never leave the executors; undecodable payloads drop
+    (PERMISSIVE convention).
+
+    Output: (media_id, frame_idx, h, w, f_sum, f_min, f_max).
+    """
+    import pandas as pd
+
+    from obsplus_spark.operators.codecs import decode_ppmv
+    from obsplus_spark.util import ensure_parallelism
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = decode_ppmv(bytes(p), every_n)
+                except Exception:
+                    continue
+                for idx, arr in frames:
+                    rows.append(
+                        (
+                            int(mid),
+                            int(idx),
+                            int(arr.shape[0]),
+                            int(arr.shape[1]),
+                            int(arr.sum()),
+                            int(arr.min()),
+                            int(arr.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "h", "w",
+                    "f_sum", "f_min", "f_max",
+                ],
+            )
+
+    return ensure_parallelism(media).mapInPandas(
+        _batches,
+        "media_id long, frame_idx long, h long, w long,"
+        " f_sum long, f_min long, f_max long",
+    )

@@ -131,3 +131,31 @@ def test_spark_extract_features_real_codecs(spark):
     assert ids == {0, 1, 2, 3}  # wav + png rows dropped
     out = decode_ppm(bytes(resized[0].payload))
     assert out.shape == (4, 4, 3)
+
+
+def test_ppmv_roundtrip_and_seek_sampling():
+    import numpy as np
+
+    from obsplus_spark.operators.codecs import decode_ppmv, encode_ppmv
+
+    frames = [
+        (np.arange(16, dtype=np.uint8) + 10 * i).reshape(1, 16)
+        for i in range(7)
+    ]
+    blob = encode_ppmv(frames)
+    # full decode
+    all_f = decode_ppmv(blob)
+    assert [i for i, _ in all_f] == list(range(7))
+    for (_, got), want in zip(all_f, frames):
+        assert (got == want).all()
+    # every-3rd sampling decodes exactly frames 0, 3, 6
+    sampled = decode_ppmv(blob, every_n=3)
+    assert [i for i, _ in sampled] == [0, 3, 6]
+    for i, got in sampled:
+        assert (got == frames[i]).all()
+    # empty video and corrupt magic
+    assert decode_ppmv(encode_ppmv([])) == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_ppmv(b"JUNK" + blob[4:])

@@ -38,6 +38,7 @@ PYTHON_STAGE_QUERIES = {
     "quakeml_rt",       # QuakeML XML codec
     "stationxml_rt",    # StationXML parser
     "stream_proc",      # user Stream→Stream callback (applyInPandas)
+    "video_frames",     # PPMV video container codec + frame sampler
 }
 
 _PY_MARKERS = (
