@@ -3713,6 +3713,65 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style pretraining quality rules as per-doc flag columns
+    (word-count bounds, mean word length, symbol ratio, duplicate-line
+    mass) — pure scan-speed expressions; the oracle replays every formula
+    in SQL."""
+    from obsplus_spark.operators.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs)
+
+
+_SQL_QUALITY = r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+             length(regexp_replace(text, '\s', '', 'g')) AS nws_chars,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+               AS n_sym,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> length(x) > 0) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0
+                  THEN nws_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mwl,
+             CASE WHEN n_chars > 0
+                  THEN n_sym / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS symr,
+             coalesce(list_sum(list_transform(lines,
+               x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                         THEN length(x) ELSE 0 END)), 0) AS dup_chars,
+             coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+               AS line_chars
+      FROM base
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(symr, 6) AS symbol_ratio,
+           round(CASE WHEN line_chars > 0
+                      THEN dup_chars / CAST(line_chars AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_line_ratio,
+           n_words BETWEEN 5 AND 100000 AS ok_word_count,
+           mwl BETWEEN 2.0 AND 12.0 AS ok_mean_word_len,
+           symr <= 0.3 AS ok_symbol_ratio,
+           (CASE WHEN line_chars > 0
+                 THEN dup_chars / CAST(line_chars AS DOUBLE)
+                 ELSE 0.0 END) <= 0.5 AS ok_dup_lines,
+           (n_words BETWEEN 5 AND 100000) AND (mwl BETWEEN 2.0 AND 12.0)
+             AND symr <= 0.3
+             AND (CASE WHEN line_chars > 0
+                       THEN dup_chars / CAST(line_chars AS DOUBLE)
+                       ELSE 0.0 END) <= 0.5 AS keep
+    FROM m
+"""
+
+
 _SQL_VIDEO = """
     WITH base AS (
       SELECT user_id,
@@ -3753,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "quality_flags": q_quality_flags,
         "video_frames": q_video_frames,
         "dedup_clusters": q_dedup_clusters,
         "hash_split": q_hash_split,
@@ -3831,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "quality_flags": _SQL_QUALITY,
         "video_frames": _SQL_VIDEO,
         "dedup_clusters": _clusters_sql(),
         "hash_split": _SQL_SPLIT,

@@ -152,3 +152,85 @@ def language_id_heuristic(
         ),
         hits_best.alias("marker_hits"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.3,
+    max_dup_line_ratio: float = 0.5,
+) -> DataFrame:
+    """Gopher/C4-style pretraining quality rules as boolean flag columns.
+
+    Each rule is a pure per-row JVM expression over the document — the
+    filter runs at scan speed on any corpus size, and the flags stay
+    inspectable (a pipeline tunes thresholds by aggregating flags before
+    committing to a drop). Rules (public Gopher §A.1.1 / C4 heuristics,
+    re-expressed):
+
+    - ``ok_word_count``: word count in [min_words, max_words]
+    - ``ok_mean_word_len``: mean word length in [min, max]
+    - ``ok_symbol_ratio``: non-alphanumeric-non-space chars / chars ≤ max
+    - ``ok_dup_lines``: chars in repeated lines / chars ≤ max
+    - ``keep``: conjunction of all rules
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, dup_line_ratio,
+    ok_* flags, keep).
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0), lambda a, w: a + F.length(w)
+        ) / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length(t)
+    n_sym = n_chars - F.length(
+        F.regexp_replace(t, r"[^A-Za-z0-9\s]", "")
+    )
+    sym_ratio = F.when(n_chars > 0, n_sym / n_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    # duplicate-line mass: chars in lines whose exact text appears more
+    # than once in the doc, over total line chars — per-row array math,
+    # no explode (lines = split on newline, trimmed, empties dropped)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda a, x: a
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dup_ratio = F.when(
+        line_chars > 0, dup_chars / line_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_sym = sym_ratio <= max_symbol_ratio
+    ok_dup = dup_ratio <= max_dup_line_ratio
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(dup_ratio, 6).alias("dup_line_ratio"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_dup.alias("ok_dup_lines"),
+        (ok_wc & ok_mwl & ok_sym & ok_dup).alias("keep"),
+    )

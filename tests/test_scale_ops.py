@@ -295,3 +295,26 @@ def test_token_estimate_values(spark):
     assert got[3] == 5
     # "42" → two single digits
     assert got[4] == 2
+
+
+def test_quality_filter_rules(spark):
+    from obsplus_spark.operators.text import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "this is a perfectly ordinary sentence of text"),
+            (2, "too short"),                              # < 5 words
+            (3, "!!! ??? *** $$$ %%% ^^^ &&& ((( )))"),    # symbol soup
+            (4, "ab " * 10),                                # mean len < 2? = 2.0 ok
+            (5, "line one\nline one\nline one\nunique bit"),  # dup lines
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_symbol_ratio
+    assert out[4].ok_mean_word_len  # exactly 2.0, inclusive bound
+    assert not out[5].ok_dup_lines and out[5].dup_line_ratio > 0.5
+    assert out[6].n_words == 0 and not out[6].keep
