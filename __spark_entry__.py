@@ -3713,6 +3713,53 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4× ANN memory cut): per-
+    vector max-abs scale, explicit half-up rounding (portable across
+    engine round() conventions). Map-only at any scale; the oracle
+    replays the same formulas with DuckDB list lambdas."""
+    from obsplus_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    return q.selectExpr(
+        "vec_id",
+        "CAST(size(codes) AS BIGINT) AS n_dims",
+        "CAST(aggregate(codes, 0, (a, c) -> a + c) AS BIGINT) AS sum_codes",
+        "CAST(aggregate(codes, 0, (a, c) -> a + abs(c)) AS BIGINT)"
+        " AS sum_abs_codes",
+        "CAST(array_max(codes) AS BIGINT) AS max_code",
+        "round(scale, 9) AS scale",
+    )
+
+
+_SQL_QUANTIZE = """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS amax,
+             embedding
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, amax,
+             CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / amax * 127.0 + 0.5)
+                              AS INT)) END AS codes
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS BIGINT) AS n_dims,
+           CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS sum_codes,
+           CAST(coalesce(list_sum(list_transform(codes, c -> abs(c))), 0)
+             AS BIGINT) AS sum_abs_codes,
+           CAST(list_max(codes) AS BIGINT) AS max_code,
+           round(amax / 127.0, 9) AS scale
+    FROM c
+"""
+
+
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style pretraining quality rules as per-doc flag columns
     (word-count bounds, mean word length, symbol ratio, duplicate-line
@@ -3812,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "embed_quantize": q_embed_quantize,
         "quality_flags": q_quality_flags,
         "video_frames": q_video_frames,
         "dedup_clusters": q_dedup_clusters,
@@ -3891,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "embed_quantize": _SQL_QUANTIZE,
         "quality_flags": _SQL_QUALITY,
         "video_frames": _SQL_VIDEO,
         "dedup_clusters": _clusters_sql(),

@@ -418,3 +418,34 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 vector quantization: ``code_i = floor(x_i / max|x|
+    * 127 + 0.5)`` (explicit half-up — ``round()`` half-even/half-away
+    conventions differ across engines), plus the per-vector scale needed
+    to dequantize. 4× memory cut for ANN probe sets; pure narrow JVM
+    expressions — quantizing 100 TB of embeddings is a map-only pass.
+
+    Output: (id, codes array<int>, scale double). Zero vectors carry
+    scale 0 and all-zero codes.
+    """
+    amax = (
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
+        " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    )
+    codes = (
+        f"CASE WHEN {amax} = 0.0 THEN"
+        f" transform({vec_col}, x -> 0)"
+        f" ELSE transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" / {amax} * 127.0 + 0.5) AS INT)) END"
+    )
+    return vectors.selectExpr(
+        id_col,
+        f"{codes} AS codes",
+        f"CAST({amax} / 127.0 AS DOUBLE) AS scale",
+    )

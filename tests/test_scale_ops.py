@@ -318,3 +318,25 @@ def test_quality_filter_rules(spark):
     assert out[4].ok_mean_word_len  # exactly 2.0, inclusive bound
     assert not out[5].ok_dup_lines and out[5].dup_line_ratio > 0.5
     assert out[6].n_words == 0 and not out[6].keep
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Codes stay in [-127, 127], scale dequantizes within one step, and
+    a zero vector quantizes to zeros with scale 0."""
+    import math
+
+    from obsplus_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [-0.25, 0.125, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert rows[1].codes == [64, -127, 32]  # floor(x/2*127+0.5)
+    assert math.isclose(rows[1].scale, 2.0 / 127.0)
+    assert rows[2].codes == [0, 0, 0] and rows[2].scale == 0.0
+    # dequantization error bounded by half a step
+    for r in (rows[1], rows[3]):
+        orig = {1: [1.0, -2.0, 0.5], 3: [-0.25, 0.125, 0.0]}[r.vec_id]
+        for c, x in zip(r.codes, orig):
+            assert abs(c * r.scale - x) <= r.scale / 2 + 1e-12
