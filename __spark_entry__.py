@@ -3713,6 +3713,53 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-bigram mass, repeated-bigram
+    fraction) via explode → two map-combinable aggregations — the
+    scale-correct shape (per-row nested counting is O(len²)/doc)."""
+    from obsplus_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+_SQL_REPETITION = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1])
+             ELSE [] END AS bigrams
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, u.b FROM bg, unnest(bigrams) AS u(b)
+    ),
+    per AS (
+      SELECT doc_id, b, count(*) AS n FROM ex GROUP BY doc_id, b
+    ),
+    agg AS (
+      SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_n,
+             sum(n - 1) AS dups
+      FROM per GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(a.top_n, 0) AS BIGINT) AS top_bigram_n,
+           round(CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                      THEN a.top_n / CAST(a.n_bigrams AS DOUBLE)
+                      ELSE 0.0 END, 6) AS top_bigram_frac,
+           round(CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                      THEN a.dups / CAST(a.n_bigrams AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_bigram_frac
+    FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (4× ANN memory cut): per-
     vector max-abs scale, explicit half-up rounding (portable across
@@ -3859,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "repetition_stats": q_repetition_stats,
         "embed_quantize": q_embed_quantize,
         "quality_flags": q_quality_flags,
         "video_frames": q_video_frames,
@@ -3939,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "repetition_stats": _SQL_REPETITION,
         "embed_quantize": _SQL_QUANTIZE,
         "quality_flags": _SQL_QUALITY,
         "video_frames": _SQL_VIDEO,

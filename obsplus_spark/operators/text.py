@@ -234,3 +234,63 @@ def quality_filter(
         ok_dup.alias("ok_dup_lines"),
         (ok_wc & ok_mwl & ok_sym & ok_dup).alias("keep"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals: the mass of the most frequent
+    word bigram, and the fraction of bigram occurrences that are
+    repeats (occurrences beyond each distinct bigram's first).
+
+    Shape: explode bigrams → count per (doc, bigram) → one aggregate per
+    doc. Two map-side-combinable aggregations keyed by doc — the
+    scale-correct formulation (a per-row nested-loop count is O(len²)
+    per document, which a 100 TB corpus cannot pay; the explode shuffles
+    each bigram once).
+
+    Output: (id, n_bigrams, top_bigram_n, top_bigram_frac, dup_bigram_frac).
+    Documents with < 2 words emit zero counts.
+    """
+    toks = tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(bigrams).alias("_bg")
+    )
+    per_bg = exploded.groupBy(id_col, "_bg").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    agg = per_bg.groupBy(id_col).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_bg").isNotNull(), F.col("_n"))), F.lit(0)
+        ).alias("n_bigrams"),
+        F.coalesce(
+            F.max(F.when(F.col("_bg").isNotNull(), F.col("_n"))), F.lit(0)
+        ).alias("top_bigram_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bg").isNotNull(), F.col("_n") - 1)),
+            F.lit(0),
+        ).alias("_dups"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("top_bigram_n").cast("long").alias("top_bigram_n"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("top_bigram_n") / F.col("n_bigrams").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("_dups") / F.col("n_bigrams").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )

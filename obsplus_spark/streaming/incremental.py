@@ -131,3 +131,31 @@ def stream_upsert_into_bank(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival of each content fingerprint
+    passes, later duplicates drop — state bounded by the watermark (the
+    fingerprint → seen map ages out with event time, so an unbounded
+    stream holds a bounded dedup window, which is the only honest
+    contract for a forever-running ingest: global forever-dedup state
+    grows without bound).
+
+    Batch twin: :func:`obsplus_spark.operators.dedup.exact_dedup` (the
+    canonical-id groupBy); this is the ``dropDuplicatesWithinWatermark``
+    re-expression over the same md5 fingerprint.
+    """
+    from obsplus_spark.operators.dedup import normalize_text
+    from pyspark.sql import functions as F
+
+    with_fp = docs.withColumn("fingerprint", F.md5(normalize_text(text_col)))
+    wm = with_fp.withWatermark(ts_col, watermark)
+    if hasattr(wm, "dropDuplicatesWithinWatermark"):
+        return wm.dropDuplicatesWithinWatermark(["fingerprint"])
+    return wm.dropDuplicates(["fingerprint"])

@@ -174,3 +174,50 @@ def test_streaming_gap_detector_cross_batch(spark, tmp_path):
     assert [(r.gap_start, r.gap_end, r.gap_duration) for r in rows] == [
         (200, 10_000, 9_800)
     ]
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First arrival of each content fingerprint survives; duplicates in
+    later micro-batches drop while state stays watermark-bounded."""
+    import pyspark.sql.functions as F
+
+    from obsplus_spark.streaming.incremental import streaming_exact_dedup
+
+    src = str(tmp_path / "docs")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out_dir = str(tmp_path / "dedup_out")
+
+    def run():
+        q = (
+            streaming_exact_dedup(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+    write_batch([(1, "hello world", t0), (2, "unique text", t0)])
+    run()
+    # batch 2: exact dup of doc 1 (normalized) + a fresh doc
+    write_batch([(3, "  HELLO   world ", t0), (4, "another doc", t0)])
+    run()
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [1, 2, 4]
