@@ -108,6 +108,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "plan_build_sec": round(sum(builds.values()), 4),
+                # per-query construction cost. NB: queries that run
+                # driver actions during construction (dedup_clusters'
+                # convergence loop) count that execution here, not in
+                # `queries` — their timed reps rebuild, so the headline
+                # still pays it via rebuild_each_rep.
+                "builds": builds,
                 "sf": sf,
             }
         )

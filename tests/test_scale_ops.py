@@ -340,3 +340,24 @@ def test_quantize_int8_roundtrip(spark):
         orig = {1: [1.0, -2.0, 0.5], 3: [-0.25, 0.125, 0.0]}[r.vec_id]
         for c, x in zip(r.codes, orig):
             assert abs(c * r.scale - x) <= r.scale / 2 + 1e-12
+
+
+def test_repetition_stats_values(spark):
+    from obsplus_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab ba ab ba ab → top 'a b'×3 of 5
+            (2, "all words differ here"),
+            (3, "one"),                 # < 2 words → zero bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_bigrams == 5 and got[1].top_bigram_n == 3
+    assert abs(got[1].top_bigram_frac - 0.6) < 1e-9
+    # 5 occurrences over 2 distinct → 3 repeats
+    assert abs(got[1].dup_bigram_frac - 0.6) < 1e-9
+    assert got[2].n_bigrams == 3 and got[2].top_bigram_n == 1
+    assert got[2].dup_bigram_frac == 0.0
+    assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
