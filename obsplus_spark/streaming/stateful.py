@@ -5,8 +5,8 @@ program (see ``operators/gaps.py``). On an unbounded stream of trace
 segments the same semantics need **custom state**: per seed, remember the
 running max end time across micro-batches and emit a gap whenever a new
 segment starts beyond it — exactly the running-max trick, carried in
-``applyInPandasWithState`` (the engine's one custom stateful operator,
-SURVEY §2.9).
+``applyInPandasWithState``. Same file: streaming MinHash-LSH near-dup
+candidate detection (bucket-exemplar state). SURVEY §2.9 / §2.12.
 
 State per key is two longs (running max end, last sampling period) —
 bounded regardless of stream length; timeouts are left to the caller's
@@ -113,6 +113,85 @@ def streaming_gap_detector(segments: DataFrame) -> DataFrame:
         _detect_gaps,
         outputStructType=GAP_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: candidate pairs out of the streaming near-dup detector
+NEAR_DUP_SCHEMA = "id1 string, id2 string, band int, band_hash string"
+NEAR_DUP_STATE = "ids array<string>"
+
+
+def _collide(key, pdf_iter, state: GroupState, max_exemplars: int = 16):
+    """Per-(band, band_hash) kernel: remember up to ``max_exemplars`` doc
+    ids seen in this bucket across ALL micro-batches; every new arrival
+    emits a candidate pair against each remembered exemplar (and the
+    other arrivals of its own batch). State is a bounded id list — the
+    cap trades recall inside pathological mega-buckets for a hard memory
+    bound, the same trade a batch LSH salting pass makes."""
+    import pandas as pd
+
+    band, band_hash = key
+    seen: list = list(state.get[0]) if state.exists else []
+
+    rows = []
+    for pdf in pdf_iter:
+        for did in pdf["doc_id"].astype(str):
+            for other in seen:
+                if other != did:
+                    lo, hi = sorted((other, did))
+                    rows.append((lo, hi, int(band), str(band_hash)))
+            if len(seen) < max_exemplars:
+                seen.append(did)
+
+    state.update((seen,))
+    yield pd.DataFrame(rows, columns=["id1", "id2", "band", "band_hash"])
+
+
+def streaming_near_dup_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Streaming MinHash-LSH candidate detection: each document's band
+    hashes are computed with the SAME narrow expressions as the batch
+    pipeline (``minhash_signatures`` — per-row, streamable), then a
+    stateful shuffle on (band, band_hash) compares each arrival against
+    the bucket's remembered exemplars — near-dup pairs whose members
+    arrive in DIFFERENT micro-batches are exactly what the state buys
+    over re-running the batch detector per batch.
+
+    Emits candidate pairs (downstream exact-Jaccard verification is a
+    batch join against the corpus, as in the batch pipeline); duplicates
+    across bands dedup downstream.
+    """
+    from pyspark.sql import functions as F
+
+    from obsplus_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes)
+    rows_per_band = n_hashes // bands
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'band_hash', md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{j}"
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"explode(array({band_structs}))").alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        _collide,
+        outputStructType=NEAR_DUP_SCHEMA,
+        stateStructType=NEAR_DUP_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

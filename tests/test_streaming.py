@@ -221,3 +221,51 @@ def test_streaming_exact_dedup(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(out_dir).collect()
     )
     assert got == [1, 2, 4]
+
+
+def test_streaming_near_dup_cross_batch(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch must pair with
+    the bucket exemplar remembered from an earlier batch."""
+    from obsplus_spark.streaming.stateful import streaming_near_dup_candidates
+
+    src = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out_dir = str(tmp_path / "pairs_out")
+
+    def run():
+        q = (
+            streaming_near_dup_candidates(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    write_batch([(1, base), (2, "completely different text about other topics entirely here")])
+    run()
+    n_first = spark.read.parquet(out_dir).count()
+    # batch 2: exact copy of doc 1 → same signature → same buckets
+    write_batch([(3, base)])
+    run()
+    pairs = {
+        (r.id1, r.id2)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("1", "3") in pairs
+    # the unrelated doc never paired
+    assert not any("2" in p for p in pairs)
+    assert n_first == 0  # nothing paired within the first batch
