@@ -80,3 +80,42 @@ def test_bank_fetcher_gaps_roundtrip(spark, tmp_path):
         sampling_period_col=None,
     )
     assert segs.count() == 2  # one merged island per event window
+
+
+def test_events_ts_normalized_to_ns_long(spark, tmp_path):
+    """The driver's events.parquet has shipped `ts` both as
+    TIMESTAMP(NANOS) (int64 under nanosAsLong) and as timestamp[us]/NTZ —
+    `_t()` must yield int64 epoch-ns either way (round 3 broke on this:
+    every ts-deriving query threw CAST errors). Synthesizes a
+    timestamp[us] twin and asserts identical values to the raw int64
+    interpretation."""
+    import datetime as dt
+    import os
+
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    import __spark_entry__ as m
+
+    # timestamp[us] variant (what the driver ships today)
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    rows = [
+        (1, dt.datetime(2020, 1, 1, 0, 0, 0, 123456)),
+        (2, dt.datetime(2020, 6, 1, 12, 30, 0, 999999)),
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp_ntz").write.parquet(
+        f"{d}/events.parquet"
+    )
+    os.environ["SPARK_GRAFT_CACHE"] = "0"
+    try:
+        got = m._t(spark, d, "events")
+        assert isinstance(got.schema["ts"].dataType, T.LongType)
+        vals = {r.event_id: r.ts for r in got.collect()}
+    finally:
+        os.environ.pop("SPARK_GRAFT_CACHE")
+    assert vals[1] == 1577836800123456000  # 2020-01-01T00:00:00.123456Z in ns
+    assert vals[2] % 1000 == 0  # µs precision → ns multiple of 1000
+    # _ts_ns stays a no-op µs-truncation on the normalized column
+    t = got.select(m._ts_ns().alias("t"), "ts").collect()
+    assert all(r.t == r.ts for r in t)
