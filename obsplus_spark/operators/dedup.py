@@ -594,9 +594,10 @@ def hash_split(
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError("split weights must sum to 100")
+    salt_sql = str(salt).replace("'", "''")  # SQL string-literal escape
     bucket = (
         f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
-        f" '{salt}')), 1, 8), 16, 10) AS BIGINT) % 100"
+        f" '{salt_sql}')), 1, 8), 16, 10) AS BIGINT) % 100"
     )
     case, lo = "CASE", 0
     for name, w in weights.items():

@@ -114,3 +114,45 @@ def test_bucketed_interval_join_matches_bruteforce(spark, left, right, bucket):
         if ls < re_ and le > rs
     )
     assert got == expected
+
+
+def ref_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node → min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+pairs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pairs=pairs_strategy)
+@settings(**SETTINGS)
+def test_dedup_clusters_matches_union_find(spark, pairs):
+    from obsplus_spark.operators.dedup import dedup_clusters
+
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    got = {
+        r.id: r.cluster_id
+        for r in dedup_clusters(df, max_iterations=31).collect()
+    }
+    assert got == ref_components(pairs)
