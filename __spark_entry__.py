@@ -3713,6 +3713,93 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@8 of a TRUE approximation (IVF nprobe=2 of 4 clusters —
+    half the corpus unscanned per query) against exact brute-force top-8:
+    the tuning measurement an ANN deployment runs before picking nprobe.
+    The oracle replicates the full IVF structure (seed centroids, argmax
+    assignment, probe ranking, in-list top-k) in SQL."""
+    from obsplus_spark.operators.similarity import (
+        ann_recall_at_k,
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_assign(
+        emb, n_clusters=4, refine_iterations=0, folded=True
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivf_topk(assignments, centroids, queries, k=8, nprobe=2)
+    exact = cosine_topk(emb, queries, k=8)
+    return ann_recall_at_k(approx, exact, k=8)
+
+
+_SQL_ANN_RECALL = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
+             sqrt(list_dot_product(ev, ev)) AS nrm
+      FROM v WHERE vec_id < 4
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv
+          FROM v WHERE vec_id >= 5 AND vec_id < 10),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.ev, c.c)
+                   / (sqrt(list_dot_product(v.ev, v.ev)) * c.nrm) DESC,
+                 c.cluster) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.query_id, c.cluster,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, c.c) / c.nrm DESC, c.cluster) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 list_dot_product(v.ev, q.qv)
+                   / (sqrt(list_dot_product(v.ev, v.ev))
+                      * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 a.vec_id) AS rn
+        FROM probe p
+        JOIN asg a ON a.cluster = p.cluster
+        JOIN v ON v.vec_id = a.vec_id
+        JOIN q ON q.query_id = p.query_id
+      ) WHERE rn <= 8
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(v.ev, q.qv)
+                   / (sqrt(list_dot_product(v.ev, v.ev))
+                      * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 v.vec_id) AS rn
+        FROM v CROSS JOIN q
+      ) WHERE rn <= 8
+    )
+    SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*) / 8.0, 6) AS recall_at_k
+    FROM approx a
+    JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY a.query_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (top-bigram mass, repeated-bigram
     fraction) via explode → two map-combinable aggregations — the
@@ -3906,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "ann_recall": q_ann_recall,
         "repetition_stats": q_repetition_stats,
         "embed_quantize": q_embed_quantize,
         "quality_flags": q_quality_flags,
@@ -3987,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "ann_recall": _SQL_ANN_RECALL,
         "repetition_stats": _SQL_REPETITION,
         "embed_quantize": _SQL_QUANTIZE,
         "quality_flags": _SQL_QUALITY,

@@ -449,3 +449,30 @@ def quantize_int8(
         f"{codes} AS codes",
         f"CAST({amax} / 127.0 AS DOUBLE) AS scale",
     )
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    ``|approx ∩ exact| / k`` per query — the tuning signal for
+    nprobe/bands on a real corpus. One semi join + one aggregate; both
+    inputs are (query, candidate) top-k frames (≤ queries×k rows), so
+    this evaluates at driver-trivial cost no matter the corpus size.
+    """
+    a = approx.select(query_id_col, id_col)
+    e = exact.select(query_id_col, id_col)
+    hits = a.join(e, [query_id_col, id_col], "left_semi")
+    return (
+        hits.groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            query_id_col,
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall_at_k"),
+        )
+    )

@@ -361,3 +361,19 @@ def test_repetition_stats_values(spark):
     assert got[2].n_bigrams == 3 and got[2].top_bigram_n == 1
     assert got[2].dup_bigram_frac == 0.0
     assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
+
+
+def test_ann_recall_at_k(spark):
+    from obsplus_spark.operators.similarity import ann_recall_at_k
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 20), (2, 21), (2, 22)],
+        "query_id long, vec_id long",
+    )
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, vec_id long",
+    )
+    got = {r.query_id: r for r in ann_recall_at_k(approx, exact, k=3).collect()}
+    assert got[1].n_hits == 2 and abs(got[1].recall_at_k - 2 / 3) < 1e-6
+    assert got[2].n_hits == 3 and got[2].recall_at_k == 1.0
