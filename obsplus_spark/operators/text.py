@@ -67,26 +67,30 @@ def text_stats(
     avg_token_len, stopword_ratio, alpha_ratio.
     """
     sw = stopwords or STOPWORDS
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
-    sw_arr = F.array(*[F.lit(s) for s in sw])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    # two batched selectExpr calls (stage 1 computes shared subterms once)
+    # — the Column-object tree with a per-stopword literal array cost
+    # ~0.3 s of py4j/analysis per plan build
+    sw_lits = ", ".join("'" + s.replace("'", "''") + "'" for s in sw)
+    toks_sql = rf"split(trim({text_col}), '\\s+')"
+    staged = df.selectExpr(
+        id_col,
+        f"length({text_col}) AS _len",
+        f"{toks_sql} AS _toks",
+        rf"length(regexp_replace({text_col}, '\\s+', '')) AS _nws",
+        f"length(regexp_replace({text_col}, '[^A-Za-z]', '')) AS _alpha",
+    )
     # counts as longs — matches the BIGINT the oracle engines produce
-    return df.select(
-        F.col(id_col),
-        F.length(text_col).cast("long").alias("n_chars_calc"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-        (F.size(F.array_distinct(toks)) / n_tok.cast("double")).alias(
-            "distinct_ratio"
-        ),
-        (
-            (F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))).cast("double")
-            / n_tok
-        ).alias("avg_token_len"),
-        (n_stop / n_tok.cast("double")).alias("stopword_ratio"),
-        (n_alpha / F.length(text_col).cast("double")).alias("alpha_ratio"),
+    return staged.selectExpr(
+        id_col,
+        "CAST(_len AS BIGINT) AS n_chars_calc",
+        "CAST(size(_toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(_toks)) AS BIGINT) AS n_distinct_tokens",
+        "size(array_distinct(_toks)) / CAST(size(_toks) AS DOUBLE)"
+        " AS distinct_ratio",
+        "CAST(_nws AS DOUBLE) / size(_toks) AS avg_token_len",
+        f"size(filter(_toks, t -> array_contains(array({sw_lits}), t)))"
+        " / CAST(size(_toks) AS DOUBLE) AS stopword_ratio",
+        "_alpha / CAST(_len AS DOUBLE) AS alpha_ratio",
     )
 
 
