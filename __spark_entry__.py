@@ -3713,6 +3713,45 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over the customer synthetic
+    coordinates: uniform 16-bit binning per dimension + bit interleave —
+    the write-layout computation behind multi-column file skipping
+    (plans/layout.py). The oracle replays Spark's width_bucket formula
+    closed-form and the interleave as a disjoint-bit sum."""
+    from obsplus_spark.plans.layout import zorder_key
+
+    geo = _cust_geo(spark, sf_dir).filter(F.col("c_custkey") % 7 == 0)
+    return zorder_key(geo, ["latitude", "longitude"]).select(
+        "c_custkey", F.col("_zkey").alias("zkey")
+    )
+
+
+_SQL_ZORDER = """
+    WITH g AS (
+      SELECT c_custkey,
+             (c_custkey * 37 % 18000) / 100.0 - 90.0 AS lat,
+             (c_custkey * 91 % 36000) / 100.0 - 180.0 AS lon
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    s AS (SELECT min(lat) AS lo1, max(lat) AS hi1,
+                 min(lon) AS lo2, max(lon) AS hi2 FROM g),
+    b AS (
+      SELECT c_custkey,
+             least(65535, greatest(0, CAST(floor((lat - lo1)
+               / ((hi1 + 1e-9 - lo1) / 65536)) AS BIGINT))) AS b1,
+             least(65535, greatest(0, CAST(floor((lon - lo2)
+               / ((hi2 + 1e-9 - lo2) / 65536)) AS BIGINT))) AS b2
+      FROM g, s
+    )
+    SELECT c_custkey,
+           CAST(list_sum(list_transform(range(0, 16),
+             i -> (((b1 >> i) & 1) << (2 * i))
+                + (((b2 >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+    FROM b
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@8 of a TRUE approximation (IVF nprobe=2 of 4 clusters —
     half the corpus unscanned per query) against exact brute-force top-8:
@@ -3993,6 +4032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "zorder_keys": q_zorder_keys,
         "ann_recall": q_ann_recall,
         "repetition_stats": q_repetition_stats,
         "embed_quantize": q_embed_quantize,
@@ -4075,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "zorder_keys": _SQL_ZORDER,
         "ann_recall": _SQL_ANN_RECALL,
         "repetition_stats": _SQL_REPETITION,
         "embed_quantize": _SQL_QUANTIZE,
