@@ -3713,6 +3713,51 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 8-gram with the
+    'eval set' (doc_id % 97 == 0), with the count of distinct shared
+    n-grams — the pre-training hygiene join (broadcast benchmark digests;
+    corpus rows never shuffle). Real pipelines use 8-13-grams; the
+    synthetic corpus' overlapping spans are short, so n=4 here keeps the
+    oracle check non-empty. Self-matches excluded from the corpus side
+    so the flag means leakage, not identity."""
+    from obsplus_spark.operators.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(corpus, benchmark, n=4)
+
+
+_SQL_DECONTAM = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 4 THEN
+               list_transform(range(1, len(w) - 2),
+                 i -> array_to_string(list_slice(w, i, i + 3), ' '))
+             ELSE [] END) AS g
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT u.s FROM grams, unnest(g) AS u(s)
+      WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, u.s FROM grams, unnest(g) AS u(s)
+      WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b ON b.s = c.s
+    GROUP BY c.doc_id
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering keys over the customer synthetic
     coordinates: uniform 16-bit binning per dimension + bit interleave —
@@ -4032,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "decontaminate": q_decontaminate,
         "zorder_keys": q_zorder_keys,
         "ann_recall": q_ann_recall,
         "repetition_stats": q_repetition_stats,
@@ -4115,6 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "decontaminate": _SQL_DECONTAM,
         "zorder_keys": _SQL_ZORDER,
         "ann_recall": _SQL_ANN_RECALL,
         "repetition_stats": _SQL_REPETITION,

@@ -636,3 +636,41 @@ def hash_downsample_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``n``-gram with a benchmark/eval set — the standard pre-training
+    hygiene step (a contaminated doc leaks eval answers into training).
+
+    Shape: both sides reduce to per-doc n-gram digest arrays (narrow),
+    explode, and meet in ONE digest-keyed semi join; per matching doc a
+    count of distinct shared n-grams comes from the same aggregation.
+    The benchmark side is tiny by construction (eval sets are small), so
+    at 100 TB the join broadcasts the benchmark digests — corpus rows
+    never shuffle; a Bloom filter over benchmark digests can pre-prune
+    the explode if even the broadcast is too wide.
+
+    Output: (id, n_shared) for contaminated documents only.
+    """
+    c_sh = shingle_digest_array(corpus, id_col, text_col, n).filter(
+        F.size("shingles") > 0
+    )
+    b_sh = (
+        shingle_digest_array(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("_d"))
+        .distinct()
+    )
+    exploded = c_sh.select(
+        F.col(id_col), F.explode("shingles").alias("_d")
+    )
+    hits = exploded.join(F.broadcast(b_sh), "_d", "left_semi")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )

@@ -377,3 +377,23 @@ def test_ann_recall_at_k(spark):
     got = {r.query_id: r for r in ann_recall_at_k(approx, exact, k=3).collect()}
     assert got[1].n_hits == 2 and abs(got[1].recall_at_k - 2 / 3) < 1e-6
     assert got[2].n_hits == 3 and got[2].recall_at_k == 1.0
+
+
+def test_contamination_check(spark):
+    from obsplus_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares 4-grams
+            (2, "totally unrelated words in this doc"),
+            (3, "alpha beta gamma delta"),                # exactly one 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in contamination_check(corpus, bench, n=4).collect()}
+    # doc 1 shares 'a b g d' and 'b g d e' → 2; doc 3 shares 1; doc 2 absent
+    assert got == {1: 2, 3: 1}
