@@ -3713,6 +3713,41 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: md5-hash groups × window cumsum lay
+    documents head-to-tail into 512-token context bins — the
+    deterministic distributed approximation of greedy packing
+    (parallelism = groups, never a global sort)."""
+    from obsplus_spark.operators.text import packing_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing_plan(docs, context_len=512, n_groups=16)
+
+
+_SQL_PACK = r"""
+    WITH base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 16 AS grp,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, grp, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_before
+      FROM base
+    )
+    SELECT doc_id, grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS bin,
+           CAST(cum_before % 512 AS BIGINT) AS bin_offset
+    FROM c
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 8-gram with the
     'eval set' (doc_id % 97 == 0), with the count of distinct shared
@@ -4077,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so queries without a driver-verified row yet (plus each
     # round's newest) are listed FIRST; long-driver-verified ones follow.
     return {
+        "pack_plan": q_pack_plan,
         "decontaminate": q_decontaminate,
         "zorder_keys": q_zorder_keys,
         "ann_recall": q_ann_recall,
@@ -4161,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "pack_plan": _SQL_PACK,
         "decontaminate": _SQL_DECONTAM,
         "zorder_keys": _SQL_ZORDER,
         "ann_recall": _SQL_ANN_RECALL,

@@ -298,3 +298,51 @@ def repetition_stats(
             F.round(F.col("_dups") / F.col("n_bigrams").cast("double"), 6),
         ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
     )
+
+
+def packing_plan(
+    df: DataFrame,
+    context_len: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing plan: assign each document a (group, bin, offset)
+    inside fixed token-budget context windows — the step before writing
+    packed training batches.
+
+    Scalable shape: documents hash into ``n_groups`` independent packing
+    groups (md5-derived — deterministic, engine-portable), and within a
+    group a window cumsum of token counts lays documents head-to-tail;
+    ``bin = floor(cum_before / context_len)`` cuts the stream into
+    windows. Each group is one window partition — parallelism = n_groups,
+    never a global sort (the greedy first-fit packers are sequential; the
+    cumsum layout is the standard distributed approximation — documents
+    straddling a boundary are truncated/split downstream). Deterministic:
+    same corpus → same plan, any cluster size.
+
+    Output: (id, grp, n_tokens, bin, bin_offset).
+    """
+    n = token_count(text_col)
+    grp = F.expr(
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {int(n_groups)}"
+    )
+    base = df.select(
+        F.col(id_col), grp.alias("grp"), n.cast("long").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "grp",
+        "n_tokens",
+        F.floor(cum_before / F.lit(int(context_len))).cast("long").alias("bin"),
+        (cum_before % F.lit(int(context_len))).cast("long").alias("bin_offset"),
+    )

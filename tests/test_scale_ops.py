@@ -397,3 +397,29 @@ def test_contamination_check(spark):
     got = {r.doc_id: r.n_shared for r in contamination_check(corpus, bench, n=4).collect()}
     # doc 1 shares 'a b g d' and 'b g d e' → 2; doc 3 shares 1; doc 2 absent
     assert got == {1: 2, 3: 1}
+
+
+def test_packing_plan(spark):
+    from obsplus_spark.operators.text import packing_plan
+
+    df = spark.createDataFrame(
+        [(i, "w " * 100) for i in range(20)], "doc_id long, text string"
+    )
+    out = packing_plan(df, context_len=250, n_groups=2).collect()
+    rows = {r.doc_id: r for r in out}
+    assert len(rows) == 20
+    # offsets always within the context window; bins monotone per group
+    by_grp = {}
+    for r in sorted(out, key=lambda r: (r.grp, r.doc_id)):
+        assert 0 <= r.bin_offset < 250
+        assert r.n_tokens == 100
+        prev = by_grp.get(r.grp)
+        if prev is not None:
+            assert r.bin >= prev
+        by_grp[r.grp] = r.bin
+    # cumulative consistency: bin*250 + offset == tokens before the doc
+    seen = {}
+    for r in sorted(out, key=lambda r: (r.grp, r.doc_id)):
+        expect = seen.get(r.grp, 0)
+        assert r.bin * 250 + r.bin_offset == expect
+        seen[r.grp] = expect + r.n_tokens
