@@ -3911,18 +3911,24 @@ _SQL_ANN_RECALL = """
         FROM v CROSS JOIN q
       ) WHERE rn <= 8
     )
-    SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits,
-           round(count(*) / 8.0, 6) AS recall_at_k
-    FROM approx a
-    JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
-    GROUP BY a.query_id
+    , hits AS (
+      SELECT a.query_id, count(*) AS n_hits
+      FROM approx a
+      JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY a.query_id
+    )
+    SELECT qq.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 8.0, 6) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM approx) qq
+    LEFT JOIN hits h ON h.query_id = qq.query_id
 """
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (top-bigram mass, repeated-bigram
-    fraction) via explode → two map-combinable aggregations — the
-    scale-correct shape (per-row nested counting is O(len²)/doc)."""
+    fraction) as map-only in-row array expressions: run-length max over
+    the sorted per-row bigram array — zero shuffles, no bigram ever
+    leaves the scan."""
     from obsplus_spark.operators.text import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")

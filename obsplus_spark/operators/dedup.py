@@ -629,12 +629,65 @@ def hash_downsample_per_group(
     compiles to WindowGroupLimit (rank pushed into the shuffle, no full
     sort of each group at scale).
     """
-    h = f"md5(concat(CAST({id_col} AS STRING), '{salt}'))"
+    salt_sql = str(salt).replace("'", "''")  # SQL string-literal escape
+    h = f"md5(concat(CAST({id_col} AS STRING), '{salt_sql}'))"
     w = Window.partitionBy(*group_cols).orderBy(F.expr(h), F.col(id_col))
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+def gram_hash_array(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "grams",
+) -> DataFrame:
+    """Distinct ``xxhash64`` hashes of a document's word n-grams, as one
+    BIGINT array per row.
+
+    The membership-join consumers (decontamination, set overlap) only
+    ever test gram **equality**, so a 64-bit native hash is the right
+    digest: one xxhash64 per gram instead of an md5 (≈10× cheaper, and
+    integer join keys instead of 32-char strings). NOT a substitute for
+    :func:`shingle_digest_array` — the MinHash lanes need many stride
+    windows from one wide digest. Narrow at any scale; collision odds
+    (~|A|·|B|/2⁶⁴) are immaterial for hygiene counts. Short docs yield
+    an empty array.
+    """
+    from obsplus_spark.util import ensure_parallelism
+
+    # one regex pass: split on \s+ directly (same token list as the
+    # normalize-then-split-on-space form, one fewer full-text regex scan)
+    toks = rf"split(trim(lower({text_col})), '\\s+')"
+    # each TOKEN hashes once (xxhash64 over its string); a gram's hash is
+    # the xxhash64-combine of its n token hashes — n−1 fixed-width int
+    # hashes per gram instead of a gram-string concat + string hash, and
+    # the token-hash array is shared across all n shifted slices.
+    ht = "transform(_toks, t -> xxhash64(t))"
+    if n == 1:
+        dig = "_ht"
+    else:
+        nsh = f"(size(_ht) - {n - 1})"
+        acc = f"slice(_ht, 1, {nsh})"
+        for k in range(1, n):
+            acc = (
+                f"zip_with({acc}, slice(_ht, {k + 1}, {nsh}),"
+                " (a, b) -> xxhash64(a, b))"
+            )
+        dig = acc
+    sh = (
+        f"array_distinct(CASE WHEN size(_ht) >= {n} THEN {dig}"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .select(F.col(id_col), F.expr(ht).alias("_ht"))
+        .select(F.col(id_col), F.expr(sh).alias(out_col))
     )
 
 
@@ -644,31 +697,71 @@ def contamination_check(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    corpus_grams_df: DataFrame | None = None,
+    bloom_bits: int = 1 << 16,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
     ``n``-gram with a benchmark/eval set — the standard pre-training
     hygiene step (a contaminated doc leaks eval answers into training).
 
-    Shape: both sides reduce to per-doc n-gram digest arrays (narrow),
-    explode, and meet in ONE digest-keyed semi join; per matching doc a
-    count of distinct shared n-grams comes from the same aggregation.
-    The benchmark side is tiny by construction (eval sets are small), so
-    at 100 TB the join broadcasts the benchmark digests — corpus rows
-    never shuffle; a Bloom filter over benchmark digests can pre-prune
-    the explode if even the broadcast is too wide.
+    Shape: both sides reduce to per-doc n-gram **xxhash64** arrays
+    (narrow, one cheap integer hash per gram — grams only ever meet by
+    equality, so no cryptographic digest is needed), explode, and meet
+    in ONE digest-keyed semi join; per matching doc a count of distinct
+    shared n-grams comes from the same aggregation. The benchmark side
+    is tiny by construction (eval sets are small), so at 100 TB the join
+    broadcasts the benchmark digests — corpus rows never shuffle.
+
+    Before the explode, each document's gram array is pre-pruned IN-ROW
+    against a ``bloom_bits``-bit Bloom bitmap of the benchmark digests
+    (an ``array<bigint>`` folded once on the eval side and broadcast via
+    a 1-row cross join): only grams whose bit is set — true matches plus
+    the bitmap's false-positive few percent — ever become rows, so the
+    explode's output shrinks from every corpus gram to the candidate
+    sliver; the exact semi join then drops the false positives. Size
+    ``bloom_bits`` ≳ 10× the eval-set gram count. Pass
+    ``corpus_grams_df`` (a persisted :func:`gram_hash_array` table) to
+    amortize the gram pass across repeated checks against different
+    eval sets.
 
     Output: (id, n_shared) for contaminated documents only.
     """
-    c_sh = shingle_digest_array(corpus, id_col, text_col, n).filter(
-        F.size("shingles") > 0
-    )
+    c_sh = (
+        corpus_grams_df
+        if corpus_grams_df is not None
+        else gram_hash_array(corpus, id_col, text_col, n)
+    ).filter(F.size("grams") > 0)
     b_sh = (
-        shingle_digest_array(benchmark, id_col, text_col, n)
-        .select(F.explode("shingles").alias("_d"))
+        gram_hash_array(benchmark, id_col, text_col, n)
+        .select(F.explode("grams").alias("_d"))
         .distinct()
     )
-    exploded = c_sh.select(
-        F.col(id_col), F.explode("shingles").alias("_d")
+    n_longs = max(1, int(bloom_bits) // 64)
+    bits = n_longs * 64
+    # 1-row Bloom bitmap over the benchmark digests; broadcast-cross-
+    # joined so the corpus-side filter is a per-row expression (no
+    # driver collect — the bitmap never leaves the executors)
+    mask = b_sh.agg(F.collect_list("_d").alias("_g")).selectExpr(
+        f"aggregate(_g, array_repeat(CAST(0 AS BIGINT), {n_longs}),"
+        " (acc, h) -> transform(acc, (v, i) ->"
+        f" CASE WHEN i = CAST(pmod(h, {bits}) / 64 AS INT)"
+        f" THEN v | shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(pmod(h, {bits}) % 64 AS INT))"
+        " ELSE v END)) AS _mask"
+    )
+    probe = (
+        f"filter(grams, g -> (element_at(_mask,"
+        f" CAST(pmod(g, {bits}) / 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(pmod(g, {bits}) % 64 AS INT))) != 0)"
+    )
+    cand = (
+        c_sh.crossJoin(F.broadcast(mask))
+        .select(F.col(id_col), F.expr(probe).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    exploded = cand.select(
+        F.col(id_col), F.explode("grams").alias("_d")
     )
     hits = exploded.join(F.broadcast(b_sh), "_d", "left_semi")
     return hits.groupBy(id_col).agg(

@@ -240,13 +240,14 @@ def sample_video_frames(
             rows = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
+                    mid_i = int(mid)
                     frames = decode_ppmv(bytes(p), every_n)
                 except Exception:
-                    continue
+                    continue  # PERMISSIVE: bad id or payload drops the row
                 for idx, arr in frames:
                     rows.append(
                         (
-                            int(mid),
+                            mid_i,
                             int(idx),
                             int(arr.shape[0]),
                             int(arr.shape[1]),

@@ -463,16 +463,28 @@ def ann_recall_at_k(
     nprobe/bands on a real corpus. One semi join + one aggregate; both
     inputs are (query, candidate) top-k frames (≤ queries×k rows), so
     this evaluates at driver-trivial cost no matter the corpus size.
+
+    Every query present in ``approx`` gets a row — a query whose
+    approx∩exact overlap is empty reports ``n_hits = 0`` (dropping it
+    would overstate the averaged recall).
     """
     a = approx.select(query_id_col, id_col)
     e = exact.select(query_id_col, id_col)
-    hits = a.join(e, [query_id_col, id_col], "left_semi")
+    hits = (
+        a.join(e, [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("_n_hits"))
+    )
+    all_q = a.select(query_id_col).distinct()
     return (
-        hits.groupBy(query_id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        all_q.join(hits, query_id_col, "left")
         .select(
             query_id_col,
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall_at_k"),
+            F.coalesce(F.col("_n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("_n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
         )
     )

@@ -186,57 +186,71 @@ def quality_filter(
     Output: (id, n_words, mean_word_len, symbol_ratio, dup_line_ratio,
     ok_* flags, keep).
     """
-    t = F.col(text_col)
-    toks = tokens(text_col)
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
-    mean_wl = F.when(
-        n_words > 0,
-        F.aggregate(
-            toks, F.lit(0), lambda a, w: a + F.length(w)
-        ) / n_words.cast("double"),
-    ).otherwise(F.lit(0.0))
-    n_chars = F.length(t)
-    n_sym = n_chars - F.length(
-        F.regexp_replace(t, r"[^A-Za-z0-9\s]", "")
+    # staged selectExpr strings: cheap plan build (no py4j Column loops)
+    # and every shared subterm computed exactly once. The duplicate-line
+    # mass walks the SORTED line array once with a run-length accumulator
+    # — O(L log L) per row; the earlier nested filter-per-line was O(L²)
+    # and dominated this operator's runtime on liney docs.
+    stage1 = df.selectExpr(
+        id_col,
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0"
+        rf" ELSE size(split(trim({text_col}), '\\s+')) END AS _nw",
+        rf"length(regexp_replace({text_col}, '\\s+', '')) AS _nws",
+        f"length({text_col}) AS _nchars",
+        f"length({text_col}) - length(regexp_replace({text_col},"
+        rf" '[^A-Za-z0-9\\s]', '')) AS _nsym",
+        rf"array_sort(filter(transform(split({text_col}, '\\n'),"
+        " x -> trim(x)), x -> length(x) > 0)) AS _sl",
     )
-    sym_ratio = F.when(n_chars > 0, n_sym / n_chars.cast("double")).otherwise(
-        F.lit(0.0)
+    # run-length over the sorted lines: chars in any line occurring >1×
+    # (2nd occurrence retro-credits the 1st: +2·len, later ones +len)
+    dup_chars = (
+        "aggregate(_sl,"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 1, 'dup', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,"
+        "   'dup', acc.dup + CASE WHEN x = acc.prev THEN"
+        "     CASE WHEN acc.run = 1 THEN 2 * length(x)"
+        "     ELSE length(x) END ELSE 0 END),"
+        " acc -> acc.dup)"
     )
-    # duplicate-line mass: chars in lines whose exact text appears more
-    # than once in the doc, over total line chars — per-row array math,
-    # no explode (lines = split on newline, trimmed, empties dropped)
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
-        lambda x: F.length(x) > 0,
+    stage2 = stage1.selectExpr(
+        id_col,
+        "_nw",
+        "CASE WHEN _nw > 0 THEN _nws / CAST(_nw AS DOUBLE)"
+        " ELSE 0.0 END AS _mwl",
+        "CASE WHEN _nchars > 0 THEN _nsym / CAST(_nchars AS DOUBLE)"
+        " ELSE 0.0 END AS _symr",
+        f"{dup_chars} AS _dupc",
+        "aggregate(_sl, 0, (a, x) -> a + length(x)) AS _linec",
     )
-    dup_chars = F.aggregate(
-        lines,
-        F.lit(0),
-        lambda a, x: a
-        + F.when(
-            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(F.lit(0)),
+    stage3 = stage2.selectExpr(
+        id_col,
+        "_nw",
+        "_mwl",
+        "_symr",
+        "CASE WHEN _linec > 0 THEN _dupc / CAST(_linec AS DOUBLE)"
+        " ELSE 0.0 END AS _dupr",
     )
-    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
-    dup_ratio = F.when(
-        line_chars > 0, dup_chars / line_chars.cast("double")
-    ).otherwise(F.lit(0.0))
-
-    ok_wc = (n_words >= min_words) & (n_words <= max_words)
-    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-    ok_sym = sym_ratio <= max_symbol_ratio
-    ok_dup = dup_ratio <= max_dup_line_ratio
-    return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(sym_ratio, 6).alias("symbol_ratio"),
-        F.round(dup_ratio, 6).alias("dup_line_ratio"),
-        ok_wc.alias("ok_word_count"),
-        ok_mwl.alias("ok_mean_word_len"),
-        ok_sym.alias("ok_symbol_ratio"),
-        ok_dup.alias("ok_dup_lines"),
-        (ok_wc & ok_mwl & ok_sym & ok_dup).alias("keep"),
+    ok_wc = f"(_nw >= {int(min_words)} AND _nw <= {int(max_words)})"
+    ok_mwl = (
+        f"(_mwl >= {float(min_mean_word_len)}"
+        f" AND _mwl <= {float(max_mean_word_len)})"
+    )
+    ok_sym = f"(_symr <= {float(max_symbol_ratio)})"
+    ok_dup = f"(_dupr <= {float(max_dup_line_ratio)})"
+    return stage3.selectExpr(
+        id_col,
+        "CAST(_nw AS BIGINT) AS n_words",
+        "round(_mwl, 6) AS mean_word_len",
+        "round(_symr, 6) AS symbol_ratio",
+        "round(_dupr, 6) AS dup_line_ratio",
+        f"{ok_wc} AS ok_word_count",
+        f"{ok_mwl} AS ok_mean_word_len",
+        f"{ok_sym} AS ok_symbol_ratio",
+        f"{ok_dup} AS ok_dup_lines",
+        f"({ok_wc} AND {ok_mwl} AND {ok_sym} AND {ok_dup}) AS keep",
     )
 
 
@@ -249,54 +263,56 @@ def repetition_stats(
     word bigram, and the fraction of bigram occurrences that are
     repeats (occurrences beyond each distinct bigram's first).
 
-    Shape: explode bigrams → count per (doc, bigram) → one aggregate per
-    doc. Two map-side-combinable aggregations keyed by doc — the
-    scale-correct formulation (a per-row nested-loop count is O(len²)
-    per document, which a 100 TB corpus cannot pay; the explode shuffles
-    each bigram once).
+    Shape: **map-only** — a document's bigrams already live in one row,
+    so every statistic is an in-row array expression: ``n_bigrams`` is
+    the array size, the repeat fraction falls out of ``array_distinct``,
+    and the top-bigram count is a run-length maximum over the *sorted*
+    bigram array (one aggregate pass, O(m log m) per row for the sort).
+    Zero shuffles at any corpus size — no bigram ever leaves the scan
+    (the earlier explode → two-groupBy formulation shuffled every bigram
+    occurrence once; correct but needlessly wide).
 
     Output: (id, n_bigrams, top_bigram_n, top_bigram_frac, dup_bigram_frac).
     Documents with < 2 words emit zero counts.
     """
-    toks = tokens(text_col)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
-        F.col(id_col), F.explode_outer(bigrams).alias("_bg")
+    stage1 = df.selectExpr(
+        id_col,
+        rf"split(trim({text_col}), '\\s+') AS _toks",
+    ).selectExpr(
+        id_col,
+        "CASE WHEN size(_toks) >= 2 THEN"
+        " zip_with(slice(_toks, 1, size(_toks) - 1),"
+        " slice(_toks, 2, size(_toks) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END AS _bg",
     )
-    per_bg = exploded.groupBy(id_col, "_bg").agg(
-        F.count(F.lit(1)).alias("_n")
+    # top-bigram count: run-length max over the sorted array (duplicates
+    # are adjacent after the sort; comparing against NULL prev starts a
+    # fresh run). Empty arrays keep the seed best = 0.
+    top_n = (
+        "aggregate(array_sort(_bg),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,"
+        "   'best', greatest(acc.best,"
+        "     CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),"
+        " acc -> acc.best)"
     )
-    agg = per_bg.groupBy(id_col).agg(
-        F.coalesce(
-            F.sum(F.when(F.col("_bg").isNotNull(), F.col("_n"))), F.lit(0)
-        ).alias("n_bigrams"),
-        F.coalesce(
-            F.max(F.when(F.col("_bg").isNotNull(), F.col("_n"))), F.lit(0)
-        ).alias("top_bigram_n"),
-        F.coalesce(
-            F.sum(F.when(F.col("_bg").isNotNull(), F.col("_n") - 1)),
-            F.lit(0),
-        ).alias("_dups"),
+    stats = stage1.selectExpr(
+        id_col,
+        "size(_bg) AS _n",
+        f"{top_n} AS _top",
+        "size(_bg) - size(array_distinct(_bg)) AS _dups",
     )
-    return agg.select(
-        F.col(id_col),
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        F.col("top_bigram_n").cast("long").alias("top_bigram_n"),
-        F.when(
-            F.col("n_bigrams") > 0,
-            F.round(F.col("top_bigram_n") / F.col("n_bigrams").cast("double"), 6),
-        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
-        F.when(
-            F.col("n_bigrams") > 0,
-            F.round(F.col("_dups") / F.col("n_bigrams").cast("double"), 6),
-        ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    return stats.selectExpr(
+        id_col,
+        "CAST(_n AS BIGINT) AS n_bigrams",
+        "CAST(_top AS BIGINT) AS top_bigram_n",
+        "CASE WHEN _n > 0 THEN round(_top / CAST(_n AS DOUBLE), 6)"
+        " ELSE 0.0 END AS top_bigram_frac",
+        "CASE WHEN _n > 0 THEN round(_dups / CAST(_n AS DOUBLE), 6)"
+        " ELSE 0.0 END AS dup_bigram_frac",
     )
 
 

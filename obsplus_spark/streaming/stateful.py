@@ -142,7 +142,9 @@ def _collide(key, pdf_iter, state: GroupState, max_exemplars: int = 16):
                 if other != did:
                     lo, hi = sorted((other, did))
                     rows.append((lo, hi, int(band), str(band_hash)))
-            if len(seen) < max_exemplars:
+            # re-delivered docs must not duplicate their exemplar entry
+            # (a replay would waste a bounded slot and re-emit its pairs)
+            if did not in seen and len(seen) < max_exemplars:
                 seen.append(did)
 
     state.update((seen,))

@@ -5,7 +5,7 @@ shared host drifts 2× between hours — a ratio is only meaningful when
 both sides are measured back-to-back): warmup pass, then best-of-N per
 query. Prints per-query and total ratios.
 
-Usage: python tools/bench_compare.py [sf_dir] [reps]
+Usage: python tools/bench_compare.py [sf_dir] [reps] [query ...]
 """
 
 from __future__ import annotations
@@ -29,6 +29,7 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    only = set(sys.argv[3:])
 
     # --- engine side (bench.py protocol) ---
     spark = get_spark(
@@ -37,6 +38,8 @@ def main() -> int:
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     qs = m.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     for fn in qs.values():  # warmup at the bench SF (JIT + caches)
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     rebuild = {"minhash_near_dup", "prune_orphans", "common_coverage",
@@ -61,6 +64,8 @@ def main() -> int:
             f" read_parquet('{sf_dir}/{t}.parquet')"
         )
     sqls = m.oracle_sql()
+    if only:
+        sqls = {n: s for n, s in sqls.items() if n in only}
     for s in sqls.values():
         con.execute(s).fetchall()
     duck: dict[str, float] = {}
