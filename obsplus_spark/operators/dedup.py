@@ -496,6 +496,7 @@ def dedup_clusters(
     id2_col: str = "id2",
     max_iterations: int = 20,
     check_convergence: bool = True,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: each member id is
     labeled with the **minimum id reachable** in its component
@@ -517,8 +518,16 @@ def dedup_clusters(
     ``check_convergence=True`` persists each round's labels, pays one
     count action per round, and exits at the first stable round;
     ``check_convergence=False`` lazily builds ``max_iterations`` rounds
-    (zero driver actions — correct iff the true diameter is within the
-    bound).
+    (zero driver actions for bounds below ``checkpoint_every`` — correct
+    iff the true diameter is within the bound). Beyond-toy bounds in
+    lazy mode checkpoint the label table every ``checkpoint_every``
+    rounds (``localCheckpoint`` — executor-local, no HDFS dir): an
+    n-round lazily-stacked join+agg chain is an n-deep plan whose
+    Catalyst analysis cost grows quadratically and whose failure
+    recovery replays everything; the checkpoint bounds both. Rounds at
+    or past a checkpoint do run jobs at build time — that is the price
+    of bounded lineage, and only paid when the caller asks for a deep
+    bound.
 
     Returns (id, cluster_id), one row per id that appears in ``pairs``.
     """
@@ -557,8 +566,14 @@ def dedup_clusters(
 
     if not check_convergence:
         lbl = labels
-        for _ in range(max_iterations):
+        for i in range(1, max_iterations + 1):
             lbl = step(lbl)
+            if (
+                checkpoint_every
+                and i % checkpoint_every == 0
+                and i < max_iterations
+            ):
+                lbl = lbl.localCheckpoint()
         return lbl
 
     lbl = labels.persist()

@@ -113,15 +113,53 @@ def segments_df(
     end_col: str = "endtime",
     min_gap: int | None = None,
     sampling_period_col: str | None = "sampling_period",
+    pre_merge: bool = False,
 ) -> DataFrame:
     """Contiguous coverage islands per key group.
 
     Implemented directly as sessionize → per-session min/max (+ row count),
     rather than the reference's gap-inversion (``wavebank.py:523-577``) —
     identical result, one fewer pass.
+
+    ``pre_merge=True`` (requires a positive integer ``min_gap`` and
+    intervals with ``end ≥ start``) first hash-aggregates intervals on
+    ``(keys, floor(start / min_gap))``: two intervals whose starts share
+    a ``min_gap``-wide bucket satisfy ``startⱼ − prev_run_end ≤ startⱼ −
+    startᵢ < min_gap``, so the session rule can never split them — the
+    bucket collapses to (min start, max end, count) **map-side, without
+    any sort**, and the sort-heavy sessionize window runs over the tiny
+    merged table instead of every raw interval. The win at scale: the
+    shuffle+sort that dominated sessionization now moves one row per
+    (key, occupied bucket) instead of one per interval; low-cardinality
+    key sets (the worst case for a per-key sort window) stop mattering.
+    Exact same output as the direct path — pre-merging only fuses pairs
+    the global session closure fuses anyway.
     """
     keys = list(keys or NSLC)
     part = keys + ([sampling_period_col] if sampling_period_col else [])
+    if pre_merge:
+        if not min_gap or min_gap <= 0 or sampling_period_col is not None:
+            raise ValueError(
+                "pre_merge needs a positive min_gap and no sampling_period_col"
+            )
+        pre = (
+            df.groupBy(
+                *keys,
+                F.floor(F.col(start_col) / F.lit(int(min_gap))).alias("_pbk"),
+            )
+            .agg(
+                F.min(start_col).alias(start_col),
+                F.max(end_col).alias(end_col),
+                F.count(F.lit(1)).alias("_pn"),
+            )
+            .drop("_pbk")
+        )
+        sess = sessionize(pre, keys, start_col, end_col, min_gap, None)
+        return sess.groupBy(*keys, "session_id").agg(
+            F.min(start_col).alias("seg_start"),
+            F.max(end_col).alias("seg_end"),
+            F.sum("_pn").alias("n_rows"),
+        )
     sess = sessionize(
         df, keys, start_col, end_col, min_gap, sampling_period_col
     )

@@ -35,6 +35,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`cosine` (identical fp order)."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+        f" / (sqrt(aggregate({a}, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        f" * sqrt(aggregate({b}, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -52,18 +65,18 @@ def cosine_topk(
     corpus). Ties break on ``id_col`` for determinism.
     """
     q = F.broadcast(queries)
-    scored = vectors.crossJoin(q).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias(sim_col),
+    # single-string SQL expressions (incl. the window) — the Column-object
+    # formulation cost ~0.2 s of py4j round-trips per plan build
+    scored = vectors.crossJoin(q).selectExpr(
+        query_id_col,
+        id_col,
+        f"{_cosine_sql(vec_col, query_vec_col)} AS {sim_col}",
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col(sim_col).desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY {query_id_col}"
+        f" ORDER BY {sim_col} DESC, {id_col} ASC) AS rank",
+    ).filter(f"rank <= {int(k)}")
 
 
 def _refine(assignments: DataFrame, vec_col: str) -> DataFrame:
@@ -261,17 +274,16 @@ def ivf_topk(
         )
     )
 
-    scored = assignments.join(F.broadcast(probes), "cluster").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+    scored = assignments.join(F.broadcast(probes), "cluster").selectExpr(
+        query_id_col,
+        id_col,
+        f"{_cosine_sql(vec_col, query_vec_col)} AS cosine_sim",
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return scored.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY {query_id_col}"
+        f" ORDER BY cosine_sim DESC, {id_col} ASC) AS rank",
+    ).filter(f"rank <= {int(k)}")
 
 
 def embedding_near_dup(
