@@ -4122,60 +4122,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: CORRECTNESS_r02 recorded rows for only the first 50
-    # entries, so queries without a driver-verified row yet (plus each
-    # round's newest) are listed FIRST; long-driver-verified ones follow.
+    # Ordering note: the driver's CORRECTNESS snapshot records rows for
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) queries
+    # whose implementation changed this round lead, (b) then the 30
+    # queries whose last driver row was r1/r2 (judge-verified in r4),
+    # (c) then queries in files touched this round. The final 30 — all
+    # driver-green in CORRECTNESS_r04 and untouched since — sit past the
+    # cap this round and rotate back in next round.
     return {
-        "pack_plan": q_pack_plan,
-        "decontaminate": q_decontaminate,
-        "zorder_keys": q_zorder_keys,
-        "ann_recall": q_ann_recall,
+        # (a) changed this round
         "repetition_stats": q_repetition_stats,
-        "embed_quantize": q_embed_quantize,
         "quality_flags": q_quality_flags,
-        "video_frames": q_video_frames,
+        "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
-        "hash_split": q_hash_split,
-        "balanced_sample": q_balanced_sample,
-        "token_estimate": q_token_estimate,
-        "amp_violations": q_amp_violations,
-        "orphan_arrivals": q_orphan_arrivals,
+        "ann_recall": q_ann_recall,
         "ivf_flat": q_ivf_flat,
-        "embed_near_dup": q_embed_near_dup,
-        "hll_users": q_hll_users,
-        "approx_quantiles": q_approx_quantiles,
-        "bloom_semi": q_bloom_semi,
         "lsh_ann": q_lsh_ann,
-        "sds_chunks": q_sds_chunks,
-        "wav_roundtrip": q_wav_roundtrip,
-        "mseed_roundtrip": q_mseed_roundtrip,
-        "csv_round_trip": q_csv_round_trip,
-        "quakeml_rt": q_quakeml_rt,
-        "stationxml_rt": q_stationxml_rt,
-        "normalize_seed": q_normalize_seed,
-        "stream_proc": q_stream_proc,
-        "fetcher_windows": q_fetcher_windows,
-        "ppm_roundtrip": q_ppm_roundtrip,
-        "fdsn_event_query": q_fdsn_event_query,
-        "glob_filter": q_glob_filter,
-        "json_props": q_json_props,
-        "availability": q_availability,
-        "origin_quality": q_origin_quality,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "event_window_join": q_event_window_join,
-        "asof_join": q_asof_join,
-        "first_event_per_user": q_first_event_per_user,
-        "topk_by_value": q_topk_by_value,
-        "gaps": q_gaps,
-        "segments": q_segments,
-        "uptime": q_uptime,
-        "radius_search": q_radius_search,
-        "spatial_knn": q_spatial_knn,
-        "dateline_box": q_dateline_box,
-        "exact_dedup": q_exact_dedup,
-        "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
+        "video_frames": q_video_frames,
+        "balanced_sample": q_balanced_sample,
+        # (b) driver rows last recorded r1/r2
         "minhash_near_dup": q_minhash_near_dup,
         "knn_cosine": q_knn_cosine,
         "lang_id": q_lang_id,
@@ -4206,6 +4171,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preferred_fallback": q_preferred_fallback,
         "strip_bump": q_strip_bump,
         "p_outliers": q_p_outliers,
+        # (c) same-file neighbors of this round's changes
+        "segments": q_segments,
+        "gaps": q_gaps,
+        "uptime": q_uptime,
+        "text_stats": q_text_stats,
+        "token_estimate": q_token_estimate,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embed_near_dup": q_embed_near_dup,
+        "embed_quantize": q_embed_quantize,
+        "hash_split": q_hash_split,
+        "exact_dedup": q_exact_dedup,
+        "pack_plan": q_pack_plan,
+        # --- driver cap (50) — all below were driver-green in r4 ---
+        "zorder_keys": q_zorder_keys,
+        "amp_violations": q_amp_violations,
+        "orphan_arrivals": q_orphan_arrivals,
+        "hll_users": q_hll_users,
+        "approx_quantiles": q_approx_quantiles,
+        "bloom_semi": q_bloom_semi,
+        "sds_chunks": q_sds_chunks,
+        "wav_roundtrip": q_wav_roundtrip,
+        "mseed_roundtrip": q_mseed_roundtrip,
+        "csv_round_trip": q_csv_round_trip,
+        "quakeml_rt": q_quakeml_rt,
+        "stationxml_rt": q_stationxml_rt,
+        "normalize_seed": q_normalize_seed,
+        "stream_proc": q_stream_proc,
+        "fetcher_windows": q_fetcher_windows,
+        "ppm_roundtrip": q_ppm_roundtrip,
+        "fdsn_event_query": q_fdsn_event_query,
+        "glob_filter": q_glob_filter,
+        "json_props": q_json_props,
+        "availability": q_availability,
+        "origin_quality": q_origin_quality,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "event_window_join": q_event_window_join,
+        "asof_join": q_asof_join,
+        "first_event_per_user": q_first_event_per_user,
+        "topk_by_value": q_topk_by_value,
+        "radius_search": q_radius_search,
+        "spatial_knn": q_spatial_knn,
+        "dateline_box": q_dateline_box,
     }
 
 

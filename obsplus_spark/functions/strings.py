@@ -30,6 +30,23 @@ def glob_to_regex(pattern: str) -> str:
     return translated
 
 
+def glob_to_regex_expr(col: str) -> str:
+    """SQL-expression twin of :func:`glob_to_regex` — translates a glob
+    held in a **column** to an anchored regex entirely in-plan (no Python
+    UDF, so a request-side projection stays JVM-codegen).
+
+    Covers the fnmatch constructs seed codes use: ``*``, ``?``,
+    ``[...]``/``[!...]`` classes, and literal text (regex specials
+    escaped). Divergence from fnmatch: an unpaired ``[`` is passed
+    through as regex (fnmatch demotes it to a literal) — malformed seed
+    globs are caller errors here.
+    """
+    esc = rf"regexp_replace({col}, '([.^$+{{}}()|\\\\])', '\\\\$1')"
+    toks = f"replace(replace({esc}, '*', '.*'), '?', '.')"
+    cls = rf"regexp_replace({toks}, '\\[!', '[^')"
+    return f"concat('(?s)^', {cls}, '$')"
+
+
 def is_exact(pattern: str) -> bool:
     """True if the glob contains no wildcard — eligible for the equality
     fast path the reference keeps (``utils/waveforms.py:592-606``)."""

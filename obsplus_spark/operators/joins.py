@@ -264,7 +264,7 @@ def bulk_request_join(
     so plan construction fires no Spark job, and the branch split replaces
     the full-output dedup shuffle a plain inner-join union would need.
     """
-    from obsplus_spark.functions.strings import glob_to_regex
+    from obsplus_spark.functions.strings import glob_to_regex_expr
 
     has_wild = F.lit(False)
     for c in nslc:
@@ -283,11 +283,11 @@ def bulk_request_join(
         F.broadcast(exact_req.alias("r")), exact_cond, "left_semi"
     )
 
-    # glob→regex runs only over the (dimension-small) request side;
+    # glob→regex runs only over the (dimension-small) request side, as a
+    # pure SQL expression (zero row-Python anywhere in this operator);
     # the match itself is regexp_like on the distributed index side.
-    to_regex = F.udf(lambda p: glob_to_regex(p), "string")
-    glob_regex = glob_req.select(
-        *[to_regex(F.col(c)).alias(c) for c in nslc],
+    glob_regex = glob_req.selectExpr(
+        *[f"{glob_to_regex_expr(c)} AS {c}" for c in nslc],
         start_col,
         end_col,
     )

@@ -209,3 +209,33 @@ def test_dedup_clusters_rounds_are_aggregates(plans):
     p = plans["dedup_clusters"][0]
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_text_metrics_are_map_only(plans):
+    """repetition_stats / quality_flags / token_estimate are in-row
+    expression programs: no hash/range exchange, no join — no bigram or
+    line ever leaves the scan (the r4 explode+groupBy repetition shape
+    shuffled every bigram once)."""
+    for name in ("repetition_stats", "quality_flags", "token_estimate"):
+        p = plans[name][0]
+        assert "hashpartitioning" not in p, f"{name}: shuffled"
+        assert "rangepartitioning" not in p, f"{name}: global sort"
+        assert not any(m in p for m in _JOIN_MARKERS), f"{name}: join"
+
+
+def test_decontaminate_eval_side_broadcasts(plans):
+    """The corpus-side digest probe must be a broadcast join (benchmark
+    grams are eval-set-sized); a sort-merge join here means the corpus
+    started shuffling on gram digests — wrong at every scale."""
+    p = plans["decontaminate"][0]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_plan_single_window(plans):
+    """Sequence packing is ONE window pass over n_groups hash partitions
+    (parallelism = groups) — never a global sort or a join."""
+    p = plans["pack_plan"][0]
+    assert "Window" in p
+    assert "rangepartitioning" not in p
+    assert not any(m in p for m in _JOIN_MARKERS)

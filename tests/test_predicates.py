@@ -143,3 +143,25 @@ def test_zero_pad_code(spark):
 
 def test_sentinels():
     assert SMALLDT_NS < 0 < LARGEDT_NS
+
+
+def test_glob_to_regex_expr_matches_python_twin(spark):
+    """The in-plan SQL glob→regex translation must agree with the
+    Python/fnmatch path on every construct seed codes use."""
+    from obsplus_spark.functions.strings import glob_to_regex_expr
+
+    patterns = ["*", "BH?", "[!EN]*", "UU", "a.b", "L[01]", "B*Z", "?H[AE]"]
+    values = ["BHZ", "BHN", "EHZ", "UU", "a.b", "axb", "L0", "L1", "EN",
+              "BAZ", "BZ", "CHA", "XHE"]
+    import fnmatch
+
+    rows = [(p, v) for p in patterns for v in values]
+    df = spark.createDataFrame(rows, "pat string, val string")
+    got = {
+        (r.pat, r.val): r.m
+        for r in df.selectExpr(
+            "pat", "val", f"regexp_like(val, {glob_to_regex_expr('pat')}) AS m"
+        ).collect()
+    }
+    for p, v in rows:
+        assert got[(p, v)] == fnmatch.fnmatchcase(v, p), (p, v)

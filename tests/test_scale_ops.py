@@ -423,3 +423,31 @@ def test_packing_plan(spark):
         expect = seen.get(r.grp, 0)
         assert r.bin * 250 + r.bin_offset == expect
         seen[r.grp] = expect + r.n_tokens
+
+
+def test_dedup_clusters_lazy_checkpoint_bounds_lineage(spark):
+    """A 30-round lazy propagation with checkpoint_every=8 must (a) still
+    produce the exact fixed point and (b) carry a bounded logical plan —
+    the un-checkpointed chain's plan grows linearly with rounds and its
+    analysis cost quadratically."""
+    from obsplus_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id1 long, id2 long",
+    )
+    deep = dedup_clusters(
+        pairs, max_iterations=30, check_convergence=False, checkpoint_every=8
+    )
+    got = {(r.id, r.cluster_id) for r in deep.collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (20, 20), (21, 20),
+    }
+    plain = dedup_clusters(
+        pairs, max_iterations=30, check_convergence=False, checkpoint_every=0
+    )
+    n_deep = deep._jdf.queryExecution().optimizedPlan().toString().count("\n")
+    n_plain = plain._jdf.queryExecution().optimizedPlan().toString().count("\n")
+    # last checkpoint at round 24 → ≤6 rounds of lineage vs 30
+    assert n_deep < n_plain / 2, (n_deep, n_plain)
