@@ -157,6 +157,33 @@ def shingles(
     )
 
 
+def _lane_exprs(n_hashes: int, arr_col: str = "shingles") -> list[str]:
+    """MinHash lane SQL expressions: lane ``j`` = min over the document's
+    extended digests of the uint32 at hex offset ``2·j`` (lockstep with
+    :func:`shingle_digest_array`'s 38-char extension and the DuckDB oracle
+    twin)."""
+    return [
+        f"array_min(transform({arr_col}, h -> CAST(conv("
+        f"substring(h, {2 * j + 1}, 8), 16, 10) AS BIGINT))) AS mh_{j}"
+        for j in range(n_hashes)
+    ]
+
+
+def _band_structs(n_hashes: int, bands: int) -> str:
+    """SQL array of (band, band_hash) structs over the ``mh_*`` lanes."""
+    rows_per_band = n_hashes // bands
+    return ", ".join(
+        "named_struct('band', {b}, 'band_hash', md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{j}"
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -206,11 +233,7 @@ def minhash_signatures(
         # Numeric lanes: 8 hex chars at stride-2 offset → uint32-as-long,
         # min over longs — no 32-char rotated-string allocations, and the
         # per-element comparison is one integer op instead of a lex scan
-        cols = [
-            f"array_min(transform(shingles, h -> CAST(conv("
-            f"substring(h, {2 * j + 1}, 8), 16, 10) AS BIGINT))) AS mh_{j}"
-            for j in range(n_hashes)
-        ]
+        cols = _lane_exprs(n_hashes)
         if with_size:
             cols.append("CAST(size(shingles) AS BIGINT) AS n_shingles")
         return arr.selectExpr(id_col, *cols)
@@ -250,17 +273,7 @@ def lsh_candidate_pairs(
     corpus; a pathologically duplicated corpus makes one quadratic bucket
     (the self-join had the same blow-up — salting hook would go here).
     """
-    rows_per_band = n_hashes // bands
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'band_hash', md5(concat_ws('|', {cols})))".format(
-            b=b,
-            cols=", ".join(
-                f"mh_{j}"
-                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
+    band_structs = _band_structs(n_hashes, bands)
     banded = signatures.select(
         F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("bh")
     ).select(id_col, "bh.band", "bh.band_hash")
@@ -407,16 +420,15 @@ def simhash_signatures(
         "(a, k) -> a + CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END))"
     )
     agg = with_h.select(F.col(id_col), votes.alias("_votes"))
-    sig = sum(
-        (
-            F.when(F.element_at(F.col("_votes"), k + 1) > 0, F.lit(2**k)).otherwise(
-                F.lit(0)
-            )
-            for k in range(bits)
-        ),
-        F.lit(0),
+    # one expr string (a k-term Python Column sum costs ~0.3 s of py4j
+    # round-trips per plan build); pack the per-bit votes into the long
+    sig = (
+        "CAST(aggregate(zip_with(_votes, sequence(0, size(_votes) - 1),"
+        " (v, k) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), k)"
+        " ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        " AS BIGINT) AS simhash"
     )
-    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return agg.selectExpr(id_col, sig)
 
 
 def hamming_distance(a, b) -> F.Column:
@@ -468,6 +480,8 @@ def near_duplicates(
     automatically, so a loop of near-dup scans cannot strand executor
     memory behind the LRU).
     """
+    from obsplus_spark.util import sql_over
+
     arr = shingle_digest_array(df, id_col, text_col, shingle_size).filter(
         F.size("shingles") > 0
     )
@@ -476,18 +490,66 @@ def near_duplicates(
     if persist_shingles:
         arr = arr.persist()
         _register_shingle_cache(arr)
-    sig = minhash_signatures(
-        df,
-        id_col,
-        text_col,
-        n_hashes,
-        shingle_size,
-        with_size=True,
-        digest_arrays_df=arr,
+    # whole post-digest pipeline as ONE SQL statement = one Catalyst
+    # analysis pass (the chained-DataFrame formulation re-analyzed the
+    # deepening tree ~15×, ~0.25 s of driver time per plan build). Same
+    # plan shape as the operator composition it replaces:
+    # minhash_signatures → lsh_candidate_pairs → pair_jaccard_arrays.
+    # The digest view is referenced three times; when persisted, the
+    # CacheManager substitutes the cache at planning, so the corpus-side
+    # digest pass still runs once. `counted` is its own projection so
+    # array_intersect provably evaluates once per pair (CollapseProject
+    # keeps non-cheap expressions single-use).
+    lanes = ",\n             ".join(_lane_exprs(n_hashes))
+    return sql_over(
+        {"arr": arr},
+        f"""
+        WITH sig AS (
+          SELECT {id_col},
+             {lanes}
+          FROM {{arr}}
+        ),
+        banded AS (
+          SELECT {id_col}, bh.band, bh.band_hash
+          FROM (SELECT {id_col},
+                       explode(array({_band_structs(n_hashes, bands)})) AS bh
+                FROM sig)
+        ),
+        buckets AS (
+          SELECT array_sort(collect_list({id_col})) AS _ids
+          FROM banded GROUP BY band, band_hash
+        ),
+        pairs AS (
+          SELECT DISTINCT _p.id1 AS id1, _p.id2 AS id2
+          FROM (
+            SELECT explode(flatten(transform(_ids, (x, i) ->
+              transform(slice(_ids, i + 2, size(_ids)), y ->
+                named_struct('id1', x, 'id2', y))))) AS _p
+            FROM buckets WHERE size(_ids) >= 2
+          )
+        ),
+        j1 AS (
+          SELECT /*+ BROADCAST(p) */ p.id1, p.id2, a1.shingles AS _sh1
+          FROM pairs p JOIN {{arr}} a1 ON a1.{id_col} = p.id1
+        ),
+        j2 AS (
+          SELECT /*+ BROADCAST(j1) */ j1.id1, j1.id2, j1._sh1,
+                 a2.shingles AS _sh2
+          FROM j1 JOIN {{arr}} a2 ON a2.{id_col} = j1.id2
+        ),
+        counted AS (
+          SELECT id1, id2,
+                 CAST(size(array_intersect(_sh1, _sh2)) AS BIGINT) AS n_inter,
+                 CAST(size(_sh1) AS BIGINT) AS n1,
+                 CAST(size(_sh2) AS BIGINT) AS n2
+          FROM j2
+        )
+        SELECT id1, id2, n_inter, n1, n2,
+               n_inter / CAST(n1 + n2 - n_inter AS DOUBLE) AS jaccard
+        FROM counted
+        WHERE n_inter / CAST(n1 + n2 - n_inter AS DOUBLE) >= {threshold}
+        """,
     )
-    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
-    scored = pair_jaccard_arrays(arr, pairs, id_col)
-    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def dedup_clusters(
@@ -531,6 +593,8 @@ def dedup_clusters(
 
     Returns (id, cluster_id), one row per id that appears in ``pairs``.
     """
+    from obsplus_spark.util import sql_over
+
     # undirected edge list WITH SELF-LOOPS, persisted once: the loop rows
     # carry each node's own label through every propagation round, which
     # lets a round be `agg(join(E, L))` — the label table referenced
@@ -538,43 +602,74 @@ def dedup_clusters(
     # L references it twice per round, and in the lazy mode below that
     # doubles the plan per round — 2^iterations evaluations of the whole
     # upstream pair pipeline.)
-    directed = pairs.selectExpr(
-        f"{id1_col} AS _src", f"{id2_col} AS _dst"
-    ).unionByName(
-        pairs.selectExpr(f"{id2_col} AS _src", f"{id1_col} AS _dst")
-    )
-    loops = directed.select("_src").distinct().selectExpr(
-        "_src", "_src AS _dst"
-    )
-    edges = directed.unionByName(loops).persist()
+    # ONE reference to the pair pipeline: each pair explodes in-row to its
+    # two directed edges plus both endpoints' self-loops. Self-loop
+    # duplicates (a node in many pairs gets one loop row per pair) are
+    # harmless under min-aggregation and cheaper than the DISTINCT that
+    # dedup'd them — and keeping the upstream tree out of a UNION branch
+    # matters for driver latency: every downstream reference re-sweeps
+    # the analyzed tree, so a 2-reference edge list doubled (and the
+    # 4-round chain then 16×'d) the analysis cost of the whole upstream
+    # pair pipeline (measured ~0.8 s per plan build at 3 rounds).
+    edges = sql_over(
+        {"p": pairs},
+        f"""
+        SELECT _e._src AS _src, _e._dst AS _dst
+        FROM (
+          SELECT explode(array(
+            named_struct('_src', {id1_col}, '_dst', {id2_col}),
+            named_struct('_src', {id2_col}, '_dst', {id1_col}),
+            named_struct('_src', {id1_col}, '_dst', {id1_col}),
+            named_struct('_src', {id2_col}, '_dst', {id2_col}))) AS _e
+          FROM {{p}}
+        )
+        """,
+    ).persist()
     _register_shingle_cache(edges)  # bounded per-session ring releases it
 
-    # seed = round 1 for free: min over direct neighbors (self-loop
-    # includes the node's own id) via one aggregate, no join
-    labels = edges.groupBy(F.col("_dst").alias("id")).agg(
-        F.min("_src").alias("cluster_id")
-    )
+    def rounds_sql(n: int, seeded: bool) -> str:
+        """CTE chain of ``n`` propagation rounds in ONE SQL statement —
+        one Catalyst analysis for the whole chunk (per-round chained
+        Datasets re-analyzed the deepening tree ~3× per round, the
+        dominant cost of deep lazy bounds). ``seeded=False`` starts from
+        the aggregate seed (= round 1: min over direct neighbors, the
+        self-loop contributing the node's own id); ``seeded=True``
+        continues from a prior label view ``{{l}}``."""
+        seed = (
+            "SELECT id, cluster_id FROM {l}"
+            if seeded
+            else "SELECT _dst AS id, min(_src) AS cluster_id"
+            " FROM {e} GROUP BY _dst"
+        )
+        ctes = [f"l0 AS ({seed})"]
+        for i in range(1, n + 1):
+            ctes.append(
+                f"l{i} AS (SELECT e._dst AS id, min(l.cluster_id) AS"
+                f" cluster_id FROM {{e}} e JOIN l{i - 1} l"
+                " ON l.id = e._src GROUP BY e._dst)"
+            )
+        return "WITH " + ",\n".join(ctes) + f"\nSELECT id, cluster_id FROM l{n}"
+
+    if not check_convergence:
+        # chunk the rounds at checkpoint_every: within a chunk everything
+        # is one SQL statement; between chunks a localCheckpoint bounds
+        # lineage (and analysis cost) for deep diameter bounds
+        every = checkpoint_every or max_iterations
+        done = min(every, max_iterations)
+        lbl = sql_over({"e": edges}, rounds_sql(done, seeded=False))
+        while done < max_iterations:
+            lbl = lbl.localCheckpoint()
+            n = min(every, max_iterations - done)
+            lbl = sql_over({"e": edges, "l": lbl}, rounds_sql(n, seeded=True))
+            done += n
+        return lbl
+
+    labels = sql_over({"e": edges}, rounds_sql(0, seeded=False))
 
     def step(lbl: DataFrame) -> DataFrame:
         # every node's next label = min over in-neighbors' labels
         # (self-loop ⇒ its own label participates); one shuffle per round
-        return (
-            edges.join(lbl.withColumnRenamed("id", "_src"), "_src")
-            .groupBy(F.col("_dst").alias("id"))
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        )
-
-    if not check_convergence:
-        lbl = labels
-        for i in range(1, max_iterations + 1):
-            lbl = step(lbl)
-            if (
-                checkpoint_every
-                and i % checkpoint_every == 0
-                and i < max_iterations
-            ):
-                lbl = lbl.localCheckpoint()
-        return lbl
+        return sql_over({"e": edges, "l": lbl}, rounds_sql(1, seeded=True))
 
     lbl = labels.persist()
     # change detector: 64-bit xor-fold of per-row (id, label) hashes —

