@@ -8,7 +8,7 @@ path. All vector math is built-in higher-order functions (``zip_with`` /
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -64,41 +64,50 @@ def cosine_topk(
     similarities, the window rank shuffles only on ``query_id`` (queries ≪
     corpus). Ties break on ``id_col`` for determinism.
     """
-    q = F.broadcast(queries)
-    # single-string SQL expressions (incl. the window) — the Column-object
-    # formulation cost ~0.2 s of py4j round-trips per plan build
-    scored = vectors.crossJoin(q).selectExpr(
-        query_id_col,
-        id_col,
-        f"{_cosine_sql(vec_col, query_vec_col)} AS {sim_col}",
+    from obsplus_spark.util import sql_over
+
+    # ONE SQL statement (incl. the window) = one Catalyst analysis — the
+    # chained Column-object formulation cost ~0.2 s of driver time per
+    # plan build
+    return sql_over(
+        {"v": vectors, "q": queries},
+        f"""
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY {query_id_col}
+                      ORDER BY {sim_col} DESC, {id_col} ASC) AS rank
+          FROM (
+            SELECT /*+ BROADCAST(q) */ {query_id_col}, {id_col},
+                   {_cosine_sql(vec_col, query_vec_col)} AS {sim_col}
+            FROM {{v}} v CROSS JOIN {{q}} q
+          )
+        ) WHERE rank <= {int(k)}
+        """,
     )
-    return scored.selectExpr(
-        "*",
-        f"row_number() OVER (PARTITION BY {query_id_col}"
-        f" ORDER BY {sim_col} DESC, {id_col} ASC) AS rank",
-    ).filter(f"rank <= {int(k)}")
 
 
-def _refine(assignments: DataFrame, vec_col: str) -> DataFrame:
-    """One Lloyd step: element-wise mean per cluster
-    (posexplode → avg → rebuild), all DataFrame ops."""
-    return (
-        assignments.select(
-            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+def _refine_fold_sql(vec_col: str) -> str:
+    """One Lloyd step fused with the centroid fold, as one SQL statement
+    over an assignments view ``{a}``: element-wise mean per cluster
+    (posexplode → avg → rebuild), folded straight into the one-row
+    ``_cents`` array :func:`ivf_topk` consumes."""
+    return f"""
+        WITH m AS (
+          SELECT cluster, pos, avg(CAST(x AS DOUBLE)) AS m
+          FROM (SELECT cluster, posexplode({vec_col}) AS (pos, x) FROM {{a}})
+          GROUP BY cluster, pos
+        ),
+        cent AS (
+          SELECT cluster,
+                 transform(array_sort(collect_list(named_struct(
+                   'pos', pos, 'm', m))), s -> s.m) AS centroid
+          FROM m GROUP BY cluster
         )
-        .groupBy("cluster", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("m")))
-            ).alias("pm")
-        )
-        .select(
-            "cluster",
-            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
-        )
-    )
+        SELECT sort_array(collect_list(named_struct(
+                 'cluster', cluster, 'centroid', centroid,
+                 'nrm', sqrt(aggregate(centroid, 0.0D,
+                   (a, x) -> a + x * x))))) AS _cents
+        FROM cent
+    """
 
 
 def ivf_assign(
@@ -120,72 +129,71 @@ def ivf_assign(
     standard one-pass IVF build: centroids are broadcast-sized, the
     corpus is touched ``refine_iterations + 1`` times.
     """
-    from obsplus_spark.util import ensure_parallelism
+    from obsplus_spark.util import ensure_parallelism, sql_over
 
     vectors = ensure_parallelism(vectors)
     # seeds = the n_clusters smallest-id vectors (deterministic, no RNG);
-    # orderBy().limit() is distributed TakeOrdered, never a global window.
+    # ORDER BY + LIMIT is distributed TakeOrdered, never a global window.
     # The seed set is ≤ n_clusters rows, so folding it into ONE array row
     # and deriving cluster ids from the sorted position is a single tiny
-    # aggregate — no self-join, no rank.
-    seeds = (
-        vectors.orderBy(id_col)
-        .limit(n_clusters)
-        .select(
-            F.col(id_col).alias("_sid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "centroid"
-            ),
-        )
+    # aggregate — no self-join, no rank. One SQL statement per stage =
+    # one Catalyst analysis (the chained formulation cost ~0.3 s of
+    # driver time per plan build).
+    carr = sql_over(
+        {"v": vectors},
+        f"""
+        SELECT transform(sort_array(collect_list(named_struct(
+                 '_k', _sid, 'centroid', centroid))),
+               (c, i) -> named_struct('cluster', i + 1,
+                 'centroid', c.centroid,
+                 'nrm', sqrt(aggregate(c.centroid, 0.0D,
+                   (a, x) -> a + x * x)))) AS _cents
+        FROM (SELECT {id_col} AS _sid,
+                     transform({vec_col}, x -> CAST(x AS DOUBLE)) AS centroid
+              FROM {{v}} ORDER BY {id_col} LIMIT {int(n_clusters)})
+        """,
     )
-    carr = _fold_centroids(seeds, sid_col="_sid")
 
     def assign(cents_arr: DataFrame) -> DataFrame:
         # centroids live in ONE broadcast array row; each vector picks its
         # argmax-cosine cluster as a narrow per-row expression. No
         # corpus×K intermediate, no window, no shuffle of the corpus — the
         # only data movement is the one-row centroid array. Ties break to
-        # the smallest cluster id (max of (sim, -cluster)).
-        vn = vectors.withColumn(
-            "_vn",
-            F.expr(
-                f"sqrt(aggregate({vec_col}, 0.0D,"
-                " (a, x) -> a + cast(x AS double) * cast(x AS double)))"
-            ),
-        )
-        best = F.expr(
-            "array_max(transform(_cents, c -> named_struct("
-            f"'sim', aggregate(zip_with({vec_col}, c.centroid,"
-            " (x, y) -> cast(x AS double) * y), 0.0D, (a, x) -> a + x)"
-            " / (_vn * c.nrm),"
-            " 'nc', -c.cluster)))"
-        )
-        return (
-            vn.crossJoin(F.broadcast(cents_arr))
-            .withColumn("_best", best)
-            .select(
-                id_col,
-                vec_col,
-                (-F.col("_best.nc")).cast("int").alias("cluster"),
+        # the smallest cluster id (max of (sim, -cluster)). The vector
+        # norm is computed in its own projection so it evaluates once per
+        # row, not once per centroid.
+        return sql_over(
+            {"v": vectors, "c": cents_arr},
+            f"""
+            SELECT {id_col}, {vec_col},
+                   CAST(-(_best.nc) AS INT) AS cluster
+            FROM (
+              SELECT {id_col}, {vec_col},
+                     array_max(transform(_cents, c -> named_struct(
+                       'sim', aggregate(zip_with({vec_col}, c.centroid,
+                         (x, y) -> cast(x AS double) * y), 0.0D,
+                         (a, x) -> a + x) / (_vn * c.nrm),
+                       'nc', -c.cluster))) AS _best
+              FROM (
+                SELECT /*+ BROADCAST(c) */ v.{id_col}, v.{vec_col},
+                       sqrt(aggregate(v.{vec_col}, 0.0D, (a, x) ->
+                         a + cast(x AS double) * cast(x AS double))) AS _vn,
+                       c._cents AS _cents
+                FROM {{v}} v CROSS JOIN {{c}} c
+              )
             )
+            """,
         )
 
+    assignments = assign(carr)
+    for _ in range(refine_iterations):
+        carr = sql_over({"a": assignments}, _refine_fold_sql(vec_col))
+        assignments = assign(carr)
     if folded:
         # centroids returned in folded one-row form (accepted verbatim by
         # ivf_topk) — skips the explode → re-fold round trip of the
         # row-form contract
-        assignments = assign(carr)
-        for _ in range(refine_iterations):
-            carr = _fold_centroids(
-                _refine(assignments, vec_col), cluster_col="cluster"
-            )
-            assignments = assign(carr)
         return assignments, carr
-
-    assignments = assign(carr)
-    for _ in range(refine_iterations):
-        carr = _fold_centroids(_refine(assignments, vec_col), cluster_col="cluster")
-        assignments = assign(carr)
     centroids = carr.select(
         F.inline(
             F.expr(
@@ -255,35 +263,34 @@ def ivf_topk(
     shuffle; the only shuffle in the whole plan is the final per-query
     top-k rank.
     """
-    carr = _fold_centroids(centroids, cluster_col="cluster")
-    probes = (
-        queries.crossJoin(F.broadcast(carr))
-        .select(
-            query_id_col,
-            query_vec_col,
-            F.explode(
-                F.expr(
-                    "transform(slice(sort_array(transform(_cents,"
-                    f" c -> named_struct('ns', -aggregate(zip_with("
-                    f"{query_vec_col}, c.centroid,"
-                    " (x, y) -> cast(x AS double) * y), 0.0D,"
-                    " (a, x) -> a + x) / c.nrm, 'cluster', c.cluster)))"
-                    f", 1, {int(nprobe)}), s -> s.cluster)"
-                )
-            ).alias("cluster"),
-        )
-    )
+    from obsplus_spark.util import sql_over
 
-    scored = assignments.join(F.broadcast(probes), "cluster").selectExpr(
-        query_id_col,
-        id_col,
-        f"{_cosine_sql(vec_col, query_vec_col)} AS cosine_sim",
+    carr = _fold_centroids(centroids, cluster_col="cluster")
+    return sql_over(
+        {"a": assignments, "c": carr, "q": queries},
+        f"""
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY {query_id_col}
+                      ORDER BY cosine_sim DESC, {id_col} ASC) AS rank
+          FROM (
+            SELECT /*+ BROADCAST(p) */ p.{query_id_col}, a.{id_col},
+                   {_cosine_sql(f"a.{vec_col}", f"p.{query_vec_col}")}
+                     AS cosine_sim
+            FROM {{a}} a JOIN (
+              SELECT /*+ BROADCAST(c) */ q.{query_id_col},
+                     q.{query_vec_col},
+                     explode(transform(slice(sort_array(transform(c._cents,
+                       s -> named_struct('ns', -aggregate(zip_with(
+                         q.{query_vec_col}, s.centroid,
+                         (x, y) -> cast(x AS double) * y), 0.0D,
+                         (a, x) -> a + x) / s.nrm, 'cluster', s.cluster)))
+                       , 1, {int(nprobe)}), s -> s.cluster)) AS cluster
+              FROM {{q}} q CROSS JOIN {{c}} c
+            ) p ON a.cluster = p.cluster
+          )
+        ) WHERE rank <= {int(k)}
+        """,
     )
-    return scored.selectExpr(
-        "*",
-        f"row_number() OVER (PARTITION BY {query_id_col}"
-        f" ORDER BY cosine_sim DESC, {id_col} ASC) AS rank",
-    ).filter(f"rank <= {int(k)}")
 
 
 def embedding_near_dup(
@@ -377,6 +384,13 @@ def hyperplane_lsh_buckets(
     expression string — the Column-object formulation cost hundreds of
     py4j round-trips (b × dim literal calls) per plan build.
     """
+    return vectors.withColumn(
+        bucket_col, F.expr(_bucket_sql(hyperplanes, vec_col))
+    )
+
+
+def _bucket_sql(hyperplanes: list[list[float]], vec_col: str) -> str:
+    """Sign-bit bucket id as one SQL expression string."""
     bits = ", ".join(
         "CASE WHEN aggregate(zip_with({v}, array({h}), "
         "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, x) -> a + x) >= 0 "
@@ -385,7 +399,7 @@ def hyperplane_lsh_buckets(
         )
         for h in hyperplanes
     )
-    return vectors.withColumn(bucket_col, F.expr(f"concat({bits})"))
+    return f"concat({bits})"
 
 
 def cosine_topk_lsh(
@@ -403,32 +417,26 @@ def cosine_topk_lsh(
     Recall < 1 by construction (an ANN); the oracle for this operator is
     the bucketed computation itself, not exact top-k.
     """
-    vb = hyperplane_lsh_buckets(vectors, hyperplanes, id_col, vec_col)
-    qb = hyperplane_lsh_buckets(
-        queries.withColumnRenamed(query_vec_col, vec_col),
-        hyperplanes,
-        query_id_col,
-        vec_col,
-    ).withColumnRenamed(vec_col, query_vec_col)
-    dot_s = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
-        " * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-    )
-    cos_s = (
-        f"{dot_s.format(a=vec_col, b=query_vec_col)}"
-        f" / (sqrt({dot_s.format(a=vec_col, b=vec_col)})"
-        f" * sqrt({dot_s.format(a=query_vec_col, b=query_vec_col)}))"
-    )
-    scored = vb.join(F.broadcast(qb), "bucket").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.expr(cos_s).alias("cosine_sim"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    from obsplus_spark.util import sql_over
+
+    bucket = _bucket_sql(hyperplanes, vec_col)
+    qbucket = _bucket_sql(hyperplanes, query_vec_col)
+    return sql_over(
+        {"v": vectors, "q": queries},
+        f"""
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY {query_id_col}
+                      ORDER BY cosine_sim DESC, {id_col} ASC) AS rank
+          FROM (
+            SELECT /*+ BROADCAST(qb) */ qb.{query_id_col}, vb.{id_col},
+                   {_cosine_sql(f"vb.{vec_col}", f"qb.{query_vec_col}")}
+                     AS cosine_sim
+            FROM (SELECT *, {bucket} AS bucket FROM {{v}}) vb
+            JOIN (SELECT *, {qbucket} AS bucket FROM {{q}}) qb
+              ON vb.bucket = qb.bucket
+          )
+        ) WHERE rank <= {int(k)}
+        """,
     )
 
 
@@ -480,23 +488,23 @@ def ann_recall_at_k(
     approx∩exact overlap is empty reports ``n_hits = 0`` (dropping it
     would overstate the averaged recall).
     """
-    a = approx.select(query_id_col, id_col)
-    e = exact.select(query_id_col, id_col)
-    hits = (
-        a.join(e, [query_id_col, id_col], "left_semi")
-        .groupBy(query_id_col)
-        .agg(F.count(F.lit(1)).alias("_n_hits"))
-    )
-    all_q = a.select(query_id_col).distinct()
-    return (
-        all_q.join(hits, query_id_col, "left")
-        .select(
-            query_id_col,
-            F.coalesce(F.col("_n_hits"), F.lit(0))
-            .cast("long")
-            .alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("_n_hits"), F.lit(0)) / F.lit(float(k)), 6
-            ).alias("recall_at_k"),
+    from obsplus_spark.util import sql_over
+
+    return sql_over(
+        {"a": approx, "e": exact},
+        f"""
+        WITH hits AS (
+          SELECT a.{query_id_col}, count(*) AS _n_hits
+          FROM {{a}} a LEFT SEMI JOIN {{e}} e
+            ON a.{query_id_col} = e.{query_id_col}
+           AND a.{id_col} = e.{id_col}
+          GROUP BY a.{query_id_col}
         )
+        SELECT q.{query_id_col},
+               CAST(coalesce(h._n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h._n_hits, 0) / {float(k)!r}D, 6)
+                 AS recall_at_k
+        FROM (SELECT DISTINCT {query_id_col} FROM {{a}}) q
+        LEFT JOIN hits h ON h.{query_id_col} = q.{query_id_col}
+        """,
     )

@@ -152,7 +152,18 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
     try:
         return spark.sql(query.format(**names))
     finally:
-        for name in names.values():
+        for alias, name in names.items():
+            # dropTempView also UNCACHES any cache entry whose plan matches
+            # the view (it evicted the engine's persisted base tables the
+            # first time this helper shipped) — so a view over a persisted
+            # input is left registered; the unique name is a one-off
+            # catalog entry, the cached data itself is untouched. Views
+            # over unpersisted plans are dropped (their plan can only
+            # match a cache entry for a derived frame the caller persisted
+            # under a different plan root, which cascade=false ignores).
+            sl = dfs[alias].storageLevel
+            if sl.useMemory or sl.useDisk:
+                continue
             try:
                 spark.catalog.dropTempView(name)
             except Exception:
