@@ -88,6 +88,7 @@ def shingle_digest_array(
     text_col: str = "text",
     n: int = 3,
     out_col: str = "shingles",
+    drop_empty: bool = False,
 ) -> DataFrame:
     """Distinct md5 digests of a document's word n-gram shingles.
 
@@ -132,11 +133,21 @@ def shingle_digest_array(
         f"array_distinct(CASE WHEN size(_toks) >= {n} THEN {ext}"
         " ELSE array() END)"
     )
-    return (
+    out = (
         ensure_parallelism(df)
         .select(F.col(id_col), F.expr(toks).alias("_toks"))
         .select(F.col(id_col), F.expr(sh).alias(out_col))
     )
+    if drop_empty:
+        # equivalent to filtering size(out_col) > 0, but the predicate
+        # references the TOKEN column (resolved through the projection),
+        # not the digest array — a filter on the digest column gets
+        # pushed through the projection by rewriting it in terms of the
+        # project's expressions, which re-evaluates the whole md5 chain
+        # once for the filter and again for the output (measured 3.7×
+        # the pass cost)
+        out = out.filter(f"size(_toks) >= {n}")
+    return out
 
 
 def shingles(
@@ -224,8 +235,8 @@ def minhash_signatures(
         arr = (
             digest_arrays_df
             if digest_arrays_df is not None
-            else shingle_digest_array(df, id_col, text_col, shingle_size).filter(
-                F.size("shingles") > 0
+            else shingle_digest_array(
+                df, id_col, text_col, shingle_size, drop_empty=True
             )
         )
         # one selectExpr call with string expressions — the Column-object
@@ -482,8 +493,8 @@ def near_duplicates(
     """
     from obsplus_spark.util import sql_over
 
-    arr = shingle_digest_array(df, id_col, text_col, shingle_size).filter(
-        F.size("shingles") > 0
+    arr = shingle_digest_array(
+        df, id_col, text_col, shingle_size, drop_empty=True
     )
     if persist_shingles is None:
         persist_shingles = True
@@ -836,11 +847,17 @@ def contamination_check(
 
     Output: (id, n_shared) for contaminated documents only.
     """
+    from obsplus_spark.operators.sketches import fold_bit_words
+
+    # no size>0 filters anywhere in this pipeline: empty gram arrays
+    # explode to zero rows for free, while a filter on a computed array
+    # column gets pushed through its projection and re-evaluates the
+    # whole gram pass a second time (measured ~3× the pass cost)
     c_sh = (
         corpus_grams_df
         if corpus_grams_df is not None
         else gram_hash_array(corpus, id_col, text_col, n)
-    ).filter(F.size("grams") > 0)
+    )
     b_sh = (
         gram_hash_array(benchmark, id_col, text_col, n)
         .select(F.explode("grams").alias("_d"))
@@ -850,25 +867,24 @@ def contamination_check(
     bits = n_longs * 64
     # 1-row Bloom bitmap over the benchmark digests; broadcast-cross-
     # joined so the corpus-side filter is a per-row expression (no
-    # driver collect — the bitmap never leaves the executors)
-    mask = b_sh.agg(F.collect_list("_d").alias("_g")).selectExpr(
-        f"aggregate(_g, array_repeat(CAST(0 AS BIGINT), {n_longs}),"
-        " (acc, h) -> transform(acc, (v, i) ->"
-        f" CASE WHEN i = CAST(pmod(h, {bits}) / 64 AS INT)"
-        f" THEN v | shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(pmod(h, {bits}) % 64 AS INT))"
-        " ELSE v END)) AS _mask"
-    )
+    # driver collect — the bitmap never leaves the executors). Built by
+    # bit_or over per-digest words + dense fold — O(|grams|), where the
+    # old one-pass aggregate-transform rebuild was O(|grams| × n_longs)
+    # interpreted lambda evaluations.
+    words = b_sh.selectExpr(
+        f"CAST(pmod(_d, {bits}) / 64 AS BIGINT) AS _w",
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_d, {bits}) % 64 AS INT))"
+        " AS _m",
+    ).groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
+    mask = fold_bit_words(words, n_longs, "_mask")
     probe = (
         f"filter(grams, g -> (element_at(_mask,"
         f" CAST(pmod(g, {bits}) / 64 AS INT) + 1)"
         f" & shiftleft(CAST(1 AS BIGINT),"
         f" CAST(pmod(g, {bits}) % 64 AS INT))) != 0)"
     )
-    cand = (
-        c_sh.crossJoin(F.broadcast(mask))
-        .select(F.col(id_col), F.expr(probe).alias("grams"))
-        .filter(F.size("grams") > 0)
+    cand = c_sh.crossJoin(F.broadcast(mask)).select(
+        F.col(id_col), F.expr(probe).alias("grams")
     )
     exploded = cand.select(
         F.col(id_col), F.explode("grams").alias("_d")

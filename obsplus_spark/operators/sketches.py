@@ -102,11 +102,20 @@ def bloom_build(
         .groupBy("_w")
         .agg(F.bit_or("_m").alias("_bits"))
     )
-    n_words = num_bits // 64
-    # dense fold: linear merge-scan over the SORTED (word, bits) pairs —
-    # zero-fill the gap before each present word, then append the
-    # trailing zeros. (A map + per-index element_at is O(words × entries):
-    # Spark map lookup is a linear scan, measured 2 s vs 40 ms for this.)
+    return fold_bit_words(words, num_bits // 64, "bloom")
+
+
+def fold_bit_words(
+    words: DataFrame, n_words: int, out_col: str = "bloom"
+) -> DataFrame:
+    """Fold sparse ``(_w, _bits)`` word rows into ONE dense
+    ``array<long>`` row of ``n_words`` entries.
+
+    Dense fold: linear merge-scan over the SORTED (word, bits) pairs —
+    zero-fill the gap before each present word, then append the
+    trailing zeros. (A map + per-index element_at is O(words × entries):
+    Spark map lookup is a linear scan, measured 2 s vs 40 ms for this.)
+    """
     return words.agg(
         F.expr(
             "sort_array(collect_list(named_struct('w', _w, 'b', _bits)))"
@@ -123,7 +132,7 @@ def bloom_build(
             "     array(e.b)))),"
             f"   array_repeat(CAST(0 AS BIGINT), CAST({n_words} - 1"
             "      - _wb[size(_wb)-1].w AS INT)))"
-            " END AS bloom"
+            f" END AS {out_col}"
         )
     )
 

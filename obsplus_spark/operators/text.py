@@ -294,32 +294,35 @@ def repetition_stats(
         " (a, b) -> concat(a, ' ', b))"
         " ELSE CAST(array() AS ARRAY<STRING>) END AS _bg",
     )
-    # top-bigram count: run-length max over the sorted array (duplicates
-    # are adjacent after the sort; comparing against NULL prev starts a
-    # fresh run). Empty arrays keep the seed best = 0.
-    top_n = (
+    # ONE run-length pass over the sorted array carries every statistic:
+    # top-bigram count = max run length (duplicates are adjacent after
+    # the sort; comparing against NULL prev starts a fresh run), distinct
+    # count = number of runs (so the separate array_distinct walk — a
+    # full extra pass per row — drops out). Empty arrays keep the seeds.
+    rl = (
         "aggregate(array_sort(_bg),"
-        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0,"
+        "   'runs', 0),"
         " (acc, x) -> named_struct("
         "   'prev', x,"
         "   'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,"
         "   'best', greatest(acc.best,"
-        "     CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),"
-        " acc -> acc.best)"
+        "     CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END),"
+        "   'runs', acc.runs + CASE WHEN x = acc.prev THEN 0 ELSE 1 END),"
+        " acc -> named_struct('best', acc.best, 'runs', acc.runs))"
     )
     stats = stage1.selectExpr(
         id_col,
         "size(_bg) AS _n",
-        f"{top_n} AS _top",
-        "size(_bg) - size(array_distinct(_bg)) AS _dups",
+        f"{rl} AS _rl",
     )
     return stats.selectExpr(
         id_col,
         "CAST(_n AS BIGINT) AS n_bigrams",
-        "CAST(_top AS BIGINT) AS top_bigram_n",
-        "CASE WHEN _n > 0 THEN round(_top / CAST(_n AS DOUBLE), 6)"
+        "CAST(_rl.best AS BIGINT) AS top_bigram_n",
+        "CASE WHEN _n > 0 THEN round(_rl.best / CAST(_n AS DOUBLE), 6)"
         " ELSE 0.0 END AS top_bigram_frac",
-        "CASE WHEN _n > 0 THEN round(_dups / CAST(_n AS DOUBLE), 6)"
+        "CASE WHEN _n > 0 THEN round((_n - _rl.runs) / CAST(_n AS DOUBLE), 6)"
         " ELSE 0.0 END AS dup_bigram_frac",
     )
 
