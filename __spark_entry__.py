@@ -1524,46 +1524,45 @@ def q_json_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tree_to_json,
     )
 
+    from obsplus_spark.util import sql_over
+
     ev = _t(spark, sf_dir, "events")
-    picks = F.collect_list(
-        F.struct(
-            F.col("event_id").cast("string").alias("resource_id"),
-            _ts_ns().alias("time"),
-            F.col("event_type").alias("phase_hint"),
-            F.lit(None).cast("string").alias("evaluation_status"),
-            F.lit("EV").alias("network"),
-            F.col("event_type").alias("station"),
-            F.lit("").alias("location"),
-            F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias(
-                "channel"
-            ),
+    tree = sql_over(
+        {"ev": ev},
+        f"""
+        WITH agg AS (
+          SELECT user_id,
+                 collect_list(named_struct(
+                   'resource_id', CAST(event_id AS STRING),
+                   'time', {_TS_NS_SQL},
+                   'phase_hint', event_type,
+                   'evaluation_status', CAST(NULL AS STRING),
+                   'network', 'EV',
+                   'station', event_type,
+                   'location', '',
+                   'channel', concat('u', CAST(user_id % 10 AS STRING))
+                 )) AS picks,
+                 min({_TS_NS_SQL}) AS first_ns,
+                 max({_TS_NS_SQL}) AS creation_time
+          FROM {{ev}} GROUP BY user_id
         )
-    )
-    tree = ev.groupBy("user_id").agg(
-        picks.alias("picks"),
-        F.min(_ts_ns()).alias("first_ns"),
-        F.max(_ts_ns()).alias("creation_time"),
-    ).select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("event_id"),
-        F.lit(None).cast("string").alias("event_description"),
-        F.lit(None).cast("string").alias("preferred_origin_id"),
-        F.lit(None).cast("string").alias("preferred_magnitude_id"),
-        F.col("creation_time"),
-        F.array(
-            F.struct(
-                F.concat(F.lit("o"), F.col("user_id").cast("string")).alias(
-                    "resource_id"
-                ),
-                F.col("first_ns").alias("time"),
-                F.lit(None).cast("double").alias("latitude"),
-                F.lit(None).cast("double").alias("longitude"),
-                F.lit(None).cast("double").alias("depth"),
-            )
-        ).alias("origins"),
-        F.array().cast(
-            "array<struct<resource_id:string,mag:double,magnitude_type:string,origin_id:string>>"
-        ).alias("magnitudes"),
-        "picks",
+        SELECT concat('u', CAST(user_id AS STRING)) AS event_id,
+               CAST(NULL AS STRING) AS event_description,
+               CAST(NULL AS STRING) AS preferred_origin_id,
+               CAST(NULL AS STRING) AS preferred_magnitude_id,
+               creation_time,
+               array(named_struct(
+                 'resource_id', concat('o', CAST(user_id AS STRING)),
+                 'time', first_ns,
+                 'latitude', CAST(NULL AS DOUBLE),
+                 'longitude', CAST(NULL AS DOUBLE),
+                 'depth', CAST(NULL AS DOUBLE))) AS origins,
+               CAST(array() AS ARRAY<STRUCT<resource_id: STRING,
+                 mag: DOUBLE, magnitude_type: STRING, origin_id: STRING>>)
+                 AS magnitudes,
+               picks
+        FROM agg
+        """,
     )
     round_tripped = json_to_tree(tree_to_json(tree).select("json"))
     flat = picks_to_df(round_tripped)
@@ -3169,93 +3168,75 @@ def q_quakeml_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ns times via ISO-8601, floats via shortest-repr)."""
     from obsplus_spark.sources.quakeml import quakeml_to_tree, tree_to_quakeml
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
-    uid = F.col("user_id")
-    tree = (
-        ev.groupBy("user_id")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("event_id").cast("string").alias("resource_id"),
-                    _ts_ns().alias("time"),
-                    F.col("event_type").alias("phase_hint"),
-                    F.when(F.col("value") > 200.0, F.lit("rejected"))
-                    .when(F.col("value") < 1.0, F.lit(None).cast("string"))
-                    .otherwise(F.lit("ok"))
-                    .alias("evaluation_status"),
-                    F.lit("EV").alias("network"),
-                    F.col("event_type").alias("station"),
-                    F.lit("").alias("location"),
-                    F.concat(F.lit("u"), (uid % 10).cast("string")).alias(
-                        "channel"
-                    ),
-                )
-            ).alias("picks"),
-            F.min(_ts_ns()).alias("_o_time"),
-            F.max(_ts_ns()).alias("creation_time"),
-            F.max("value").alias("_maxv"),
+    from obsplus_spark.util import sql_over
+
+    ev = _t(spark, sf_dir, "events")
+    tree = sql_over(
+        {"ev": ev},
+        f"""
+        WITH agg AS (
+          SELECT user_id,
+                 collect_list(named_struct(
+                   'resource_id', CAST(event_id AS STRING),
+                   'time', {_TS_NS_SQL},
+                   'phase_hint', event_type,
+                   'evaluation_status',
+                     CASE WHEN value > 200.0 THEN 'rejected'
+                          WHEN value < 1.0 THEN CAST(NULL AS STRING)
+                          ELSE 'ok' END,
+                   'network', 'EV',
+                   'station', event_type,
+                   'location', '',
+                   'channel', concat('u', CAST(user_id % 10 AS STRING))
+                 )) AS picks,
+                 min({_TS_NS_SQL}) AS _o_time,
+                 max({_TS_NS_SQL}) AS creation_time,
+                 max(value) AS _maxv
+          FROM {{ev}} WHERE user_id % 5 = 0 GROUP BY user_id
         )
-        .select(
-            F.concat(F.lit("u"), uid.cast("string")).alias("event_id"),
-            F.lit(None).cast("string").alias("event_description"),
-            F.lit(None).cast("string").alias("preferred_origin_id"),
-            F.lit(None).cast("string").alias("preferred_magnitude_id"),
-            "creation_time",
-            F.array(
-                F.struct(
-                    F.concat(F.lit("o"), uid.cast("string")).alias(
-                        "resource_id"
-                    ),
-                    F.col("_o_time").alias("time"),
-                    (uid * 0.5 - 30).alias("latitude"),
-                    (uid * 1.7 - 100).alias("longitude"),
-                    (uid * 10.0).alias("depth"),
-                )
-            ).alias("origins"),
-            F.array(
-                F.struct(
-                    F.concat(F.lit("m"), uid.cast("string")).alias(
-                        "resource_id"
-                    ),
-                    (F.col("_maxv") / 100).alias("mag"),
-                    F.lit("ML").alias("magnitude_type"),
-                    F.concat(F.lit("o"), uid.cast("string")).alias(
-                        "origin_id"
-                    ),
-                )
-            ).alias("magnitudes"),
-            "picks",
-        )
+        SELECT concat('u', CAST(user_id AS STRING)) AS event_id,
+               CAST(NULL AS STRING) AS event_description,
+               CAST(NULL AS STRING) AS preferred_origin_id,
+               CAST(NULL AS STRING) AS preferred_magnitude_id,
+               creation_time,
+               array(named_struct(
+                 'resource_id', concat('o', CAST(user_id AS STRING)),
+                 'time', _o_time,
+                 'latitude', user_id * 0.5D - 30,
+                 'longitude', user_id * 1.7D - 100,
+                 'depth', user_id * 10.0D)) AS origins,
+               array(named_struct(
+                 'resource_id', concat('m', CAST(user_id AS STRING)),
+                 'mag', _maxv / 100,
+                 'magnitude_type', 'ML',
+                 'origin_id', concat('o', CAST(user_id AS STRING))))
+                 AS magnitudes,
+               picks
+        FROM agg
+        """,
     )
     xml = tree_to_quakeml(tree)
     rt = quakeml_to_tree(
-        xml.select(
-            F.col("event_id").alias("path"),
-            F.encode("quakeml", "UTF-8").alias("content"),
+        xml.selectExpr(
+            "event_id AS path", "encode(quakeml, 'UTF-8') AS content"
         )
     )
-    return rt.select(
-        "event_id",
-        "creation_time",
-        F.col("origins")[0]["time"].alias("o_time"),
-        F.col("origins")[0]["latitude"].alias("lat"),
-        F.col("origins")[0]["longitude"].alias("lon"),
-        F.col("magnitudes")[0]["mag"].alias("mag"),
-        F.explode("picks").alias("p"),
-    ).select(
-        "event_id",
-        "creation_time",
-        "o_time",
-        "lat",
-        "lon",
-        "mag",
-        F.col("p.resource_id").alias("pick_id"),
-        F.col("p.time").alias("t"),
-        F.col("p.phase_hint").alias("phase_hint"),
-        F.col("p.evaluation_status").alias("evaluation_status"),
-        F.concat_ws(
-            ".", "p.network", "p.station", "p.location", "p.channel"
-        ).alias("seed_id"),
+    return sql_over(
+        {"rt": rt},
+        """
+        SELECT event_id, creation_time,
+               origins[0].time AS o_time,
+               origins[0].latitude AS lat,
+               origins[0].longitude AS lon,
+               magnitudes[0].mag AS mag,
+               p.resource_id AS pick_id,
+               p.time AS t,
+               p.phase_hint AS phase_hint,
+               p.evaluation_status AS evaluation_status,
+               concat_ws('.', p.network, p.station, p.location, p.channel)
+                 AS seed_id
+        FROM (SELECT *, explode(picks) AS p FROM {rt})
+        """,
     )
 
 
@@ -3388,21 +3369,16 @@ def q_normalize_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_seed_id,
     )
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
-    uid = F.col("user_id")
-    messy = ev.select(
+    messy = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 5 == 0
+    ).selectExpr(
         "event_id",
-        F.when(uid % 5 == 1, F.lit("None"))
-        .when(uid % 5 == 2, F.lit("nan"))
-        .when(uid % 5 == 3, F.lit("<NA>"))
-        .when(uid % 5 == 4, F.lit("EV"))
-        .alias("network"),
-        F.col("event_type").alias("station"),
-        F.when(uid % 3 == 0, F.lit("--"))
-        .when(uid % 3 == 1, F.lit("00"))
-        .otherwise(F.lit("null"))
-        .alias("location"),
-        F.concat(F.lit("u"), (uid % 10).cast("string")).alias("channel"),
+        "CASE CAST(user_id % 5 AS INT) WHEN 1 THEN 'None' WHEN 2 THEN 'nan'"
+        " WHEN 3 THEN '<NA>' WHEN 4 THEN 'EV' END AS network",
+        "event_type AS station",
+        "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN '--' WHEN 1 THEN '00'"
+        " ELSE 'null' END AS location",
+        "concat('u', CAST(user_id % 10 AS STRING)) AS channel",
     )
     norm = with_seed_id(normalize_nslc(messy))
     back = split_seed_id(norm.select("event_id", "seed_id"))

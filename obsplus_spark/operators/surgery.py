@@ -16,7 +16,7 @@ transform over the flattened tables:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -297,81 +297,61 @@ def duplicate_events(
     shuffle, no Python per row.
     """
 
-    def remap(col: Column) -> Column:
-        return F.concat(
-            F.lit(f"{suffix}:"),
-            F.substring(F.md5(F.concat(col, F.lit(":" + suffix))), 1, id_len),
+    # ONE projection against the INPUT columns: every membership check
+    # compares against the original id arrays by construction (the old
+    # sequential-withColumns formulation had to snapshot them first), and
+    # the whole rewrite is a single JVM-parsed statement instead of a
+    # Python-lambda Column tree (~0.2 s of py4j per plan build)
+    def remap(x: str) -> str:
+        return (
+            f"concat('{suffix}:', substring(md5(concat({x},"
+            f" ':{suffix}')), 1, {int(id_len)}))"
         )
 
-    # withColumns applies column replacements sequentially, so membership
-    # checks must snapshot the ORIGINAL id arrays before origins/magnitudes
-    # are rewritten — otherwise references compare against already-remapped
-    # ids and never match
-    tree = tree.withColumns(
-        {
-            "_oid0": F.transform(
-                F.coalesce(F.col("origins"), F.array()), lambda o: o["resource_id"]
-            ),
-            "_mid0": F.transform(
-                F.coalesce(F.col("magnitudes"), F.array()),
-                lambda m: m["resource_id"],
-            ),
-        }
-    )
-    origin_ids = F.col("_oid0")
-    mag_ids = F.col("_mid0")
+    oid0 = "transform(coalesce(origins, array()), o -> o.resource_id)"
+    mid0 = "transform(coalesce(magnitudes, array()), m -> m.resource_id)"
 
-    def remap_if_internal(col: Column, internal: Column) -> Column:
-        return F.when(
-            col.isNotNull() & F.array_contains(internal, col), remap(col)
-        ).otherwise(col)
+    def remap_if_internal(c: str, internal: str) -> str:
+        return (
+            f"CASE WHEN {c} IS NOT NULL AND array_contains({internal}, {c})"
+            f" THEN {remap(c)} ELSE {c} END"
+        )
 
-    new_origins = F.transform(
-        F.col("origins"),
-        lambda o: F.struct(
-            remap(o["resource_id"]).alias("resource_id"),
-            o["time"].alias("time"),
-            o["latitude"].alias("latitude"),
-            o["longitude"].alias("longitude"),
-            o["depth"].alias("depth"),
+    rewritten = {
+        "event_id": f"{remap('event_id')} AS event_id",
+        "preferred_origin_id": (
+            f"{remap_if_internal('preferred_origin_id', oid0)}"
+            " AS preferred_origin_id"
         ),
-    )
-    new_mags = F.transform(
-        F.col("magnitudes"),
-        lambda m: F.struct(
-            remap(m["resource_id"]).alias("resource_id"),
-            m["mag"].alias("mag"),
-            m["magnitude_type"].alias("magnitude_type"),
-            remap_if_internal(m["origin_id"], origin_ids).alias("origin_id"),
+        "preferred_magnitude_id": (
+            f"{remap_if_internal('preferred_magnitude_id', mid0)}"
+            " AS preferred_magnitude_id"
         ),
-    )
-    new_picks = F.transform(
-        F.col("picks"),
-        lambda p: F.struct(
-            remap(p["resource_id"]).alias("resource_id"),
-            p["time"].alias("time"),
-            p["phase_hint"].alias("phase_hint"),
-            p["evaluation_status"].alias("evaluation_status"),
-            p["network"].alias("network"),
-            p["station"].alias("station"),
-            p["location"].alias("location"),
-            p["channel"].alias("channel"),
+        "origins": (
+            "transform(origins, o -> named_struct("
+            f"'resource_id', {remap('o.resource_id')},"
+            " 'time', o.time, 'latitude', o.latitude,"
+            " 'longitude', o.longitude, 'depth', o.depth)) AS origins"
         ),
+        "magnitudes": (
+            "transform(magnitudes, m -> named_struct("
+            f"'resource_id', {remap('m.resource_id')},"
+            " 'mag', m.mag, 'magnitude_type', m.magnitude_type,"
+            f" 'origin_id', {remap_if_internal('m.origin_id', oid0)}))"
+            " AS magnitudes"
+        ),
+        "picks": (
+            "transform(picks, p -> named_struct("
+            f"'resource_id', {remap('p.resource_id')},"
+            " 'time', p.time, 'phase_hint', p.phase_hint,"
+            " 'evaluation_status', p.evaluation_status,"
+            " 'network', p.network, 'station', p.station,"
+            " 'location', p.location, 'channel', p.channel)) AS picks"
+        ),
+    }
+    return tree.selectExpr(
+        *[rewritten.get(c, c) for c in tree.columns]
     )
-    return tree.withColumns(
-        {
-            "event_id": remap(F.col("event_id")),
-            "preferred_origin_id": remap_if_internal(
-                F.col("preferred_origin_id"), origin_ids
-            ),
-            "preferred_magnitude_id": remap_if_internal(
-                F.col("preferred_magnitude_id"), mag_ids
-            ),
-            "origins": new_origins,
-            "magnitudes": new_mags,
-            "picks": new_picks,
-        }
-    ).drop("_oid0", "_mid0")
 
 
 def bump_version(df: DataFrame, version_col: str = "version") -> DataFrame:

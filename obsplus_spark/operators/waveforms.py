@@ -157,48 +157,40 @@ def sds_day_chunks(
     are replaced by the per-day trimmed values.
     """
     from obsplus_spark.functions.timeutils import NS_PER_DAY
+    from obsplus_spark.util import sql_over
 
-    day = F.explode(
-        F.sequence(
-            F.floor(F.col("starttime") / NS_PER_DAY),
-            F.floor((F.col("endtime") - 1) / NS_PER_DAY),
-        )
-    ).alias("_day_idx")
-    per_day = traces.select("*", day).withColumns(
-        {
-            "_day_start": F.col("_day_idx") * NS_PER_DAY - F.lit(overlap_ns),
-            "_day_end": (F.col("_day_idx") + 1) * NS_PER_DAY,
-        }
-    )
-    sp = F.col("sampling_period")
-    n = F.size(samples_col)
-    first = F.greatest(
-        F.ceil((F.col("_day_start") - F.col("starttime")) / sp), F.lit(0)
-    ).cast("long")
-    last = F.least(
-        F.ceil((F.col("_day_end") - F.col("starttime")) / sp), n.cast("long")
-    ).cast("long")
-    day_ts = F.timestamp_micros(
-        ((F.col("_day_idx") * NS_PER_DAY) / 1000).cast("long")
-    )
     passthrough = [
         c for c in traces.columns if c not in ("starttime", "endtime", samples_col)
     ]
-    return (
-        per_day.withColumns({"_first": first, "_last": last})
-        .filter(F.col(samples_col).isNotNull() & (F.col("_last") > F.col("_first")))
-        .select(
-            *passthrough,
-            (F.col("starttime") + F.col("_first") * sp).alias("starttime"),
-            (F.col("starttime") + F.col("_last") * sp).alias("endtime"),
-            F.slice(
-                F.col(samples_col),
-                (F.col("_first") + 1).cast("int"),
-                (F.col("_last") - F.col("_first")).cast("int"),
-            ).alias(samples_col),
-            F.year(day_ts).alias("year"),
-            F.dayofyear(day_ts).alias("doy"),
+    pt = ", ".join(passthrough)
+    nsd = int(NS_PER_DAY)
+    return sql_over(
+        {"t": traces},
+        f"""
+        SELECT {pt},
+               starttime + _first * sampling_period AS starttime,
+               starttime + _last * sampling_period AS endtime,
+               slice({samples_col}, CAST(_first + 1 AS INT),
+                     CAST(_last - _first AS INT)) AS {samples_col},
+               year(_day_ts) AS year,
+               dayofyear(_day_ts) AS doy
+        FROM (
+          SELECT *,
+                 CAST(greatest(ceil((_day_idx * {nsd} - {int(overlap_ns)}
+                   - starttime) / sampling_period), 0) AS BIGINT) AS _first,
+                 CAST(least(ceil(((_day_idx + 1) * {nsd} - starttime)
+                   / sampling_period), CAST(size({samples_col}) AS BIGINT))
+                   AS BIGINT) AS _last,
+                 timestamp_micros(CAST((_day_idx * {nsd}) / 1000 AS BIGINT))
+                   AS _day_ts
+          FROM (
+            SELECT *, explode(sequence(floor(starttime / {nsd}),
+                     floor((endtime - 1) / {nsd}))) AS _day_idx
+            FROM {{t}}
+          )
         )
+        WHERE {samples_col} IS NOT NULL AND _last > _first
+        """,
     )
 
 
