@@ -4088,6 +4088,140 @@ _SQL_VIDEO = """
 
 
 # ---------------------------------------------------------------------------
+# §2.12 context-window chunking / corpus vocabulary / PII scrub — new r5
+# ---------------------------------------------------------------------------
+
+
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window document chunking with overlap (32-token
+    chunks, 8-token overlap) — the preprocessing step before
+    context-window training or embedding long corpora. Map-only: one
+    token-array pass + posexplode over the stride starts; no shuffle at
+    any corpus size."""
+    from obsplus_spark.operators.text import chunk_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+_SQL_CHUNK = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0,
+               greatest(CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT), 0)
+                 * 24 + 1, 24)) AS st
+      FROM t
+    )
+    SELECT doc_id,
+           st // 24 AS chunk_idx,
+           CAST(least(len(toks) - st, 32) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, st + 1, st + 32), ' ')
+             AS chunk_text
+    FROM s
+"""
+
+
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-200 by occurrence count, with document
+    frequencies — tokenizer-training / idf input. Per-doc counts come
+    from an in-row run-length pass (the explode carries one row per
+    DISTINCT token per doc, not per occurrence), then one map-side-
+    combinable hash aggregate and a distributed TakeOrdered."""
+    from obsplus_spark.operators.text import vocab_top_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_top_tokens(docs, k=200)
+
+
+_SQL_VOCAB = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 200
+"""
+
+#: deterministic PII injection for the scrub query (documents text is
+#: clean lorem — inject synthetic spans so the redaction path is
+#: exercised; 1/3 of docs stay untouched)
+_PII_INJECT_SPARK = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' Contact user',"
+    " CAST(doc_id AS STRING), '@example.com or +1 (555) 010-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '.')"
+    " WHEN doc_id % 3 = 1 THEN concat(text, ' node at 10.0.',"
+    " CAST(doc_id % 256 AS STRING), '.',"
+    " CAST((doc_id * 7) % 256 AS STRING), ' up')"
+    " ELSE text END"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-class counts (email → ipv4 → phone, the
+    class order that keeps the permissive phone pattern off dotted
+    quads): scan-speed chained regexp_replace + regexp_count; the oracle
+    replays the identical chain."""
+    from obsplus_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.selectExpr("doc_id", f"{_PII_INJECT_SPARK} AS text")
+    return pii_scrub(injected)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+_SQL_PII = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' Contact user'
+                    || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                  WHEN doc_id % 3 = 1 THEN text || ' node at 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_email,
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t2
+      FROM base
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t2, '{_PII_IPV4}')) AS BIGINT)
+               AS n_ipv4,
+             regexp_replace(t2, '{_PII_IPV4}', '<IPV4>', 'g') AS t3
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+             CAST(len(regexp_extract_all(t3, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phone,
+             regexp_replace(t3, '{_PII_PHONE}', '<PHONE>', 'g') AS t
+      FROM s2
+    )
+    SELECT doc_id, t AS text, n_email, n_ipv4, n_phone,
+           n_email + n_ipv4 + n_phone AS n_pii
+    FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -4106,7 +4240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green in CORRECTNESS_r04 and untouched since — sit past the
     # cap this round and rotate back in next round.
     return {
-        # (a) changed this round
+        # (a) changed this round (new r5 operators lead)
+        "chunk_text": q_chunk_text,
+        "vocab_top": q_vocab_top,
+        "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "quality_flags": q_quality_flags,
         "decontaminate": q_decontaminate,
@@ -4195,6 +4332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "chunk_text": _SQL_CHUNK,
+        "vocab_top": _SQL_VOCAB,
+        "pii_scrub": _SQL_PII,
         "pack_plan": _SQL_PACK,
         "decontaminate": _SQL_DECONTAM,
         "zorder_keys": _SQL_ZORDER,

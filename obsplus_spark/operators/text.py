@@ -373,3 +373,160 @@ def packing_plan(
         F.floor(cum_before / F.lit(int(context_len))).cast("long").alias("bin"),
         (cum_before % F.lit(int(context_len))).cast("long").alias("bin_offset"),
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into fixed-token-window chunks with overlap —
+    the standard preprocessing step before context-window training or
+    embedding long corpora.
+
+    Map-only at any scale: the token array materializes once per row, the
+    chunk starts come from ``sequence`` over the stride, and each chunk
+    re-joins its token slice — one explode, no shuffle, no Python. A
+    document shorter than ``chunk_tokens`` yields exactly one chunk (its
+    whole text); empty/whitespace docs yield one empty chunk. The last
+    chunk may be shorter than ``chunk_tokens``; a final window that would
+    be fully covered by the previous chunk's overlap is not emitted
+    (starts iterate over ``stride`` = chunk − overlap up to the last
+    index that begins new content).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = int(chunk_tokens - overlap_tokens)
+    ct = int(chunk_tokens)
+    from obsplus_spark.util import ensure_parallelism
+
+    toks = (
+        rf"CASE WHEN length(trim({text_col})) = 0 THEN array()"
+        rf" ELSE split(trim({text_col}), '\\s+') END"
+    )
+    # chunk starts: 0, stride, 2·stride … while start < n (and at least
+    # one chunk); slice() is 1-indexed
+    starts = (
+        f"sequence(0, greatest(CAST(ceil((size(_toks) - {ct})"
+        f" / {stride}.0D) AS INT), 0) * {stride}, {stride})"
+    )
+    return (
+        ensure_parallelism(df)
+        .selectExpr(id_col, f"{toks} AS _toks")
+        .selectExpr(
+            id_col,
+            "_toks",
+            f"posexplode({starts}) AS (chunk_idx, _start)",
+        )
+        .selectExpr(
+            id_col,
+            "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+            f"CAST(least(size(_toks) - _start, {ct}) AS BIGINT)"
+            " AS n_chunk_tokens",
+            f"concat_ws(' ', slice(_toks, _start + 1, {ct})) AS chunk_text",
+        )
+    )
+
+
+def vocab_top_tokens(
+    df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent lowercase tokens with
+    occurrence and document frequencies — the input to tokenizer
+    training, rare-token filters, and idf weighting.
+
+    Scale shape: per-row token-count MAPS (in-row aggregation — each
+    document contributes one (token → n) map, so the explode that feeds
+    the global aggregate carries one row per DISTINCT token per doc, not
+    per occurrence), then one hash aggregate keyed by token (map-side
+    combinable), then distributed TakeOrdered for the top-k — never a
+    global sort.
+    """
+    from obsplus_spark.util import ensure_parallelism
+
+    toks = (
+        rf"CASE WHEN length(trim({text_col})) = 0 THEN array()"
+        rf" ELSE split(trim(lower({text_col})), '\\s+') END"
+    )
+    # (token, in-doc count) pairs via sorted run-length — one md5-free
+    # pass; explode emits distinct tokens only
+    pairs = (
+        "aggregate(array_sort(_toks),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0,"
+        "   'acc', CAST(array() AS ARRAY<STRUCT<t: STRING, n: INT>>)),"
+        " (a, x) -> CASE WHEN x = a.prev"
+        "   THEN named_struct('prev', x, 'run', a.run + 1, 'acc', a.acc)"
+        "   ELSE named_struct('prev', x, 'run', 1, 'acc',"
+        "     CASE WHEN a.prev IS NULL THEN a.acc ELSE array_append(a.acc,"
+        "       named_struct('t', a.prev, 'n', a.run)) END) END,"
+        " a -> CASE WHEN a.prev IS NULL THEN a.acc"
+        "   ELSE array_append(a.acc, named_struct('t', a.prev, 'n', a.run))"
+        "   END)"
+    )
+    return (
+        ensure_parallelism(df)
+        .selectExpr(f"{toks} AS _toks")
+        .selectExpr(f"explode({pairs}) AS p")
+        .selectExpr("p.t AS token", "p.n AS _n")
+        .groupBy("token")
+        .agg(
+            F.expr("CAST(sum(_n) AS BIGINT) AS n_occurrences"),
+            F.expr("CAST(count(1) AS BIGINT) AS n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= int(min_count))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(int(k))
+    )
+
+
+#: redaction patterns for :func:`pii_scrub` — deliberately conservative,
+#: engine-portable regex subset (no lookarounds; identical semantics in
+#: Spark's Java regex and DuckDB's RE2)
+PII_PATTERNS: dict[str, str] = {
+    # order matters: earlier classes consume their spans first. ipv4 runs
+    # before phone because the permissive phone pattern (digits with
+    # dots/spaces) would otherwise swallow dotted quads.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII-like spans and count them per document — the hygiene
+    pass a pretraining pipeline runs before publishing a corpus.
+
+    Each pattern class replaces with ``<CLASS>`` and reports a per-doc
+    match count. Map-only: chained ``regexp_replace`` + per-pattern
+    ``regexp_count``, scan speed at any corpus size. Patterns apply in
+    dict order (earlier classes win overlapping spans — e.g. the email
+    pattern consumes its digits before the phone pattern sees them).
+
+    Output: (id, scrubbed text, n_<class> per pattern, n_pii total).
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    scrubbed = text_col
+    counts = []
+    for name, pat in pats.items():
+        lit = pat.replace("\\", "\\\\").replace("'", "''")
+        counts.append(
+            f"CAST(regexp_count({scrubbed}, '{lit}') AS BIGINT)"
+            f" AS n_{name}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{lit}', '<{name.upper()}>')"
+    total = " + ".join(f"n_{name}" for name in pats) or "CAST(0 AS BIGINT)"
+    return df.selectExpr(
+        id_col, f"{scrubbed} AS text", *counts
+    ).selectExpr("*", f"{total} AS n_pii")

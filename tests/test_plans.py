@@ -239,3 +239,23 @@ def test_pack_plan_single_window(plans):
     assert "Window" in p
     assert "rangepartitioning" not in p
     assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_chunk_and_scrub_are_map_only(plans):
+    """chunk_text / pii_scrub are per-row expression programs (the chunk
+    explode is in-row): no exchange, no join — no token or span ever
+    leaves the scan."""
+    for name in ("chunk_text", "pii_scrub"):
+        p = plans[name][0]
+        assert "hashpartitioning" not in p, f"{name}: shuffled"
+        assert "rangepartitioning" not in p, f"{name}: global sort"
+        assert not any(m in p for m in _JOIN_MARKERS), f"{name}: join"
+
+
+def test_vocab_top_is_take_ordered(plans):
+    """Corpus vocabulary top-k must be distributed TakeOrdered over the
+    token aggregate — a global rangepartitioning sort of the vocabulary
+    is the 100 TB failure mode this pins."""
+    p = plans["vocab_top"][0]
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p

@@ -451,3 +451,84 @@ def test_dedup_clusters_lazy_checkpoint_bounds_lineage(spark):
     n_plain = plain._jdf.queryExecution().optimizedPlan().toString().count("\n")
     # last checkpoint at round 24 → ≤6 rounds of lineage vs 30
     assert n_deep < n_plain / 2, (n_deep, n_plain)
+
+
+def test_chunk_text_windows(spark):
+    from obsplus_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # 10 toks → 1 chunk
+            (2, " ".join(f"w{i}" for i in range(4))),    # exactly chunk size
+            (3, " ".join(f"w{i}" for i in range(9))),    # 4,3 stride → 3 chunks
+            (4, ""),                                     # empty → 1 empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_text(docs, chunk_tokens=4, overlap_tokens=1)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: starts 0,3,6 (ceil((10-4)/3)=2 → last 6); window at 9 adds nothing new
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert rows[(1, 1)].chunk_text == "w3 w4 w5 w6"
+    assert rows[(1, 2)].chunk_text == "w6 w7 w8 w9"
+    # doc 2: one full chunk
+    assert {k for k in rows if k[0] == 2} == {(2, 0)}
+    assert rows[(2, 0)].n_chunk_tokens == 4
+    # doc 3: 9 toks → starts 0,3,6; last chunk short
+    assert rows[(3, 2)].chunk_text == "w6 w7 w8"
+    assert rows[(3, 2)].n_chunk_tokens == 3
+    # doc 4: one empty chunk
+    assert rows[(4, 0)].chunk_text == "" and rows[(4, 0)].n_chunk_tokens == 0
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    a, b = rows[(1, 0)].chunk_text.split(), rows[(1, 1)].chunk_text.split()
+    assert a[-1:] == b[:1]
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    from obsplus_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_text(docs, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_vocab_top_tokens_counts(spark):
+    from obsplus_spark.operators.text import vocab_top_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),
+            (2, "THE cat"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.token: (r.n_occurrences, r.n_docs)
+           for r in vocab_top_tokens(docs, k=10).collect()}
+    assert out["the"] == (3, 2)     # lowercased; 2 in doc1 + 1 in doc2
+    assert out["cat"] == (2, 2)
+    assert out["hat"] == (1, 1)
+    assert "" not in out            # whitespace-only doc contributes nothing
+    top2 = [r.token for r in vocab_top_tokens(docs, k=2).collect()]
+    assert top2 == ["the", "cat"]   # count desc, then token asc
+
+
+def test_pii_scrub_classes_and_order(spark):
+    from obsplus_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.org now"),
+            (2, "server 10.0.3.44 up, call +1 (555) 010-1234 today"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].text == "mail <EMAIL> now"
+    assert (rows[1].n_email, rows[1].n_pii) == (1, 1)
+    # ipv4 class wins the dotted quad (runs before the permissive phone)
+    assert "<IPV4>" in rows[2].text and "<PHONE>" in rows[2].text
+    assert (rows[2].n_ipv4, rows[2].n_phone) == (1, 1)
+    assert rows[3].text == "clean text only" and rows[3].n_pii == 0
