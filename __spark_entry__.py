@@ -4221,6 +4221,207 @@ _SQL_PII = f"""
 """
 
 
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 terms by tf-idf (raw tf · ln(N/df)): in-row
+    run-length term counts, one broadcast-joined vocabulary aggregate,
+    WindowGroupLimit top-k. Ranked by the 6-dp rounded score (ties →
+    token) — mathematically equal scores are not bit-equal across
+    engines before rounding."""
+    from obsplus_spark.operators.text import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, k=5)
+
+
+_SQL_TFIDF = r"""
+    WITH tok AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                     AS token
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+      FROM tok GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, f.df_docs,
+             round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / f.df_docs), 6)
+               AS tfidf
+      FROM tok t JOIN dfreq f USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df_docs, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, token) AS rank FROM scored)
+    WHERE rank <= 5
+"""
+
+
+def q_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM pseudo-perplexity (mean bits/token under the corpus's
+    own unigram distribution) — the CCNet-style LM quality score. One
+    vocabulary aggregate + broadcast join + per-doc aggregate."""
+    from obsplus_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+_SQL_UNIGRAM = r"""
+    WITH tok AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                     AS token
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY doc_id, token
+    ),
+    vocab AS (
+      SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+    SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+           round(-sum(t.tf * ln(v.cnt / tot.total) / ln(2.0)) / sum(t.tf), 6)
+             AS bits_per_token
+    FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+"""
+
+
+#: mixture weights for the plan query (literal on both sides)
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
+_MIX_TARGET = 50_000
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling plan: per-source token inventory + the
+    deterministic sampling rate hitting each source's weight share of a
+    token budget. One source-keyed hash aggregate; dimension-sized
+    output."""
+    from obsplus_spark.operators.text import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(docs, _MIX_WEIGHTS, _MIX_TARGET)
+
+
+def _mixture_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    rate = (
+        f"least(CAST(1.0 AS DOUBLE),"
+        f" weight * CAST({_MIX_TARGET} AS DOUBLE) / n_tokens)"
+    )
+    return f"""
+    SELECT source, n_docs, n_tokens, weight,
+           round({rate}, 6) AS sample_rate,
+           CAST(floor(round({rate}, 6) * n_tokens) AS BIGINT)
+             AS expected_tokens
+    FROM (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END) AS BIGINT) AS n_tokens,
+             CASE source {arms} ELSE CAST(0.0 AS DOUBLE) END AS weight
+      FROM documents GROUP BY source
+    )
+    """
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate n-gram stats (C4-style repeated-span rule):
+    per-doc fraction of distinct 3-grams occurring in ≥3 documents.
+    In-row xxhash64 gram sets, one gram-keyed aggregate, broadcast
+    frequent-set join back."""
+    from obsplus_spark.operators.dedup import boilerplate_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(docs, n=3, min_docs=3)
+
+
+_SQL_BOILER = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                  ELSE []::VARCHAR[] END AS grams
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    freq AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 3),
+    hits AS (
+      SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+      FROM e JOIN freq f USING (gram) GROUP BY e.doc_id
+    )
+    SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+           round(CASE WHEN len(g.grams) = 0 THEN 0.0
+                 ELSE coalesce(h.n_boiler, 0)
+                      / CAST(len(g.grams) AS DOUBLE) END, 6) AS boiler_frac
+    FROM g LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, top-10 most-similar
+    corpus vectors with a DIFFERENT label (labeled twin of knn_cosine —
+    broadcast queries, same-class rows filtered in the join before the
+    rank)."""
+    from obsplus_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+    )
+
+
+_SQL_HARDNEG = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             label AS qlabel
+      FROM embeddings WHERE vec_id < 5
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings
+    ),
+    s AS (
+      SELECT query_id, vec_id, v.label,
+             list_dot_product(ev, qv)
+               / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+               AS sim
+      FROM v JOIN q ON v.label != q.qlabel
+    ),
+    r AS (
+      SELECT query_id, vec_id, label, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT query_id, vec_id, CAST(label AS BIGINT) AS label, rank,
+           round(sim, 6) AS cosine_sim
+    FROM r WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4241,6 +4442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap this round and rotate back in next round.
     return {
         # (a) changed this round (new r5 operators lead)
+        "tf_idf": q_tf_idf,
+        "unigram_lp": q_unigram_lp,
+        "mixture_plan": q_mixture_plan,
+        "boilerplate": q_boilerplate,
+        "hard_negatives": q_hard_negatives,
         "chunk_text": q_chunk_text,
         "vocab_top": q_vocab_top,
         "pii_scrub": q_pii_scrub,
@@ -4332,6 +4538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "tf_idf": _SQL_TFIDF,
+        "unigram_lp": _SQL_UNIGRAM,
+        "mixture_plan": _mixture_sql(),
+        "boilerplate": _SQL_BOILER,
+        "hard_negatives": _SQL_HARDNEG,
         "chunk_text": _SQL_CHUNK,
         "vocab_top": _SQL_VOCAB,
         "pii_scrub": _SQL_PII,

@@ -893,3 +893,61 @@ def contamination_check(
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shared")
     )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4/CCNet repeated-span
+    rule at n-gram granularity): an n-gram occurring in ≥ ``min_docs``
+    distinct documents is boilerplate (headers, footers, license blobs,
+    navigation chrome); each document reports how much of it is made of
+    such grams.
+
+    Scale shape: per-doc DISTINCT gram sets stay in-row as xxhash64
+    arrays (:func:`gram_hash_array` — gram strings never materialize),
+    ONE hash aggregate keyed by gram hash finds the frequent set, which
+    joins back onto the exploded gram frame with a broadcast hint (the
+    boilerplate vocabulary is tiny next to the corpus — AQE demotes the
+    hint if a pathological corpus inflates it). The gram frame is
+    referenced twice in one statement (frequent-set agg + hit count);
+    both references are scan+map — at 100 TB persist the gram frame
+    first, same contract as ``minhash_signatures``. Counting hashes is
+    exact up to 64-bit collisions (~|grams|²/2⁶⁴ — immaterial for
+    hygiene fractions).
+
+    Output: (id, n_grams, n_boiler, boiler_frac) — one row per input
+    document; docs shorter than ``n`` tokens report 0 grams, 0.0 frac.
+    """
+    from obsplus_spark.util import sql_over
+
+    grams = gram_hash_array(df, id_col=id_col, text_col=text_col, n=n)
+    return sql_over(
+        {"g": grams},
+        f"""
+        WITH e AS (
+          SELECT {id_col}, gram FROM {{g}}
+          LATERAL VIEW explode(grams) _e AS gram
+        ),
+        freq AS (
+          SELECT gram FROM e GROUP BY gram
+          HAVING count(1) >= {int(min_docs)}
+        ),
+        hits AS (
+          SELECT /*+ BROADCAST(f) */ e.{id_col},
+                 CAST(count(1) AS BIGINT) AS n_boiler
+          FROM e JOIN freq f USING (gram) GROUP BY e.{id_col}
+        )
+        SELECT g.{id_col}, CAST(size(g.grams) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+               round(CASE WHEN size(g.grams) = 0 THEN 0.0D
+                     ELSE coalesce(h.n_boiler, 0)
+                          / CAST(size(g.grams) AS DOUBLE) END, 6)
+                 AS boiler_frac
+        FROM {{g}} g LEFT JOIN hits h ON g.{id_col} = h.{id_col}
+        """,
+    )

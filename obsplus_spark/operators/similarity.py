@@ -508,3 +508,46 @@ def ann_recall_at_k(
         LEFT JOIN hits h ON h.{query_id_col} = q.{query_id_col}
         """,
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    sim_col: str = "cosine_sim",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-``k`` most-similar corpus vectors whose label DIFFERS from
+    the query's — the nearest wrong-class examples that make the best
+    negatives for metric-learning / embedding fine-tuning.
+
+    Same scale shape as :func:`cosine_topk` (this is its labeled twin):
+    broadcast the query side, scan the corpus partition-parallel, filter
+    the same-class rows **before** the rank (the predicate is in the
+    join, so same-label similarities are never ranked), WindowGroupLimit
+    for the per-query top-k. Ties break on ``id_col``.
+    """
+    from obsplus_spark.util import sql_over
+
+    return sql_over(
+        {"v": vectors, "q": queries},
+        f"""
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY {query_id_col}
+                      ORDER BY {sim_col} DESC, {id_col} ASC) AS rank
+          FROM (
+            SELECT /*+ BROADCAST(q) */ {query_id_col}, {id_col},
+                   {label_col},
+                   {_cosine_sql(vec_col, query_vec_col)} AS {sim_col}
+            FROM {{v}} v JOIN {{q}} q
+              ON v.{label_col} != q.{query_label_col}
+          )
+        ) WHERE rank <= {int(k)}
+        """,
+    )

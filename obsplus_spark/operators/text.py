@@ -432,6 +432,33 @@ def chunk_text(
     )
 
 
+def _lower_tokens_sql(text_col: str) -> str:
+    """SQL expr: lowercase whitespace token array (empty array for blank
+    text) — the shared tokenization of the vocabulary/tf-idf/LM family."""
+    return (
+        rf"CASE WHEN length(trim({text_col})) = 0 THEN array()"
+        rf" ELSE split(trim(lower({text_col})), '\\s+') END"
+    )
+
+
+#: SQL expr over a ``_toks`` array column: (token, in-doc count) struct
+#: pairs via sorted run-length — in-row aggregation, so a downstream
+#: explode emits one row per DISTINCT token per doc, not per occurrence.
+_TOKEN_PAIRS_SQL = (
+    "aggregate(array_sort(_toks),"
+    " named_struct('prev', CAST(NULL AS STRING), 'run', 0,"
+    "   'acc', CAST(array() AS ARRAY<STRUCT<t: STRING, n: INT>>)),"
+    " (a, x) -> CASE WHEN x = a.prev"
+    "   THEN named_struct('prev', x, 'run', a.run + 1, 'acc', a.acc)"
+    "   ELSE named_struct('prev', x, 'run', 1, 'acc',"
+    "     CASE WHEN a.prev IS NULL THEN a.acc ELSE array_append(a.acc,"
+    "       named_struct('t', a.prev, 'n', a.run)) END) END,"
+    " a -> CASE WHEN a.prev IS NULL THEN a.acc"
+    "   ELSE array_append(a.acc, named_struct('t', a.prev, 'n', a.run))"
+    "   END)"
+)
+
+
 def vocab_top_tokens(
     df: DataFrame,
     k: int = 1000,
@@ -451,25 +478,8 @@ def vocab_top_tokens(
     """
     from obsplus_spark.util import ensure_parallelism
 
-    toks = (
-        rf"CASE WHEN length(trim({text_col})) = 0 THEN array()"
-        rf" ELSE split(trim(lower({text_col})), '\\s+') END"
-    )
-    # (token, in-doc count) pairs via sorted run-length — one md5-free
-    # pass; explode emits distinct tokens only
-    pairs = (
-        "aggregate(array_sort(_toks),"
-        " named_struct('prev', CAST(NULL AS STRING), 'run', 0,"
-        "   'acc', CAST(array() AS ARRAY<STRUCT<t: STRING, n: INT>>)),"
-        " (a, x) -> CASE WHEN x = a.prev"
-        "   THEN named_struct('prev', x, 'run', a.run + 1, 'acc', a.acc)"
-        "   ELSE named_struct('prev', x, 'run', 1, 'acc',"
-        "     CASE WHEN a.prev IS NULL THEN a.acc ELSE array_append(a.acc,"
-        "       named_struct('t', a.prev, 'n', a.run)) END) END,"
-        " a -> CASE WHEN a.prev IS NULL THEN a.acc"
-        "   ELSE array_append(a.acc, named_struct('t', a.prev, 'n', a.run))"
-        "   END)"
-    )
+    toks = _lower_tokens_sql(text_col)
+    pairs = _TOKEN_PAIRS_SQL
     return (
         ensure_parallelism(df)
         .selectExpr(f"{toks} AS _toks")
@@ -530,3 +540,174 @@ def pii_scrub(
     return df.selectExpr(
         id_col, f"{scrubbed} AS text", *counts
     ).selectExpr("*", f"{total} AS n_pii")
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf — the classic keyword /
+    topic-signal extraction pass over a corpus (reference exposes no text
+    analytics; this is part of the training-data north-star surface).
+
+    ``tfidf = tf · ln(N / df)`` with raw term counts and unsmoothed
+    document frequency over the whole input.
+
+    Scale shape: term frequencies come from the in-row run-length pass
+    (the explode carries one row per DISTINCT token per doc), document
+    frequencies from ONE map-side-combinable hash aggregate over that
+    frame, joined back with a broadcast hint (a vocabulary is tiny next
+    to its corpus), and the per-doc top-k compiles to WindowGroupLimit —
+    rank is pushed into the shuffle, no full per-doc sort. The token
+    frame is referenced twice in one statement; at 100 TB you would
+    persist it first (same contract as ``minhash_signatures``' digest
+    input) — both references are scan+map over the (cached) base table.
+
+    Ranking is by the 6-dp ROUNDED score then token: mathematically
+    equal scores (e.g. tf=2,df=10 vs tf=1,df=2 at N=50 — both ln 25)
+    are not bit-equal across engines before rounding, so ranking on the
+    raw double would be engine-dependent.
+
+    Output: (id, token, tf, df_docs, tfidf, rank), rank ≤ k.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH tok AS (
+          SELECT {id_col}, p.t AS token, CAST(p.n AS BIGINT) AS tf
+          FROM (SELECT {id_col}, {_TOKEN_PAIRS_SQL} AS _pairs
+                FROM (SELECT {id_col}, {toks} AS _toks FROM {{d}}))
+          LATERAL VIEW explode(_pairs) _e AS p
+        ),
+        dfreq AS (
+          SELECT token, CAST(count(1) AS BIGINT) AS df_docs
+          FROM tok GROUP BY token
+        ),
+        n AS (SELECT CAST(count(1) AS BIGINT) AS n_docs FROM {{d}}),
+        scored AS (
+          SELECT /*+ BROADCAST(f) */ t.{id_col}, t.token, t.tf, f.df_docs,
+                 round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / f.df_docs), 6)
+                   AS tfidf
+          FROM tok t JOIN dfreq f USING (token) CROSS JOIN n
+        )
+        SELECT {id_col}, token, tf, df_docs, tfidf,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY {id_col}
+                ORDER BY tfidf DESC, token) AS rank FROM scored)
+        WHERE rank <= {int(k)}
+        """,
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram-LM score: mean bits per token under the
+    corpus's own unigram distribution — the cheap stand-in for the
+    KenLM-perplexity quality filter of CCNet-style pipelines (low bits =
+    repetitive/templated text, high bits = rare-token soup; both tails
+    get reviewed).
+
+    ``bits_per_token = −Σ tf·log₂(cnt_t / total) / Σ tf`` with counts
+    from the input itself.
+
+    Scale shape: token run-length pairs (in-row), ONE vocabulary hash
+    aggregate (map-side combinable), broadcast join of the vocabulary
+    back onto the distinct-token frame, one final per-doc aggregate.
+    No window, no per-occurrence explode. Blank docs have no tokens and
+    are absent from the output (no 0/0 row).
+
+    Output: (id, n_tokens, bits_per_token).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH tok AS (
+          SELECT {id_col}, p.t AS token, CAST(p.n AS BIGINT) AS tf
+          FROM (SELECT {id_col}, {_TOKEN_PAIRS_SQL} AS _pairs
+                FROM (SELECT {id_col}, {toks} AS _toks FROM {{d}}))
+          LATERAL VIEW explode(_pairs) _e AS p
+        ),
+        vocab AS (
+          SELECT token, CAST(sum(tf) AS BIGINT) AS cnt
+          FROM tok GROUP BY token
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+        SELECT /*+ BROADCAST(v) */ t.{id_col},
+               CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+               round(-sum(t.tf * ln(v.cnt / tot.total) / ln(2.0D))
+                     / sum(t.tf), 6) AS bits_per_token
+        FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+        GROUP BY t.{id_col}
+        """,
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    target_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-mixture sampling plan: given target mixture ``weights``
+    per source and a total token budget, compute each source's token
+    inventory and the deterministic sampling rate that hits its share —
+    the planning step before building a weighted pre-training mix.
+
+    ``sample_rate_s = min(1, w_s · target / tokens_s)`` (a source
+    smaller than its share is taken whole — rates are not renormalized;
+    the reported ``expected_tokens`` is what a second planning pass
+    would redistribute). Sources absent from ``weights`` get weight 0.
+
+    Scale shape: ONE hash aggregate keyed by source (map-side
+    combinable — the only data-sized work is the token count inside the
+    scan); the weight table is a literal CASE expression, so the plan
+    is scan → partial agg → final agg over |sources| rows. Output is
+    dimension-sized.
+
+    Output: (source, n_docs, n_tokens, weight, sample_rate,
+    expected_tokens).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    t = int(target_tokens)
+    if not weights:
+        w_sql = "0.0D"
+    else:
+        arms = " ".join(
+            f"WHEN '{str(s).replace(chr(39), chr(39) * 2)}'"
+            f" THEN CAST({float(w)!r} AS DOUBLE)"
+            for s, w in weights.items()
+        )
+        w_sql = f"CASE {source_col} {arms} ELSE 0.0D END"
+    ntok = (
+        f"CASE WHEN length(trim({text_col})) = 0 THEN 0"
+        f" ELSE size(split(trim({text_col}), '\\\\s+')) END"
+    )
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        SELECT {source_col} AS source, n_docs, n_tokens, weight,
+               round(least(1.0D, weight * {t}.0D / n_tokens), 6)
+                 AS sample_rate,
+               CAST(floor(round(least(1.0D, weight * {t}.0D / n_tokens), 6)
+                          * n_tokens) AS BIGINT) AS expected_tokens
+        FROM (
+          SELECT {source_col}, CAST(count(1) AS BIGINT) AS n_docs,
+                 CAST(sum({ntok}) AS BIGINT) AS n_tokens,
+                 {w_sql} AS weight
+          FROM {{d}} GROUP BY {source_col}
+        )
+        """,
+    )

@@ -532,3 +532,116 @@ def test_pii_scrub_classes_and_order(spark):
     assert "<IPV4>" in rows[2].text and "<PHONE>" in rows[2].text
     assert (rows[2].n_ipv4, rows[2].n_phone) == (1, 1)
     assert rows[3].text == "clean text only" and rows[3].n_pii == 0
+
+
+def test_tf_idf_top_terms_values(spark):
+    from obsplus_spark.operators.text import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tf_idf_top_terms(df, k=2).collect()
+    rows = {(r.doc_id, r.token): r for r in out}
+    # N=4 docs (blank doc counts toward N but emits no terms)
+    assert 4 not in {r.doc_id for r in out}
+    # doc 1: apple tf=2 df=1 → 2·ln4 ; banana tf=1 df=2 → ln2
+    r = rows[(1, "apple")]
+    assert r.tf == 2 and r.df_docs == 1 and r.rank == 1
+    assert r.tfidf == round(2 * math.log(4.0), 6)
+    assert rows[(1, "banana")].tfidf == round(math.log(2.0), 6)
+    # per-doc cap at k
+    for d in (1, 2, 3):
+        assert sum(1 for (doc, _t) in rows if doc == d) <= 2
+
+
+def test_unigram_logprob_values(spark):
+    from obsplus_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b"), (3, "  ")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    # corpus: a×2, b×2, total 4 → P(a)=P(b)=0.5 → 1 bit/token everywhere
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens == 3 and out[1].bits_per_token == 1.0
+    assert out[2].n_tokens == 1 and out[2].bits_per_token == 1.0
+
+
+def test_mixture_plan_rates(spark):
+    from obsplus_spark.operators.text import mixture_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, "w " * 10, "a"),   # 10 tokens
+            (2, "w " * 30, "b"),   # 30 tokens
+            (3, "w " * 10, "b"),   # 40 total for b
+            (4, "w", "c"),         # unweighted source
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r for r in
+           mixture_plan(df, {"a": 0.5, "b": 0.25}, 20).collect()}
+    # a: 10 tokens, share 0.5·20=10 → rate 1.0, expected 10
+    assert out["a"].n_tokens == 10 and out["a"].sample_rate == 1.0
+    assert out["a"].expected_tokens == 10
+    # b: 40 tokens, share 5 → rate 0.125, expected 5
+    assert out["b"].n_docs == 2 and out["b"].n_tokens == 40
+    assert out["b"].sample_rate == 0.125
+    assert out["b"].expected_tokens == 5
+    # c: weight 0 → rate 0, expected 0
+    assert out["c"].weight == 0.0 and out["c"].expected_tokens == 0
+
+
+def test_boilerplate_ngram_stats(spark):
+    from obsplus_spark.operators.dedup import boilerplate_ngram_stats
+
+    footer = "all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha text one " + footer),
+            (2, "other beta words here " + footer),
+            (3, "third gamma sentence now " + footer),
+            (4, "nothing shared at all whatsoever"),
+            (5, "ab"),  # < n tokens → zero grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           boilerplate_ngram_stats(df, n=3, min_docs=3).collect()}
+    assert len(out) == 5
+    # only the footer's single full 3-gram appears in ≥3 docs
+    for d in (1, 2, 3):
+        assert out[d].n_boiler == 1
+        assert out[d].boiler_frac == round(1 / out[d].n_grams, 6)
+    assert out[4].n_boiler == 0 and out[4].boiler_frac == 0.0
+    assert out[5].n_grams == 0 and out[5].boiler_frac == 0.0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from obsplus_spark.operators.similarity import hard_negatives
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.1], 0),   # same label as query → excluded
+            (3, [0.9, 0.2], 1),
+            (4, [0.0, 1.0], 1),
+            (5, [-1.0, 0.0], 2),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    q = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(vecs, q, k=2).collect()
+    ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ids == [3, 4]           # 2 skipped (same label), 5 too far
+    assert all(r.label != 0 for r in out)
