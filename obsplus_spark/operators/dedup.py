@@ -911,12 +911,16 @@ def boilerplate_ngram_stats(
     Scale shape: per-doc DISTINCT gram sets stay in-row as xxhash64
     arrays (:func:`gram_hash_array` — gram strings never materialize),
     ONE hash aggregate keyed by gram hash finds the frequent set, which
-    joins back onto the exploded gram frame with a broadcast hint (the
-    boilerplate vocabulary is tiny next to the corpus — AQE demotes the
-    hint if a pathological corpus inflates it). The gram frame is
-    referenced twice in one statement (frequent-set agg + hit count);
-    both references are scan+map — at 100 TB persist the gram frame
-    first, same contract as ``minhash_signatures``. Counting hashes is
+    LEFT-joins back onto the exploded gram frame with a broadcast hint
+    (the boilerplate vocabulary is tiny next to the corpus — AQE demotes
+    the hint if a pathological corpus inflates it); per-doc totals and
+    boiler hits come out of the SAME aggregate (``count(1)`` vs
+    ``count(f.gram)``), and the full doc list (short docs have no grams)
+    re-enters from a column-pruned id scan rather than a third
+    evaluation of the gram expression. The gram frame is referenced
+    twice in one statement (frequent-set agg + hit count); both
+    references are scan+map — at 100 TB persist the gram frame first,
+    same contract as ``minhash_signatures``. Counting hashes is
     exact up to 64-bit collisions (~|grams|²/2⁶⁴ — immaterial for
     hygiene fractions).
 
@@ -927,7 +931,7 @@ def boilerplate_ngram_stats(
 
     grams = gram_hash_array(df, id_col=id_col, text_col=text_col, n=n)
     return sql_over(
-        {"g": grams},
+        {"g": grams, "d": df},
         f"""
         WITH e AS (
           SELECT {id_col}, gram FROM {{g}}
@@ -937,17 +941,19 @@ def boilerplate_ngram_stats(
           SELECT gram FROM e GROUP BY gram
           HAVING count(1) >= {int(min_docs)}
         ),
-        hits AS (
+        stat AS (
           SELECT /*+ BROADCAST(f) */ e.{id_col},
-                 CAST(count(1) AS BIGINT) AS n_boiler
-          FROM e JOIN freq f USING (gram) GROUP BY e.{id_col}
+                 CAST(count(1) AS BIGINT) AS n_grams,
+                 CAST(count(f.gram) AS BIGINT) AS n_boiler
+          FROM e LEFT JOIN freq f ON e.gram = f.gram
+          GROUP BY e.{id_col}
         )
-        SELECT g.{id_col}, CAST(size(g.grams) AS BIGINT) AS n_grams,
-               CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
-               round(CASE WHEN size(g.grams) = 0 THEN 0.0D
-                     ELSE coalesce(h.n_boiler, 0)
-                          / CAST(size(g.grams) AS DOUBLE) END, 6)
+        SELECT d.{id_col}, coalesce(s.n_grams, 0L) AS n_grams,
+               coalesce(s.n_boiler, 0L) AS n_boiler,
+               round(CASE WHEN coalesce(s.n_grams, 0L) = 0 THEN 0.0D
+                     ELSE s.n_boiler / CAST(s.n_grams AS DOUBLE) END, 6)
                  AS boiler_frac
-        FROM {{g}} g LEFT JOIN hits h ON g.{id_col} = h.{id_col}
+        FROM (SELECT {id_col} FROM {{d}}) d
+        LEFT JOIN stat s ON d.{id_col} = s.{id_col}
         """,
     )
