@@ -60,6 +60,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Both are runtime-settable; idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # plan-build cost: PySpark's origin capture does a
+        # getActiveSession + JVM setter round trip per API call; its
+        # gate caches the FIRST read of this conf, so set it before any
+        # DataFrame op in sessions the driver built itself
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:
+        pass
     path = f"{sf_dir}/{name}.parquet"
     if os.environ.get("SPARK_GRAFT_CACHE", "1") == "0":
         return _norm_ts(spark.read.parquet(path))

@@ -41,6 +41,11 @@ def get_spark(
         # time convention (Spark TimestampType is µs-only; SURVEY.md §7)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # skip PySpark's per-DataFrame-call origin capture (a
+        # getActiveSession + JVM origin-setter py4j round trip on EVERY
+        # wrapped API call — ~25% of plan-build time across the query
+        # suite); the only loss is the "call site" line in error messages
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
