@@ -4430,6 +4430,108 @@ _SQL_HARDNEG = """
 """
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement of deterministic spherical k-means (seeds =
+    4 lowest vec_ids, argmax-cosine assignment): broadcast seed fold,
+    map-only assign, ONE (cluster, dim)-keyed hash aggregate carrying
+    both the refined means and the member counts."""
+    from obsplus_spark.operators.similarity import kmeans_refine_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_refine_stats(emb, n_clusters=4)
+
+
+_SQL_KMEANS = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
+             sqrt(list_dot_product(ev, ev)) AS nrm
+      FROM v WHERE vec_id < 4
+    ),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.ev, c.c)
+                   / (sqrt(list_dot_product(v.ev, v.ev)) * c.nrm) DESC,
+                 c.cluster) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cluster, dim, ev[dim + 1] AS x
+      FROM (SELECT a.cluster, v.ev, unnest(range(len(v.ev))) AS dim
+            FROM asg a JOIN v ON v.vec_id = a.vec_id)
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(1) AS BIGINT) AS n_members,
+           CAST(dim AS BIGINT) AS dim,
+           round(avg(x), 6) AS centroid
+    FROM m GROUP BY cluster, dim
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-trainer pair statistics: top-50 adjacent character pairs
+    weighted by word frequency. Corpus-sized work is one map-side-
+    combinable word-count aggregate; pair expansion and top-k run on
+    the vocabulary."""
+    from obsplus_spark.operators.text import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=50)
+
+
+_SQL_BPE = r"""
+    WITH w AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+              AS tok
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY tok
+    ),
+    p AS (
+      SELECT word, freq, pair
+      FROM (SELECT word, freq,
+                   unnest(list_transform(range(1, length(word)),
+                          i -> substring(word, i, 2))) AS pair
+            FROM w WHERE length(word) >= 2)
+    )
+    SELECT pair, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS total
+    FROM p GROUP BY pair
+    ORDER BY total DESC, pair
+    LIMIT 50
+"""
+
+
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists: per token in ≥10 docs, document
+    frequency + first-8 sorted doc ids (rank-limited inside the one
+    token-keyed shuffle — a stopword's postings are never collected
+    whole)."""
+    from obsplus_spark.operators.text import posting_lists
+
+    docs = _t(spark, sf_dir, "documents")
+    return posting_lists(docs, min_df=10, sample_k=8)
+
+
+_SQL_POSTING = r"""
+    WITH e AS (
+      SELECT DISTINCT doc_id, tok AS token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                     AS tok
+            FROM documents WHERE length(trim(text)) > 0)
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS df_docs,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 8), ',')
+             AS sample_docs
+    FROM e GROUP BY token
+    HAVING count(*) >= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4450,6 +4552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap this round and rotate back in next round.
     return {
         # (a) changed this round (new r5 operators lead)
+        "kmeans_step": q_kmeans_step,
+        "bpe_pairs": q_bpe_pairs,
+        "posting_lists": q_posting_lists,
         "tf_idf": q_tf_idf,
         "unigram_lp": q_unigram_lp,
         "mixture_plan": q_mixture_plan,
@@ -4546,6 +4651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "kmeans_step": _SQL_KMEANS,
+        "bpe_pairs": _SQL_BPE,
+        "posting_lists": _SQL_POSTING,
         "tf_idf": _SQL_TFIDF,
         "unigram_lp": _SQL_UNIGRAM,
         "mixture_plan": _mixture_sql(),

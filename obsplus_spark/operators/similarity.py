@@ -510,6 +510,58 @@ def ann_recall_at_k(
     )
 
 
+def kmeans_refine_stats(
+    vectors: DataFrame,
+    n_clusters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd refinement step of the deterministic spherical k-means
+    that seeds :func:`ivf_assign`, exposed as data: per-cluster member
+    counts and the refined per-dimension centroid means — the semantic
+    clustering / topic-bucketing pass a curation pipeline runs to
+    stratify a corpus before mixing (and the quality probe for the IVF
+    coarse quantizer itself).
+
+    Seeding is the ``n_clusters`` lowest-id vectors (no RNG — same
+    contract as ``ivf_assign``); assignment is argmax cosine, ties to
+    the smaller cluster id.
+
+    Scale shape: the seed fold is one tiny aggregate broadcast as a
+    single array row; assignment is a map-only per-row expression over
+    the corpus (no corpus×K join, no shuffle); the refinement itself is
+    ONE hash aggregate keyed by (cluster, dim) after a ``posexplode`` —
+    map-side combine collapses each partition to ≤ clusters×dim rows
+    before the only shuffle, and member counts ride the same aggregate
+    (every dimension of a member contributes one row, so ``count(1)``
+    within a (cluster, dim) group IS the member count — no second pass
+    over the assignments).
+
+    Output: (cluster, n_members, dim, centroid), clusters×dim rows.
+    """
+    from obsplus_spark.util import sql_over
+
+    assignments, _ = ivf_assign(
+        vectors,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_iterations=0,
+        folded=True,
+    )
+    return sql_over(
+        {"a": assignments},
+        f"""
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(count(1) AS BIGINT) AS n_members,
+               CAST(pos AS BIGINT) AS dim,
+               round(avg(CAST(x AS DOUBLE)), 6) AS centroid
+        FROM (SELECT cluster, posexplode({vec_col}) AS (pos, x) FROM {{a}})
+        GROUP BY cluster, pos
+        """,
+    )
+
+
 def hard_negatives(
     vectors: DataFrame,
     queries: DataFrame,

@@ -730,3 +730,109 @@ def mixture_plan(
         )
         """,
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-weighted adjacent character-pair statistics — the
+    counting step a BPE tokenizer trainer runs before its first merge
+    (the most frequent pair becomes the first merged symbol; repeated
+    application yields the merge table).
+
+    A pair's ``total`` is its occurrence count over the corpus: each
+    word type contributes (occurrences-in-word × word frequency);
+    ``n_words`` is how many distinct word types contain it. Top-``k``
+    pairs by total (ties → lexicographic pair).
+
+    Scale shape: the corpus-sized work is ONE occurrence explode into a
+    map-side-combinable word-frequency aggregate (the shuffle carries
+    distinct word types, not occurrences — Zipf makes the vocabulary
+    tiny next to the corpus); pair expansion, the pair aggregate, and
+    the top-k (distributed TakeOrdered, never a global sort) all run on
+    vocabulary-sized data.
+
+    Output: (pair, n_words, total), ≤ k rows.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH w AS (
+          SELECT tok AS word, CAST(count(1) AS BIGINT) AS freq
+          FROM (SELECT {toks} AS _toks FROM {{d}})
+          LATERAL VIEW explode(_toks) _e AS tok
+          GROUP BY tok
+        ),
+        p AS (
+          SELECT word, freq, pair
+          FROM (SELECT word, freq,
+                       transform(sequence(1, length(word) - 1),
+                                 i -> substring(word, i, 2)) AS _pairs
+                FROM w WHERE length(word) >= 2)
+          LATERAL VIEW explode(_pairs) _e AS pair
+        )
+        SELECT pair, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+               CAST(sum(freq) AS BIGINT) AS total
+        FROM p GROUP BY pair
+        ORDER BY total DESC, pair
+        LIMIT {int(k)}
+        """,
+    )
+
+
+def posting_lists(
+    df: DataFrame,
+    min_df: int = 10,
+    sample_k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index construction: per token, its document frequency
+    and a bounded sorted sample of posting doc ids — the retrieval-side
+    artifact (BM25 / keyword search) built from the same corpus the
+    model trains on.
+
+    Scale shape: distinct tokens per doc stay in-row
+    (``array_distinct``) so the explode carries one row per (doc,
+    distinct token); ONE shuffle keyed by token; the posting sample is
+    rank-limited BEFORE any collection — ``row_number`` over the token
+    partition keeps the first ``sample_k`` doc ids and the document
+    frequency rides the same window pass, so a stopword's full posting
+    list is never gathered into one array (``collect_list`` only ever
+    sees ≤ ``sample_k`` rows per token). The sample is emitted as a
+    comma-joined string, not an array, for engine-portable comparison.
+
+    Output: (token, df_docs, sample_docs) for tokens in ≥ ``min_df``
+    docs.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH e AS (
+          SELECT {id_col}, tok AS token
+          FROM (SELECT {id_col}, {toks} AS _toks FROM {{d}})
+          LATERAL VIEW explode(array_distinct(_toks)) _e AS tok
+        ),
+        r AS (
+          SELECT token, {id_col},
+                 count(1) OVER (PARTITION BY token) AS _df,
+                 row_number() OVER (PARTITION BY token
+                                    ORDER BY {id_col}) AS _rn
+          FROM e
+        )
+        SELECT token, CAST(max(_df) AS BIGINT) AS df_docs,
+               array_join(array_sort(collect_list({id_col})), ',')
+                 AS sample_docs
+        FROM r WHERE _rn <= {int(sample_k)}
+        GROUP BY token
+        HAVING max(_df) >= {int(min_df)}
+        """,
+    )

@@ -645,3 +645,60 @@ def test_hard_negatives_excludes_same_label(spark):
     ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
     assert ids == [3, 4]           # 2 skipped (same label), 5 too far
     assert all(r.label != 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: k-means refinement, BPE pair counts, posting lists
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_refine_stats_two_obvious_clusters(spark):
+    from obsplus_spark.operators.similarity import kmeans_refine_stats
+
+    # seeds are the 2 lowest ids — one per axis; the remaining vectors
+    # split by cosine onto their axis (exact, no near-ties)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+        (4, [0.8, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_refine_stats(df, n_clusters=2).collect()
+    assert len(out) == 2 * 2  # clusters x dims
+    got = {(r.cluster, r.dim): (r.n_members, r.centroid) for r in out}
+    # cluster 1 = {0, 2, 4}: mean dim0 = (1.0+0.9+0.8)/3 = 0.9
+    assert got[(1, 0)] == (3, 0.9)
+    assert got[(1, 1)][1] == pytest.approx(0.1 / 3, abs=1e-6)
+    # cluster 2 = {1, 3}: mean dim1 = (1.0+0.9)/2 = 0.95
+    assert got[(2, 1)] == (2, 0.95)
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from obsplus_spark.operators.text import bpe_pair_counts
+
+    # "abab" once, "ab" three times across docs:
+    #   pair "ab": in-word counts 2 (abab) + 1 (ab)x3 -> total 5, n_words 2
+    #   pair "ba": 1 (abab) -> total 1
+    rows = [(1, "abab ab ab"), (2, "ab x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.pair: (r.n_words, r.total) for r in bpe_pair_counts(df).collect()}
+    assert out["ab"] == (2, 5)
+    assert out["ba"] == (1, 1)
+    assert "x" not in out  # single-char words contribute no pairs
+
+
+def test_posting_lists_caps_sample_keeps_full_df(spark):
+    from obsplus_spark.operators.text import posting_lists
+
+    # "tok" appears in 12 docs; sample_k=3 must cap the list while
+    # df_docs still counts all 12; "rare" (2 docs) filtered by min_df
+    rows = [(i, "tok filler%d" % i) for i in range(12)]
+    rows += [(100, "rare"), (101, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: r for r in
+           posting_lists(df, min_df=3, sample_k=3).collect()}
+    assert list(out) == ["tok"]
+    assert out["tok"].df_docs == 12
+    assert out["tok"].sample_docs == "0,1,2"  # 3 smallest ids, sorted
