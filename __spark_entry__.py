@@ -4430,6 +4430,56 @@ _SQL_HARDNEG = """
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 unrolled iterations, d=0.85) over the supplier →
+    customer shipment graph (lineitem ⋈ orders): per round one
+    src-keyed join + one dst-keyed map-combined aggregate; top-20 cut on
+    the rounded rank so the boundary is engine-stable."""
+    from obsplus_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).selectExpr("l_suppkey AS src", "o_custkey AS dst")
+    return pagerank(edges, iterations=2, damping=0.85, k=20)
+
+
+_SQL_PAGERANK = """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+    c1 AS (
+      SELECT e.dst AS node, sum(r.rank / g.deg) AS contrib
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
+      FROM nodes n LEFT JOIN c1 c ON n.node = c.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, sum(r.rank / g.deg) AS contrib
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
+      FROM nodes n LEFT JOIN c2 c ON n.node = c.node
+    )
+    SELECT node, round(rank, 6) AS rank
+    FROM r2
+    ORDER BY round(rank, 6) DESC, node
+    LIMIT 20
+"""
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd refinement of deterministic spherical k-means (seeds =
     4 lowest vec_ids, argmax-cosine assignment): broadcast seed fold,
@@ -4552,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap this round and rotate back in next round.
     return {
         # (a) changed this round (new r5 operators lead)
+        "pagerank": q_pagerank,
         "kmeans_step": q_kmeans_step,
         "bpe_pairs": q_bpe_pairs,
         "posting_lists": q_posting_lists,
@@ -4651,6 +4702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "pagerank": _SQL_PAGERANK,
         "kmeans_step": _SQL_KMEANS,
         "bpe_pairs": _SQL_BPE,
         "posting_lists": _SQL_POSTING,

@@ -702,3 +702,19 @@ def test_posting_lists_caps_sample_keeps_full_df(spark):
     assert list(out) == ["tok"]
     assert out["tok"].df_docs == 12
     assert out["tok"].sample_docs == "0,1,2"  # 3 smallest ids, sorted
+
+
+def test_pagerank_tiny_graph_hand_computed(spark):
+    from obsplus_spark.operators.graph import pagerank
+
+    # 1->2, 1->3, 2->3, 3->1 (deg: 1:2, 2:1, 3:1); 2 iterations, d=0.85:
+    # r1 = (1.0, 0.575, 1.425); r2 = (1.36125, 0.575, 1.06375)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    out = pagerank(edges, iterations=2, damping=0.85, k=10).collect()
+    assert [(r.node, r.rank) for r in out] == [
+        (1, 1.36125),
+        (3, 1.06375),
+        (2, 0.575),
+    ]
