@@ -4450,32 +4450,26 @@ _SQL_PAGERANK = """
       SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    deg AS (
-      SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ew AS (
+      SELECT src, dst, 1.0 / count(*) OVER (PARTITION BY src) AS w
+      FROM edges
     ),
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-    r0 AS (SELECT node, 1.0 AS rank FROM nodes),
-    c1 AS (
-      SELECT e.dst AS node, sum(r.rank / g.deg) AS contrib
-      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg g ON e.src = g.src
-      GROUP BY e.dst
-    ),
+    c1 AS (SELECT dst, sum(w) AS contrib FROM ew GROUP BY dst),
     r1 AS (
-      SELECT n.node, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
-      FROM nodes n LEFT JOIN c1 c ON n.node = c.node
+      SELECT s.src AS node, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
+      FROM (SELECT DISTINCT src FROM edges) s
+      LEFT JOIN c1 c ON s.src = c.dst
     ),
     c2 AS (
-      SELECT e.dst AS node, sum(r.rank / g.deg) AS contrib
-      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg g ON e.src = g.src
+      SELECT e.dst, sum(r.rank * e.w) AS contrib
+      FROM ew e JOIN r1 r ON e.src = r.node
       GROUP BY e.dst
-    ),
-    r2 AS (
-      SELECT n.node, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
-      FROM nodes n LEFT JOIN c2 c ON n.node = c.node
     )
-    SELECT node, round(rank, 6) AS rank
-    FROM r2
-    ORDER BY round(rank, 6) DESC, node
+    SELECT n.node,
+           round(0.15 + 0.85 * coalesce(c.contrib, 0.0), 6) AS rank
+    FROM nodes n LEFT JOIN c2 c ON n.node = c.dst
+    ORDER BY round(0.15 + 0.85 * coalesce(c.contrib, 0.0), 6) DESC, n.node
     LIMIT 20
 """
 

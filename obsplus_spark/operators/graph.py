@@ -33,49 +33,55 @@ def pagerank(
 
     Scale shape: one statement, iterations unrolled (bounded, plan depth
     ∝ iterations — the same contract as ``dedup_clusters``' lazy mode,
-    which checkpoints past ~8 rounds). Per round: the edge frame joins
-    the rank frame on ``src`` (both shuffle-keyed on src — co-partitioned
-    by Catalyst across rounds since the edge subtree is identical) and
-    hash-aggregates contributions keyed by ``dst`` (map-side combined:
-    the shuffle carries ≤ |nodes| rows, not |edges|). Out-degrees ride
-    the src join; no per-round driver action, no collect. The final
-    top-k is a distributed TakeOrdered on the ROUNDED rank (6 dp) so the
-    cut is engine-stable — raw doubles differ in the last bits across
-    engines and would make the boundary of the top-k nondeterministic.
+    which checkpoints past ~8 rounds). The reciprocal out-degree folds
+    into the edge frame ONCE via a src-partitioned window (no separate
+    degree table, no per-round degree join); round 1 constant-folds the
+    uniform initial rank (``sum(w)`` — no join at all); intermediate
+    rounds carry ranks only for SOURCE nodes (a sink's rank feeds
+    nothing until the final read-out, so the per-round join probe is the
+    source set, not all nodes); the final round left-joins the full node
+    list. Per round that leaves one src-keyed join and one dst-keyed
+    map-combined hash aggregate (the shuffle carries ≤ |nodes| partial
+    sums, not |edges| contributions); no per-round driver action, no
+    collect. The final top-k is a distributed TakeOrdered on the ROUNDED
+    rank (6 dp) so the cut is engine-stable — raw doubles differ in the
+    last bits across engines and would make the boundary of the top-k
+    nondeterministic.
 
     Output: (node, rank) — ≤ k rows, rank rounded to 6 dp.
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
     d = float(damping)
+    its = int(iterations)
+    base = f"{1.0 - d!r}D + {d!r}D * coalesce(c.contrib, 0.0D)"
     parts = [
         f"""
         edges AS (
           SELECT DISTINCT {src_col} AS src, {dst_col} AS dst FROM {{e}}
         ),
-        deg AS (
-          SELECT src, CAST(count(1) AS DOUBLE) AS deg
-          FROM edges GROUP BY src
+        ew AS (
+          SELECT src, dst,
+                 1.0D / count(1) OVER (PARTITION BY src) AS w
+          FROM edges
         ),
         nodes AS (
           SELECT src AS node FROM edges UNION SELECT dst FROM edges
         ),
-        r0 AS (SELECT node, 1.0D AS rank FROM nodes)"""
+        c1 AS (SELECT dst, sum(w) AS contrib FROM ew GROUP BY dst)"""
     ]
-    for i in range(int(iterations)):
+    for i in range(1, its):
         parts.append(
             f"""
-        c{i + 1} AS (
-          SELECT e.dst AS node, sum(r.rank / g.deg) AS contrib
-          FROM edges e
-          JOIN r{i} r ON e.src = r.node
-          JOIN deg g ON e.src = g.src
-          GROUP BY e.dst
+        r{i} AS (
+          SELECT s.src AS node, {base} AS rank
+          FROM (SELECT DISTINCT src FROM edges) s
+          LEFT JOIN c{i} c ON s.src = c.dst
         ),
-        r{i + 1} AS (
-          SELECT n.node,
-                 {1.0 - d!r}D + {d!r}D * coalesce(c.contrib, 0.0D) AS rank
-          FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.node
+        c{i + 1} AS (
+          SELECT e.dst, sum(r.rank * e.w) AS contrib
+          FROM ew e JOIN r{i} r ON e.src = r.node
+          GROUP BY e.dst
         )"""
         )
     body = ",".join(parts)
@@ -83,9 +89,9 @@ def pagerank(
         {"e": ensure_parallelism(edges)},
         f"""
         WITH {body}
-        SELECT node, round(rank, 6) AS rank
-        FROM r{int(iterations)}
-        ORDER BY round(rank, 6) DESC, node
+        SELECT n.node, round({base}, 6) AS rank
+        FROM nodes n LEFT JOIN c{its} c ON n.node = c.dst
+        ORDER BY round({base}, 6) DESC, n.node
         LIMIT {int(k)}
         """,
     )
