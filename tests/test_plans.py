@@ -259,3 +259,42 @@ def test_vocab_top_is_take_ordered(plans):
     p = plans["vocab_top"][0]
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p
+
+
+def test_posting_lists_rank_limited_before_collect(plans):
+    """Posting samples must be rank-limited inside the one token-keyed
+    shuffle (WindowGroupLimit) so a stopword's postings are never
+    collected whole; exactly ONE hash exchange in the whole plan."""
+    p, simple = plans["posting_lists"]
+    assert "WindowGroupLimit" in p
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_bpe_pairs_vocab_sized_after_one_exchange(plans):
+    """BPE pair counting: top-k is distributed TakeOrdered, and the only
+    shuffles are the word-frequency and pair aggregates (2) — pair
+    expansion itself adds no exchange because it runs on the already-
+    shuffled vocabulary."""
+    p, simple = plans["bpe_pairs"]
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+    assert simple.count("Exchange hashpartitioning") == 2
+
+
+def test_kmeans_step_assign_is_map_only(plans):
+    """k-means refinement: centroids ride ONE broadcast one-row cross
+    join; assignment is an in-row expression, so the corpus meets its
+    first (and only) hash exchange at the (cluster, dim) aggregate."""
+    p, simple = plans["kmeans_step"]
+    assert simple.count("BroadcastNestedLoopJoin") == 1  # one-row centroid array
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_pagerank_topk_and_no_cartesian(plans):
+    """PageRank's final cut is distributed TakeOrdered on the rounded
+    rank; every join is keyed (no broadcast-nested-loop fallback)."""
+    p, simple = plans["pagerank"]
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" not in p
