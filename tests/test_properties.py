@@ -156,3 +156,114 @@ def test_dedup_clusters_matches_union_find(spark, pairs):
         for r in dedup_clusters(df, max_iterations=31).collect()
     }
     assert got == ref_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators vs pure-Python reference models
+# ---------------------------------------------------------------------------
+
+
+def ref_pagerank(edges, iterations=2, d=0.85):
+    """Textbook simplified-dangling PageRank over a distinct edge set."""
+    edges = sorted(set(edges))
+    srcs = {}
+    for s, t in edges:
+        srcs.setdefault(s, set()).add(t)
+    nodes = {n for e in edges for n in e}
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        contrib = {}
+        for s, outs in srcs.items():
+            w = rank[s] / len(outs)
+            for t in outs:
+                contrib[t] = contrib.get(t, 0.0) + w
+        rank = {n: (1 - d) + d * contrib.get(n, 0.0) for n in nodes}
+    return rank
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    iterations=st.integers(min_value=1, max_value=3),
+)
+@settings(**SETTINGS)
+def test_pagerank_matches_reference(spark, edges, iterations):
+    from obsplus_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=iterations, k=100).collect()
+    }
+    want = ref_pagerank(edges, iterations)
+    assert set(got) == set(want)
+    for n, r in want.items():
+        assert abs(got[n] - r) < 1e-5, (n, got[n], r)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_bpe_pair_counts_matches_reference(spark, docs):
+    from obsplus_spark.operators.text import bpe_pair_counts
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.pair: (r.n_words, r.total)
+           for r in bpe_pair_counts(df, k=1000).collect()}
+
+    freq = {}
+    for t in docs:
+        for w in t.strip().lower().split():
+            freq[w] = freq.get(w, 0) + 1
+    want = {}
+    for w, f in freq.items():
+        for i in range(len(w) - 1):
+            p = w[i:i + 2]
+            nw, tot = want.get(p, (set(), 0))
+            nw = nw | {w}
+            want[p] = (nw, tot + f)
+    want = {p: (len(nw), tot) for p, (nw, tot) in want.items()}
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="pq r", min_size=0, max_size=20),
+        min_size=1,
+        max_size=15,
+    ),
+    min_df=st.integers(min_value=1, max_value=4),
+    sample_k=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_posting_lists_matches_reference(spark, docs, min_df, sample_k):
+    from obsplus_spark.operators.text import posting_lists
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token: (r.df_docs, r.sample_docs)
+           for r in posting_lists(df, min_df=min_df,
+                                  sample_k=sample_k).collect()}
+
+    postings = {}
+    for i, t in enumerate(docs):
+        for w in set(t.strip().lower().split()):
+            postings.setdefault(w, []).append(i)
+    want = {
+        w: (len(ids), ",".join(str(x) for x in sorted(ids)[:sample_k]))
+        for w, ids in postings.items()
+        if len(ids) >= min_df
+    }
+    assert got == want
