@@ -4353,7 +4353,9 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BOILER = r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t != '') AS toks
       FROM documents
     ),
     g AS (

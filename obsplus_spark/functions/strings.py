@@ -36,15 +36,40 @@ def glob_to_regex_expr(col: str) -> str:
     UDF, so a request-side projection stays JVM-codegen).
 
     Covers the fnmatch constructs seed codes use: ``*``, ``?``,
-    ``[...]``/``[!...]`` classes, and literal text (regex specials
-    escaped). Divergence from fnmatch: an unpaired ``[`` is passed
-    through as regex (fnmatch demotes it to a literal) — malformed seed
-    globs are caller errors here.
+    ``[...]``/``[!...]`` classes, literal text (regex specials escaped),
+    and an unpaired ``[`` demoted to a literal, all with fnmatch
+    semantics. The glob is segmented into complete ``[...]`` classes,
+    lone ``[``, and literal runs (one ``regexp_extract_all``), and each
+    segment translates independently — so ``*``/``?`` INSIDE a class
+    stay literal, exactly as fnmatch keeps them (the earlier global
+    ``replace`` chain rewrote them there too, turning ``L[?]`` into
+    ``L[.]``). Remaining documented divergences (none reachable from
+    seed-code globs): a leading ``^`` inside a class negates here
+    (fnmatch escapes it; fnmatch spells negation ``[!``), and a class
+    whose FIRST member is ``]`` (fnmatch's ``[]abc]`` rule) falls back
+    to literal text because the segmenter requires a non-empty
+    ``]``-free body (which also keeps fnmatch's empty-``[]``-is-literal
+    rule working).
     """
-    esc = rf"regexp_replace({col}, '([.^$+{{}}()|\\\\])', '\\\\$1')"
-    toks = f"replace(replace({esc}, '*', '.*'), '?', '.')"
-    cls = rf"regexp_replace({toks}, '\\[!', '[^')"
-    return f"concat('(?s)^', {cls}, '$')"
+    lit = (
+        r"replace(replace(regexp_replace(s,"
+        r" '([.^$+{{}}()|\\\\])', '\\\\$1'), '*', '.*'), '?', '.')"
+    )
+    # Java (unlike Python/RE2) treats an inner '[' as a NESTED class
+    # opener and '&&' as intersection — escape both (plus backslash)
+    # inside class bodies so glob classes stay literal-member sets
+    cls_body = r"regexp_replace(substring(s, {start}), '([\\[\\\\&])', '\\\\$1')"
+    seg = (
+        "CASE WHEN s = '[' THEN '\\\\['"
+        f" WHEN startswith(s, '[!') THEN concat('[^', {cls_body.format(start=3)})"
+        f" WHEN startswith(s, '[') THEN concat('[', {cls_body.format(start=2)})"
+        f" ELSE {lit} END"
+    )
+    return (
+        "concat('(?s)^', array_join(transform("
+        rf"regexp_extract_all({col}, '\\[[^\\]]+\\]|\\[|[^\\[]+', 0),"
+        f" s -> {seg}), ''), '$')"
+    )
 
 
 def is_exact(pattern: str) -> bool:

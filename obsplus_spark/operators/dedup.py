@@ -781,9 +781,13 @@ def gram_hash_array(
     """
     from obsplus_spark.util import ensure_parallelism
 
-    # one regex pass: split on \s+ directly (same token list as the
-    # normalize-then-split-on-space form, one fewer full-text regex scan)
-    toks = rf"split(trim(lower({text_col})), '\\s+')"
+    # one regex pass: split on \s+ directly, then drop empty tokens —
+    # Spark/DuckDB ``trim`` strips SPACES only, so text with leading or
+    # trailing tabs/newlines splits into phantom '' edge tokens that the
+    # normalize-then-split-on-space form (the decontaminate oracle's
+    # tokenization) never produces; without the filter a doc ending in
+    # '\n' grows a phantom n-gram and the hygiene counts silently drift
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
     # each TOKEN hashes once (xxhash64 over its string); a gram's hash is
     # the xxhash64-combine of its n token hashes — n−1 fixed-width int
     # hashes per gram instead of a gram-string concat + string hash, and

@@ -54,6 +54,8 @@ def pagerank(
 
     d = float(damping)
     its = int(iterations)
+    if its < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     base = f"{1.0 - d!r}D + {d!r}D * coalesce(c.contrib, 0.0D)"
     parts = [
         f"""

@@ -302,10 +302,14 @@ def duplicate_events(
     # sequential-withColumns formulation had to snapshot them first), and
     # the whole rewrite is a single JVM-parsed statement instead of a
     # Python-lambda Column tree (~0.2 s of py4j per plan build)
+    # the caller-supplied suffix lands inside SQL string literals —
+    # escape quotes (same hardening as hash_split's salt)
+    sfx = str(suffix).replace("'", "''")
+
     def remap(x: str) -> str:
         return (
-            f"concat('{suffix}:', substring(md5(concat({x},"
-            f" ':{suffix}')), 1, {int(id_len)}))"
+            f"concat('{sfx}:', substring(md5(concat({x},"
+            f" ':{sfx}')), 1, {int(id_len)}))"
         )
 
     oid0 = "transform(coalesce(origins, array()), o -> o.resource_id)"

@@ -152,7 +152,7 @@ def language_id_heuristic(
     scored = ", ".join(
         "named_struct('neg', -size(filter(_toks,"
         f" t -> array_contains({_arr(profiles[lang])}, t))),"
-        f" 'lang', '{lang}')"
+        " 'lang', '" + lang.replace("'", "''") + "')"
         for lang in sorted(profiles)
     )
     staged = df.selectExpr(
@@ -531,9 +531,19 @@ def pii_scrub(
     dict order (earlier classes win overlapping spans — e.g. the email
     pattern consumes its digits before the phone pattern sees them).
 
-    Output: (id, scrubbed text, n_<class> per pattern, n_pii total).
+    Output: (id, scrubbed ``text_col``, n_<class> per pattern, n_pii
+    total). Pattern-class names become ``n_<name>`` output columns, so
+    they must be bare SQL identifiers (``[A-Za-z_][A-Za-z0-9_]*``) —
+    validated up front rather than failing as a mid-plan ParseException.
     """
+    import re as _re
+
     pats = patterns if patterns is not None else PII_PATTERNS
+    for name in pats:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"pattern class {name!r} is not a valid SQL identifier"
+            )
     scrubbed = text_col
     counts = []
     for name, pat in pats.items():
@@ -545,7 +555,7 @@ def pii_scrub(
         scrubbed = f"regexp_replace({scrubbed}, '{lit}', '<{name.upper()}>')"
     total = " + ".join(f"n_{name}" for name in pats) or "CAST(0 AS BIGINT)"
     return df.selectExpr(
-        id_col, f"{scrubbed} AS text", *counts
+        id_col, f"{scrubbed} AS {text_col}", *counts
     ).selectExpr("*", f"{total} AS n_pii")
 
 

@@ -145,8 +145,19 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
     spark = next(iter(dfs.values())).sparkSession
     names = {}
     for alias, df in dfs.items():
-        _SQL_OVER_N += 1
-        name = f"_obsplus_sql_over_{alias}_{_SQL_OVER_N}"
+        sl = df.storageLevel
+        if sl.useMemory or sl.useDisk:
+            # persisted inputs keep their view (dropTempView would evict
+            # the cache entry — see below) — so give them a STABLE name
+            # keyed by the frame's identity instead of a fresh counter
+            # name per call: repeated calls over the same persisted frame
+            # rebind one catalog entry rather than leaking one analyzed
+            # plan per invocation (convergence-mode dedup_clusters calls
+            # this every round). A recycled id() just rebinds the name.
+            name = f"_obsplus_sql_over_{alias}_p{id(df)}"
+        else:
+            _SQL_OVER_N += 1
+            name = f"_obsplus_sql_over_{alias}_{_SQL_OVER_N}"
         df.createOrReplaceTempView(name)
         names[alias] = name
     try:
@@ -156,8 +167,9 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
             # dropTempView also UNCACHES any cache entry whose plan matches
             # the view (it evicted the engine's persisted base tables the
             # first time this helper shipped) — so a view over a persisted
-            # input is left registered; the unique name is a one-off
-            # catalog entry, the cached data itself is untouched. Views
+            # input is left registered under its STABLE per-frame name
+            # (bounded: one catalog entry per live persisted frame, not
+            # one per call); the cached data itself is untouched. Views
             # over unpersisted plans are dropped (their plan can only
             # match a cache entry for a derived frame the caller persisted
             # under a different plan root, which cascade=false ignores).

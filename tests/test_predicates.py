@@ -150,9 +150,16 @@ def test_glob_to_regex_expr_matches_python_twin(spark):
     Python/fnmatch path on every construct seed codes use."""
     from obsplus_spark.functions.strings import glob_to_regex_expr
 
-    patterns = ["*", "BH?", "[!EN]*", "UU", "a.b", "L[01]", "B*Z", "?H[AE]"]
+    patterns = ["*", "BH?", "[!EN]*", "UU", "a.b", "L[01]", "B*Z", "?H[AE]",
+                # wildcards INSIDE a class stay literal; unpaired/empty
+                # brackets demote to literals; Java class metachars
+                # ('[', '&&') escape; ranges and negated ranges work
+                "L[?]", "[a*]b", "x[", "ab[cd", "a[]b", "[[]x", "a+b",
+                "(x)", "a|b", "[a-c]z", "[!a-c]z", "N[&]o"]
     values = ["BHZ", "BHN", "EHZ", "UU", "a.b", "axb", "L0", "L1", "EN",
-              "BAZ", "BZ", "CHA", "XHE"]
+              "BAZ", "BZ", "CHA", "XHE", "L?", "L.", "ab", "a*", "xb",
+              "x[", "ab[cd", "a]b", "[x", "a+b", "(x)", "a|b", "az",
+              "bz", "dz", "N&o", "&o"]
     import fnmatch
 
     rows = [(p, v) for p in patterns for v in values]

@@ -718,3 +718,61 @@ def test_pagerank_tiny_graph_hand_computed(spark):
         (3, 1.06375),
         (2, 0.575),
     ]
+
+
+def test_gram_hash_array_ignores_edge_whitespace_tokens(spark):
+    """trim() strips spaces only — a trailing newline must not create a
+    phantom '' token (and thus a phantom n-gram) relative to the
+    normalize-then-split tokenization the oracles use."""
+    from obsplus_spark.operators.dedup import gram_hash_array
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e\n"), (2, "\ta b c d e")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: len(r.grams)
+           for r in gram_hash_array(df, n=3).collect()}
+    assert out == {1: 3, 2: 3}  # 5 tokens -> 3 trigrams, no phantom
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    import pytest as _pytest
+
+    from obsplus_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+
+
+def test_pii_scrub_respects_text_col_and_validates_names(spark):
+    import pytest as _pytest
+
+    from obsplus_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a@b.co")], "doc_id long, body string"
+    )
+    out = pii_scrub(df, text_col="body")
+    assert "body" in out.columns and "text" not in out.columns
+    assert out.collect()[0].body == "mail me at <EMAIL>"
+    with _pytest.raises(ValueError, match="identifier"):
+        pii_scrub(df, text_col="body", patterns={"credit-card": r"[0-9]+"})
+
+
+def test_duplicate_events_suffix_with_quote_builds(spark):
+    """Caller-supplied suffixes land in SQL literals — quotes must be
+    escaped, not break the plan."""
+    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA
+    from obsplus_spark.operators.surgery import duplicate_events
+
+    rows = [
+        ("e1", "d", "o1", None, 1000,
+         [("o1", 100, 40.0, -111.0, 5.0)],
+         [("m1", 2.0, "ML", "o1")],
+         [("p1", 110, "P", None, "UU", "S1", "", "HHZ")]),
+    ]
+    tree = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    out = duplicate_events(tree, suffix="o'brien")  # no ParseException
+    row = out.collect()[0]
+    assert row.event_id.startswith("o'brien:")
