@@ -4432,6 +4432,90 @@ _SQL_HARDNEG = """
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) of the event log: one
+    user-partitioned window pass; both downstream aggregates reuse the
+    same partitioning (no further exchange)."""
+    from obsplus_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ts_ns().alias("t_ns")
+    )
+    return sessionize(ev, gap_ns=30 * 60 * 1_000_000_000)
+
+
+_SQL_SESSIONS = """
+    WITH e AS (SELECT user_id, epoch_ns(ts) AS t_ns FROM events),
+    o AS (
+      SELECT user_id, t_ns,
+             CASE WHEN lag(t_ns) OVER w IS NULL
+                    OR t_ns - lag(t_ns) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ns)
+    ),
+    s AS (
+      SELECT user_id, t_ns,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t_ns
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ),
+    per AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+             max(t_ns) - min(t_ns) AS dur
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS longest_session_events,
+           CAST(max(dur) AS BIGINT) AS longest_session_ns
+    FROM per GROUP BY user_id
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per-stage
+    conditional-min aggregates chained by user-keyed joins (each stage
+    anchors at its earliest qualifying event, strictly after the
+    previous stage's anchor)."""
+    from obsplus_spark.operators.sessions import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_ns().alias("t_ns")
+    )
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+_SQL_FUNNEL = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS t_ns FROM events
+    ),
+    u1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN t_ns END) AS t
+      FROM e GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, min(e.t_ns) AS t
+      FROM e JOIN u1 p ON e.user_id = p.user_id
+       AND e.event_type = 'click' AND e.t_ns > p.t
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, min(e.t_ns) AS t
+      FROM e JOIN u2 p ON e.user_id = p.user_id
+       AND e.event_type = 'purchase' AND e.t_ns > p.t
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+           CAST(count(t) AS BIGINT) AS n_users FROM u1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(count(t) AS BIGINT) FROM u2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(t) AS BIGINT) FROM u3
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (2 unrolled iterations, d=0.85) over the supplier →
     customer shipment graph (lineitem ⋈ orders): per round one
@@ -4598,6 +4682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap this round and rotate back in next round.
     return {
         # (a) changed this round (new r5 operators lead)
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "pagerank": q_pagerank,
         "kmeans_step": q_kmeans_step,
         "bpe_pairs": q_bpe_pairs,
@@ -4698,6 +4784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "sessionize": _SQL_SESSIONS,
+        "funnel": _SQL_FUNNEL,
         "pagerank": _SQL_PAGERANK,
         "kmeans_step": _SQL_KMEANS,
         "bpe_pairs": _SQL_BPE,

@@ -298,3 +298,12 @@ def test_pagerank_topk_and_no_cartesian(plans):
     p, simple = plans["pagerank"]
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sessionize_single_shuffle(plans):
+    """Gaps-and-islands sessionization is ONE user-keyed exchange: the
+    lag window, the running-sum window, the per-session aggregate and
+    the per-user aggregate all reuse the same partitioning."""
+    p, simple = plans["sessionize"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)

@@ -776,3 +776,36 @@ def test_duplicate_events_suffix_with_quote_builds(spark):
     out = duplicate_events(tree, suffix="o'brien")  # no ParseException
     row = out.collect()[0]
     assert row.event_id.startswith("o'brien:")
+
+
+def test_sessionize_gap_splits_and_stats(spark):
+    from obsplus_spark.operators.sessions import sessionize
+
+    # user 1: [0, 10, 20] then gap 100 -> [120, 125]; user 2: single event
+    rows = [(1, 0), (1, 10), (1, 20), (1, 120), (1, 125), (2, 7)]
+    ev = spark.createDataFrame(rows, "user_id long, t_ns long")
+    out = {r.user_id: r for r in sessionize(ev, gap_ns=50).collect()}
+    assert out[1].n_sessions == 2
+    assert out[1].n_events == 5
+    assert out[1].longest_session_events == 3
+    assert out[1].longest_session_ns == 20
+    assert out[2].n_sessions == 1 and out[2].longest_session_ns == 0
+
+
+def test_funnel_counts_strict_ordering(spark):
+    from obsplus_spark.operators.sessions import funnel_counts
+
+    rows = [
+        # user 1 completes a->b->c in order
+        (1, "a", 0), (1, "b", 5), (1, "c", 9),
+        # user 2 has b BEFORE its first a: reaches stage 1 only
+        (2, "b", 0), (2, "a", 5),
+        # user 3: a then c (no b): stage 1 only; c must not count
+        (3, "a", 0), (3, "c", 2),
+        # user 4: a and b at the SAME ts -> strict > excludes b
+        (4, "a", 3), (4, "b", 3),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, t_ns long")
+    out = {r.stage: r.n_users for r in
+           funnel_counts(ev, ["a", "b", "c"]).collect()}
+    assert out == {1: 4, 2: 1, 3: 1}
