@@ -4432,6 +4432,68 @@ _SQL_HARDNEG = """
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (epoch-relative weeks): first-seen-week
+    min aggregate, user-keyed join back, distinct + count — all
+    map-combinable, no window."""
+    from obsplus_spark.operators.sessions import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ts_ns().alias("t_ns")
+    )
+    return cohort_retention(ev)
+
+
+_SQL_COHORT = """
+    WITH e AS (SELECT user_id, epoch_ns(ts) AS t_ns FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(floor(min(t_ns) / 604800000000000) AS BIGINT)
+               AS cohort_week
+      FROM e GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT u.cohort_week,
+             CAST(floor(e.t_ns / 604800000000000) AS BIGINT)
+               - u.cohort_week AS week_offset,
+             e.user_id
+      FROM e JOIN u ON e.user_id = u.user_id
+    )
+    SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_week, week_offset
+"""
+
+
+def q_rate_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event-rate z-scores: one (type, bucket) hash
+    aggregate over the log; stats and scores run on the dimension-sized
+    count table."""
+    from obsplus_spark.operators.sessions import rate_zscores
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _ts_ns().alias("t_ns")
+    )
+    return rate_zscores(ev)
+
+
+_SQL_RATEZ = """
+    WITH e AS (SELECT event_type, epoch_ns(ts) AS t_ns FROM events),
+    c AS (
+      SELECT event_type,
+             CAST(floor(t_ns / 3600000000000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM e GROUP BY event_type, floor(t_ns / 3600000000000)
+    )
+    SELECT event_type, bucket, n_events,
+           CASE WHEN stddev_pop(n_events) OVER w = 0 THEN 0.0
+                ELSE round((n_events - avg(n_events) OVER w)
+                           / stddev_pop(n_events) OVER w, 6)
+           END AS z
+    FROM c
+    WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) of the event log: one
     user-partitioned window pass; both downstream aggregates reuse the
@@ -4682,6 +4744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap this round and rotate back in next round.
     return {
         # (a) changed this round (new r5 operators lead)
+        "cohort_retention": q_cohort_retention,
+        "rate_zscores": q_rate_zscores,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
         "pagerank": q_pagerank,
@@ -4784,6 +4848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "cohort_retention": _SQL_COHORT,
+        "rate_zscores": _SQL_RATEZ,
         "sessionize": _SQL_SESSIONS,
         "funnel": _SQL_FUNNEL,
         "pagerank": _SQL_PAGERANK,

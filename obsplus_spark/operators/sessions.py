@@ -123,3 +123,96 @@ def funnel_counts(
         {"e": ensure_parallelism(events)},
         f"WITH {','.join(parts)} {selects}",
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    week_ns: int = 7 * 86400 * 1_000_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "t_ns",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, and
+    for each later week offset, how many of that cohort were active —
+    the standard engagement read-out over an event log.
+
+    Weeks are epoch-relative fixed windows (``floor(ts / week_ns)``) —
+    pure integer arithmetic, no calendar, engine-portable.
+
+    Scale shape: first-seen week is ONE min-aggregate keyed by user;
+    activity joins back on the user key (AQE broadcasts the cohort side
+    when it is small); the (cohort, offset, user) distinct and the final
+    count are one aggregate each, both map-side combinable and both
+    dimension²-sized after the distinct. No window.
+
+    Output: (cohort_week, week_offset, n_users).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    w = int(week_ns)
+    return sql_over(
+        {"e": ensure_parallelism(events)},
+        f"""
+        WITH u AS (
+          SELECT {user_col},
+                 CAST(floor(min({ts_col}) / {w}) AS BIGINT) AS cohort_week
+          FROM {{e}} GROUP BY {user_col}
+        ),
+        a AS (
+          SELECT DISTINCT u.cohort_week,
+                 CAST(floor(e.{ts_col} / {w}) AS BIGINT)
+                   - u.cohort_week AS week_offset,
+                 e.{user_col}
+          FROM {{e}} e JOIN u ON e.{user_col} = u.{user_col}
+        )
+        SELECT cohort_week, week_offset,
+               CAST(count(1) AS BIGINT) AS n_users
+        FROM a GROUP BY cohort_week, week_offset
+        """,
+    )
+
+
+def rate_zscores(
+    events: DataFrame,
+    bucket_ns: int = 3600 * 1_000_000_000,
+    type_col: str = "event_type",
+    ts_col: str = "t_ns",
+) -> DataFrame:
+    """Per-type event-rate anomaly scores: bucket the log into fixed
+    windows, then z-score each (type, bucket) count against that type's
+    own mean/stddev across buckets — the monitoring pass that flags
+    traffic spikes and outages.
+
+    Only OBSERVED buckets enter the statistics (a type absent from a
+    bucket contributes no zero row — the sparse convention; densifying
+    against a generated bucket spine is a caller-side cross join).
+
+    Scale shape: ONE map-combinable hash aggregate over the event log
+    keyed (type, bucket); everything after runs on dimension-sized data
+    (types × buckets): the per-type mean/stddev is a window over the
+    type partition, z is a row expression. ``stddev_pop`` + 6-dp
+    rounding keeps the output engine-stable; a single-bucket type has
+    stddev 0 and reports z = 0.
+
+    Output: (event_type, bucket, n_events, z).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    b = int(bucket_ns)
+    return sql_over(
+        {"e": ensure_parallelism(events)},
+        f"""
+        WITH c AS (
+          SELECT {type_col} AS event_type,
+                 CAST(floor({ts_col} / {b}) AS BIGINT) AS bucket,
+                 CAST(count(1) AS BIGINT) AS n_events
+          FROM {{e}} GROUP BY {type_col}, floor({ts_col} / {b})
+        )
+        SELECT event_type, bucket, n_events,
+               CASE WHEN stddev_pop(n_events) OVER w = 0 THEN 0.0D
+                    ELSE round((n_events - avg(n_events) OVER w)
+                               / stddev_pop(n_events) OVER w, 6)
+               END AS z
+        FROM c
+        WINDOW w AS (PARTITION BY event_type)
+        """,
+    )

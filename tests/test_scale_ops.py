@@ -809,3 +809,29 @@ def test_funnel_counts_strict_ordering(spark):
     out = {r.stage: r.n_users for r in
            funnel_counts(ev, ["a", "b", "c"]).collect()}
     assert out == {1: 4, 2: 1, 3: 1}
+
+
+def test_cohort_retention_triangle(spark):
+    from obsplus_spark.operators.sessions import cohort_retention
+
+    # week length 10: user 1 first seen week 0, active weeks 0 and 2;
+    # user 2 first seen week 0, active week 0; user 3 first week 2
+    rows = [(1, 5), (1, 25), (2, 9), (3, 20), (3, 29), (1, 7)]
+    ev = spark.createDataFrame(rows, "user_id long, t_ns long")
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in cohort_retention(ev, week_ns=10).collect()}
+    assert out == {(0, 0): 2, (0, 2): 1, (2, 0): 1}
+
+
+def test_rate_zscores_flags_spike(spark):
+    from obsplus_spark.operators.sessions import rate_zscores
+
+    # type "a": buckets 0,1,2 with counts 1,1,4 -> mean 2, std sqrt(2)
+    rows = ([("a", 5)] + [("a", 15)] + [("a", 25)] * 4 + [("b", 5)])
+    ev = spark.createDataFrame(rows, "event_type string, t_ns long")
+    out = {(r.event_type, r.bucket): (r.n_events, r.z)
+           for r in rate_zscores(ev, bucket_ns=10).collect()}
+    import math
+    assert out[("a", 2)][0] == 4
+    assert out[("a", 2)][1] == round(2 / math.sqrt(2), 6)
+    assert out[("b", 0)] == (1, 0.0)  # single bucket -> std 0 -> z 0
