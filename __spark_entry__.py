@@ -395,6 +395,108 @@ _SQL_REV = """
 """
 
 
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    broadcast into orders, aggregate-below-join on lineitem (one partial
+    row per order crosses the shuffle), top-10 via TakeOrdered on the
+    rounded revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    li_part = (
+        li.filter("l_shipdate > TIMESTAMP '1998-06-15'")
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    o_dim = (
+        o.filter("o_orderdate < TIMESTAMP '1998-06-15'")
+        .join(
+            F.broadcast(c.filter("c_mktsegment = 'BUILDING'")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        li_part.join(o_dim, li_part.l_orderkey == o_dim.o_orderkey)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_SHIP_PRIORITY = """
+    SELECT l_orderkey,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue): R-flagged lineitems
+    collapse to one partial row per order BEFORE the orders join; the
+    per-customer total joins the broadcast customer dim; top-20 via
+    TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    li_part = (
+        li.filter("l_returnflag = 'R'")
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    per_cust = (
+        li_part.join(o, li_part.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_rev"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_RETURNED = """
+    SELECT c_custkey, c_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
 def q_event_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE flagship: per-event extraction windows × data intervals
     (Fetcher.yield_event_waveforms → one interval join, SURVEY §3.3).
@@ -4744,6 +4846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap this round and rotate back in next round.
     return {
         # (a) changed this round (new r5 operators lead)
+        "ship_priority": q_ship_priority,
+        "returned_customers": q_returned_customers,
         "cohort_retention": q_cohort_retention,
         "rate_zscores": q_rate_zscores,
         "sessionize": q_sessionize,
@@ -4848,6 +4952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "ship_priority": _SQL_SHIP_PRIORITY,
+        "returned_customers": _SQL_RETURNED,
         "cohort_retention": _SQL_COHORT,
         "rate_zscores": _SQL_RATEZ,
         "sessionize": _SQL_SESSIONS,
