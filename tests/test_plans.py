@@ -307,3 +307,12 @@ def test_sessionize_single_shuffle(plans):
     p, simple = plans["sessionize"]
     assert simple.count("Exchange hashpartitioning") == 1
     assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_funnel_single_exchange(plans):
+    """K-stage funnel shuffles the event log ONCE: stacked running-min
+    window passes + same-partitioning aggregates over one user-keyed
+    exchange (plus the single-partition scalar count)."""
+    p, simple = plans["funnel"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)

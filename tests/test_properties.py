@@ -267,3 +267,45 @@ def test_posting_lists_matches_reference(spark, docs, min_df, sample_k):
         if len(ids) >= min_df
     }
     assert got == want
+
+
+def ref_funnel(events, stages):
+    """Earliest-progression open funnel, per pure-Python model."""
+    by_user = {}
+    for u, ty, t in events:
+        by_user.setdefault(u, []).append((t, ty))
+    counts = [0] * len(stages)
+    for evs in by_user.values():
+        anchor = None
+        for k, stage in enumerate(stages):
+            cands = [t for t, ty in evs if ty == stage
+                     and (anchor is None if k == 0 else t > anchor)]
+            if not cands:
+                break
+            anchor = min(cands)
+            counts[k] += 1
+    return {k + 1: c for k, c in enumerate(counts)}
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.sampled_from(["a", "b", "c", "x"]),   # type
+            st.integers(min_value=0, max_value=20),  # ts
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@settings(**SETTINGS)
+def test_funnel_matches_reference(spark, events, k):
+    from obsplus_spark.operators.sessions import funnel_counts
+
+    stages = ["a", "b", "c"][:k]
+    df = spark.createDataFrame(
+        events, "user_id long, event_type string, t_ns long"
+    )
+    got = {r.stage: r.n_users for r in funnel_counts(df, stages).collect()}
+    assert got == ref_funnel(events, stages)
