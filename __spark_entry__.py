@@ -4534,6 +4534,38 @@ _SQL_HARDNEG = """
 """
 
 
+def q_action_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey motifs: top-20 consecutive action trigrams over
+    time-ordered (event_id-tiebroken) per-user streams — one user-keyed
+    exchange, in-row sequence fold, vocabulary-sized count + TakeOrdered."""
+    from obsplus_spark.operators.sessions import action_ngrams
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", _ts_ns().alias("t_ns")
+    )
+    return action_ngrams(ev, n=3, k=20, tiebreak_col="event_id")
+
+
+_SQL_TRIGRAMS = """
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY epoch_ns(ts), event_id) AS types
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT unnest(CASE WHEN len(types) >= 3 THEN
+               list_transform(range(1, len(types) - 1),
+                 i -> array_to_string(list_slice(types, i, i + 2), ' '))
+             ELSE []::VARCHAR[] END) AS gram
+      FROM seq
+    )
+    SELECT gram AS ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 20
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle (epoch-relative weeks): first-seen-week
     min aggregate, user-keyed join back, distinct + count — all
@@ -4846,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap this round and rotate back in next round.
     return {
         # (a) changed this round (new r5 operators lead)
+        "action_trigrams": q_action_trigrams,
         "ship_priority": q_ship_priority,
         "returned_customers": q_returned_customers,
         "cohort_retention": q_cohort_retention,
@@ -4952,6 +4985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "action_trigrams": _SQL_TRIGRAMS,
         "ship_priority": _SQL_SHIP_PRIORITY,
         "returned_customers": _SQL_RETURNED,
         "cohort_retention": _SQL_COHORT,

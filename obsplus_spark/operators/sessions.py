@@ -244,3 +244,61 @@ def rate_zscores(
         WINDOW w AS (PARTITION BY event_type)
         """,
     )
+
+
+def action_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "t_ns",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """User-journey pattern mining: the ``k`` most frequent length-``n``
+    action sequences (consecutive event types within a user's
+    time-ordered stream) — the navigation/behavior motifs an event log
+    yields.
+
+    Ordering ties are broken by ``tiebreak_col`` (pass a unique column
+    like the event id whenever timestamps can repeat — without it, tie
+    order is engine-dependent and so are the n-grams).
+
+    Scale shape: ONE user-keyed exchange — each user's ordered type
+    sequence folds in-row (``collect_list`` of (ts, tiebreak, type)
+    structs, sorted in-row by ``array_sort``'s struct ordering, then a
+    ``transform`` over n-length slices), so no self-join and no window;
+    the n-gram counts are a map-combinable vocabulary aggregate and the
+    cut is a distributed TakeOrdered. Per-user state is the user's
+    event count — bounded by the same assumption sessionization makes.
+
+    Output: (ngram ' '-joined, n_occurrences), ≤ k rows.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    tb = tiebreak_col if tiebreak_col is not None else ts_col
+    return sql_over(
+        {"e": ensure_parallelism(events)},
+        f"""
+        WITH seq AS (
+          SELECT {user_col},
+                 transform(array_sort(collect_list(named_struct(
+                   't', {ts_col}, 'tb', {tb}, 'ty', {type_col}))),
+                   s -> s.ty) AS _types
+          FROM {{e}} GROUP BY {user_col}
+        ),
+        g AS (
+          SELECT gram FROM (
+            SELECT CASE WHEN size(_types) >= {int(n)} THEN
+                     transform(sequence(1, size(_types) - {int(n) - 1}),
+                       i -> array_join(slice(_types, i, {int(n)}), ' '))
+                   ELSE CAST(array() AS ARRAY<STRING>) END AS _grams
+            FROM seq)
+          LATERAL VIEW explode(_grams) _e AS gram
+        )
+        SELECT gram AS ngram, CAST(count(1) AS BIGINT) AS n_occurrences
+        FROM g GROUP BY gram
+        ORDER BY n_occurrences DESC, ngram
+        LIMIT {int(k)}
+        """,
+    )

@@ -835,3 +835,18 @@ def test_rate_zscores_flags_spike(spark):
     assert out[("a", 2)][0] == 4
     assert out[("a", 2)][1] == round(2 / math.sqrt(2), 6)
     assert out[("b", 0)] == (1, 0.0)  # single bucket -> std 0 -> z 0
+
+
+def test_action_ngrams_ordering_and_tiebreak(spark):
+    from obsplus_spark.operators.sessions import action_ngrams
+
+    # user 1: a(0,id1) b(5,id2) c(5,id3) b(9,id4) -> ties at t=5 break
+    # by event_id: sequence a b c b -> trigrams "a b c", "b c b"
+    rows = [(1, "a", 1, 0), (1, "c", 3, 5), (1, "b", 2, 5), (1, "b", 4, 9),
+            (2, "a", 5, 0), (2, "b", 6, 1)]  # user 2 too short for n=3
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, t_ns long"
+    )
+    out = {r.ngram: r.n_occurrences
+           for r in action_ngrams(ev, n=3, tiebreak_col="event_id").collect()}
+    assert out == {"a b c": 1, "b c b": 1}
