@@ -4534,6 +4534,53 @@ _SQL_HARDNEG = """
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: one customer-keyed aggregate over
+    orders (recency / frequency / monetary), fixed-threshold bucket
+    codes as row expressions, and a segment-level count — the
+    dimension-sized output of a classic warehouse pass."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.expr("max(unix_micros(CAST(o_orderdate AS TIMESTAMP)))").alias(
+            "_last_us"
+        ),
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("_mon"),
+    )
+    seg = per.selectExpr(
+        "CASE WHEN _last_us >= unix_micros(TIMESTAMP '2001-01-01') THEN 'R1'"
+        " WHEN _last_us >= unix_micros(TIMESTAMP '2000-01-01') THEN 'R2'"
+        " ELSE 'R3' END AS r_bucket",
+        "CASE WHEN _freq >= 20 THEN 'F1' WHEN _freq >= 10 THEN 'F2'"
+        " ELSE 'F3' END AS f_bucket",
+        "CASE WHEN _mon >= 100000 THEN 'M1' WHEN _mon >= 30000 THEN 'M2'"
+        " ELSE 'M3' END AS m_bucket",
+    )
+    return seg.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+_SQL_RFM = """
+    WITH per AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(28,10))) AS mon
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CASE WHEN last_order >= TIMESTAMP '2001-01-01' THEN 'R1'
+                WHEN last_order >= TIMESTAMP '2000-01-01' THEN 'R2'
+                ELSE 'R3' END AS r_bucket,
+           CASE WHEN freq >= 20 THEN 'F1' WHEN freq >= 10 THEN 'F2'
+                ELSE 'F3' END AS f_bucket,
+           CASE WHEN mon >= 100000 THEN 'M1' WHEN mon >= 30000 THEN 'M2'
+                ELSE 'M3' END AS m_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM per GROUP BY 1, 2, 3
+"""
+
+
 def q_action_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey motifs: top-20 consecutive action trigrams over
     time-ordered (event_id-tiebroken) per-user streams — one user-keyed
@@ -4878,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap this round and rotate back in next round.
     return {
         # (a) changed this round (new r5 operators lead)
+        "rfm_segments": q_rfm_segments,
         "action_trigrams": q_action_trigrams,
         "ship_priority": q_ship_priority,
         "returned_customers": q_returned_customers,
@@ -4985,6 +5033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "rfm_segments": _SQL_RFM,
         "action_trigrams": _SQL_TRIGRAMS,
         "ship_priority": _SQL_SHIP_PRIORITY,
         "returned_customers": _SQL_RETURNED,
