@@ -4548,12 +4548,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("_mon"),
     )
     seg = per.selectExpr(
-        "CASE WHEN _last_us >= unix_micros(TIMESTAMP '2001-01-01') THEN 'R1'"
-        " WHEN _last_us >= unix_micros(TIMESTAMP '2000-01-01') THEN 'R2'"
+        "CASE WHEN _last_us >= unix_micros(TIMESTAMP '2001-04-01') THEN 'R1'"
+        " WHEN _last_us >= unix_micros(TIMESTAMP '2001-01-01') THEN 'R2'"
         " ELSE 'R3' END AS r_bucket",
-        "CASE WHEN _freq >= 20 THEN 'F1' WHEN _freq >= 10 THEN 'F2'"
+        "CASE WHEN _freq >= 11 THEN 'F1' WHEN _freq >= 9 THEN 'F2'"
         " ELSE 'F3' END AS f_bucket",
-        "CASE WHEN _mon >= 100000 THEN 'M1' WHEN _mon >= 30000 THEN 'M2'"
+        "CASE WHEN _mon >= 2800000 THEN 'M1' WHEN _mon >= 2050000 THEN 'M2'"
         " ELSE 'M3' END AS m_bucket",
     )
     return seg.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
@@ -4569,12 +4569,12 @@ _SQL_RFM = """
              sum(CAST(o_totalprice AS DECIMAL(28,10))) AS mon
       FROM orders GROUP BY o_custkey
     )
-    SELECT CASE WHEN last_order >= TIMESTAMP '2001-01-01' THEN 'R1'
-                WHEN last_order >= TIMESTAMP '2000-01-01' THEN 'R2'
+    SELECT CASE WHEN last_order >= TIMESTAMP '2001-04-01' THEN 'R1'
+                WHEN last_order >= TIMESTAMP '2001-01-01' THEN 'R2'
                 ELSE 'R3' END AS r_bucket,
-           CASE WHEN freq >= 20 THEN 'F1' WHEN freq >= 10 THEN 'F2'
+           CASE WHEN freq >= 11 THEN 'F1' WHEN freq >= 9 THEN 'F2'
                 ELSE 'F3' END AS f_bucket,
-           CASE WHEN mon >= 100000 THEN 'M1' WHEN mon >= 30000 THEN 'M2'
+           CASE WHEN mon >= 2800000 THEN 'M1' WHEN mon >= 2050000 THEN 'M2'
                 ELSE 'M3' END AS m_bucket,
            CAST(count(*) AS BIGINT) AS n_customers
     FROM per GROUP BY 1, 2, 3
@@ -4679,12 +4679,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) of the event log: one
     user-partitioned window pass; both downstream aggregates reuse the
     same partitioning (no further exchange)."""
-    from obsplus_spark.operators.sessions import sessionize
+    from obsplus_spark.operators.sessions import user_sessions
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", _ts_ns().alias("t_ns")
     )
-    return sessionize(ev, gap_ns=30 * 60 * 1_000_000_000)
+    return user_sessions(ev, gap_ns=30 * 60 * 1_000_000_000)
 
 
 _SQL_SESSIONS = """

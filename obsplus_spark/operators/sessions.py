@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def sessionize(
+def user_sessions(
     events: DataFrame,
     gap_ns: int,
     user_col: str = "user_id",
@@ -270,7 +270,7 @@ def action_ngrams(
     ``transform`` over n-length slices), so no self-join and no window;
     the n-gram counts are a map-combinable vocabulary aggregate and the
     cut is a distributed TakeOrdered. Per-user state is the user's
-    event count — bounded by the same assumption sessionization makes.
+    event count — bounded by the same assumption user_sessions makes.
 
     Output: (ngram ' '-joined, n_occurrences), ≤ k rows.
     """

@@ -779,12 +779,12 @@ def test_duplicate_events_suffix_with_quote_builds(spark):
 
 
 def test_sessionize_gap_splits_and_stats(spark):
-    from obsplus_spark.operators.sessions import sessionize
+    from obsplus_spark.operators.sessions import user_sessions
 
     # user 1: [0, 10, 20] then gap 100 -> [120, 125]; user 2: single event
     rows = [(1, 0), (1, 10), (1, 20), (1, 120), (1, 125), (2, 7)]
     ev = spark.createDataFrame(rows, "user_id long, t_ns long")
-    out = {r.user_id: r for r in sessionize(ev, gap_ns=50).collect()}
+    out = {r.user_id: r for r in user_sessions(ev, gap_ns=50).collect()}
     assert out[1].n_sessions == 2
     assert out[1].n_events == 5
     assert out[1].longest_session_events == 3
