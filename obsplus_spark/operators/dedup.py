@@ -721,7 +721,9 @@ def hash_split(
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError("split weights must sum to 100")
-    salt_sql = str(salt).replace("'", "''")  # SQL string-literal escape
+    from obsplus_spark.util import sql_str_lit
+
+    salt_sql = sql_str_lit(salt)  # SQL string-literal escape
     bucket = (
         f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
         f" '{salt_sql}')), 1, 8), 16, 10) AS BIGINT) % 100"
@@ -750,7 +752,9 @@ def hash_downsample_per_group(
     compiles to WindowGroupLimit (rank pushed into the shuffle, no full
     sort of each group at scale).
     """
-    salt_sql = str(salt).replace("'", "''")  # SQL string-literal escape
+    from obsplus_spark.util import sql_str_lit
+
+    salt_sql = sql_str_lit(salt)  # SQL string-literal escape
     h = f"md5(concat(CAST({id_col} AS STRING), '{salt_sql}'))"
     w = Window.partitionBy(*group_cols).orderBy(F.expr(h), F.col(id_col))
     return (

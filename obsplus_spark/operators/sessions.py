@@ -99,9 +99,11 @@ def funnel_counts(
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
+    from obsplus_spark.util import sql_str_lit
+
     if not stages:
         raise ValueError("stages must be non-empty")
-    lits = [str(s).replace("'", "''") for s in stages]
+    lits = [sql_str_lit(s) for s in stages]
     win = (
         f"WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"

@@ -302,9 +302,10 @@ def duplicate_events(
     # sequential-withColumns formulation had to snapshot them first), and
     # the whole rewrite is a single JVM-parsed statement instead of a
     # Python-lambda Column tree (~0.2 s of py4j per plan build)
-    # the caller-supplied suffix lands inside SQL string literals —
-    # escape quotes (same hardening as hash_split's salt)
-    sfx = str(suffix).replace("'", "''")
+    from obsplus_spark.util import sql_str_lit
+
+    # the caller-supplied suffix lands inside SQL string literals
+    sfx = sql_str_lit(suffix)
 
     def remap(x: str) -> str:
         return (

@@ -142,9 +142,11 @@ def language_id_heuristic(
 
     df = ensure_parallelism(df)
 
+    from obsplus_spark.util import sql_str_lit
+
     def _arr(words: list[str]) -> str:
         return "array(" + ", ".join(
-            "'" + w.replace("'", "''") + "'" for w in words
+            "'" + sql_str_lit(w) + "'" for w in words
         ) + ")"
 
     # one JVM-parsed expression string — the per-language Column-object
@@ -152,7 +154,7 @@ def language_id_heuristic(
     scored = ", ".join(
         "named_struct('neg', -size(filter(_toks,"
         f" t -> array_contains({_arr(profiles[lang])}, t))),"
-        " 'lang', '" + lang.replace("'", "''") + "')"
+        " 'lang', '" + sql_str_lit(lang) + "')"
         for lang in sorted(profiles)
     )
     staged = df.selectExpr(
@@ -714,8 +716,10 @@ def mixture_plan(
     if not weights:
         w_sql = "0.0D"
     else:
+        from obsplus_spark.util import sql_str_lit
+
         arms = " ".join(
-            f"WHEN '{str(s).replace(chr(39), chr(39) * 2)}'"
+            f"WHEN '{sql_str_lit(s)}'"
             f" THEN CAST({float(w)!r} AS DOUBLE)"
             for s, w in weights.items()
         )

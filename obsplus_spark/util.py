@@ -127,6 +127,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 _SQL_OVER_N = 0
 
 
+def sql_str_lit(s: str) -> str:
+    """Escape a caller-supplied string for interpolation into a Spark
+    SQL single-quoted literal: backslashes double FIRST (Spark's parser
+    processes backslash escapes inside literals by default — an
+    unescaped ``\\`` silently vanishes, and a trailing one eats the
+    closing quote), then single quotes double."""
+    return str(s).replace("\\", "\\\\").replace("'", "''")
+
+
 def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
     """Run ONE ``spark.sql`` over temp-view-registered input DataFrames.
 
@@ -160,8 +169,13 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
             name = f"_obsplus_sql_over_{alias}_{_SQL_OVER_N}"
         df.createOrReplaceTempView(name)
         names[alias] = name
+    # plain replace, NOT str.format: the query may legally contain '{'/'}'
+    # in string literals (caller-supplied stage names, regexes) which
+    # format() would treat as placeholders and crash on
+    for alias, name in names.items():
+        query = query.replace("{" + alias + "}", name)
     try:
-        return spark.sql(query.format(**names))
+        return spark.sql(query)
     finally:
         for alias, name in names.items():
             # dropTempView also UNCACHES any cache entry whose plan matches

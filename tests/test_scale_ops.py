@@ -850,3 +850,33 @@ def test_action_ngrams_ordering_and_tiebreak(spark):
     out = {r.ngram: r.n_occurrences
            for r in action_ngrams(ev, n=3, tiebreak_col="event_id").collect()}
     assert out == {"a b c": 1, "b c b": 1}
+
+
+def test_sql_literal_hardening_braces_and_backslashes(spark):
+    """Caller strings containing braces must not be eaten by the
+    sql_over alias substitution, and backslashes must survive Spark's
+    SQL-literal escape processing."""
+    from obsplus_spark.operators.sessions import funnel_counts
+
+    rows = [(1, "promo{1}", 0), (1, r"a\b", 5)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, t_ns long"
+    )
+    out = {r.event_type: r.n_users
+           for r in funnel_counts(ev, ["promo{1}", "a\\b"]).collect()}
+    assert out == {"promo{1}": 1, "a\\b": 1}
+
+
+def test_duplicate_events_suffix_with_backslash(spark):
+    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA
+    from obsplus_spark.operators.surgery import duplicate_events
+
+    rows = [
+        ("e1", "d", "o1", None, 1000,
+         [("o1", 100, 40.0, -111.0, 5.0)],
+         [("m1", 2.0, "ML", "o1")],
+         [("p1", 110, "P", None, "UU", "S1", "", "HHZ")]),
+    ]
+    tree = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    row = duplicate_events(tree, suffix="x\\y").collect()[0]
+    assert row.event_id.startswith("x\\y:")
