@@ -4537,6 +4537,64 @@ _SQL_HARDNEG = """
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: documents vs a deterministically simulated
+    v2 snapshot (every 17th doc dropped, every 10th modified, every
+    13th re-added under a shifted id). One fingerprint projection per
+    side, one full-outer id join, dimension-sized status counts."""
+    from obsplus_spark.operators.dedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    v2 = (
+        docs.filter("doc_id % 17 != 0")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 10 = 0 THEN concat(text, ' v2')"
+            " ELSE text END AS text",
+        )
+        .unionAll(
+            docs.filter("doc_id % 13 = 0").selectExpr(
+                "doc_id + 1000000 AS doc_id", "text"
+            )
+        )
+    )
+    return snapshot_diff(docs, v2)
+
+
+_SQL_CORPUS_DIFF = r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      FROM documents
+    ),
+    v2src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 17 != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    fp2 AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      FROM v2src
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE
+               WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN o.f != n.f THEN 'modified'
+               ELSE 'unchanged'
+             END AS status
+      FROM fp o FULL OUTER JOIN fp2 n ON o.doc_id = n.doc_id
+    )
+    GROUP BY status
+"""
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: one customer-keyed aggregate over
     orders (recency / frequency / monetary), fixed-threshold bucket
@@ -4920,14 +4978,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
-    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 20
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 21
     # queries NEW this round and the 9 whose implementation changed lead
-    # (29), (b) then 21 of the 30 queries whose last driver row was
-    # r1/r2 (all judge-verified in r4) fill the cap. The 50 past-cap
-    # rows — the 9 squeezed-out r1/r2 rows (lead the r6 rotation) and
+    # (30), (b) then 20 of the 30 queries whose last driver row was
+    # r1/r2 (all judge-verified in r4) fill the cap. The 51 past-cap
+    # rows — the 10 squeezed-out r1/r2 rows (lead the r6 rotation) and
     # 41 rows driver-green in CORRECTNESS_r04 — are marked below.
     return {
         # (a) changed this round (new r5 operators lead)
+        "corpus_diff": q_corpus_diff,
         "rfm_segments": q_rfm_segments,
         "action_trigrams": q_action_trigrams,
         "ship_priority": q_ship_priority,
@@ -4978,13 +5037,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_payload": q_event_payload,
         "json_round_trip": q_json_round_trip,
         "prune_orphans": q_prune_orphans,
-        "merge_picks": q_merge_picks,
-        # --- driver cap (50): positions above = 29 new/changed-in-r5 +
-        # 21 of the 30 r1/r2-verified rows. Everything below gets NO
-        # driver row this round. First: the 9 r1/r2 rows squeezed out by
-        # this round's 20 new queries (judge-verified green in r4 —
+        # --- driver cap (50): positions above = 30 new/changed-in-r5 +
+        # 20 of the 30 r1/r2-verified rows. Everything below gets NO
+        # driver row this round. First: the 10 r1/r2 rows squeezed out
+        # by this round's 21 new queries (judge-verified green in r4 —
         # rotate them into the first 50 in r6), then rows driver-green
         # in CORRECTNESS_r04 and unchanged since. ---
+        "merge_picks": q_merge_picks,
         "ci_glob": q_ci_glob,
         "seed_ids": q_seed_ids,
         "trim_traces": q_trim_traces,
@@ -5042,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "corpus_diff": _SQL_CORPUS_DIFF,
         "rfm_segments": _SQL_RFM,
         "action_trigrams": _SQL_TRIGRAMS,
         "ship_priority": _SQL_SHIP_PRIORITY,

@@ -965,3 +965,53 @@ def boilerplate_ngram_stats(
         LEFT JOIN stat s ON d.{id_col} = s.{id_col}
         """,
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus version diff: per-document status between two snapshots —
+    the accounting step of dataset versioning (what changed between
+    crawl N and crawl N+1 before re-running the expensive pipeline
+    stages downstream).
+
+    Statuses: ``added`` (id only in ``new``), ``removed`` (only in
+    ``old``), ``modified`` (both, content fingerprint differs),
+    ``unchanged``. Content identity is the md5 of normalized text
+    (:func:`normalize_text` — same key exact dedup uses).
+
+    Scale shape: one map-side fingerprint projection per side, ONE
+    full-outer join keyed by id (the only data-sized shuffle), then a
+    dimension-sized status aggregate. No row ever carries text past the
+    fingerprint projection.
+
+    Output: (status, n_docs) — ≤ 4 rows.
+    """
+    from obsplus_spark.util import sql_over
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(normalize_text(text_col)).alias("_fp"),
+        )
+
+    return sql_over(
+        {"o": fp(old), "n": fp(new)},
+        f"""
+        SELECT status, CAST(count(1) AS BIGINT) AS n_docs
+        FROM (
+          SELECT CASE
+                   WHEN o.{id_col} IS NULL THEN 'added'
+                   WHEN n.{id_col} IS NULL THEN 'removed'
+                   WHEN o._fp != n._fp THEN 'modified'
+                   ELSE 'unchanged'
+                 END AS status
+          FROM {{o}} o FULL OUTER JOIN {{n}} n
+            ON o.{id_col} = n.{id_col}
+        )
+        GROUP BY status
+        """,
+    )

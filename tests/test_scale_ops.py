@@ -880,3 +880,16 @@ def test_duplicate_events_suffix_with_backslash(spark):
     tree = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
     row = duplicate_events(tree, suffix="x\\y").collect()[0]
     assert row.event_id.startswith("x\\y:")
+
+
+def test_snapshot_diff_statuses(spark):
+    from obsplus_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B CHANGED"), (4, "d")], "doc_id long, text string"
+    )
+    out = {r.status: r.n_docs for r in snapshot_diff(old, new).collect()}
+    assert out == {"unchanged": 1, "modified": 1, "removed": 1, "added": 1}
