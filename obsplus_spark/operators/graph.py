@@ -68,7 +68,12 @@ def pagerank(
           FROM edges
         ),
         nodes AS (
-          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          -- one scan + explode, not a two-scan UNION: each reference of
+          -- the distinct-edge subtree re-derives lineitem-scale work, so
+          -- fewer references beats the prettier formulation (~20%
+          -- measured; ReuseExchange only dedupes some of them)
+          SELECT DISTINCT node FROM (
+            SELECT explode(array(src, dst)) AS node FROM edges)
         ),
         c1 AS (SELECT dst, sum(w) AS contrib FROM ew GROUP BY dst)"""
     ]
