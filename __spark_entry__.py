@@ -4537,6 +4537,120 @@ _SQL_HARDNEG = """
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of events.value: one scalar min/max aggregate
+    broadcast back onto the scan (same shape as common_coverage's
+    scalars), bin ids as row math, one bin-keyed count — the profiling
+    histogram every column-statistics pass needs. Divide-first bin
+    width avoids overflow on wide ranges; the max value clamps into the
+    last bin."""
+    ev = _t(spark, sf_dir, "events")
+    from obsplus_spark.util import sql_over
+
+    return sql_over(
+        {"e": ev.select("value")},
+        """
+        WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM {e}),
+        b AS (
+          SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20.0D)),
+                            19.0D) AS BIGINT) AS bin
+          FROM {e} CROSS JOIN s
+        )
+        SELECT bin, CAST(count(1) AS BIGINT) AS n
+        FROM b GROUP BY bin
+        """,
+    )
+
+
+_SQL_HISTOGRAM = """
+    WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    b AS (
+      SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20.0)),
+                        19.0) AS BIGINT) AS bin
+      FROM events CROSS JOIN s
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profile of lineitem: per column one row of
+    (n_rows, n_nulls, n_distinct, min/max as strings) — ALL columns
+    profiled in a single scan (one aggregate computes every statistic;
+    the per-column rows unpivot from the aggregate via inline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from obsplus_spark.util import sql_over
+
+    # numeric extremes go through DECIMAL(18,2): double->string uses
+    # scientific notation past 1e7 in the JVM but never in DuckDB, so
+    # raw casts would hash-mismatch on large values
+    cols = {
+        "l_quantity": "CAST({v} AS DECIMAL(18,2))",
+        "l_extendedprice": "CAST({v} AS DECIMAL(18,2))",
+        "l_returnflag": "{v}",
+        "l_shipdate": "{v}",
+    }
+    aggs = []
+    rows = []
+    for c, fmt in cols.items():
+        mn = fmt.format(v=f"min({c})")
+        mx = fmt.format(v=f"max({c})")
+        aggs.append(
+            f"CAST(count({c}) AS BIGINT) AS _cnt_{c},"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS _nd_{c},"
+            f" CAST({mn} AS STRING) AS _min_{c},"
+            f" CAST({mx} AS STRING) AS _max_{c}"
+        )
+        rows.append(
+            f"named_struct('column', '{c}', 'n_rows', _n,"
+            f" 'n_nulls', _n - _cnt_{c}, 'n_distinct', _nd_{c},"
+            f" 'min_value', _min_{c}, 'max_value', _max_{c})"
+        )
+    return sql_over(
+        {"t": li},
+        f"""
+        WITH a AS (
+          SELECT CAST(count(1) AS BIGINT) AS _n, {', '.join(aggs)}
+          FROM {{t}}
+        )
+        SELECT inline(array({', '.join(rows)})) FROM a
+        """,
+    )
+
+
+_SQL_PROFILE = """
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(l_quantity) AS BIGINT) AS c1,
+             CAST(count(DISTINCT l_quantity) AS BIGINT) AS d1,
+             CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS mn1,
+             CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS mx1,
+             CAST(count(l_extendedprice) AS BIGINT) AS c2,
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS d2,
+             CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn2,
+             CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx2,
+             CAST(count(l_returnflag) AS BIGINT) AS c3,
+             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d3,
+             CAST(min(l_returnflag) AS VARCHAR) AS mn3,
+             CAST(max(l_returnflag) AS VARCHAR) AS mx3,
+             CAST(count(l_shipdate) AS BIGINT) AS c4,
+             CAST(count(DISTINCT l_shipdate) AS BIGINT) AS d4,
+             CAST(strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS mn4,
+             CAST(strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS mx4
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS column, n AS n_rows, n - c1 AS n_nulls,
+           d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
+    UNION ALL
+    SELECT 'l_extendedprice', n, n - c2, d2, mn2, mx2 FROM a
+    UNION ALL
+    SELECT 'l_returnflag', n, n - c3, d3, mn3, mx3 FROM a
+    UNION ALL
+    SELECT 'l_shipdate', n, n - c4, d4, mn4, mx4 FROM a
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff: documents vs a deterministically simulated
     v2 snapshot (every 17th doc dropped, every 10th modified, every
@@ -4978,14 +5092,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
-    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 21
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 23
     # queries NEW this round and the 9 whose implementation changed lead
-    # (30), (b) then 20 of the 30 queries whose last driver row was
-    # r1/r2 (all judge-verified in r4) fill the cap. The 51 past-cap
-    # rows — the 10 squeezed-out r1/r2 rows (lead the r6 rotation) and
+    # (32), (b) then 18 of the 30 queries whose last driver row was
+    # r1/r2 (all judge-verified in r4) fill the cap. The 53 past-cap
+    # rows — the 12 squeezed-out r1/r2 rows (lead the r6 rotation) and
     # 41 rows driver-green in CORRECTNESS_r04 — are marked below.
     return {
         # (a) changed this round (new r5 operators lead)
+        "value_histogram": q_value_histogram,
+        "table_profile": q_table_profile,
         "corpus_diff": q_corpus_diff,
         "rfm_segments": q_rfm_segments,
         "action_trigrams": q_action_trigrams,
@@ -5035,14 +5151,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_by_type": q_pivot_by_type,
         "salted_agg": q_salted_agg,
         "event_payload": q_event_payload,
-        "json_round_trip": q_json_round_trip,
-        "prune_orphans": q_prune_orphans,
-        # --- driver cap (50): positions above = 30 new/changed-in-r5 +
-        # 20 of the 30 r1/r2-verified rows. Everything below gets NO
-        # driver row this round. First: the 10 r1/r2 rows squeezed out
-        # by this round's 21 new queries (judge-verified green in r4 —
+        # --- driver cap (50): positions above = 32 new/changed-in-r5 +
+        # 18 of the 30 r1/r2-verified rows. Everything below gets NO
+        # driver row this round. First: the 12 r1/r2 rows squeezed out
+        # by this round's 23 new queries (judge-verified green in r4 —
         # rotate them into the first 50 in r6), then rows driver-green
         # in CORRECTNESS_r04 and unchanged since. ---
+        "json_round_trip": q_json_round_trip,
+        "prune_orphans": q_prune_orphans,
         "merge_picks": q_merge_picks,
         "ci_glob": q_ci_glob,
         "seed_ids": q_seed_ids,
@@ -5101,6 +5217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "value_histogram": _SQL_HISTOGRAM,
+        "table_profile": _SQL_PROFILE,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "rfm_segments": _SQL_RFM,
         "action_trigrams": _SQL_TRIGRAMS,
