@@ -4576,9 +4576,12 @@ _SQL_HISTOGRAM = """
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style column profile of lineitem: per column one row of
-    (n_rows, n_nulls, n_distinct, min/max as strings) — ALL columns
-    profiled in a single scan (one aggregate computes every statistic;
-    the per-column rows unpivot from the aggregate via inline)."""
+    (n_rows, n_nulls, n_distinct, min/max as strings). The distinct
+    count of EACH column runs as its own single-distinct aggregate
+    (two-phase, map-side combined, column-pruned to one column) crossed
+    with the plain-stats aggregate — k+1 narrow passes beat one
+    multi-distinct aggregate, whose Expand multiplies every row by k+1
+    (A/B at sf0.1: 0.40 s vs 0.65 s; the gap widens with row count)."""
     li = _t(spark, sf_dir, "lineitem")
     from obsplus_spark.util import sql_over
 
@@ -4591,30 +4594,33 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag": "{v}",
         "l_shipdate": "{v}",
     }
-    aggs = []
+    base_aggs = ["CAST(count(1) AS BIGINT) AS _n"]
+    d_ctes = []
     rows = []
     for c, fmt in cols.items():
         mn = fmt.format(v=f"min({c})")
         mx = fmt.format(v=f"max({c})")
-        aggs.append(
+        base_aggs.append(
             f"CAST(count({c}) AS BIGINT) AS _cnt_{c},"
-            f" CAST(count(DISTINCT {c}) AS BIGINT) AS _nd_{c},"
             f" CAST({mn} AS STRING) AS _min_{c},"
             f" CAST({mx} AS STRING) AS _max_{c}"
+        )
+        d_ctes.append(
+            f"d_{c} AS (SELECT CAST(count(DISTINCT {c}) AS BIGINT)"
+            f" AS _nd_{c} FROM {{t}})"
         )
         rows.append(
             f"named_struct('column', '{c}', 'n_rows', _n,"
             f" 'n_nulls', _n - _cnt_{c}, 'n_distinct', _nd_{c},"
             f" 'min_value', _min_{c}, 'max_value', _max_{c})"
         )
+    crosses = " ".join(f"CROSS JOIN d_{c}" for c in cols)
     return sql_over(
         {"t": li},
         f"""
-        WITH a AS (
-          SELECT CAST(count(1) AS BIGINT) AS _n, {', '.join(aggs)}
-          FROM {{t}}
-        )
-        SELECT inline(array({', '.join(rows)})) FROM a
+        WITH a AS (SELECT {', '.join(base_aggs)} FROM {{t}}),
+        {', '.join(d_ctes)}
+        SELECT inline(array({', '.join(rows)})) FROM a {crosses}
         """,
     )
 
