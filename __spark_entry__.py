@@ -123,6 +123,22 @@ def _norm_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def _tcol(df: DataFrame, col: str) -> F.Column:
+    """Timestamp-typed view of a date column regardless of the parquet
+    dtype the driver ships — plain timestamp / TIMESTAMP_NTZ pass
+    through, and TIMESTAMP(NANOS) (surfaced as int64 ns under
+    ``nanosAsLong``) converts via µs. Same defensive class as
+    ``_norm_ts`` but for the orders/lineitem date columns the TPC-H
+    style queries compare against timestamp literals (a bare
+    ``CAST(long AS TIMESTAMP)`` would interpret the value as SECONDS)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+    return F.col(col).cast("timestamp")
+
+
 #: Spark-SQL string twin of ``_ts_ns()`` for selectExpr-built plans
 #: (valid because ``_norm_ts`` already produced an int64-ns ``ts``)
 _TS_NS_SQL = "(cast(ts AS BIGINT) - (cast(ts AS BIGINT) % 1000))"
@@ -403,6 +419,8 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    li = li.withColumn("l_shipdate", _tcol(li, "l_shipdate"))
+    o = o.withColumn("o_orderdate", _tcol(o, "o_orderdate"))
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,10)"
     )
@@ -4583,6 +4601,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-distinct aggregate, whose Expand multiplies every row by k+1
     (A/B at sf0.1: 0.40 s vs 0.65 s; the gap widens with row count)."""
     li = _t(spark, sf_dir, "lineitem")
+    li = li.withColumn("l_shipdate", _tcol(li, "l_shipdate"))
     from obsplus_spark.util import sql_over
 
     # numeric extremes go through DECIMAL(18,2): double->string uses
@@ -4721,10 +4740,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes as row expressions, and a segment-level count — the
     dimension-sized output of a classic warehouse pass."""
     o = _t(spark, sf_dir, "orders")
+    o = o.withColumn("o_orderdate", _tcol(o, "o_orderdate"))
     per = o.groupBy("o_custkey").agg(
-        F.expr("max(unix_micros(CAST(o_orderdate AS TIMESTAMP)))").alias(
-            "_last_us"
-        ),
+        F.max(F.unix_micros(F.col("o_orderdate"))).alias("_last_us"),
         F.count(F.lit(1)).alias("_freq"),
         F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("_mon"),
     )

@@ -893,3 +893,18 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r.status: r.n_docs for r in snapshot_diff(old, new).collect()}
     assert out == {"unchanged": 1, "modified": 1, "removed": 1, "added": 1}
+
+
+def test_tcol_normalizes_long_ns_dates(spark):
+    """The r3 breakage class: date columns shipping as TIMESTAMP(NANOS)
+    surface as int64 ns under nanosAsLong — _tcol must yield the same
+    timestamp a plain-timestamp column gives (a bare CAST would read the
+    long as SECONDS)."""
+    import __spark_entry__ as m
+
+    ns = 867801600 * 1_000_000_000  # 1997-07-02 00:00:00 UTC
+    as_long = spark.createDataFrame([(ns,)], "d long")
+    as_ts = spark.sql("SELECT TIMESTAMP '1997-07-02 00:00:00' AS d")
+    a = as_long.select(m._tcol(as_long, "d").alias("t")).collect()[0].t
+    b = as_ts.select(m._tcol(as_ts, "d").alias("t")).collect()[0].t
+    assert a == b
