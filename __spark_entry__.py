@@ -340,7 +340,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(28,10)"
     )
     return (
-        li.filter(F.col("l_shipdate") < F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        li.filter(_tcol(li, "l_shipdate") < F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
