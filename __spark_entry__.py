@@ -113,13 +113,21 @@ def _norm_ts(df: DataFrame) -> DataFrame:
     """
     from pyspark.sql import types as T
 
-    if "ts" not in df.columns:
-        return df
-    dt = df.schema["ts"].dataType
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return df.withColumn(
-            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
-        )
+    if "ts" in df.columns:
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+            )
+    # date columns normalize the OTHER way (to timestamps — they are
+    # compared against timestamp literals): if the driver ever ships
+    # them as TIMESTAMP(NANOS) (int64 under nanosAsLong), convert
+    # centrally so no individual query can forget (the r3 omission
+    # pattern); _tcol at the call sites is then an idempotent guard
+    for c in ("o_orderdate", "l_shipdate"):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 
@@ -135,7 +143,9 @@ def _tcol(df: DataFrame, col: str) -> F.Column:
 
     dt = df.schema[col].dataType
     if isinstance(dt, T.LongType):
-        return F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+        # integer division: float ns past 2^53 rounds, silently shifting
+        # ~2% of µs-aligned values 1 µs low (same rule as _ts_ns)
+        return F.expr(f"timestamp_micros({col} div 1000)")
     return F.col(col).cast("timestamp")
 
 
@@ -4561,7 +4571,8 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars), bin ids as row math, one bin-keyed count — the profiling
     histogram every column-statistics pass needs. Divide-first bin
     width avoids overflow on wide ranges; the max value clamps into the
-    last bin."""
+    last bin, and a constant column (zero width) lands whole in bin 0
+    instead of raising DIVIDE_BY_ZERO under ANSI mode."""
     ev = _t(spark, sf_dir, "events")
     from obsplus_spark.util import sql_over
 
@@ -4570,8 +4581,9 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM {e}),
         b AS (
-          SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20.0D)),
-                            19.0D) AS BIGINT) AS bin
+          SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                 ELSE CAST(least(floor((value - lo) / ((hi - lo) / 20.0D)),
+                                 19.0D) AS BIGINT) END AS bin
           FROM {e} CROSS JOIN s
         )
         SELECT bin, CAST(count(1) AS BIGINT) AS n
@@ -4583,8 +4595,9 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_HISTOGRAM = """
     WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
     b AS (
-      SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20.0)),
-                        19.0) AS BIGINT) AS bin
+      SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+             ELSE CAST(least(floor((value - lo) / ((hi - lo) / 20.0)),
+                             19.0) AS BIGINT) END AS bin
       FROM events CROSS JOIN s
     )
     SELECT bin, CAST(count(*) AS BIGINT) AS n

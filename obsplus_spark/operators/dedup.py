@@ -995,20 +995,25 @@ def snapshot_diff(
     """
     from obsplus_spark.util import sql_over
 
-    def fp(df: DataFrame) -> DataFrame:
+    # presence markers, not nullable id columns: a NULL id in either
+    # snapshot never matches in the join, and testing the id itself
+    # would misread "NULL id present in old" as 'added'. Ids are assumed
+    # unique per snapshot (duplicates fan the join out).
+    def fp(df: DataFrame, mark: str) -> DataFrame:
         return df.select(
             F.col(id_col),
             F.md5(normalize_text(text_col)).alias("_fp"),
+            F.lit(True).alias(mark),
         )
 
     return sql_over(
-        {"o": fp(old), "n": fp(new)},
+        {"o": fp(old, "_in_o"), "n": fp(new, "_in_n")},
         f"""
         SELECT status, CAST(count(1) AS BIGINT) AS n_docs
         FROM (
           SELECT CASE
-                   WHEN o.{id_col} IS NULL THEN 'added'
-                   WHEN n.{id_col} IS NULL THEN 'removed'
+                   WHEN o._in_o IS NULL THEN 'added'
+                   WHEN n._in_n IS NULL THEN 'removed'
                    WHEN o._fp != n._fp THEN 'modified'
                    ELSE 'unchanged'
                  END AS status

@@ -908,3 +908,43 @@ def test_tcol_normalizes_long_ns_dates(spark):
     a = as_long.select(m._tcol(as_long, "d").alias("t")).collect()[0].t
     b = as_ts.select(m._tcol(as_ts, "d").alias("t")).collect()[0].t
     assert a == b
+    # µs-aligned ns past 2^53: double division would truncate 1 µs low
+    ns2 = 945521262185192000  # = 945521262185192 µs exactly
+    df2 = spark.createDataFrame([(ns2,)], "d long")
+    t2 = df2.select(m._tcol(df2, "d").alias("t")).collect()[0].t
+    assert int(t2.timestamp() * 1e6) in (945521262185192, 945521262185191)
+    import datetime
+    us = df2.selectExpr("d div 1000 AS us").collect()[0].us
+    assert us == 945521262185192
+
+
+def test_snapshot_diff_null_id_is_removed_not_added(spark):
+    from obsplus_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame([(None, "x")], "doc_id long, text string")
+    new = spark.createDataFrame([], "doc_id long, text string")
+    out = {r.status: r.n_docs for r in snapshot_diff(old, new).collect()}
+    assert out == {"removed": 1}
+
+
+def test_value_histogram_constant_column_single_bin(spark):
+    """A zero-width range must land everything in bin 0, not raise
+    DIVIDE_BY_ZERO under ANSI mode (and the oracle agrees)."""
+    import __spark_entry__ as m
+    from obsplus_spark.util import sql_over
+
+    e = spark.createDataFrame([(5.0,), (5.0,)], "value double")
+    out = sql_over(
+        {"e": e},
+        """
+        WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM {e}),
+        b AS (
+          SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                 ELSE CAST(least(floor((value - lo) / ((hi - lo) / 20.0D)),
+                                 19.0D) AS BIGINT) END AS bin
+          FROM {e} CROSS JOIN s
+        )
+        SELECT bin, CAST(count(1) AS BIGINT) AS n FROM b GROUP BY bin
+        """,
+    ).collect()
+    assert [(r.bin, r.n) for r in out] == [(0, 2)]

@@ -31,7 +31,7 @@ def main() -> int:
         ("bhj", "BroadcastHashJoin"),
         ("smj", "SortMergeJoin"),
         ("bnlj", "BroadcastNestedLoopJoin"),
-        ("win", "Window"),
+        ("win", "Window ["),
         ("wgl", "WindowGroupLimit"),
         ("topk", "TakeOrderedAndProject"),
         ("arrow", "InPandas"),
