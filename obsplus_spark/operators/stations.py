@@ -152,3 +152,42 @@ def inventory_to_df(inv: DataFrame) -> DataFrame:
     return out.withColumn(
         "seed_id", F.concat_ws(".", "network", "station", "location", "channel")
     )
+
+
+def stations_from_stream(df: DataFrame) -> DataFrame:
+    """Fabricate a station table from waveform/trace index rows
+    (``stations/pd.py:111-128 _stream_to_station_df``): group by NSLC,
+    station epoch = [min(starttime), max(endtime)] over the traces seen.
+
+    One groupBy on the NSLC key — map-side combine makes this a single
+    low-cardinality shuffle regardless of trace count (station count is
+    bounded by the physical network, so the agg output is tiny even when
+    the index covers 10^10 trace rows).
+
+    Expects the waveform-index column layout (``network station location
+    channel starttime endtime``); emits STATION_DTYPES-style epoch columns
+    (``start_date``/``end_date`` — the reference's rename at
+    stations/pd.py:104-105), NULL placeholder coordinates (a stream
+    carries no geography) and the assembled ``seed_id``.
+    """
+    return (
+        df.groupBy("network", "station", "location", "channel")
+        .agg(
+            F.min("starttime").alias("start_date"),
+            F.max("endtime").alias("end_date"),
+        )
+        .select(
+            "network",
+            "station",
+            "location",
+            "channel",
+            F.concat_ws(
+                ".", "network", "station", "location", "channel"
+            ).alias("seed_id"),
+            F.lit(None).cast("double").alias("latitude"),
+            F.lit(None).cast("double").alias("longitude"),
+            F.lit(None).cast("double").alias("elevation"),
+            "start_date",
+            "end_date",
+        )
+    )

@@ -191,7 +191,7 @@ def test_eventbank_payload_roundtrip(spark, tmp_path):
     """get_events payload path (eventbank.py:392-418): nested trees are
     stored; an index predicate prunes; a left_semi join pulls only the
     matching trees."""
-    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA
+    from obsplus_spark.operators.event_tree import SLIM_EVENT_SCHEMA
 
     rows = [
         (
@@ -207,7 +207,7 @@ def test_eventbank_payload_roundtrip(spark, tmp_path):
             [("p2", Y2020 + 101 * NS, "P", None, "UU", "S2", "", "HHZ")],
         ),
     ]
-    trees = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    trees = spark.createDataFrame(rows, SLIM_EVENT_SCHEMA)
     bank = EventBank(spark, tmp_path)
     bank.put_events(trees)  # nested input: index derives via events_to_df
     assert bank.read_index().count() == 2

@@ -8,6 +8,7 @@ from obsplus_spark.sources.quakeml import (
     event_to_quakeml,
     parse_quakeml,
     parse_stationxml,
+    quakeml_to_tree,
 )
 
 NS = 1_000_000_000
@@ -172,3 +173,169 @@ def test_eventbank_quakeml_ingest(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].event_id == "smi:local/ev1"
     assert rows[0].picks[0]["station"] == "CAPS"
+
+
+RICH_QML = """<?xml version="1.0"?>
+<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2"
+           xmlns="http://quakeml.org/xmlns/bed/1.2">
+ <eventParameters publicID="smi:local/cat">
+  <event publicID="smi:local/rich1">
+   <description><text>rich test</text></description>
+   <type>earthquake</type>
+   <preferredOriginID>smi:local/o1</preferredOriginID>
+   <preferredMagnitudeID>smi:local/m1</preferredMagnitudeID>
+   <preferredFocalMechanismID>smi:local/fm1</preferredFocalMechanismID>
+   <creationInfo><agencyID>AGY</agencyID><author>alice</author>
+     <creationTime>2020-01-01T00:00:05Z</creationTime>
+     <version>v9</version></creationInfo>
+   <origin publicID="smi:local/o1">
+    <time><value>2020-01-01T00:00:00Z</value></time>
+    <latitude><value>40.5</value></latitude>
+    <longitude><value>-111.25</value></longitude>
+    <depth><value>5000.0</value><uncertainty>250.0</uncertainty></depth>
+    <quality>
+      <associatedPhaseCount>7</associatedPhaseCount>
+      <usedPhaseCount>5</usedPhaseCount>
+      <standardError>0.3</standardError>
+      <azimuthalGap>120.0</azimuthalGap>
+    </quality>
+    <originUncertainty><horizontalUncertainty>800.0</horizontalUncertainty></originUncertainty>
+    <arrival publicID="smi:local/ar1">
+      <pickID>smi:local/p1</pickID>
+      <phase>P</phase>
+      <azimuth>35.0</azimuth>
+      <distance>0.5</distance>
+      <timeResidual>0.02</timeResidual>
+      <timeWeight>1.0</timeWeight>
+      <earthModelID>smi:local/iasp91</earthModelID>
+    </arrival>
+   </origin>
+   <magnitude publicID="smi:local/m1">
+    <mag><value>2.5</value><uncertainty>0.1</uncertainty></mag>
+    <type>ML</type>
+    <originID>smi:local/o1</originID>
+    <stationCount>4</stationCount>
+    <evaluationStatus>reviewed</evaluationStatus>
+   </magnitude>
+   <pick publicID="smi:local/p1">
+    <time><value>2020-01-01T00:00:01.5Z</value><uncertainty>0.05</uncertainty></time>
+    <waveformID networkCode="UU" stationCode="CAPS" locationCode="" channelCode="HHZ"/>
+    <onset>impulsive</onset>
+    <phaseHint>P</phaseHint>
+    <polarity>positive</polarity>
+    <evaluationMode>manual</evaluationMode>
+    <creationInfo><author>bob</author></creationInfo>
+   </pick>
+   <amplitude publicID="smi:local/amp1">
+    <genericAmplitude><value>1.5e-06</value></genericAmplitude>
+    <type>A</type>
+    <unit>m/s</unit>
+    <period><value>0.2</value></period>
+    <snr>12.0</snr>
+    <timeWindow><begin>0.0</begin><end>2.0</end>
+      <reference>2020-01-01T00:00:01Z</reference></timeWindow>
+    <pickID>smi:local/p1</pickID>
+    <magnitudeHint>ML</magnitudeHint>
+    <waveformID networkCode="UU" stationCode="CAPS" locationCode="" channelCode="HHZ"/>
+   </amplitude>
+   <stationMagnitude publicID="smi:local/sm1">
+    <originID>smi:local/o1</originID>
+    <mag><value>2.4</value></mag>
+    <type>ML</type>
+    <amplitudeID>smi:local/amp1</amplitudeID>
+    <waveformID networkCode="UU" stationCode="CAPS" locationCode="" channelCode="HHZ"/>
+   </stationMagnitude>
+   <focalMechanism publicID="smi:local/fm1">
+    <triggeringOriginID>smi:local/o1</triggeringOriginID>
+    <nodalPlanes>
+     <nodalPlane1><strike><value>30.0</value></strike>
+       <dip><value>60.0</value></dip><rake><value>-90.0</value></rake></nodalPlane1>
+     <nodalPlane2><strike><value>210.0</value></strike>
+       <dip><value>30.0</value></dip><rake><value>-90.0</value></rake></nodalPlane2>
+    </nodalPlanes>
+    <azimuthalGap>45.0</azimuthalGap>
+    <stationPolarityCount>12</stationPolarityCount>
+    <misfit>0.15</misfit>
+    <momentTensor publicID="smi:local/mt1">
+      <scalarMoment><value>1.2e+15</value></scalarMoment>
+    </momentTensor>
+   </focalMechanism>
+  </event>
+ </eventParameters>
+</q:quakeml>
+"""
+
+
+def test_parse_rich_quakeml():
+    rows = parse_quakeml(RICH_QML)
+    assert len(rows) == 1
+    ev = rows[0]
+    assert ev["event_type"] == "earthquake"
+    assert ev["author"] == "alice" and ev["version"] == "v9"
+    assert ev["preferred_focal_mechanism_id"] == "smi:local/fm1"
+    o = ev["origins"][0]
+    assert o["quality"]["used_phase_count"] == 5
+    assert o["quality"]["azimuthal_gap"] == 120.0
+    assert o["horizontal_uncertainty"] == 800.0
+    assert o["vertical_uncertainty"] == 250.0
+    assert len(o["arrivals"]) == 1
+    ar = o["arrivals"][0]
+    assert ar["pick_id"] == "smi:local/p1" and ar["phase"] == "P"
+    assert ar["time_weight"] == 1.0
+    p = ev["picks"][0]
+    assert p["onset"] == "impulsive" and p["polarity"] == "positive"
+    assert p["uncertainty"] == 0.05 and p["author"] == "bob"
+    a = ev["amplitudes"][0]
+    assert a["generic_amplitude"] == 1.5e-6 and a["unit"] == "m/s"
+    assert a["time_begin"] == 0.0 and a["time_end"] == 2.0
+    assert a["reference"] == 1577836801 * 10**9
+    sm = ev["station_magnitudes"][0]
+    assert sm["mag"] == 2.4 and sm["amplitude_id"] == "smi:local/amp1"
+    fm = ev["focal_mechanisms"][0]
+    assert fm["strike_1"] == 30.0 and fm["dip_2"] == 30.0
+    assert fm["scalar_moment"] == 1.2e15
+    m = ev["magnitudes"][0]
+    assert m["uncertainty"] == 0.1 and m["station_count"] == 4.0
+
+
+def test_rich_xml_roundtrip_python():
+    """serialize(parse(x)) == parse(x) over every branch the engine
+    carries — the serializer is the exact inverse on its own subset."""
+    orig = parse_quakeml(RICH_QML)[0]
+    xml = event_to_quakeml(orig)
+    back = parse_quakeml(
+        f"<quakeml><eventParameters>{xml}</eventParameters></quakeml>"
+    )[0]
+    assert back == orig
+
+
+def test_rich_spark_roundtrip(spark, tmp_path):
+    """Distributed path: rich file → quakeml_to_tree → sub-entity
+    extractors produce the parsed values."""
+    from obsplus_spark.operators.event_tree import (
+        amplitudes_to_df,
+        arrivals_to_df,
+        events_to_df,
+        focal_mechanisms_to_df,
+        station_magnitudes_to_df,
+    )
+    from obsplus_spark.sources.summarize import binary_file_scan
+
+    d = tmp_path / "rich"
+    d.mkdir()
+    (d / "rich.xml").write_text(RICH_QML)
+    tree = quakeml_to_tree(binary_file_scan(spark, str(d), glob="*.xml"))
+    ev = events_to_df(tree).collect()[0]
+    assert ev.author == "alice" and ev.version == "v9"
+    assert ev.used_phase_count == 5 and ev.associated_phase_count == 7
+    assert ev.standard_error == 0.3
+    assert ev.horizontal_uncertainty == 800.0
+    assert ev.vertical_uncertainty == 250.0
+    amp = amplitudes_to_df(tree).collect()[0]
+    assert amp.generic_amplitude == 1.5e-6 and amp.seed_id == "UU.CAPS..HHZ"
+    ar = arrivals_to_df(tree).collect()[0]
+    assert ar.origin_id == "smi:local/o1" and ar.phase == "P"
+    sm = station_magnitudes_to_df(tree).collect()[0]
+    assert sm.mag == 2.4
+    fm = focal_mechanisms_to_df(tree).collect()[0]
+    assert fm.strike_1 == 30.0 and fm.station_polarity_count == 12

@@ -763,7 +763,7 @@ def test_pii_scrub_respects_text_col_and_validates_names(spark):
 def test_duplicate_events_suffix_with_quote_builds(spark):
     """Caller-supplied suffixes land in SQL literals — quotes must be
     escaped, not break the plan."""
-    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA
+    from obsplus_spark.operators.event_tree import SLIM_EVENT_SCHEMA
     from obsplus_spark.operators.surgery import duplicate_events
 
     rows = [
@@ -772,7 +772,7 @@ def test_duplicate_events_suffix_with_quote_builds(spark):
          [("m1", 2.0, "ML", "o1")],
          [("p1", 110, "P", None, "UU", "S1", "", "HHZ")]),
     ]
-    tree = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    tree = spark.createDataFrame(rows, SLIM_EVENT_SCHEMA)
     out = duplicate_events(tree, suffix="o'brien")  # no ParseException
     row = out.collect()[0]
     assert row.event_id.startswith("o'brien:")
@@ -868,7 +868,7 @@ def test_sql_literal_hardening_braces_and_backslashes(spark):
 
 
 def test_duplicate_events_suffix_with_backslash(spark):
-    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA
+    from obsplus_spark.operators.event_tree import SLIM_EVENT_SCHEMA
     from obsplus_spark.operators.surgery import duplicate_events
 
     rows = [
@@ -877,7 +877,7 @@ def test_duplicate_events_suffix_with_backslash(spark):
          [("m1", 2.0, "ML", "o1")],
          [("p1", 110, "P", None, "UU", "S1", "", "HHZ")]),
     ]
-    tree = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    tree = spark.createDataFrame(rows, SLIM_EVENT_SCHEMA)
     row = duplicate_events(tree, suffix="x\\y").collect()[0]
     assert row.event_id.startswith("x\\y:")
 

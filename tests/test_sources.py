@@ -108,7 +108,7 @@ def test_stream_processor_hook(spark):
 
 
 def test_strip_and_attach(spark):
-    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA, events_to_df
+    from obsplus_spark.operators.event_tree import SLIM_EVENT_SCHEMA, events_to_df
     from obsplus_spark.operators.surgery import attach_new_origin, strip_events
 
     picks = spark.createDataFrame(
@@ -120,7 +120,7 @@ def test_strip_and_attach(spark):
     assert {r.resource_id for r in stripped.collect()} == {"p1"}
 
     tree = spark.createDataFrame(
-        [("e1", "", None, None, 0, [], [], [])], NESTED_EVENT_SCHEMA
+        [("e1", "", None, None, 0, [], [], [])], SLIM_EVENT_SCHEMA
     )
     new_o = spark.createDataFrame(
         [("e1", "o_new", 123, 1.0, 2.0, 3.0)],

@@ -70,3 +70,25 @@ def test_inventory_roundtrip(stations):
     assert a == b
     # seed_id materialized on the way out
     assert {r.seed_id for r in flat.collect()} >= {"UU.TMU..HHZ", "WY.YNR.01.BHZ"}
+
+
+def test_stations_from_stream(spark):
+    """stations/pd.py:111-128: NSLC groupBy, min start / max end epochs."""
+    from obsplus_spark.operators.stations import stations_from_stream
+
+    rows = [
+        ("UU", "S1", "", "HHZ", 100, 200),
+        ("UU", "S1", "", "HHZ", 150, 400),
+        ("UU", "S2", "01", "ENZ", 50, 80),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "network string, station string, location string, channel string, "
+        "starttime long, endtime long",
+    )
+    out = {r.seed_id: r for r in stations_from_stream(df).collect()}
+    assert len(out) == 2
+    assert out["UU.S1..HHZ"].start_date == 100
+    assert out["UU.S1..HHZ"].end_date == 400
+    assert out["UU.S2.01.ENZ"].start_date == 50
+    assert out["UU.S2.01.ENZ"].latitude is None

@@ -325,7 +325,7 @@ def test_merge_events_amplitudes(spark):
 def test_duplicate_events_remap(spark):
     """utils/events.py:36-71: all internal ids remapped consistently;
     references follow iff they point at internal objects."""
-    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA
+    from obsplus_spark.operators.event_tree import SLIM_EVENT_SCHEMA
     from obsplus_spark.operators.surgery import duplicate_events
 
     rows = [
@@ -340,7 +340,7 @@ def test_duplicate_events_remap(spark):
             [("p1", 110, "P", None, "UU", "S1", "", "HHZ")],
         ),
     ]
-    tree = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    tree = spark.createDataFrame(rows, SLIM_EVENT_SCHEMA)
     dup = duplicate_events(tree).collect()[0]
     orig = tree.collect()[0]
     # every internal id changed, deterministically
