@@ -153,6 +153,21 @@ def _tcol(df: DataFrame, col: str) -> F.Column:
 #: (valid because ``_norm_ts`` already produced an int64-ns ``ts``)
 _TS_NS_SQL = "(cast(ts AS BIGINT) - (cast(ts AS BIGINT) % 1000))"
 
+#: DuckDB fragments shared by the rich-tree sub-entity oracles (the
+#: fabrication rules are documented at the _RICH_TREE_SQL definition)
+_D_CHANNEL = "'u' || CAST(e.user_id % 10 AS VARCHAR)"
+_D_SEED = "'EV.' || e.event_type || '..u' || CAST(e.user_id % 10 AS VARCHAR)"
+_D_PREF = """
+pref AS (
+  SELECT user_id AS uid, min(epoch_ns(ts)) AS min_ns,
+         max(epoch_ns(ts)) AS max_ns
+  FROM events GROUP BY user_id
+)"""
+_D_EVTIME = (
+    "CASE WHEN (p.uid % 7 <> 0 AND p.uid % 2 = 0)"
+    " THEN p.min_ns ELSE p.max_ns END"
+)
+
 
 def _ts_ns(col: str = "ts") -> F.Column:
     """events.ts (int64 ns, normalized by ``_norm_ts``) → µs-truncated ns.
@@ -421,11 +436,30 @@ _SQL_REV = """
 """
 
 
+def _orders_dim_small(sf_dir: str, limit_bytes: int = 64 * 1024 * 1024) -> bool:
+    """Strategy gate for the TPC-H join shapes: is the orders side small
+    enough to BROADCAST (join-then-aggregate, zero lineitem shuffle
+    before the agg), or must lineitem pre-aggregate below a shuffle join
+    (the 100-TB form — partial rows per order cross the exchange)?
+    Driver-side file stat, no Spark job; mirrors what AQE's runtime
+    stats would decide, pinned plan-side so the choice is deterministic
+    under the bench's AQE-off session. A/B at sf0.1 (NOTES r6): the
+    broadcast form is 19-40% faster when it applies."""
+    import os
+
+    try:
+        return os.path.getsize(f"{sf_dir}/orders.parquet") < limit_bytes
+    except OSError:
+        return False
+
+
 def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): segment-filtered customers
-    broadcast into orders, aggregate-below-join on lineitem (one partial
-    row per order crosses the shuffle), top-10 via TakeOrdered on the
-    rounded revenue."""
+    broadcast into orders; then EITHER the filtered orders dim broadcasts
+    into lineitem and one groupBy finishes (small-dim form, one shuffle),
+    OR lineitem pre-aggregates below the shuffle join (scale form — one
+    partial row per order crosses the exchange). Top-10 via TakeOrdered
+    on the rounded revenue."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -434,11 +468,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,10)"
     )
-    li_part = (
-        li.filter("l_shipdate > TIMESTAMP '1998-06-15'")
-        .groupBy("l_orderkey")
-        .agg(F.sum(rev).alias("_rev"))
-    )
+    li_f = li.filter("l_shipdate > TIMESTAMP '1998-06-15'")
     o_dim = (
         o.filter("o_orderdate < TIMESTAMP '1998-06-15'")
         .join(
@@ -447,14 +477,25 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    return (
-        li_part.join(o_dim, li_part.l_orderkey == o_dim.o_orderkey)
-        .select(
-            "l_orderkey",
-            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            "o_orderpriority",
+    out_cols = [
+        F.col("l_orderkey"),
+        F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_orderpriority"),
+    ]
+    if _orders_dim_small(sf_dir):
+        joined = (
+            li_f.join(
+                F.broadcast(o_dim), F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).alias("_rev"))
         )
+    else:
+        li_part = li_f.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
+        joined = li_part.join(o_dim, li_part.l_orderkey == o_dim.o_orderkey)
+    return (
+        joined.select(*out_cols)
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -480,25 +521,43 @@ _SQL_SHIP_PRIORITY = """
 
 def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item revenue): R-flagged lineitems
-    collapse to one partial row per order BEFORE the orders join; the
-    per-customer total joins the broadcast customer dim; top-20 via
-    TakeOrdered."""
+    either join a BROADCAST orders key-map and aggregate straight to the
+    customer key (small-dim form), or collapse to one partial row per
+    order before a shuffle join (scale form) — gated on the orders-side
+    size; the per-customer total joins the broadcast customer dim;
+    top-20 via TakeOrdered."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,10)"
     )
-    li_part = (
-        li.filter("l_returnflag = 'R'")
-        .groupBy("l_orderkey")
-        .agg(F.sum(rev).alias("_rev"))
-    )
-    per_cust = (
-        li_part.join(o, li_part.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.sum("_rev").alias("_rev"))
-    )
+    if _orders_dim_small(sf_dir):
+        # small-dim form (A/B winner at bench scale, −40%): broadcast the
+        # 2-column orders key map into the R-filtered lineitems and
+        # aggregate straight to the customer key — ONE shuffle
+        per_cust = (
+            li.filter("l_returnflag = 'R'")
+            .join(
+                F.broadcast(o.select("o_orderkey", "o_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum(rev).alias("_rev"))
+        )
+    else:
+        # scale form: pre-aggregate below the shuffle join so one partial
+        # row per order crosses the exchange
+        li_part = (
+            li.filter("l_returnflag = 'R'")
+            .groupBy("l_orderkey")
+            .agg(F.sum(rev).alias("_rev"))
+        )
+        per_cust = (
+            li_part.join(o, li_part.l_orderkey == o.o_orderkey)
+            .groupBy("o_custkey")
+            .agg(F.sum("_rev").alias("_rev"))
+        )
     return (
         per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
         .select(
@@ -3300,58 +3359,25 @@ _SQL_CSV_RT = """
 
 
 def q_quakeml_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QuakeML XML round trip: per-user synthetic events (origin with
-    lat/lon, magnitude, picks with evaluation status) serialize to QuakeML
-    and re-parse distributed; every emitted field crossed the XML codec
-    (ns times via ISO-8601, floats via shortest-repr)."""
+    """QuakeML XML round trip across EVERY branch the engine carries: the
+    rich nested tree (origins + arrivals/quality/uncertainty, magnitudes,
+    full picks, amplitudes, station magnitudes, focal mechanisms,
+    event-level creation info) serializes to QuakeML and re-parses
+    distributed, then flattens through the REAL extractors: amplitude
+    rows (amplitudes_to_df) joined with arrival aggregates
+    (arrivals_to_df — preferred-origin semantics cross the codec too),
+    station-magnitude aggregates and event-level fields. ns times via
+    ISO-8601, floats via shortest-repr; any field the codec loses or
+    mangles breaks the hash."""
+    from obsplus_spark.operators.event_tree import (
+        amplitudes_to_df,
+        arrivals_to_df,
+        station_magnitudes_to_df,
+    )
     from obsplus_spark.sources.quakeml import quakeml_to_tree, tree_to_quakeml
 
-    from obsplus_spark.util import sql_over
-
-    ev = _t(spark, sf_dir, "events")
-    tree = sql_over(
-        {"ev": ev},
-        f"""
-        WITH agg AS (
-          SELECT user_id,
-                 collect_list(named_struct(
-                   'resource_id', CAST(event_id AS STRING),
-                   'time', {_TS_NS_SQL},
-                   'phase_hint', event_type,
-                   'evaluation_status',
-                     CASE WHEN value > 200.0 THEN 'rejected'
-                          WHEN value < 1.0 THEN CAST(NULL AS STRING)
-                          ELSE 'ok' END,
-                   'network', 'EV',
-                   'station', event_type,
-                   'location', '',
-                   'channel', concat('u', CAST(user_id % 10 AS STRING))
-                 )) AS picks,
-                 min({_TS_NS_SQL}) AS _o_time,
-                 max({_TS_NS_SQL}) AS creation_time,
-                 max(value) AS _maxv
-          FROM {{ev}} WHERE user_id % 5 = 0 GROUP BY user_id
-        )
-        SELECT concat('u', CAST(user_id AS STRING)) AS event_id,
-               CAST(NULL AS STRING) AS event_description,
-               CAST(NULL AS STRING) AS preferred_origin_id,
-               CAST(NULL AS STRING) AS preferred_magnitude_id,
-               creation_time,
-               array(named_struct(
-                 'resource_id', concat('o', CAST(user_id AS STRING)),
-                 'time', _o_time,
-                 'latitude', user_id * 0.5D - 30,
-                 'longitude', user_id * 1.7D - 100,
-                 'depth', user_id * 10.0D)) AS origins,
-               array(named_struct(
-                 'resource_id', concat('m', CAST(user_id AS STRING)),
-                 'mag', _maxv / 100,
-                 'magnitude_type', 'ML',
-                 'origin_id', concat('o', CAST(user_id AS STRING))))
-                 AS magnitudes,
-               picks
-        FROM agg
-        """,
+    tree = _rich_tree(spark, sf_dir).filter(
+        "CAST(substr(event_id, 2) AS BIGINT) % 5 = 0"
     )
     xml = tree_to_quakeml(tree)
     rt = quakeml_to_tree(
@@ -3359,45 +3385,84 @@ def q_quakeml_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id AS path", "encode(quakeml, 'UTF-8') AS content"
         )
     )
-    return sql_over(
-        {"rt": rt},
-        """
-        SELECT event_id, creation_time,
-               origins[0].time AS o_time,
-               origins[0].latitude AS lat,
-               origins[0].longitude AS lon,
-               magnitudes[0].mag AS mag,
-               p.resource_id AS pick_id,
-               p.time AS t,
-               p.phase_hint AS phase_hint,
-               p.evaluation_status AS evaluation_status,
-               concat_ws('.', p.network, p.station, p.location, p.channel)
-                 AS seed_id
-        FROM (SELECT *, explode(picks) AS p FROM {rt})
-        """,
+    amps = amplitudes_to_df(rt).select(
+        "event_id", "event_time", "resource_id", "generic_amplitude",
+        "unit", "period", "snr", "pick_id", "reference", "time_begin",
+        "time_end", "evaluation_status", "creation_time", "author",
+        "seed_id",
+    )
+    arr = (
+        arrivals_to_df(rt)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_arr"),
+            F.sum("azimuth").alias("sum_azimuth"),
+            F.round(F.sum("distance"), 6).alias("sum_distance"),
+        )
+    )
+    sm = (
+        station_magnitudes_to_df(rt)
+        .groupBy("event_id")
+        .agg(F.round(F.sum("mag"), 6).alias("sum_sm_mag"))
+    )
+    evl = rt.select(
+        "event_id",
+        F.col("author").alias("ev_author"),
+        "version",
+        "event_type",
+        F.size("focal_mechanisms").alias("n_fm"),
+    )
+    return (
+        amps.join(evl, "event_id")
+        .join(arr, "event_id", "left")
+        .join(sm, "event_id", "left")
     )
 
 
-_SQL_QML_RT = """
-    WITH a AS (
-      SELECT user_id, min(epoch_ns(ts)) AS o_time,
-             max(epoch_ns(ts)) AS creation_time, max(value) AS maxv
-      FROM events WHERE user_id % 5 = 0 GROUP BY user_id
-    )
-    SELECT 'u' || CAST(e.user_id AS VARCHAR) AS event_id,
-           a.creation_time,
-           a.o_time,
-           e.user_id * CAST(0.5 AS DOUBLE) - 30 AS lat,
-           e.user_id * CAST(1.7 AS DOUBLE) - 100 AS lon,
-           a.maxv / 100 AS mag,
-           CAST(e.event_id AS VARCHAR) AS pick_id,
-           epoch_ns(e.ts) AS t,
-           e.event_type AS phase_hint,
-           CASE WHEN e.value > 200 THEN 'rejected'
-                WHEN e.value < 1 THEN NULL ELSE 'ok' END AS evaluation_status,
-           'EV.' || e.event_type || '..u' || CAST(e.user_id % 10 AS VARCHAR)
-             AS seed_id
-    FROM events e JOIN a ON e.user_id = a.user_id
+_SQL_QML_RT = f"""
+WITH {_D_PREF},
+arr AS (
+  SELECT user_id AS uid,
+         count(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS n_arr_all,
+         sum(CASE WHEN event_id % 3 <> 0
+             THEN CAST(event_id % 360 AS DOUBLE) END) AS sum_az_all,
+         round(sum(CASE WHEN event_id % 3 <> 0
+               THEN (event_id % 100) / 10.0 END), 6) AS sum_dist_all,
+         round(sum(CASE WHEN event_id % 4 = 0
+               THEN (event_id % 60) / 10.0 END), 6) AS sum_sm_mag
+  FROM events GROUP BY user_id
+)
+SELECT 'u' || CAST(e.user_id AS VARCHAR) AS event_id,
+       {_D_EVTIME} AS event_time,
+       'amp' || CAST(e.event_id AS VARCHAR) AS resource_id,
+       e.value AS generic_amplitude,
+       'm/s' AS unit,
+       (e.event_id % 20) / 10.0 AS period,
+       (e.event_id % 30) / 3.0 AS snr,
+       'p' || CAST(e.event_id AS VARCHAR) AS pick_id,
+       epoch_ns(e.ts) AS reference,
+       CAST(0.0 AS DOUBLE) AS time_begin,
+       CAST(e.event_id % 5 AS DOUBLE) AS time_end,
+       CASE WHEN e.event_id % 8 = 0 THEN 'confirmed'
+            ELSE CAST(NULL AS VARCHAR) END AS evaluation_status,
+       epoch_ns(e.ts) + 3000 AS creation_time,
+       'an' || CAST(e.user_id % 3 AS VARCHAR) AS author,
+       {_D_SEED} AS seed_id,
+       'auth' || CAST(e.user_id % 4 AS VARCHAR) AS ev_author,
+       'v' || CAST(e.user_id % 3 AS VARCHAR) AS version,
+       'earthquake' AS event_type,
+       CASE WHEN e.user_id % 10 = 0 THEN 2 ELSE 1 END AS n_fm,
+       CASE WHEN (e.user_id % 7 <> 0 AND e.user_id % 2 = 0) THEN NULL
+            ELSE NULLIF(a.n_arr_all, 0) END AS n_arr,
+       CASE WHEN (e.user_id % 7 <> 0 AND e.user_id % 2 = 0) THEN NULL
+            ELSE a.sum_az_all END AS sum_azimuth,
+       CASE WHEN (e.user_id % 7 <> 0 AND e.user_id % 2 = 0) THEN NULL
+            ELSE a.sum_dist_all END AS sum_distance,
+       a.sum_sm_mag
+FROM events e
+JOIN pref p ON e.user_id = p.uid
+JOIN arr a ON e.user_id = a.uid
+WHERE e.user_id % 5 = 0 AND e.event_id % 4 = 0
 """
 
 
@@ -4841,14 +4906,12 @@ _SQL_COHORT = """
     WITH e AS (SELECT user_id, epoch_ns(ts) AS t_ns FROM events),
     u AS (
       SELECT user_id,
-             CAST(floor(min(t_ns) / 604800000000000) AS BIGINT)
-               AS cohort_week
+             min(t_ns) // 604800000000000 AS cohort_week
       FROM e GROUP BY user_id
     ),
     a AS (
       SELECT DISTINCT u.cohort_week,
-             CAST(floor(e.t_ns / 604800000000000) AS BIGINT)
-               - u.cohort_week AS week_offset,
+             e.t_ns // 604800000000000 - u.cohort_week AS week_offset,
              e.user_id
       FROM e JOIN u ON e.user_id = u.user_id
     )
@@ -4873,9 +4936,9 @@ _SQL_RATEZ = """
     WITH e AS (SELECT event_type, epoch_ns(ts) AS t_ns FROM events),
     c AS (
       SELECT event_type,
-             CAST(floor(t_ns / 3600000000000) AS BIGINT) AS bucket,
+             t_ns // 3600000000000 AS bucket,
              CAST(count(*) AS BIGINT) AS n_events
-      FROM e GROUP BY event_type, floor(t_ns / 3600000000000)
+      FROM e GROUP BY event_type, t_ns // 3600000000000
     )
     SELECT event_type, bucket, n_events,
            CASE WHEN stddev_pop(n_events) OVER w = 0 THEN 0.0
@@ -5122,6 +5185,534 @@ _SQL_POSTING = r"""
 # ---------------------------------------------------------------------------
 
 
+# ===========================================================================
+# §2.4/§2.11 full six-table sub-entity parity over a rich nested tree
+# (constants.py AMPLITUDE/ARRIVAL/STATION_MAGNITUDE/EVENT dtypes;
+#  events/pd.py extractors; events/schema.py FocalMechanism branch)
+# ===========================================================================
+#
+# One deterministic rich tree fabricated from the events table (all values
+# integer-derived so Spark and DuckDB agree bit-for-bit), flattened through
+# the REAL obsplus_spark extractors; each oracle computes the flat truth
+# directly from events. Fabrication rules (shared by all oracles below):
+#   pick per event row; arrivals on origin o2 for event_id%3<>0;
+#   amplitudes + station magnitudes for event_id%4=0;
+#   origins o1(min ts)/o2(max ts); preferred: uid%7=0→missing(→last=o2),
+#   uid%2=0→o1, else o2;  magnitudes m1(ML) m2(MW) m3(ML), preferred:
+#   uid%3=0→m2, else missing(→last=m3); focal mechanisms for uid%5=0
+#   (fm1; plus fm2 when uid%10=0), preferred: uid%20=0→fm2,
+#   uid%10=0→fm1(match beats last), else null(→fallback last).
+
+#: DuckDB predicate: preferred origin is o1
+_IS_O1 = "(uid % 7 <> 0 AND uid % 2 = 0)"
+
+_FM_FIELDS = (
+    "'triggering_origin_id', concat('o2:', CAST(uid AS STRING)),"
+    " 'strike_1', CAST({s1} AS DOUBLE), 'dip_1', CAST({d1} AS DOUBLE),"
+    " 'rake_1', CAST({r1} AS DOUBLE) - 90,"
+    " 'strike_2', CAST({s2} AS DOUBLE), 'dip_2', CAST({d2} AS DOUBLE),"
+    " 'rake_2', 90 - CAST({r1} AS DOUBLE),"
+    " 'azimuthal_gap', CAST({gap} AS DOUBLE),"
+    " 'station_polarity_count', {pol},"
+    " 'misfit', ({mis}) / 10.0D, 'method_id', 'mfm',"
+    " 'evaluation_status', CASE WHEN uid % 10 = 0 THEN 'reviewed'"
+    " ELSE CAST(NULL AS STRING) END,"
+    " 'scalar_moment', CAST({mom} AS DOUBLE) * 1e13,"
+    " 'creation_time', max_ns + {ct}"
+)
+
+_FM1 = (
+    "named_struct('resource_id', concat('fm1:', CAST(uid AS STRING)), "
+    + _FM_FIELDS.format(
+        s1="uid % 360", d1="uid % 90", r1="uid % 180", s2="(uid + 90) % 360",
+        d2="(uid + 30) % 90", gap="uid % 180", pol="n % 30",
+        mis="uid % 10", mom="uid % 100", ct="20",
+    )
+    + ")"
+)
+_FM2 = (
+    "named_struct('resource_id', concat('fm2:', CAST(uid AS STRING)), "
+    + _FM_FIELDS.format(
+        s1="(uid + 45) % 360", d1="(uid + 10) % 90", r1="(uid + 30) % 180",
+        s2="(uid + 135) % 360", d2="(uid + 40) % 90", gap="(uid + 5) % 180",
+        pol="(n + 7) % 30", mis="(uid + 5) % 10", mom="(uid + 50) % 100",
+        ct="21",
+    )
+    + ")"
+)
+
+_RICH_QUALITY = (
+    "named_struct("
+    "'associated_phase_count', CASE WHEN uid % 11 = 0 THEN"
+    " CAST(NULL AS BIGINT) ELSE n + {k} END,"
+    "'used_phase_count', CASE WHEN uid % 3 = 0 THEN CAST(NULL AS BIGINT)"
+    " WHEN uid % 3 = 1 THEN CAST(0 AS BIGINT) ELSE n + {k} END,"
+    "'standard_error', (uid % 10) / 10.0D + {k},"
+    "'azimuthal_gap', CAST((uid % 360) + {k} AS DOUBLE))"
+)
+
+_RICH_ORIGIN = (
+    "named_struct("
+    "'resource_id', concat('o{k}:', CAST(uid AS STRING)),"
+    "'time', {t},"
+    "'latitude', CAST(uid % 120 AS DOUBLE) - 60 + {lat_frac},"
+    "'longitude', CAST((uid * 7) % 360 AS DOUBLE) - 180 + {lon_frac},"
+    "'depth', CAST(uid % 50 AS DOUBLE) + {dep_frac},"
+    "'quality', " + _RICH_QUALITY + ","
+    "'horizontal_uncertainty', CAST(uid % 5 AS DOUBLE) * 1.5D + {k},"
+    "'vertical_uncertainty', CAST(uid % 3 AS DOUBLE) * 2.0D + {k},"
+    "'arrivals', {arr},"
+    "'creation_time', {t} + 5, 'author', 'oa', 'agency_id', 'AG')"
+)
+
+_RICH_MAG = (
+    "named_struct('resource_id', concat('m{i}:', CAST(uid AS STRING)),"
+    " 'mag', {mag}, 'magnitude_type', '{mt}',"
+    " 'origin_id', concat('o2:', CAST(uid AS STRING)), 'method_id', 'mm',"
+    " 'station_count', CAST(n % 20 AS DOUBLE),"
+    " 'evaluation_mode', 'automatic', 'creation_time', max_ns + {ct},"
+    " 'author', 'ma', 'agency_id', 'AG', 'uncertainty', 0.1D)"
+)
+
+_RICH_TREE_SQL = f"""
+WITH e AS (
+  SELECT user_id AS uid, event_id AS eid, {_TS_NS_SQL} AS tns,
+         event_type AS et, value AS val
+  FROM {{ev}}
+),
+agg AS (
+  SELECT uid,
+         count(*) AS n,
+         min(tns) AS min_ns,
+         max(tns) AS max_ns,
+         collect_list(named_struct(
+           'resource_id', concat('p', CAST(eid AS STRING)),
+           'time', tns,
+           'phase_hint', CASE WHEN eid % 2 = 0 THEN 'P' ELSE 'S' END,
+           'evaluation_status', CASE WHEN eid % 17 = 0 THEN 'rejected'
+             ELSE CAST(NULL AS STRING) END,
+           'network', 'EV', 'station', et, 'location', '',
+           'channel', concat('u', CAST(uid % 10 AS STRING)),
+           'onset', CASE WHEN eid % 3 = 0 THEN 'impulsive'
+             WHEN eid % 3 = 1 THEN 'emergent' ELSE CAST(NULL AS STRING) END,
+           'polarity', CASE WHEN val > 50 THEN 'positive' ELSE 'negative' END,
+           'evaluation_mode', 'automatic',
+           'method_id', 'mpick',
+           'creation_time', tns + 1000,
+           'author', concat('an', CAST(uid % 3 AS STRING)),
+           'agency_id', 'AG',
+           'uncertainty', (eid % 9) / 100.0D
+         )) AS picks,
+         collect_list(CASE WHEN eid % 3 <> 0 THEN named_struct(
+           'resource_id', concat('a', CAST(eid AS STRING)),
+           'pick_id', concat('p', CAST(eid AS STRING)),
+           'phase', CASE WHEN eid % 2 = 0 THEN 'P' ELSE 'S' END,
+           'azimuth', CAST(eid % 360 AS DOUBLE),
+           'distance', (eid % 100) / 10.0D,
+           'time_residual', (eid % 7) / 100.0D,
+           'time_weight', 1.0D,
+           'earth_model_id', 'iasp91',
+           'creation_time', tns + 2000,
+           'network', 'EV', 'station', et, 'location', '',
+           'channel', concat('u', CAST(uid % 10 AS STRING))
+         ) END) AS arrivals,
+         collect_list(CASE WHEN eid % 4 = 0 THEN named_struct(
+           'resource_id', concat('amp', CAST(eid AS STRING)),
+           'generic_amplitude', val,
+           'type', 'A', 'category', 'point', 'unit', 'm/s',
+           'magnitude_hint', 'ML', 'method_id', 'mamp',
+           'period', (eid % 20) / 10.0D,
+           'snr', (eid % 30) / 3.0D,
+           'pick_id', concat('p', CAST(eid AS STRING)),
+           'reference', tns,
+           'time_begin', 0.0D,
+           'time_end', CAST(eid % 5 AS DOUBLE),
+           'scaling_time', tns,
+           'evaluation_mode', 'automatic',
+           'evaluation_status', CASE WHEN eid % 8 = 0 THEN 'confirmed'
+             ELSE CAST(NULL AS STRING) END,
+           'creation_time', tns + 3000,
+           'author', concat('an', CAST(uid % 3 AS STRING)),
+           'agency_id', 'AG',
+           'network', 'EV', 'station', et, 'location', '',
+           'channel', concat('u', CAST(uid % 10 AS STRING))
+         ) END) AS amplitudes,
+         collect_list(CASE WHEN eid % 4 = 0 THEN named_struct(
+           'resource_id', concat('sm', CAST(eid AS STRING)),
+           'mag', (eid % 60) / 10.0D,
+           'station_magnitude_type', 'ML',
+           'amplitude_id', concat('amp', CAST(eid AS STRING)),
+           'magnitude_id', concat('m1:', CAST(uid AS STRING)),
+           'origin_id', concat('o2:', CAST(uid AS STRING)),
+           'method_id', 'msm',
+           'creation_time', tns + 4000,
+           'network', 'EV', 'station', et, 'location', '',
+           'channel', concat('u', CAST(uid % 10 AS STRING)),
+           'uncertainty', (eid % 5) / 10.0D
+         ) END) AS station_magnitudes
+  FROM e GROUP BY uid
+)
+SELECT
+  concat('u', CAST(uid AS STRING)) AS event_id,
+  concat('d', CAST(uid % 5 AS STRING)) AS event_description,
+  'earthquake' AS event_type,
+  CASE WHEN uid % 7 = 0 THEN concat('oX:', CAST(uid AS STRING))
+       WHEN uid % 2 = 0 THEN concat('o1:', CAST(uid AS STRING))
+       ELSE concat('o2:', CAST(uid AS STRING)) END AS preferred_origin_id,
+  CASE WHEN uid % 3 = 0 THEN concat('m2:', CAST(uid AS STRING))
+       ELSE concat('mZ:', CAST(uid AS STRING)) END AS preferred_magnitude_id,
+  CASE WHEN uid % 20 = 0 THEN concat('fm2:', CAST(uid AS STRING))
+       WHEN uid % 10 = 0 THEN concat('fm1:', CAST(uid AS STRING))
+       ELSE CAST(NULL AS STRING) END AS preferred_focal_mechanism_id,
+  max_ns AS creation_time,
+  concat('auth', CAST(uid % 4 AS STRING)) AS author,
+  'AGY' AS agency_id,
+  concat('v', CAST(uid % 3 AS STRING)) AS version,
+  array(
+    {_RICH_ORIGIN.format(k=1, t="min_ns", lat_frac="0.5D",
+                         lon_frac="0.25D", dep_frac="0.0D",
+                         arr="filter(arrivals, x -> false)")},
+    {_RICH_ORIGIN.format(k=2, t="max_ns", lat_frac="0.75D",
+                         lon_frac="0.5D", dep_frac="0.5D",
+                         arr="arrivals")}
+  ) AS origins,
+  array(
+    {_RICH_MAG.format(i=1, mag="(n % 50) / 10.0D", mt="ML", ct=10)},
+    {_RICH_MAG.format(i=2, mag="(n % 40) / 10.0D + 0.5D", mt="MW", ct=11)},
+    {_RICH_MAG.format(i=3, mag="(n % 30) / 10.0D + 1.0D", mt="ML", ct=12)}
+  ) AS magnitudes,
+  picks,
+  amplitudes,
+  station_magnitudes,
+  CASE WHEN uid % 10 = 0 THEN array({_FM1}, {_FM2})
+       WHEN uid % 5 = 0 THEN array({_FM1})
+       ELSE filter(array({_FM1}), x -> false) END AS focal_mechanisms
+FROM agg
+"""
+
+
+def _rich_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rich nested tree (full NESTED_EVENT_SCHEMA field coverage) —
+    one groupBy over events, everything else in-row array construction."""
+    from obsplus_spark.util import sql_over
+
+    return sql_over({"ev": _t(spark, sf_dir, "events")}, _RICH_TREE_SQL)
+
+
+def q_amplitudes_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amplitude sub-entity table (AMPLITUDE_DTYPES, constants.py:172-204;
+    extractor events/pd.py:405-421): rich tree → amplitudes_to_df — a
+    map-only explode with denormalized event keys."""
+    from obsplus_spark.operators.event_tree import amplitudes_to_df
+
+    return amplitudes_to_df(_rich_tree(spark, sf_dir))
+
+
+_SQL_AMP_FLAT = f"""
+WITH {_D_PREF}
+SELECT 'u' || CAST(e.user_id AS VARCHAR) AS event_id,
+       {_D_EVTIME} AS event_time,
+       'amp' || CAST(e.event_id AS VARCHAR) AS resource_id,
+       e.value AS generic_amplitude,
+       'A' AS type, 'point' AS category, 'm/s' AS unit,
+       'ML' AS magnitude_hint,
+       CAST(NULL AS VARCHAR) AS filter_id, 'mamp' AS method_id,
+       (e.event_id % 20) / 10.0 AS period,
+       (e.event_id % 30) / 3.0 AS snr,
+       'p' || CAST(e.event_id AS VARCHAR) AS pick_id,
+       epoch_ns(e.ts) AS reference,
+       CAST(0.0 AS DOUBLE) AS time_begin,
+       CAST(e.event_id % 5 AS DOUBLE) AS time_end,
+       epoch_ns(e.ts) AS scaling_time,
+       'automatic' AS evaluation_mode,
+       CASE WHEN e.event_id % 8 = 0 THEN 'confirmed'
+            ELSE CAST(NULL AS VARCHAR) END AS evaluation_status,
+       epoch_ns(e.ts) + 3000 AS creation_time,
+       'an' || CAST(e.user_id % 3 AS VARCHAR) AS author,
+       'AG' AS agency_id,
+       'EV' AS network, e.event_type AS station, '' AS location,
+       {_D_CHANNEL} AS channel,
+       CAST(NULL AS DOUBLE) AS uncertainty,
+       CAST(NULL AS DOUBLE) AS lower_uncertainty,
+       CAST(NULL AS DOUBLE) AS upper_uncertainty,
+       CAST(NULL AS DOUBLE) AS confidence_level,
+       {_D_SEED} AS seed_id
+FROM events e JOIN pref p ON e.user_id = p.uid
+WHERE e.event_id % 4 = 0
+"""
+
+
+def q_station_mags_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StationMagnitude sub-entity table (STATION_MAGNITUDE_DTYPES,
+    constants.py:209-231; magnitude_id excluded per
+    STATION_MAGNITUDE_COLUMNS)."""
+    from obsplus_spark.operators.event_tree import station_magnitudes_to_df
+
+    return station_magnitudes_to_df(_rich_tree(spark, sf_dir))
+
+
+_SQL_SMAG_FLAT = f"""
+WITH {_D_PREF}
+SELECT 'u' || CAST(e.user_id AS VARCHAR) AS event_id,
+       {_D_EVTIME} AS event_time,
+       'sm' || CAST(e.event_id AS VARCHAR) AS resource_id,
+       (e.event_id % 60) / 10.0 AS mag,
+       'ML' AS station_magnitude_type,
+       'amp' || CAST(e.event_id AS VARCHAR) AS amplitude_id,
+       'o2:' || CAST(e.user_id AS VARCHAR) AS origin_id,
+       'msm' AS method_id,
+       epoch_ns(e.ts) + 4000 AS creation_time,
+       CAST(NULL AS VARCHAR) AS author, CAST(NULL AS VARCHAR) AS agency_id,
+       'EV' AS network, e.event_type AS station, '' AS location,
+       {_D_CHANNEL} AS channel,
+       (e.event_id % 5) / 10.0 AS uncertainty,
+       CAST(NULL AS DOUBLE) AS lower_uncertainty,
+       CAST(NULL AS DOUBLE) AS upper_uncertainty,
+       CAST(NULL AS DOUBLE) AS confidence_level,
+       {_D_SEED} AS seed_id
+FROM events e JOIN pref p ON e.user_id = p.uid
+WHERE e.event_id % 4 = 0
+"""
+
+
+def q_arrivals_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival sub-entity table (ARRIVAL_DTYPES, constants.py:264-289):
+    arrivals of the PREFERRED origin only (events/pd.py:334-346), with
+    origin_id/origin_time denormalized — users whose preferred origin is
+    o1 (no arrivals) contribute zero rows."""
+    from obsplus_spark.operators.event_tree import arrivals_to_df
+
+    return arrivals_to_df(_rich_tree(spark, sf_dir))
+
+
+_SQL_ARR_FLAT = f"""
+WITH {_D_PREF}
+SELECT 'u' || CAST(e.user_id AS VARCHAR) AS event_id,
+       'o2:' || CAST(e.user_id AS VARCHAR) AS origin_id,
+       p.max_ns AS origin_time,
+       'a' || CAST(e.event_id AS VARCHAR) AS resource_id,
+       'p' || CAST(e.event_id AS VARCHAR) AS pick_id,
+       CASE WHEN e.event_id % 2 = 0 THEN 'P' ELSE 'S' END AS phase,
+       CAST(NULL AS DOUBLE) AS time_correction,
+       CAST(e.event_id % 360 AS DOUBLE) AS azimuth,
+       (e.event_id % 100) / 10.0 AS distance,
+       CAST(NULL AS DOUBLE) AS takeoff_angle,
+       (e.event_id % 7) / 100.0 AS time_residual,
+       CAST(NULL AS DOUBLE) AS horizontal_slowness_residual,
+       CAST(NULL AS DOUBLE) AS backazimuth_residual,
+       CAST(1.0 AS DOUBLE) AS time_weight,
+       CAST(NULL AS DOUBLE) AS horizontal_slowness_weight,
+       CAST(NULL AS DOUBLE) AS backazimuth_weight,
+       'iasp91' AS earth_model_id,
+       epoch_ns(e.ts) + 2000 AS creation_time,
+       CAST(NULL AS VARCHAR) AS author, CAST(NULL AS VARCHAR) AS agency_id,
+       'EV' AS network, e.event_type AS station, '' AS location,
+       {_D_CHANNEL} AS channel,
+       {_D_SEED} AS seed_id
+FROM events e JOIN pref p ON e.user_id = p.uid
+WHERE e.event_id % 3 <> 0
+  AND NOT (e.user_id % 7 <> 0 AND e.user_id % 2 = 0)
+"""
+
+
+def q_picks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick sub-entity table at full PICK_DTYPES width
+    (constants.py:124-150): onset/polarity/evaluation_mode/creation-info/
+    uncertainty legs all populated from the rich tree."""
+    from obsplus_spark.operators.event_tree import picks_to_df
+
+    return picks_to_df(_rich_tree(spark, sf_dir))
+
+
+_SQL_PICKS_FULL = f"""
+WITH {_D_PREF}
+SELECT 'u' || CAST(e.user_id AS VARCHAR) AS event_id,
+       {_D_EVTIME} AS event_time,
+       'p' || CAST(e.event_id AS VARCHAR) AS resource_id,
+       epoch_ns(e.ts) AS time,
+       CASE WHEN e.event_id % 2 = 0 THEN 'P' ELSE 'S' END AS phase_hint,
+       CASE WHEN e.event_id % 17 = 0 THEN 'rejected'
+            ELSE CAST(NULL AS VARCHAR) END AS evaluation_status,
+       'EV' AS network, e.event_type AS station, '' AS location,
+       {_D_CHANNEL} AS channel,
+       CASE WHEN e.event_id % 3 = 0 THEN 'impulsive'
+            WHEN e.event_id % 3 = 1 THEN 'emergent'
+            ELSE CAST(NULL AS VARCHAR) END AS onset,
+       CASE WHEN e.value > 50 THEN 'positive' ELSE 'negative' END AS polarity,
+       'automatic' AS evaluation_mode,
+       CAST(NULL AS VARCHAR) AS filter_id,
+       'mpick' AS method_id,
+       CAST(NULL AS DOUBLE) AS horizontal_slowness,
+       CAST(NULL AS DOUBLE) AS backazimuth,
+       epoch_ns(e.ts) + 1000 AS creation_time,
+       'an' || CAST(e.user_id % 3 AS VARCHAR) AS author,
+       'AG' AS agency_id,
+       (e.event_id % 9) / 100.0 AS uncertainty,
+       CAST(NULL AS DOUBLE) AS lower_uncertainty,
+       CAST(NULL AS DOUBLE) AS upper_uncertainty,
+       CAST(NULL AS DOUBLE) AS confidence_level,
+       {_D_SEED} AS seed_id
+FROM events e JOIN pref p ON e.user_id = p.uid
+"""
+
+
+def q_events_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT_DTYPES parity (constants.py:81-109): the full 27-column
+    event-summary flatten over the rich tree — preferred chains, quality
+    'value or default' fallbacks, arrival-linked station counts and the
+    whole-tree updated max, all computed IN-ROW (zero shuffles past the
+    tree build)."""
+    from obsplus_spark.operators.event_tree import events_to_df
+
+    return events_to_df(_rich_tree(spark, sf_dir))
+
+
+_SQL_EVENTS_WIDE = """
+WITH agg AS (
+  SELECT user_id AS uid, count(*) AS n,
+         min(epoch_ns(ts)) AS min_ns, max(epoch_ns(ts)) AS max_ns,
+         max(epoch_ns(ts) + CASE WHEN event_id % 4 = 0 THEN 4000
+              WHEN event_id % 3 <> 0 THEN 2000 ELSE 1000 END) AS updated,
+         count(CASE WHEN event_id % 3 <> 0 AND event_id % 2 = 0
+               THEN 1 END) AS arr_p,
+         count(CASE WHEN event_id % 3 <> 0 AND event_id % 2 <> 0
+               THEN 1 END) AS arr_s,
+         count(CASE WHEN event_id % 2 = 0 AND event_id % 17 <> 0
+               THEN 1 END) AS pick_p,
+         count(CASE WHEN event_id % 2 <> 0 AND event_id % 17 <> 0
+               THEN 1 END) AS pick_s,
+         count(DISTINCT CASE WHEN event_id % 3 <> 0
+               THEN event_type END) AS arr_sta
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT *, (uid % 7 <> 0 AND uid % 2 = 0) AS is_o1,
+         CASE WHEN (uid % 7 <> 0 AND uid % 2 = 0) THEN 1 ELSE 2 END AS k
+  FROM agg
+)
+SELECT
+  CASE WHEN is_o1 THEN min_ns ELSE max_ns END AS time,
+  CAST(uid % 120 AS DOUBLE) - 60
+    + CASE WHEN is_o1 THEN CAST(0.5 AS DOUBLE)
+           ELSE CAST(0.75 AS DOUBLE) END AS latitude,
+  CAST((uid * 7) % 360 AS DOUBLE) - 180
+    + CASE WHEN is_o1 THEN CAST(0.25 AS DOUBLE)
+           ELSE CAST(0.5 AS DOUBLE) END AS longitude,
+  CAST(uid % 50 AS DOUBLE)
+    + CASE WHEN is_o1 THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(0.5 AS DOUBLE) END AS depth,
+  CASE WHEN uid % 3 = 0 THEN (n % 40) / 10.0 + 0.5
+       ELSE (n % 30) / 10.0 + 1.0 END AS magnitude,
+  'd' || CAST(uid % 5 AS VARCHAR) AS event_description,
+  CASE WHEN uid % 11 = 0 THEN 0 ELSE n + k END AS associated_phase_count,
+  CAST((uid % 360) + k AS DOUBLE) AS azimuthal_gap,
+  'u' || CAST(uid AS VARCHAR) AS event_id,
+  CAST(uid % 5 AS DOUBLE) * 1.5 + k AS horizontal_uncertainty,
+  (n % 30) / 10.0 + 1.0 AS local_magnitude,
+  (n % 40) / 10.0 + 0.5 AS moment_magnitude,
+  CAST(NULL AS DOUBLE) AS duration_magnitude,
+  CASE WHEN uid % 3 = 0 THEN 'MW' ELSE 'ML' END AS magnitude_type,
+  CASE WHEN is_o1 THEN 0 ELSE arr_p END AS p_phase_count,
+  CASE WHEN is_o1 THEN 0 ELSE arr_s END AS s_phase_count,
+  pick_p AS p_pick_count,
+  pick_s AS s_pick_count,
+  (uid % 10) / 10.0 + k AS standard_error,
+  CASE WHEN uid % 3 = 0 OR uid % 3 = 1
+       THEN (CASE WHEN is_o1 THEN 0 ELSE arr_p + arr_s END)
+       ELSE n + k END AS used_phase_count,
+  CASE WHEN is_o1 THEN 0 ELSE arr_sta END AS station_count,
+  CAST(uid % 3 AS DOUBLE) * 2.0 + k AS vertical_uncertainty,
+  updated,
+  'auth' || CAST(uid % 4 AS VARCHAR) AS author,
+  'AGY' AS agency_id,
+  max_ns AS creation_time,
+  'v' || CAST(uid % 3 AS VARCHAR) AS version
+FROM o
+"""
+
+
+def q_focal_preferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferred focal mechanism via the generalized fallback chain
+    (utils/events.py:425-480 over events/schema.py:554): uid%20=0 matches
+    fm2 by id; uid%10=0 matches fm1 while fm2 is LAST (match must beat
+    last); other uid%5=0 users have no preferred id (fallback to the only
+    mechanism, fm1)."""
+    from obsplus_spark.operators.event_tree import preferred
+
+    tree = _rich_tree(spark, sf_dir)
+    fm = preferred("focal_mechanisms", "preferred_focal_mechanism_id")
+    return tree.select(
+        "event_id",
+        fm["resource_id"].alias("fm_id"),
+        fm["strike_1"].alias("strike_1"),
+        fm["dip_1"].alias("dip_1"),
+        fm["rake_1"].alias("rake_1"),
+        fm["misfit"].alias("misfit"),
+        fm["station_polarity_count"].alias("polarity_count"),
+        fm["scalar_moment"].alias("scalar_moment"),
+    ).filter(F.col("fm_id").isNotNull())
+
+
+_SQL_FOCAL_PREF = """
+WITH agg AS (
+  SELECT user_id AS uid, count(*) AS n FROM events GROUP BY user_id
+)
+SELECT 'u' || CAST(uid AS VARCHAR) AS event_id,
+  CASE WHEN uid % 20 = 0 THEN 'fm2:' ELSE 'fm1:' END
+    || CAST(uid AS VARCHAR) AS fm_id,
+  CASE WHEN uid % 20 = 0 THEN CAST((uid + 45) % 360 AS DOUBLE)
+       ELSE CAST(uid % 360 AS DOUBLE) END AS strike_1,
+  CASE WHEN uid % 20 = 0 THEN CAST((uid + 10) % 90 AS DOUBLE)
+       ELSE CAST(uid % 90 AS DOUBLE) END AS dip_1,
+  CASE WHEN uid % 20 = 0 THEN CAST((uid + 30) % 180 AS DOUBLE) - 90
+       ELSE CAST(uid % 180 AS DOUBLE) - 90 END AS rake_1,
+  CASE WHEN uid % 20 = 0 THEN ((uid + 5) % 10) / 10.0
+       ELSE (uid % 10) / 10.0 END AS misfit,
+  CASE WHEN uid % 20 = 0 THEN (n + 7) % 30 ELSE n % 30 END AS polarity_count,
+  CASE WHEN uid % 20 = 0 THEN CAST((uid + 50) % 100 AS DOUBLE) * 1e13
+       ELSE CAST(uid % 100 AS DOUBLE) * 1e13 END AS scalar_moment
+FROM agg WHERE uid % 5 = 0
+"""
+
+
+def q_stations_from_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stations-from-stream (stations/pd.py:111-128): fabricate a station
+    table from waveform-index rows via one NSLC groupBy (min start / max
+    end epoch). The index here is the events table viewed as traces."""
+    from obsplus_spark.operators.stations import stations_from_stream
+    from obsplus_spark.util import sql_over
+
+    idx = sql_over(
+        {"ev": _t(spark, sf_dir, "events")},
+        f"""
+        SELECT 'EV' AS network, event_type AS station, '' AS location,
+               concat('u', CAST(user_id % 10 AS STRING)) AS channel,
+               {_TS_NS_SQL} AS starttime,
+               {_TS_NS_SQL} + 60000000000 AS endtime
+        FROM {{ev}}
+        """,
+    )
+    return stations_from_stream(idx)
+
+
+_SQL_STA_STREAM = """
+SELECT 'EV' AS network, station, '' AS location, channel,
+       'EV.' || station || '..' || channel AS seed_id,
+       CAST(NULL AS DOUBLE) AS latitude,
+       CAST(NULL AS DOUBLE) AS longitude,
+       CAST(NULL AS DOUBLE) AS elevation,
+       min(t) AS start_date,
+       max(t) + 60000000000 AS end_date
+FROM (
+  SELECT event_type AS station,
+         'u' || CAST(user_id % 10 AS VARCHAR) AS channel,
+         epoch_ns(ts) AS t
+  FROM events
+)
+GROUP BY station, channel
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -5129,14 +5720,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
-    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 23
-    # queries NEW this round and the 9 whose implementation changed lead
-    # (32), (b) then 18 of the 30 queries whose last driver row was
-    # r1/r2 (all judge-verified in r4) fill the cap. The 53 past-cap
-    # rows — the 12 squeezed-out r1/r2 rows (lead the r6 rotation) and
-    # 41 rows driver-green in CORRECTNESS_r04 — are marked below.
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 7
+    # queries NEW in r6 (sub-entity parity set) and the 3 whose
+    # implementation changed (json_round_trip/quakeml_rt route through
+    # the v2 schema-tolerant extractors; attach_origin through the
+    # dynamic-struct make_origins), (b) the 10 remaining queries whose
+    # last driver row was r1/r2 (judge-verified green in r4; squeezed out
+    # of r5's first 50 — NOTES rotation item), (c) 30 rows last
+    # driver-verified in r4 to refresh them. The 60 past-cap rows were
+    # ALL driver-green in CORRECTNESS_r05 (50) or _r04 (10).
     return {
-        # (a) changed this round (new r5 operators lead)
+        # (a) new in r6 + implementation-changed in r6
+        "events_wide": q_events_wide,
+        "picks_full": q_picks_full,
+        "amplitudes_flat": q_amplitudes_flat,
+        "arrivals_flat": q_arrivals_flat,
+        "station_mags_flat": q_station_mags_flat,
+        "focal_preferred": q_focal_preferred,
+        "stations_from_stream": q_stations_from_stream,
+        "json_round_trip": q_json_round_trip,
+        "quakeml_rt": q_quakeml_rt,
+        "attach_origin": q_attach_origin,
+        # (b) driver rows last recorded r1/r2 (judge-green r4)
+        "prune_orphans": q_prune_orphans,
+        "merge_picks": q_merge_picks,
+        "ci_glob": q_ci_glob,
+        "seed_ids": q_seed_ids,
+        "trim_traces": q_trim_traces,
+        "s_before_p": q_s_before_p,
+        "dup_remap": q_dup_remap,
+        "preferred_fallback": q_preferred_fallback,
+        "strip_bump": q_strip_bump,
+        "p_outliers": q_p_outliers,
+        # (c) rows last driver-verified in r4
+        "segments": q_segments,
+        "gaps": q_gaps,
+        "uptime": q_uptime,
+        "text_stats": q_text_stats,
+        "token_estimate": q_token_estimate,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embed_near_dup": q_embed_near_dup,
+        "embed_quantize": q_embed_quantize,
+        "hash_split": q_hash_split,
+        "exact_dedup": q_exact_dedup,
+        "pack_plan": q_pack_plan,
+        "zorder_keys": q_zorder_keys,
+        "amp_violations": q_amp_violations,
+        "orphan_arrivals": q_orphan_arrivals,
+        "hll_users": q_hll_users,
+        "approx_quantiles": q_approx_quantiles,
+        "bloom_semi": q_bloom_semi,
+        "sds_chunks": q_sds_chunks,
+        "wav_roundtrip": q_wav_roundtrip,
+        "mseed_roundtrip": q_mseed_roundtrip,
+        "csv_round_trip": q_csv_round_trip,
+        "stationxml_rt": q_stationxml_rt,
+        "normalize_seed": q_normalize_seed,
+        "stream_proc": q_stream_proc,
+        "fetcher_windows": q_fetcher_windows,
+        "ppm_roundtrip": q_ppm_roundtrip,
+        "fdsn_event_query": q_fdsn_event_query,
+        "glob_filter": q_glob_filter,
+        "json_props": q_json_props,
+        "availability": q_availability,
+        # --- driver cap (50). Everything below gets NO driver row this
+        # round: first the 10 remaining r4-verified rows, then the 50
+        # rows driver-green in CORRECTNESS_r05 and unchanged since. ---
+        "origin_quality": q_origin_quality,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "event_window_join": q_event_window_join,
+        "asof_join": q_asof_join,
+        "first_event_per_user": q_first_event_per_user,
+        "topk_by_value": q_topk_by_value,
+        "radius_search": q_radius_search,
+        "spatial_knn": q_spatial_knn,
+        "dateline_box": q_dateline_box,
+        # driver-green in CORRECTNESS_r05, unchanged in r6
         "value_histogram": q_value_histogram,
         "table_profile": q_table_profile,
         "corpus_diff": q_corpus_diff,
@@ -5169,7 +5829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "video_frames": q_video_frames,
         "balanced_sample": q_balanced_sample,
-        # (b) driver rows last recorded r1/r2
         "minhash_near_dup": q_minhash_near_dup,
         "knn_cosine": q_knn_cosine,
         "lang_id": q_lang_id,
@@ -5188,72 +5847,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_by_type": q_pivot_by_type,
         "salted_agg": q_salted_agg,
         "event_payload": q_event_payload,
-        # --- driver cap (50): positions above = 32 new/changed-in-r5 +
-        # 18 of the 30 r1/r2-verified rows. Everything below gets NO
-        # driver row this round. First: the 12 r1/r2 rows squeezed out
-        # by this round's 23 new queries (judge-verified green in r4 —
-        # rotate them into the first 50 in r6), then rows driver-green
-        # in CORRECTNESS_r04 and unchanged since. ---
-        "json_round_trip": q_json_round_trip,
-        "prune_orphans": q_prune_orphans,
-        "merge_picks": q_merge_picks,
-        "ci_glob": q_ci_glob,
-        "seed_ids": q_seed_ids,
-        "trim_traces": q_trim_traces,
-        "s_before_p": q_s_before_p,
-        "dup_remap": q_dup_remap,
-        "attach_origin": q_attach_origin,
-        "preferred_fallback": q_preferred_fallback,
-        "strip_bump": q_strip_bump,
-        "p_outliers": q_p_outliers,
-        # same-file neighbors of this round's changes (driver-green r4)
-        "segments": q_segments,
-        "gaps": q_gaps,
-        "uptime": q_uptime,
-        "text_stats": q_text_stats,
-        "token_estimate": q_token_estimate,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embed_near_dup": q_embed_near_dup,
-        "embed_quantize": q_embed_quantize,
-        "hash_split": q_hash_split,
-        "exact_dedup": q_exact_dedup,
-        "pack_plan": q_pack_plan,
-        # untouched rows, driver-green in CORRECTNESS_r04
-        "zorder_keys": q_zorder_keys,
-        "amp_violations": q_amp_violations,
-        "orphan_arrivals": q_orphan_arrivals,
-        "hll_users": q_hll_users,
-        "approx_quantiles": q_approx_quantiles,
-        "bloom_semi": q_bloom_semi,
-        "sds_chunks": q_sds_chunks,
-        "wav_roundtrip": q_wav_roundtrip,
-        "mseed_roundtrip": q_mseed_roundtrip,
-        "csv_round_trip": q_csv_round_trip,
-        "quakeml_rt": q_quakeml_rt,
-        "stationxml_rt": q_stationxml_rt,
-        "normalize_seed": q_normalize_seed,
-        "stream_proc": q_stream_proc,
-        "fetcher_windows": q_fetcher_windows,
-        "ppm_roundtrip": q_ppm_roundtrip,
-        "fdsn_event_query": q_fdsn_event_query,
-        "glob_filter": q_glob_filter,
-        "json_props": q_json_props,
-        "availability": q_availability,
-        "origin_quality": q_origin_quality,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "event_window_join": q_event_window_join,
-        "asof_join": q_asof_join,
-        "first_event_per_user": q_first_event_per_user,
-        "topk_by_value": q_topk_by_value,
-        "radius_search": q_radius_search,
-        "spatial_knn": q_spatial_knn,
-        "dateline_box": q_dateline_box,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "events_wide": _SQL_EVENTS_WIDE,
+        "picks_full": _SQL_PICKS_FULL,
+        "amplitudes_flat": _SQL_AMP_FLAT,
+        "arrivals_flat": _SQL_ARR_FLAT,
+        "station_mags_flat": _SQL_SMAG_FLAT,
+        "focal_preferred": _SQL_FOCAL_PREF,
+        "stations_from_stream": _SQL_STA_STREAM,
         "value_histogram": _SQL_HISTOGRAM,
         "table_profile": _SQL_PROFILE,
         "corpus_diff": _SQL_CORPUS_DIFF,

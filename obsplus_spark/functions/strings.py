@@ -51,9 +51,11 @@ def glob_to_regex_expr(col: str) -> str:
     ``]``-free body (which also keeps fnmatch's empty-``[]``-is-literal
     rule working).
     """
+    # NOTE: this is a plain (non-f) string — no format processing, so
+    # braces appear ONCE in the character class, not doubled
     lit = (
         r"replace(replace(regexp_replace(s,"
-        r" '([.^$+{{}}()|\\\\])', '\\\\$1'), '*', '.*'), '?', '.')"
+        r" '([.^$+{}()|\\\\])', '\\\\$1'), '*', '.*'), '?', '.')"
     )
     # Java (unlike Python/RE2) treats an inner '[' as a NESTED class
     # opener and '&&' as intersection — escape both (plus backslash)

@@ -567,8 +567,8 @@ def dedup_clusters(
     pairs: DataFrame,
     id1_col: str = "id1",
     id2_col: str = "id2",
-    max_iterations: int = 20,
-    check_convergence: bool = True,
+    max_iterations: int = 6,
+    check_convergence: bool = False,
     checkpoint_every: int = 8,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: each member id is
@@ -589,8 +589,21 @@ def dedup_clusters(
 
     Two modes mirroring :func:`~obsplus_spark.operators.surgery.prune_rejected`:
     ``check_convergence=True`` persists each round's labels, pays one
-    count action per round, and exits at the first stable round;
-    ``check_convergence=False`` lazily builds ``max_iterations`` rounds
+    scalar digest action per round, and exits at the first stable round —
+    each of those actions is a **full-cluster barrier** (every executor
+    drains before the driver inspects the 1-row digest), so at 100 TB
+    the convergence probe costs a synchronization per round on top of
+    the round itself. The **default is therefore the lazy fixed-round
+    mode** (``check_convergence=False``): the plan builds with ZERO
+    driver actions (below ``checkpoint_every``), correct whenever the
+    component diameter is within ``max_iterations`` — which near-dup
+    components (star/clique-shaped, diameter ≤ 3-4) satisfy with margin
+    at the default bound of 6; the default bound deliberately sits below
+    ``checkpoint_every`` so the default build is entirely action-free.
+    Raise ``max_iterations`` for deeper graphs (checkpoints bound the
+    lineage past round 8), or reach for convergence mode when the
+    component shape is genuinely unknown (e.g. path-like link
+    graphs). ``check_convergence=False`` lazily builds ``max_iterations`` rounds
     (zero driver actions for bounds below ``checkpoint_every`` — correct
     iff the true diameter is within the bound). Beyond-toy bounds in
     lazy mode checkpoint the label table every ``checkpoint_every``

@@ -165,8 +165,13 @@ def cohort_retention(
     for each later week offset, how many of that cohort were active —
     the standard engagement read-out over an event log.
 
-    Weeks are epoch-relative fixed windows (``floor(ts / week_ns)``) —
-    pure integer arithmetic, no calendar, engine-portable.
+    Weeks are epoch-relative fixed windows (``ts div week_ns``) — true
+    integer division, no calendar, engine-portable. (SQL ``/`` on BIGINTs
+    is IEEE double division in both Spark and DuckDB; ns-epoch operands
+    ~1e18 exceed 2^53, so ``floor(ts / w)`` can bucket events within a
+    few hundred ns of a boundary into the neighboring week — ``div``
+    avoids that. Epoch-ns timestamps are non-negative, where ``div``
+    equals floor division.)
 
     Scale shape: first-seen week is ONE min-aggregate keyed by user;
     activity joins back on the user key (AQE broadcasts the cohort side
@@ -184,13 +189,12 @@ def cohort_retention(
         f"""
         WITH u AS (
           SELECT {user_col},
-                 CAST(floor(min({ts_col}) / {w}) AS BIGINT) AS cohort_week
+                 min({ts_col}) div {w} AS cohort_week
           FROM {{e}} GROUP BY {user_col}
         ),
         a AS (
           SELECT DISTINCT u.cohort_week,
-                 CAST(floor(e.{ts_col} / {w}) AS BIGINT)
-                   - u.cohort_week AS week_offset,
+                 e.{ts_col} div {w} - u.cohort_week AS week_offset,
                  e.{user_col}
           FROM {{e}} e JOIN u ON e.{user_col} = u.{user_col}
         )
@@ -233,9 +237,9 @@ def rate_zscores(
         f"""
         WITH c AS (
           SELECT {type_col} AS event_type,
-                 CAST(floor({ts_col} / {b}) AS BIGINT) AS bucket,
+                 {ts_col} div {b} AS bucket,
                  CAST(count(1) AS BIGINT) AS n_events
-          FROM {{e}} GROUP BY {type_col}, floor({ts_col} / {b})
+          FROM {{e}} GROUP BY {type_col}, {ts_col} div {b}
         )
         SELECT event_type, bucket, n_events,
                CASE WHEN stddev_pop(n_events) OVER w = 0 THEN 0.0D

@@ -158,12 +158,21 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
         if sl.useMemory or sl.useDisk:
             # persisted inputs keep their view (dropTempView would evict
             # the cache entry — see below) — so give them a STABLE name
-            # keyed by the frame's identity instead of a fresh counter
-            # name per call: repeated calls over the same persisted frame
-            # rebind one catalog entry rather than leaking one analyzed
-            # plan per invocation (convergence-mode dedup_clusters calls
-            # this every round). A recycled id() just rebinds the name.
-            name = f"_obsplus_sql_over_{alias}_p{id(df)}"
+            # keyed by the analyzed plan's semanticHash instead of a
+            # fresh counter name per call: repeated calls over the same
+            # persisted data rebind ONE catalog entry even when the
+            # caller re-wraps it in a new Python DataFrame each time
+            # (id()-keying leaked one entry per wrapper, and a
+            # GC-recycled id could silently rebind a different frame's
+            # view). Two semantically-equal plans sharing a name is
+            # fine: they resolve to the same data, and spark.sql
+            # analyzes eagerly so the binding is consumed before any
+            # later rebind.
+            try:
+                token = df._jdf.queryExecution().analyzed().semanticHash()
+            except Exception:
+                token = id(df)  # non-classic DataFrame impls
+            name = f"_obsplus_sql_over_{alias}_p{token & 0xFFFFFFFF}"
         else:
             _SQL_OVER_N += 1
             name = f"_obsplus_sql_over_{alias}_{_SQL_OVER_N}"

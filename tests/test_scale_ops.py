@@ -948,3 +948,26 @@ def test_value_histogram_constant_column_single_bin(spark):
         """,
     ).collect()
     assert [(r.bin, r.n) for r in out] == [(0, 2)]
+
+
+def test_dedup_clusters_default_is_lazy(spark):
+    """VERDICT r5 #7: the production default must build the whole
+    cluster plan with NO per-round driver action (no convergence
+    barrier) — asserted by building under a dedicated job group and
+    checking zero jobs ran."""
+    from obsplus_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("dc-default-build", "lazy-build probe")
+    try:
+        out = dedup_clusters(pairs)  # defaults only
+        jobs = sc.statusTracker().getJobIdsForGroup("dc-default-build")
+        assert jobs == [], f"default mode ran driver actions: {jobs}"
+    finally:
+        sc.setJobGroup("default", "")
+    # and the default still computes the right fixed point
+    got = {(r.id, r.cluster_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
