@@ -316,3 +316,29 @@ def test_funnel_single_exchange(plans):
     p, simple = plans["funnel"]
     assert simple.count("Exchange hashpartitioning") == 1
     assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_sub_entity_flattens_are_shuffle_free(plans):
+    """r6 sub-entity parity claim: the rich tree costs ONE user-keyed
+    groupBy exchange; every flatten on top (preferred chains, quality
+    counts, explode views) is in-row — no joins, no further exchange."""
+    for name in (
+        "events_wide",
+        "picks_full",
+        "amplitudes_flat",
+        "arrivals_flat",
+        "station_mags_flat",
+        "focal_preferred",
+    ):
+        p, simple = plans[name]
+        assert simple.count("Exchange hashpartitioning") == 1, name
+        assert not any(m in p for m in _JOIN_MARKERS), name
+
+
+def test_stations_from_stream_single_exchange(plans):
+    """stations-from-stream is one NSLC groupBy (map-side combinable):
+    a single hash exchange, no joins, no windows."""
+    p, simple = plans["stations_from_stream"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
+    assert "Window" not in p
