@@ -156,7 +156,21 @@ def amp_times_contain_pick_time(amps: DataFrame, picks: DataFrame) -> DataFrame:
     window or with rejected status are skipped (reference :264-265); a
     null reference, an unresolvable pick, or a time mismatch is a
     violation. Equi-join on pick_id — pick resource_ids are unique, so
-    no fan-out; at scale this is a plain shuffle hash join."""
+    no fan-out; at scale this is a plain shuffle hash join.
+
+    Column contract: accepts BOTH the AMPLITUDE_DTYPES layout emitted by
+    ``event_tree.amplitudes_to_df`` (``reference``/``time_begin``/
+    ``time_end`` — a time window exists when any of them is set) and the
+    pre-r6 fabricated layout (``has_time_window``/``reference_time``)."""
+    if "reference_time" not in amps.columns and "reference" in amps.columns:
+        amps = amps.withColumn(
+            "reference_time", F.col("reference")
+        ).withColumn(
+            "has_time_window",
+            F.col("reference").isNotNull()
+            | F.col("time_begin").isNotNull()
+            | F.col("time_end").isNotNull(),
+        )
     a = amps.filter(F.col("has_time_window") & _not_rejected())
     p = picks.select(
         F.col("resource_id").alias("pick_id"), F.col("time").alias("pick_time")

@@ -359,3 +359,79 @@ def test_duplicate_events_remap(spark):
     # duplicating twice gives the same ids (deterministic generator)
     dup2 = duplicate_events(tree).collect()[0]
     assert dup2.event_id == dup.event_id
+
+
+def test_validate_rules_on_real_tree_extractors(spark):
+    """r6: the amplitude/arrival validate rules consume the REAL
+    sub-entity extractors (amplitudes_to_df / arrivals_to_df /
+    picks_to_df over a full-schema nested tree), not just fabricated
+    flat frames — the column contract lines up end-to-end."""
+    from pyspark.sql import functions as F
+
+    from obsplus_spark.operators.event_tree import (
+        NESTED_EVENT_SCHEMA,
+        amplitudes_to_df,
+        arrivals_to_df,
+        picks_to_df,
+    )
+    from obsplus_spark.operators.validate import (
+        amp_limits,
+        amp_times_contain_pick_time,
+        arrivals_reference_picks,
+    )
+
+    def pick(rid, t, sta="S1"):
+        return {
+            "resource_id": rid, "time": t, "phase_hint": "P",
+            "network": "UU", "station": sta, "location": "", "channel": "HHZ",
+        }
+
+    rows = [
+        {
+            "event_id": "e1",
+            "preferred_origin_id": "o1",
+            "origins": [
+                {
+                    "resource_id": "o1", "time": 100,
+                    "arrivals": [
+                        {"resource_id": "a1", "pick_id": "p1", "phase": "P"},
+                        # orphan: references a pick that does not exist
+                        {"resource_id": "a2", "pick_id": "pX", "phase": "S"},
+                    ],
+                }
+            ],
+            "picks": [pick("p1", 100), pick("p2", 200, sta="S2")],
+            "amplitudes": [
+                {
+                    "resource_id": "amp1", "generic_amplitude": 5.0,
+                    "pick_id": "p1", "reference": 90, "time_begin": 0.0,
+                    "time_end": 5.0, "network": "UU", "station": "S1",
+                    "location": "", "channel": "HHZ",
+                },
+                {
+                    # above limit AND window [190, 192] misses pick p2@200
+                    "resource_id": "amp2", "generic_amplitude": 99.0,
+                    "pick_id": "p2", "reference": 190, "time_begin": 0.0,
+                    "time_end": 2.0, "network": "UU", "station": "S2",
+                    "location": "", "channel": "HHZ",
+                },
+            ],
+        }
+    ]
+    tree = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    amps = amplitudes_to_df(tree)
+    picks = picks_to_df(tree)
+    arrivals = arrivals_to_df(tree)
+
+    over = amp_limits(amps, amp_lim=10.0).collect()
+    assert len(over) == 1 and '"generic_amplitude":99.0' in over[0].detail
+
+    orphans = arrivals_reference_picks(arrivals, picks).collect()
+    assert len(orphans) == 1 and '"pick_id":"pX"' in orphans[0].detail
+
+    # extractor layout feeds the rule directly: amp1 reference 90 vs
+    # pick p1@100 -> mismatch; amp2 reference 190 vs p2@200 -> mismatch
+    win = amp_times_contain_pick_time(amps, picks).collect()
+    assert len(win) == 2
+    assert {'"pick_id":"p1"' in r.detail or '"pick_id":"p2"' in r.detail
+            for r in win} == {True}
