@@ -3791,6 +3791,54 @@ def _clusters_sql() -> str:
 """
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor election per near-dup cluster: component resolution over
+    the MinHash pair set, then keep the member with the most characters
+    (ties → smallest doc_id) — the step that decides which member of each
+    duplicate family enters the corpus. One id-keyed join + one
+    cluster-keyed max_by aggregate on top of the cluster rounds."""
+    from obsplus_spark.operators.dedup import canonical_docs, near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
+    ).select("id1", "id2")
+    return canonical_docs(
+        pairs, docs, id_col="doc_id", quality_col="n_chars",
+        max_iterations=4,
+    )
+
+
+def _canonical_sql() -> str:
+    return f"""
+    WITH RECURSIVE p AS ({_minhash_sql(8, 2)}),
+    e AS (
+      SELECT id1 AS a, id2 AS b FROM p
+      UNION ALL
+      SELECT id2, id1 FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+      WHERE r.lbl < e.b
+    ),
+    labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id, doc_id AS canonical_id, best_quality, n_members
+    FROM (
+      SELECT l.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+               AS n_members,
+             max(d.n_chars) OVER (PARTITION BY l.cluster_id) AS best_quality
+      FROM labels l JOIN documents d ON l.id = d.doc_id
+    )
+    WHERE rn = 1
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5 bucket — stable
     across runs, engines, and data subsets (the property rand() splits
@@ -5742,6 +5790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "station_mags_flat": q_station_mags_flat,
         "focal_preferred": q_focal_preferred,
         "stations_from_stream": q_stations_from_stream,
+        "canonical_docs": q_canonical_docs,
         "json_round_trip": q_json_round_trip,
         "quakeml_rt": q_quakeml_rt,
         "attach_origin": q_attach_origin,
@@ -5863,6 +5912,7 @@ def oracle_sql() -> dict[str, str]:
         "station_mags_flat": _SQL_SMAG_FLAT,
         "focal_preferred": _SQL_FOCAL_PREF,
         "stations_from_stream": _SQL_STA_STREAM,
+        "canonical_docs": _canonical_sql(),
         "value_histogram": _SQL_HISTOGRAM,
         "table_profile": _SQL_PROFILE,
         "corpus_diff": _SQL_CORPUS_DIFF,

@@ -1036,3 +1036,45 @@ def snapshot_diff(
         GROUP BY status
         """,
     )
+
+
+def canonical_docs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    max_iterations: int = 6,
+    check_convergence: bool = False,
+) -> DataFrame:
+    """Survivor election per near-dup cluster: resolve connected
+    components over the pair set (:func:`dedup_clusters`), then keep the
+    member with the HIGHEST quality score (ties broken by smallest id) —
+    the last step of a dedup pipeline, deciding which member of each
+    duplicate family enters the training corpus. Docs appearing in no
+    pair are untouched upstream (they are their own survivors by
+    definition and never need the shuffle).
+
+    Scale shape: component resolution is the dedup_clusters contract
+    (one hash-aggregate round per diameter step, action-free in the
+    default lazy mode); the election itself is ONE id-keyed join to pull
+    quality + ONE cluster-keyed aggregate (``max_by`` over a (quality,
+    -id) struct — no window, no second pass for the tie-break). Both
+    map-side combinable; cluster count ≪ doc count so the output is
+    small.
+
+    Output: (cluster_id, canonical_id, best_quality, n_members).
+    """
+    labels = dedup_clusters(
+        pairs,
+        max_iterations=max_iterations,
+        check_convergence=check_convergence,
+    )
+    q = docs.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("_q")
+    )
+    j = labels.join(q, "id")
+    return j.groupBy("cluster_id").agg(
+        F.expr("max_by(id, struct(_q, -id))").alias("canonical_id"),
+        F.max("_q").alias("best_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

@@ -971,3 +971,21 @@ def test_dedup_clusters_default_is_lazy(spark):
     # and the default still computes the right fixed point
     got = {(r.id, r.cluster_id) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_canonical_docs_survivor_election(spark):
+    """Per-cluster survivor: max quality, ties broken by smallest id;
+    member counts ride the same aggregate."""
+    from obsplus_spark.operators.dedup import canonical_docs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 1.0), (99, 7.0)],
+        "doc_id long, quality double",
+    )
+    out = sorted(map(tuple, canonical_docs(pairs, docs).collect()))
+    # cluster 1: quality tie 9.0 between ids 2,3 -> smaller id 2 wins
+    # cluster 10: tie 1.0 between 10,11 -> 10; doc 99 in no pair -> absent
+    assert out == [(1, 2, 9.0, 3), (10, 10, 1.0, 2)]
