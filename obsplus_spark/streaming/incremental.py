@@ -159,3 +159,48 @@ def streaming_exact_dedup(
     if hasattr(wm, "dropDuplicatesWithinWatermark"):
         return wm.dropDuplicatesWithinWatermark(["fingerprint"])
     return wm.dropDuplicates(["fingerprint"])
+
+
+def streaming_rate_alerts(
+    events: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    duration: str = "60 seconds",
+    watermark: str = "10 minutes",
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.sessions.rate_zscores`: windowed
+    per-type counts scored against a PRE-COMPUTED per-type baseline
+    (mean/stddev of historical bucket counts), emitting only buckets
+    beyond ``sigma`` — the monitoring alert stream a pipeline hangs off
+    its event log.
+
+    The baseline is a batch artifact (tiny: one row per type) joined
+    broadcast-style into the windowed aggregate — streaming aggregations
+    cannot window over unbounded history, so the mean/stddev come from
+    the batch side; refresh the baseline offline and restart (or use
+    foreachBatch re-resolution) to roll it. State is bounded by the
+    watermark; the stream-static join adds no state of its own.
+
+    ``baseline`` columns: (``type_col``, mean, std). Works in batch mode
+    too (same helper, no watermark) for backtesting the alert rule.
+
+    Output: (window, event_type, n, z) — alert rows only.
+    """
+    counts = sliding_window_agg(
+        events,
+        ts_col=ts_col,
+        duration=duration,
+        watermark=watermark,
+        keys=[type_col],
+    )
+    scored = counts.join(F.broadcast(baseline), type_col).select(
+        "window",
+        type_col,
+        "n",
+        F.when(F.col("std") == 0, F.lit(0.0))
+        .otherwise((F.col("n") - F.col("mean")) / F.col("std"))
+        .alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) > float(sigma))

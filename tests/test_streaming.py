@@ -269,3 +269,40 @@ def test_streaming_near_dup_cross_batch(spark, tmp_path):
     # the unrelated doc never paired
     assert not any("2" in p for p in pairs)
     assert n_first == 0  # nothing paired within the first batch
+
+
+def test_streaming_rate_alerts(spark, tmp_path):
+    """Windowed counts scored against a static baseline emit only
+    out-of-band buckets; the stream-static join keeps watermark-bounded
+    state only."""
+    from obsplus_spark.streaming.incremental import streaming_rate_alerts
+
+    src = str(tmp_path / "rate_ev")
+    rows = (
+        # minute 0: 5 'error' events (spike vs baseline mean 1)
+        [("error", f"2020-01-01 00:00:{s:02d}") for s in (1, 5, 10, 20, 30)]
+        # minute 1: 1 'error' (normal)
+        + [("error", "2020-01-01 00:01:10")]
+        # minute 0: 2 'click' (normal vs mean 2)
+        + [("click", "2020-01-01 00:00:15"), ("click", "2020-01-01 00:00:45")]
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.write.mode("overwrite").parquet(src)
+    baseline = spark.createDataFrame(
+        [("error", 1.0, 1.0), ("click", 2.0, 1.0)],
+        "event_type string, mean double, std double",
+    )
+    stream = spark.readStream.schema("event_type string, ts timestamp").parquet(src)
+    alerts = streaming_rate_alerts(
+        stream, baseline, duration="60 seconds", sigma=3.0
+    )
+    out = _run_memory_stream(spark, alerts, "rate_alerts").collect()
+    assert len(out) == 1
+    assert out[0].event_type == "error" and out[0].n == 5
+    assert out[0].z == 4.0
+
+    # batch mode: same helper, same rule (backtesting path)
+    batch = streaming_rate_alerts(df, baseline, duration="60 seconds")
+    assert [r.n for r in batch.collect()] == [5]
