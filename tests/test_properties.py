@@ -309,3 +309,131 @@ def test_funnel_matches_reference(spark, events, k):
     )
     got = {r.stage: r.n_users for r in funnel_counts(df, stages).collect()}
     assert got == ref_funnel(events, stages)
+
+
+# ---------------------------------------------------------------------------
+# events_to_df: quality `value or default`, preferred fallback,
+# arrival-linked station counts — vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+_ev_tree_strategy = st.lists(
+    st.tuples(
+        # origins: list of (has_quality, used, assoc, n_arrivals)
+        st.lists(
+            st.tuples(
+                st.booleans(),
+                st.one_of(st.none(), st.integers(0, 5)),
+                st.one_of(st.none(), st.integers(0, 5)),
+                st.integers(0, 3),
+            ),
+            min_size=0,
+            max_size=3,
+        ),
+        # picks: list of (phase in P/S/other, rejected?, station 0-2)
+        st.lists(
+            st.tuples(
+                st.sampled_from(["P", "S", "X"]),
+                st.sampled_from([None, "reviewed", "rejected"]),
+                st.integers(0, 2),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        # preferred index: -1 = missing id, None = null, else index
+        st.one_of(st.none(), st.integers(-1, 2)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(trees=_ev_tree_strategy)
+@settings(**SETTINGS)
+def test_events_to_df_quality_matches_model(spark, trees):
+    from obsplus_spark.operators.event_tree import (
+        NESTED_EVENT_SCHEMA,
+        events_to_df,
+    )
+
+    rows, expected = [], {}
+    for ei, (origins, picks, pref) in enumerate(trees):
+        eid = f"e{ei}"
+        pick_rows = [
+            {
+                "resource_id": f"{eid}:p{i}",
+                "time": 100 + i,
+                "phase_hint": ph,
+                "evaluation_status": status,
+                "station": f"S{sta}",
+            }
+            for i, (ph, status, sta) in enumerate(picks)
+        ]
+        origin_rows = []
+        for oi, (has_q, used, assoc, n_arr) in enumerate(origins):
+            origin_rows.append(
+                {
+                    "resource_id": f"{eid}:o{oi}",
+                    "time": 50 + oi,
+                    "quality": (
+                        {"used_phase_count": used, "associated_phase_count": assoc}
+                        if has_q
+                        else None
+                    ),
+                    "arrivals": [
+                        {
+                            "resource_id": f"{eid}:a{ai}",
+                            "pick_id": f"{eid}:p{ai}",
+                            "phase": "P" if ai % 2 == 0 else "S",
+                        }
+                        for ai in range(n_arr)
+                    ],
+                }
+            )
+        if pref is None:
+            pref_id = None
+        elif pref == -1 or pref >= len(origins):
+            pref_id = f"{eid}:oMISSING"
+        else:
+            pref_id = f"{eid}:o{pref}"
+        rows.append(
+            {
+                "event_id": eid,
+                "preferred_origin_id": pref_id,
+                "origins": origin_rows,
+                "picks": pick_rows,
+                "magnitudes": [],
+            }
+        )
+        # model: effective preferred index
+        eff = pref if (pref is not None and 0 <= pref < len(origins)) else None
+        po = origins[eff] if eff is not None else (origins[-1] if origins else None)
+        arrivals = po[3] if po else 0
+        arr_p = sum(1 for i in range(arrivals) if i % 2 == 0)
+        arr_s = arrivals - arr_p
+        linked = {i for i in range(arrivals) if i < len(pick_rows)}
+        expected[eid] = dict(
+            p_phase_count=arr_p,
+            s_phase_count=arr_s,
+            p_pick_count=sum(
+                1 for ph, status, _ in picks
+                if ph == "P" and status != "rejected"
+            ),
+            s_pick_count=sum(
+                1 for ph, status, _ in picks
+                if ph == "S" and status != "rejected"
+            ),
+            used_phase_count=(
+                po[1] if (po and po[0] and po[1] not in (None, 0))
+                else arr_p + arr_s
+            ),
+            associated_phase_count=(
+                po[2] if (po and po[0] and po[2] not in (None, 0)) else 0
+            ),
+            station_count=len({picks[i][2] for i in linked}),
+        )
+    df = spark.createDataFrame(rows, NESTED_EVENT_SCHEMA)
+    got = {r.event_id: r for r in events_to_df(df).collect()}
+    for eid, exp in expected.items():
+        r = got[eid]
+        for k, v in exp.items():
+            assert getattr(r, k) == v, (eid, k, getattr(r, k), v)
