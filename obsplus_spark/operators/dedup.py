@@ -1078,3 +1078,155 @@ def canonical_docs(
         F.max("_q").alias("best_quality"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def duplicate_span_mass(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact duplicated-span mass per document: the fraction of a doc's
+    word ``n``-gram SLOTS (occurrences, not distinct grams) whose gram
+    appears more than once in the whole corpus — the span-level exact-
+    substring-dedup signal (the "how much of this doc is copied text"
+    score that drives span removal, vs. the doc-level verdicts of the
+    MinHash family).
+
+    Scale shape: grams keep their multiplicity (a phrase repeated inside
+    one doc is duplicated text too), formed in-row by zipping shifted
+    slices of the per-token ``xxhash64`` array (n−1 fixed-width integer
+    hash combines per gram — no gram strings materialize; the DuckDB
+    oracle groups the gram STRINGS instead, which is count-identical
+    modulo 2⁻⁶⁴ collisions). Then exactly two keyed shuffles: a
+    full-partition count window keyed by gram hash, and the per-doc
+    aggregate. No joins, no driver actions; corpus-frequency skew (stop
+    grams) lands on the gram-keyed window whose partitions are
+    single-gram and map-combine-free but bounded by gram frequency.
+
+    Output: (id, n_spans, n_dup_spans, dup_mass) for every doc with at
+    least one gram; ``dup_mass`` rounded to 6 dp.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    ht = "transform(_toks, t -> xxhash64(t))"
+    nsh = f"(size(_ht) - {n - 1})"
+    acc = f"slice(_ht, 1, {nsh})"
+    for k in range(1, n):
+        acc = (
+            f"zip_with({acc}, slice(_ht, {k + 1}, {nsh}),"
+            " (a, b) -> xxhash64(a, b))"
+        )
+    grams = (
+        f"CASE WHEN size(_ht) >= {n} THEN {acc}"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    base = (
+        ensure_parallelism(df)
+        .selectExpr(id_col, f"{toks} AS _toks")
+        .selectExpr(id_col, f"{ht} AS _ht")
+        .selectExpr(id_col, f"explode({grams}) AS g")
+    )
+    return sql_over(
+        {"g": base},
+        f"""
+        SELECT {id_col},
+               CAST(count(1) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN _c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_spans,
+               round(sum(CASE WHEN _c > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(1) AS DOUBLE), 6) AS dup_mass
+        FROM (SELECT {id_col}, count(1) OVER (PARTITION BY g) AS _c
+              FROM {{g}})
+        GROUP BY {id_col}
+        """,
+    )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard self-join above ``threshold`` via prefix
+    filtering (PPJoin-style) — the deterministic complement to the
+    probabilistic MinHash/LSH path: no false negatives, no tuning, the
+    right tool when the similarity cut is a hard contract (e.g. legal
+    dedup holds) rather than a recall target.
+
+    Prefix-filter principle: order every doc's shingle set by one global
+    total order (ascending corpus frequency, rarest first — ties by the
+    digest); two sets with Jaccard ≥ t MUST share an element within each
+    other's first ``|T| − ⌈t·|T|⌉ + 1`` elements. Joining only those
+    prefixes bounds the candidate blow-up by the frequency of a corpus's
+    RARE shingles (the frequent ones never enter a prefix), which is the
+    whole game at 100 TB — the naive share-any-shingle join explodes on
+    stop-phrase df².
+
+    Any internally-consistent global order yields a candidate SUPERSET,
+    and candidates are verified with exact set intersection before
+    emission, so results are order-independent (the DuckDB oracle orders
+    by shingle strings, this plan by md5 digests; outputs agree exactly).
+
+    Scale shape: one shingle-frequency aggregate, one frequency-attach
+    join that reuses the same shingle-keyed exchange, one per-doc rank
+    window, the prefix self-equi-join on shingle, a candidate-pair
+    distinct, and one verify join against the per-doc digest arrays —
+    every stage keyed, no broadcast of anything corpus-sized, no driver
+    actions.
+
+    Output: (id1, id2, n_inter, n1, n2, jaccard) for pairs with Jaccard
+    ≥ threshold; jaccard rounded to 6 dp.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingle_digest_array(
+        ensure_parallelism(df),
+        id_col=id_col,
+        text_col=text_col,
+        n=shingle_size,
+        out_col="sh",
+        drop_empty=True,
+    )
+    return sql_over(
+        {"sh": sh},
+        f"""
+        WITH ex AS (SELECT {id_col} AS id, explode(sh) AS s FROM {{sh}}),
+        dfreq AS (SELECT s, count(1) AS df FROM ex GROUP BY s),
+        ranked AS (
+          SELECT e.id, e.s,
+                 row_number() OVER (PARTITION BY e.id
+                                    ORDER BY d.df, e.s) AS rn,
+                 count(1) OVER (PARTITION BY e.id) AS sz
+          FROM ex e JOIN dfreq d ON e.s = d.s
+        ),
+        pref AS (
+          SELECT id, s FROM ranked
+          WHERE rn <= sz - CAST(ceil({t!r} * sz) AS INT) + 1
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id1, b.id AS id2
+          FROM pref a JOIN pref b ON a.s = b.s AND a.id < b.id
+        )
+        SELECT id1, id2, n_inter, n1, n2,
+               round(n_inter / CAST(n1 + n2 - n_inter AS DOUBLE), 6)
+                 AS jaccard
+        FROM (
+          SELECT c.id1, c.id2,
+                 CAST(size(array_intersect(x.sh, y.sh)) AS BIGINT)
+                   AS n_inter,
+                 CAST(size(x.sh) AS BIGINT) AS n1,
+                 CAST(size(y.sh) AS BIGINT) AS n2
+          FROM cand c
+          JOIN {{sh}} x ON x.{id_col} = c.id1
+          JOIN {{sh}} y ON y.{id_col} = c.id2
+        )
+        WHERE n_inter / CAST(n1 + n2 - n_inter AS DOUBLE) >= {t!r}
+        """,
+    )

@@ -14,6 +14,91 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def triangle_counts(
+    edges: DataFrame,
+    k: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge frame,
+    returning the top-``k`` nodes — the clustering/community-density
+    signal a curation pipeline computes over a link or co-occurrence
+    graph (dense triangle neighborhoods ≈ boilerplate link farms).
+
+    Algorithm: the classic degree-ordered wedge closure. Edges are
+    canonicalized (``least``/``greatest``, self-loops dropped, DISTINCT)
+    and then ORIENTED from the lower-``(degree, id)`` endpoint to the
+    higher one. In the resulting DAG every triangle has exactly one
+    source node, so counting closures of wedges rooted at that source
+    counts each triangle exactly once — and, critically for scale, the
+    wedge self-join fan-out per node is bounded by its ORIENTED
+    out-degree, which is O(√|E|) even for power-law hubs (a
+    100M-follower account contributes no wedges: all its edges point
+    INTO it).
+
+    Scale shape: one distinct-edge aggregate, one degree aggregate
+    (explode + groupBy, map-combined), two equi-joins to attach end
+    degrees, then the wedge self-join on the oriented source and ONE
+    closure equi-join on the (lo, hi) head pair — the head pair is
+    ordered by the same (degree, id) key at wedge time, so the closing
+    edge lookup is a plain hash equi-join, never an OR-join. No windows,
+    no driver actions; every shuffle is keyed and map-side combined.
+
+    Output: (node, n_triangles) — ≤ k rows, all-integer (engine-stable
+    ordering: count DESC, node ASC).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    return sql_over(
+        {"e": ensure_parallelism(edges)},
+        f"""
+        WITH e0 AS (
+          SELECT DISTINCT least({src_col}, {dst_col}) AS a,
+                          greatest({src_col}, {dst_col}) AS b
+          FROM {{e}}
+          WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+            AND {src_col} <> {dst_col}
+        ),
+        deg AS (
+          SELECT node, count(1) AS d
+          FROM (SELECT explode(array(a, b)) AS node FROM e0)
+          GROUP BY node
+        ),
+        eo AS (
+          -- orient each edge from the lower-(degree, id) endpoint; carry
+          -- the head's (degree, id) so wedge heads can be ordered without
+          -- a third degree join
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                      THEN e0.a ELSE e0.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                      THEN e0.b ELSE e0.a END AS v,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                      THEN db.d ELSE da.d END AS dv
+          FROM e0
+          JOIN deg da ON e0.a = da.node
+          JOIN deg db ON e0.b = db.node
+        ),
+        tri AS (
+          -- wedges rooted at the DAG source, heads ordered by (deg, id);
+          -- the closing edge is then exactly (lo → hi) in eo
+          SELECT w.n0, w.lo, w.hi
+          FROM (
+            SELECT e1.u AS n0, e1.v AS lo, e2.v AS hi
+            FROM eo e1 JOIN eo e2
+              ON e1.u = e2.u
+             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+          ) w
+          JOIN eo c ON w.lo = c.u AND w.hi = c.v
+        )
+        SELECT node, CAST(count(1) AS BIGINT) AS n_triangles
+        FROM (SELECT explode(array(n0, lo, hi)) AS node FROM tri)
+        GROUP BY node
+        ORDER BY n_triangles DESC, node
+        LIMIT {int(k)}
+        """,
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 2,

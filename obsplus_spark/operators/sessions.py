@@ -9,6 +9,7 @@ conversion shapes an events table answers at warehouse scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def user_sessions(
@@ -306,5 +307,147 @@ def action_ngrams(
         FROM g GROUP BY gram
         ORDER BY n_occurrences DESC, ngram
         LIMIT {int(k)}
+        """,
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group winsorized (clamped-tail) statistics: the robust-metric
+    pass that keeps a handful of pathological values from dominating a
+    per-segment mean — discrete lower/upper quantile bounds, tail counts,
+    and the mean after clamping into [lo, hi].
+
+    Quantiles are DISCRETE (the value at rank ``⌈p·n⌉`` under the total
+    order ``(value, id)``) — rank-exact, no interpolation, so two engines
+    agree bit-for-bit. With ``exact=True`` ranks come from one window
+    pass; the rank window sorts each key's partition, so exact mode is
+    for per-key volumes a partition can sort (and for oracle
+    verification). At 100-TB volumes call with ``exact=False``: bounds
+    come from ``percentile_approx`` (mergeable KLL partials, no per-key
+    sort) with the same output schema, and the clamp pass is unchanged.
+
+    Scale shape (exact): ONE exchange keyed by the group — the rank
+    window, the boundary-broadcast window, and the final aggregate all
+    share the same partitioning, so Catalyst plans a single shuffle +
+    sort reused across all three. No joins, no driver actions.
+
+    Output: (key, n, lo, hi, n_low, n_high, w_mean); doubles 6 dp.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    lo_p, hi_p = float(lower), float(upper)
+    if not (0.0 < lo_p < hi_p < 1.0):
+        raise ValueError(f"need 0 < lower < upper < 1, got {lower}, {upper}")
+    if not exact:
+        bounds = (
+            ensure_parallelism(df)
+            .where(f"{value_col} IS NOT NULL")
+            .groupBy(key_col)
+            .agg(
+                F.expr(
+                    f"percentile_approx({value_col},"
+                    f" array({lo_p!r}, {hi_p!r}), 10000) AS _b"
+                )
+            )
+            .selectExpr(key_col, "_b[0] AS lo", "_b[1] AS hi")
+        )
+        return sql_over(
+            {"d": ensure_parallelism(df), "b": bounds},
+            f"""
+            SELECT d.{key_col} AS {key_col},
+                   CAST(count(1) AS BIGINT) AS n,
+                   round(max(b.lo), 6) AS lo, round(max(b.hi), 6) AS hi,
+                   CAST(sum(CASE WHEN d.{value_col} < b.lo THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN d.{value_col} > b.hi THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_high,
+                   round(avg(least(greatest(d.{value_col}, b.lo), b.hi)), 6)
+                     AS w_mean
+            FROM {{d}} d JOIN {{b}} b ON d.{key_col} = b.{key_col}
+            WHERE d.{value_col} IS NOT NULL
+            GROUP BY d.{key_col}
+            """,
+        )
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH r AS (
+          SELECT {key_col}, {value_col},
+                 row_number() OVER (PARTITION BY {key_col}
+                     ORDER BY {value_col}, {id_col}) AS rn,
+                 count(1) OVER (PARTITION BY {key_col}) AS n
+          FROM {{d}} WHERE {value_col} IS NOT NULL
+        ),
+        b AS (
+          SELECT {key_col}, {value_col}, n,
+                 max(CASE WHEN rn = greatest(CAST(ceil({lo_p!r} * n) AS
+                       BIGINT), 1) THEN {value_col} END)
+                   OVER (PARTITION BY {key_col}) AS lo,
+                 max(CASE WHEN rn = greatest(CAST(ceil({hi_p!r} * n) AS
+                       BIGINT), 1) THEN {value_col} END)
+                   OVER (PARTITION BY {key_col}) AS hi
+          FROM r
+        )
+        SELECT {key_col}, CAST(max(n) AS BIGINT) AS n,
+               round(max(lo), 6) AS lo, round(max(hi), 6) AS hi,
+               CAST(sum(CASE WHEN {value_col} < lo THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN {value_col} > hi THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_high,
+               round(avg(least(greatest({value_col}, lo), hi)), 6)
+                 AS w_mean
+        FROM b GROUP BY {key_col}
+        """,
+    )
+
+
+def rolling_window_sums(
+    daily: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Trailing moving-window aggregates over a per-(key, period) series:
+    the RANGE-frame shape (``RANGE BETWEEN w−1 PRECEDING AND CURRENT
+    ROW`` on an integer period index), which handles GAPS in the series
+    correctly — a missing day simply contributes nothing, with no need to
+    densify the calendar first.
+
+    The caller supplies the already-aggregated series (one row per key ×
+    period, e.g. from a groupBy over ``floor_div(ts, day_ns)``); the
+    per-period value should be pre-rounded so the frame sums are
+    engine-stable. One exchange keyed by ``key_col``; the frame scan is
+    a single sort within each key's partition.
+
+    Output: key, period, the value, ``mw_sum`` / ``mw_n`` / ``mw_avg``
+    over the trailing window (6 dp).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    frame = (
+        f"OVER (PARTITION BY {key_col} ORDER BY {order_col}"
+        f" RANGE BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
+    )
+    return sql_over(
+        {"d": ensure_parallelism(daily)},
+        f"""
+        SELECT {key_col}, {order_col}, {value_col},
+               round(sum({value_col}) {frame}, 6) AS mw_sum,
+               CAST(count(1) {frame} AS BIGINT) AS mw_n,
+               round(sum({value_col}) {frame}
+                     / count(1) {frame}, 6) AS mw_avg
+        FROM {{d}}
         """,
     )

@@ -603,3 +603,70 @@ def hard_negatives(
         ) WHERE rank <= {int(k)}
         """,
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``m`` equal
+    subspaces and assign every subvector to its nearest codebook entry —
+    the compressed representation an ANN index stores instead of raw
+    floats (64 dims × 4 bytes → m single-byte codes).
+
+    Codebook seeding follows the deterministic no-RNG contract of
+    ``ivf_assign``/``kmeans_refine_stats``: per subspace, the codebook is
+    the corresponding subvectors of the ``n_codes`` lowest-id vectors.
+    Assignment is argmin squared-L2; distances are rounded to 9 dp
+    before the argmin so the choice is stable across engines whose
+    float-sum association differs, with rounded ties breaking to the
+    smallest code.
+
+    Scale shape: the codebook folds into ONE array row (tiny aggregate)
+    broadcast to the corpus; encoding is a map-only per-row expression
+    (subspace loop unrolled in-row via ``transform(sequence(...))``,
+    then one ``posexplode``). No corpus shuffle at all — the output is
+    narrow per row.
+
+    Output: (id, sub, code) — m rows per vector, all-integer.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    vectors = ensure_parallelism(vectors)
+    codes = sql_over(
+        {"v": vectors},
+        f"""
+        SELECT transform(sort_array(collect_list(named_struct(
+                 '_k', _sid, 'vec', vec))),
+               (c, i) -> named_struct('code', i, 'vec', c.vec)) AS _codes
+        FROM (SELECT {id_col} AS _sid,
+                     transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec
+              FROM {{v}} ORDER BY {id_col} LIMIT {int(n_codes)})
+        """,
+    )
+    dsub = f"(size(ev) div {int(m)})"
+    dist = (
+        f"round(aggregate(zip_with("
+        f"slice(ev, s * {dsub} + 1, {dsub}),"
+        f" slice(cb.vec, s * {dsub} + 1, {dsub}),"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x), 9)"
+    )
+    return sql_over(
+        {"v": vectors, "c": codes},
+        f"""
+        SELECT {id_col}, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+        FROM (
+          SELECT /*+ BROADCAST(c) */ v.{id_col},
+                 transform(v.{vec_col}, x -> CAST(x AS DOUBLE)) AS ev,
+                 c._codes AS _codes
+          FROM {{v}} v CROSS JOIN {{c}} c
+        )
+        LATERAL VIEW posexplode(transform(sequence(0, {int(m) - 1}), s ->
+          array_min(transform(_codes, cb -> named_struct(
+            'dist', {dist}, 'code', cb.code))).code
+        )) AS sub, code
+        """,
+    )

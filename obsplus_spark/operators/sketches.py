@@ -205,3 +205,89 @@ def approx_quantiles(
             col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch counters over a key stream: ``depth`` independent
+    hash rows of ``width`` counters each, built with ONE map-side-combined
+    hash aggregate — the mergeable frequency sketch for streams whose
+    exact key cardinality is too large to aggregate (union two sketches by
+    summing counters cell-wise; compute per day/partition, merge later).
+
+    The per-row hash is an md5 slice (``conv(substr(md5('j:'||key),1,8))
+    % width``) rather than ``xxhash64`` so the sketch is reproducible
+    outside the JVM — the cross-engine-portable choice for a sketch whose
+    cells are persisted and merged by heterogeneous writers (and what
+    keeps the DuckDB oracle bit-identical). One md5 per (row, key); the
+    map side collapses every partition to ≤ depth×width cells before the
+    only shuffle.
+
+    Output: (row, bucket, cnt) — ≤ depth×width rows.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        SELECT row, bucket, CAST(count(1) AS BIGINT) AS cnt
+        FROM (
+          SELECT j AS row,
+                 pmod(CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',
+                        {key_col})), 1, 8), 16, 10) AS BIGINT), {int(width)}) AS bucket
+          FROM {{d}}
+          LATERAL VIEW explode(sequence(0, {int(depth) - 1})) AS j
+          WHERE {key_col} IS NOT NULL
+        )
+        GROUP BY row, bucket
+        """,
+    )
+
+
+def cms_estimates(
+    counters: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query a count-min sketch for each candidate key: the
+    estimate is ``min`` over the sketch's ``depth`` cells for that key —
+    an upper bound on the true count (collisions only ever inflate).
+
+    At corpus scale the candidate list comes from per-partition local
+    heavy hitters (cheap, mergeable); here it is whatever frame the
+    caller supplies. The counters side is ≤ depth×width rows, so the
+    probe is a broadcast equi-join on (row, bucket) followed by one
+    min-aggregate per key — the candidate stream never shuffles more
+    than once.
+
+    Output: candidates' columns' key + ``est`` (BIGINT upper bound).
+    """
+    from obsplus_spark.util import sql_over
+
+    return sql_over(
+        {"cand": candidates, "ctr": counters},
+        f"""
+        SELECT /*+ BROADCAST(c) */ q.{key_col},
+               CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+        FROM (
+          SELECT {key_col}, j AS row,
+                 pmod(CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',
+                        {key_col})), 1, 8), 16, 10) AS BIGINT), {int(width)}) AS bucket
+          FROM {{cand}}
+          LATERAL VIEW explode(sequence(0, {int(depth) - 1})) AS j
+        ) q
+        LEFT JOIN {{ctr}} c ON q.row = c.row AND q.bucket = c.bucket
+        GROUP BY q.{key_col}
+        """,
+    )

@@ -1,0 +1,237 @@
+"""Round-6 second-wave operators: triangles, CMS heavy hitters, span
+dedup, prefix-filtered set-similarity join, PQ codes, winsorized stats,
+rolling window sums."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; per-node counts known."""
+    from obsplus_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} without edge (3,4):
+    # triangles: (1,2,3), (1,2,4). Node 1: 2, node 2: 2, node 3: 1, node 4: 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+         (2, 1),  # reverse duplicate
+         (3, 3)],  # self loop dropped
+        "src long, dst long",
+    )
+    rows = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert rows == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from obsplus_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_cms_estimates_upper_bound_and_exact_on_sparse(spark):
+    """CMS estimate >= exact count always; equal when no collisions
+    (width >> keys)."""
+    from obsplus_spark.operators.sketches import cms_counters, cms_estimates
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    counters = cms_counters(df, "k", depth=4, width=4096)
+    cand = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "k string")
+    est = {r["k"]: r["est"] for r in
+           cms_estimates(counters, cand, "k", depth=4, width=4096).collect()}
+    assert est["a"] == 5 and est["b"] == 3 and est["c"] == 1
+    assert est["zz"] == 0  # absent key, sparse sketch
+
+
+def test_cms_collisions_only_inflate(spark):
+    from obsplus_spark.operators.sketches import cms_counters, cms_estimates
+
+    rows = [(f"k{i}",) for i in range(200) for _ in range(i % 5 + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    counters = cms_counters(df, "k", depth=2, width=16)  # heavy collisions
+    cand = df.distinct()
+    est = cms_estimates(counters, cand, "k", depth=2, width=16)
+    exact = df.groupBy("k").count()
+    joined = est.join(exact, "k").collect()
+    assert len(joined) == 200
+    assert all(r["est"] >= r["count"] for r in joined)
+
+
+def test_duplicate_span_mass(spark):
+    from obsplus_spark.operators.dedup import duplicate_span_mass
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # grams: 3 distinct
+            (2, "the quick brown dog sits"),       # shares 'the quick brown'
+            (3, "lone words only here now"),       # no shared grams
+            (4, "xx yy"),                          # too short for n=3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_span_mass(docs, n=3).collect()}
+    assert 4 not in out  # no grams
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 3 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+    assert math.isclose(out[1]["dup_mass"], round(1 / 3, 6), abs_tol=1e-9)
+
+
+def test_duplicate_span_mass_counts_intra_doc_repeats(spark):
+    from obsplus_spark.operators.dedup import duplicate_span_mass
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b")], "doc_id long, text string"
+    )
+    # tokens: a b c a b c a b -> 6 trigram slots; 'a b c' x2, 'b c a' x2,
+    # 'c a b' x2 -> all 6 slots duplicated
+    r = duplicate_span_mass(docs, n=3).collect()[0]
+    assert r["n_spans"] == 6 and r["n_dup_spans"] == 6
+    assert r["dup_mass"] == 1.0
+
+
+def test_set_similarity_join_exact_pairs(spark):
+    """Prefix-filtered join finds exactly the brute-force pairs >= t."""
+    from obsplus_spark.operators.dedup import (
+        set_similarity_join, shingle_array,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w0 w1 w2 w3 w4 w5 w6 w7"),
+            (2, "w0 w1 w2 w3 w4 w5 w6 zz"),   # high overlap with 1
+            (3, "a0 a1 a2 a3 a4 a5 a6 a7"),   # disjoint
+            (4, "w0 w1 w2 aa bb cc dd ee"),   # low overlap with 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in set_similarity_join(docs, threshold=0.5).collect()
+    }
+    # brute force over shingle string sets
+    sh = {r["doc_id"]: set(r["shingles"])
+          for r in shingle_array(docs, n=3, out_col="shingles").collect()}
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            j = inter / len(sh[a] | sh[b])
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
+    assert (1, 2) in got and (1, 3) not in got and (1, 4) not in got
+
+
+def test_set_similarity_join_threshold_validation(spark):
+    from obsplus_spark.operators.dedup import set_similarity_join
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        set_similarity_join(docs, threshold=0.0)
+
+
+def test_pq_encode_shape_and_self_codes(spark):
+    """Seed vectors encode to their own code in every subspace; shape is
+    m rows per vector."""
+    from obsplus_spark.operators.similarity import pq_encode
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_encode(df, m=4, n_codes=4).collect()
+    assert len(out) == 12 * 4
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    # seeds are vec_ids 0..3 -> code == vec_id for every subspace
+    for seed in range(4):
+        assert all(by_vec[seed][s] == seed for s in range(4))
+    # codes within range
+    assert all(0 <= c <= 3 for m_ in by_vec.values() for c in m_.values())
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    from obsplus_spark.operators.similarity import pq_encode
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(20, 16).astype(np.float32)
+    rows = [(i, mat[i].tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_encode(df, m=4, n_codes=4).collect()
+    seeds = mat[:4].astype(np.float64)
+    X = mat.astype(np.float64)
+    for r in out:
+        s = r["sub"]
+        sub = X[r["vec_id"], s * 4:(s + 1) * 4]
+        d = ((seeds[:, s * 4:(s + 1) * 4] - sub) ** 2).sum(axis=1).round(9)
+        assert r["code"] == int(np.argmin(d))
+
+
+def test_winsorized_stats_hand_case(spark):
+    from obsplus_spark.operators.sessions import winsorized_stats
+
+    # one key, values 1..20: lo = ceil(.05*20)=rank1 -> 1.0,
+    # hi = ceil(.95*20)=rank19 -> 19.0; clamp turns 20 -> 19
+    rows = [("k", float(i), i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "k string, v double, id long")
+    r = winsorized_stats(df, "k", "v", "id").collect()[0]
+    assert r["n"] == 20 and r["lo"] == 1.0 and r["hi"] == 19.0
+    assert r["n_low"] == 0 and r["n_high"] == 1
+    expect_mean = round((sum(range(1, 20)) + 19) / 20, 6)
+    assert math.isclose(r["w_mean"], expect_mean, abs_tol=1e-9)
+
+
+def test_winsorized_stats_approx_mode_same_schema(spark):
+    from obsplus_spark.operators.sessions import winsorized_stats
+
+    rows = [("k", float(i), i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k string, v double, id long")
+    exact = winsorized_stats(df, "k", "v", "id", exact=True)
+    approx = winsorized_stats(df, "k", "v", "id", exact=False)
+    assert exact.columns == approx.columns
+    a = approx.collect()[0]
+    # on 100 distinct values the KLL sketch at accuracy 10000 is exact
+    assert a["lo"] == 5.0 and a["hi"] == 95.0
+
+
+def test_winsorized_stats_validates_bounds(spark):
+    from obsplus_spark.operators.sessions import winsorized_stats
+
+    df = spark.createDataFrame([("k", 1.0, 1)], "k string, v double, id long")
+    with pytest.raises(ValueError):
+        winsorized_stats(df, "k", "v", "id", lower=0.9, upper=0.1)
+
+
+def test_rolling_window_sums_gap_aware(spark):
+    from obsplus_spark.operators.sessions import rolling_window_sums
+
+    rows = [("k", 0, 1.0), ("k", 1, 2.0), ("k", 9, 5.0), ("k", 10, 7.0)]
+    df = spark.createDataFrame(rows, "k string, day long, v double")
+    out = {r["day"]: r for r in
+           rolling_window_sums(df, "k", "day", "v", window=7).collect()}
+    assert out[0]["mw_sum"] == 1.0 and out[0]["mw_n"] == 1
+    assert out[1]["mw_sum"] == 3.0 and out[1]["mw_n"] == 2
+    # day 9: window covers days 3..9 -> only day 9 (gap handled, days 0-1 out)
+    assert out[9]["mw_sum"] == 5.0 and out[9]["mw_n"] == 1
+    assert out[10]["mw_sum"] == 12.0 and out[10]["mw_n"] == 2
+    assert out[10]["mw_avg"] == 6.0
+
+
+def test_rolling_window_sums_validates(spark):
+    from obsplus_spark.operators.sessions import rolling_window_sums
+
+    df = spark.createDataFrame([("k", 0, 1.0)], "k string, day long, v double")
+    with pytest.raises(ValueError):
+        rolling_window_sums(df, "k", "day", "v", window=0)
