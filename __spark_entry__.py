@@ -5786,6 +5786,395 @@ GROUP BY station, channel
 """
 
 
+# ---------------------------------------------------------------------------
+# round-6 second wave: graph / sketch / span-dedup / similarity-join /
+# PQ / robust-stats / Q5 / rolling-window shapes
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (wedge closure on the oriented
+    DAG) over the hash-folded part↔supplier co-occurrence graph: the
+    orientation bounds wedge fan-out by O(√|E|) even on hub nodes; every
+    stage is a keyed equi-join or map-combined aggregate."""
+    from obsplus_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.selectExpr(
+        "l_partkey % 211 AS src", "l_suppkey % 211 AS dst"
+    )
+    return triangle_counts(edges, k=20)
+
+
+_SQL_TRIANGLES = """
+    WITH e0 AS (
+      SELECT DISTINCT least(l_partkey % 211, l_suppkey % 211) AS a,
+                      greatest(l_partkey % 211, l_suppkey % 211) AS b
+      FROM lineitem
+      WHERE l_partkey % 211 <> l_suppkey % 211
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+      ) GROUP BY node
+    ),
+    eo AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                  THEN e0.a ELSE e0.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                  THEN e0.b ELSE e0.a END AS v,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                  THEN db.d ELSE da.d END AS dv
+      FROM e0
+      JOIN deg da ON e0.a = da.node
+      JOIN deg db ON e0.b = db.node
+    ),
+    tri AS (
+      SELECT w.n0, w.lo, w.hi
+      FROM (
+        SELECT e1.u AS n0, e1.v AS lo, e2.v AS hi
+        FROM eo e1 JOIN eo e2
+          ON e1.u = e2.u
+         AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+      ) w
+      JOIN eo c ON w.lo = c.u AND w.hi = c.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT n0 AS node FROM tri
+      UNION ALL SELECT lo FROM tri
+      UNION ALL SELECT hi FROM tri
+    )
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 20
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the document token stream:
+    ONE map-combined aggregate builds the depth×width counter table
+    (md5-bucketed, engine-portable), candidates probe it via a broadcast
+    (row, bucket) join + min fold. Output carries the exact count next
+    to the sketch estimate so over-estimation is auditable."""
+    from obsplus_spark.operators.sketches import cms_counters, cms_estimates
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.where("length(trim(text)) > 0").selectExpr(
+        r"explode(split(trim(lower(text)), '\\s+')) AS token"
+    )
+    counters = cms_counters(tok, "token", depth=4, width=512)
+    cand = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(20)
+    )
+    est = cms_estimates(counters, cand, "token", depth=4, width=512)
+    return (
+        cand.join(est, "token")
+        .select("token", "n_exact", "est")
+        .orderBy(F.col("n_exact").desc(), "token")
+    )
+
+
+_SQL_CMS = r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ctr AS (
+      SELECT j AS hrow,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
+               ::BIGINT % 512 AS bucket,
+             count(*) AS cnt
+      FROM tok, unnest(range(0, 4)) AS u(j)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM tok GROUP BY token
+      ORDER BY n_exact DESC, token LIMIT 20
+    ),
+    probe AS (
+      SELECT c.token, c.n_exact, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || c.token), 1, 8))
+               ::BIGINT % 512 AS bucket
+      FROM cand c, unnest(range(0, 4)) AS u(j)
+    )
+    SELECT p.token, p.n_exact,
+           CAST(min(coalesce(ctr.cnt, 0)) AS BIGINT) AS est
+    FROM probe p
+    LEFT JOIN ctr ON ctr.hrow = p.j AND ctr.bucket = p.bucket
+    GROUP BY p.token, p.n_exact
+    ORDER BY p.n_exact DESC, p.token
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span mass per document (trigram slots whose gram
+    recurs anywhere in the corpus, multiplicity included): in-row integer
+    gram hashing, one gram-keyed count window + one per-doc aggregate —
+    the span-level exact-dedup signal next to the doc-level MinHash
+    verdicts."""
+    from obsplus_spark.operators.dedup import duplicate_span_mass
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_mass(docs, n=3)
+
+
+_SQL_SPAN = r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, string_split(t, ' ') AS w
+      FROM norm WHERE length(t) > 0
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    c AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY gram) AS c FROM g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_mass
+    FROM c GROUP BY doc_id
+"""
+
+
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard ≥ 0.5 over trigram
+    shingle sets) via prefix filtering: candidates only from each doc's
+    rarest-first shingle prefix, then exact intersection verify. The
+    deterministic complement to the MinHash path — no false negatives.
+    (Prefix order differs between engines — digests here, strings in the
+    oracle — but any consistent order yields a verified-identical
+    result set.)"""
+    from obsplus_spark.operators.dedup import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return set_similarity_join(docs, threshold=0.5)
+
+
+_SQL_SETSIM = r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+      SELECT s.doc_id, s.shingle,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df, s.shingle) AS rn,
+             count(*) OVER (PARTITION BY s.doc_id) AS sz
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+    ),
+    pref AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE rn <= sz - CAST(ceil(0.5 * sz) AS INT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM pref a JOIN pref b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, count(*) AS ni
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.id1
+      JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2,
+           CAST(i.ni AS BIGINT) AS n_inter,
+           CAST(z1.n AS BIGINT) AS n1, CAST(z2.n AS BIGINT) AS n2,
+           round(i.ni / CAST(z1.n + z2.n - i.ni AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes z1 ON z1.doc_id = i.id1
+    JOIN sizes z2 ON z2.doc_id = i.id2
+    WHERE i.ni / CAST(z1.n + z2.n - i.ni AS DOUBLE) >= 0.5
+"""
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (8 subspaces × 4 deterministic
+    codebook entries): codebook folds to one broadcast array row,
+    encoding is a map-only in-row argmin — zero corpus shuffles."""
+    from obsplus_spark.operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, m=8, n_codes=4)
+
+
+_SQL_PQ = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ev AS cv
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)
+    ),
+    d AS (
+      SELECT v.vec_id, u.s AS sub, sd.code,
+             round(list_sum(list_transform(range(1, 9), i ->
+               (ev[CAST(u.s * 8 + i AS INT)] - cv[CAST(u.s * 8 + i AS INT)])
+               * (ev[CAST(u.s * 8 + i AS INT)] - cv[CAST(u.s * 8 + i AS INT)])
+             )), 9) AS dist
+      FROM v, unnest(range(0, 8)) AS u(s), seeds sd
+    )
+    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+    FROM (
+      SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM d
+    ) WHERE rn = 1
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized value stats (discrete p05/p95 bounds by rank,
+    tail counts, clamped mean): the rank, boundary-broadcast, and final
+    aggregate all reuse ONE type-keyed exchange."""
+    from obsplus_spark.operators.sessions import winsorized_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    return winsorized_stats(ev, "event_type", "value", "event_id")
+
+
+_SQL_WINSOR = """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, value, n,
+             max(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                 THEN value END) OVER (PARTITION BY event_type) AS lo,
+             max(CASE WHEN rn = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                 THEN value END) OVER (PARTITION BY event_type) AS hi
+      FROM r
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round(max(lo), 6) AS lo, round(max(hi), 6) AS hi,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           round(avg(least(greatest(value, lo), hi)), 6) AS w_mean
+    FROM b GROUP BY event_type
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): nation⋈region prune
+    broadcasts into supplier AND customer; lineitem⋈orders⋈supplier⋈
+    customer shuffle-join on their keys (no fact-side broadcast — the
+    100-TB form), with the c_nationkey = s_nationkey locality predicate
+    applied at the last join. DECIMAL revenue accumulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = o.withColumn("o_orderdate", _tcol(o, "o_orderdate"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    asia = n.join(
+        F.broadcast(r.filter("r_name = 'ASIA'")),
+        n.n_regionkey == r.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    s_dim = s.join(
+        F.broadcast(asia), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("s_nationkey").alias("_snat"), "n_name")
+    o_f = o.filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o_orderdate < TIMESTAMP '1997-01-01'"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+        .join(s_dim, li.l_suppkey == s_dim.s_suppkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("_snat"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+_SQL_Q5 = """
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def q_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per event type via a RANGE frame on the
+    epoch-day index — gap-aware (missing days contribute nothing, no
+    calendar densify). One type-keyed exchange; day totals pre-rounded
+    so the frame sums are engine-stable."""
+    from obsplus_spark.operators.sessions import rolling_window_sums
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _ts_ns().alias("t_ns"), "value"
+    )
+    daily = ev.groupBy(
+        "event_type", F.expr("t_ns div 86400000000000").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("day_rev"))
+    return rolling_window_sums(daily, "event_type", "day", "day_rev", window=7)
+
+
+_SQL_ROLLING = """
+    WITH e AS (
+      SELECT event_type, epoch_ns(ts) AS t_ns, value FROM events
+    ),
+    d AS (
+      SELECT event_type, t_ns // 86400000000000 AS day,
+             round(sum(value), 6) AS day_rev
+      FROM e GROUP BY event_type, t_ns // 86400000000000
+    )
+    SELECT event_type, day, day_rev,
+           round(sum(day_rev) OVER w, 6) AS mw_sum,
+           CAST(count(*) OVER w AS BIGINT) AS mw_n,
+           round(sum(day_rev) OVER w / count(*) OVER w, 6) AS mw_avg
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -5804,6 +6193,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap). The 61 past-cap rows were ALL driver-green in
     # CORRECTNESS_r05 (50) or _r04 (11).
     return {
+        # (a0) new in the r6 second wave (this session)
+        "triangle_count": q_triangle_count,
+        "heavy_hitters": q_heavy_hitters,
+        "span_dedup": q_span_dedup,
+        "jaccard_join": q_jaccard_join,
+        "pq_codes": q_pq_codes,
+        "winsorize": q_winsorize,
+        "local_supplier_volume": q_local_supplier_volume,
+        "rolling_metrics": q_rolling_metrics,
         # (a) new in r6 + implementation-changed in r6
         "events_wide": q_events_wide,
         "picks_full": q_picks_full,
@@ -5927,6 +6325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "triangle_count": _SQL_TRIANGLES,
+        "heavy_hitters": _SQL_CMS,
+        "span_dedup": _SQL_SPAN,
+        "jaccard_join": _SQL_SETSIM,
+        "pq_codes": _SQL_PQ,
+        "winsorize": _SQL_WINSOR,
+        "local_supplier_volume": _SQL_Q5,
+        "rolling_metrics": _SQL_ROLLING,
         "events_wide": _SQL_EVENTS_WIDE,
         "picks_full": _SQL_PICKS_FULL,
         "amplitudes_flat": _SQL_AMP_FLAT,
