@@ -5799,19 +5799,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is a keyed equi-join or map-combined aggregate."""
     from obsplus_spark.operators.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem")
-    edges = li.selectExpr(
-        "l_partkey % 211 AS src", "l_suppkey % 211 AS dst"
+    o = _t(spark, sf_dir, "orders")
+    # hash-fold both endpoints into one 5003-bucket node space: sparse
+    # (|E| ≪ |V|²/2) so triangle structure is non-trivial without the
+    # near-complete-graph blowup a small modulus produces
+    edges = o.selectExpr(
+        "o_custkey % 5003 AS src", "o_orderkey % 5003 AS dst"
     )
     return triangle_counts(edges, k=20)
 
 
 _SQL_TRIANGLES = """
     WITH e0 AS (
-      SELECT DISTINCT least(l_partkey % 211, l_suppkey % 211) AS a,
-                      greatest(l_partkey % 211, l_suppkey % 211) AS b
-      FROM lineitem
-      WHERE l_partkey % 211 <> l_suppkey % 211
+      SELECT DISTINCT least(o_custkey % 5003, o_orderkey % 5003) AS a,
+                      greatest(o_custkey % 5003, o_orderkey % 5003) AS b
+      FROM orders
+      WHERE o_custkey % 5003 <> o_orderkey % 5003
     ),
     deg AS (
       SELECT node, count(*) AS d FROM (
@@ -5985,13 +5988,17 @@ _SQL_SETSIM = r"""
       FROM sh s JOIN dfreq d ON s.shingle = d.shingle
     ),
     pref AS (
-      SELECT doc_id, shingle FROM ranked
+      SELECT doc_id, shingle, rn, sz FROM ranked
       WHERE rn <= sz - CAST(ceil(0.5 * sz) AS INT) + 1
     ),
     cand AS (
+      -- same lossless PPJoin length/positional pruning as the engine
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       FROM pref a JOIN pref b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       AND b.sz >= ceil(0.5 * a.sz) AND a.sz >= ceil(0.5 * b.sz)
+       AND least(a.sz - a.rn, b.sz - b.rn) + 1
+           >= ceil(0.5 / 1.5 * (a.sz + b.sz))
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
