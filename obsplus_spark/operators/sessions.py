@@ -431,7 +431,7 @@ def rolling_window_sums(
     Output: key, period, the value, ``mw_sum`` / ``mw_n`` / ``mw_avg``
     over the trailing window (6 dp).
     """
-    from obsplus_spark.util import ensure_parallelism, sql_over
+    from obsplus_spark.util import sql_over
 
     w = int(window)
     if w < 1:
@@ -440,8 +440,12 @@ def rolling_window_sums(
         f"OVER (PARTITION BY {key_col} ORDER BY {order_col}"
         f" RANGE BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
     )
+    # no ensure_parallelism: the input contract is an already-aggregated
+    # per-(key, period) series — typically the output of a shuffle whose
+    # parallelism is already right; injecting a round-robin repartition
+    # here added a full extra exchange for nothing
     return sql_over(
-        {"d": ensure_parallelism(daily)},
+        {"d": daily},
         f"""
         SELECT {key_col}, {order_col}, {value_col},
                round(sum({value_col}) {frame}, 6) AS mw_sum,

@@ -157,10 +157,17 @@ def test_parquet_scan_pushdown(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    # region: the one driver table no queries() entry caches, so the scan
-    # can't be plan-matched into an InMemoryRelation by the cache manager
+    # read a TEMP COPY of region: every driver table is now cached by
+    # some queries() entry (_t), and the cache manager plan-matches
+    # same-path scans into InMemoryRelation — which (correctly) has no
+    # PushedFilters line. A fresh path keeps this a real parquet scan.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pushdown_probe_")
+    shutil.copy(f"{SF_DIR}/region.parquet", f"{tmp}/region.parquet")
     df = (
-        spark.read.parquet(f"{SF_DIR}/region.parquet")
+        spark.read.parquet(f"{tmp}/region.parquet")
         .filter(F.col("r_regionkey") >= 2)
         .select("r_name")
     )
@@ -170,7 +177,7 @@ def test_parquet_scan_pushdown(spark):
     # pruned read schema: a projection-only scan decodes exactly the
     # selected column
     p2 = (
-        spark.read.parquet(f"{SF_DIR}/region.parquet")
+        spark.read.parquet(f"{tmp}/region.parquet")
         .select("r_name")
         ._jdf.queryExecution()
         .explainString(mode)
@@ -342,3 +349,76 @@ def test_stations_from_stream_single_exchange(plans):
     assert simple.count("Exchange hashpartitioning") == 1
     assert not any(m in p for m in _JOIN_MARKERS)
     assert "Window" not in p
+
+
+def test_pq_codes_is_broadcast_map_only(plans):
+    """PQ encoding: the codebook rides ONE broadcast; the corpus never
+    shuffles (no hash exchange at all) — the assignment is an in-row
+    argmin expression."""
+    p, simple = plans["pq_codes"]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in simple
+    assert "Window" not in p
+
+
+def test_cms_probe_is_broadcast(plans):
+    """CMS heavy hitters: the counter table (≤ depth×width rows) rides a
+    broadcast join into the candidate probe — the candidate stream never
+    shuffles against the sketch."""
+    p, simple = plans["heavy_hitters"]
+    assert "BroadcastHashJoin" in p
+
+
+def test_span_dedup_two_keyed_exchanges(plans):
+    """Span dedup = gram-keyed count window + doc-keyed aggregate: two
+    hash exchanges, no joins."""
+    p, simple = plans["span_dedup"]
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_winsorize_single_exchange(plans):
+    """Winsorized stats reuse ONE type-keyed exchange across the rank
+    window, the boundary-broadcast window, and the final aggregate."""
+    p, simple = plans["winsorize"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_rolling_metrics_two_keyed_exchanges(plans):
+    """RANGE-frame rolling metrics: exactly two keyed exchanges — the
+    (type, day) daily aggregate (map-side combined, so events collapse
+    to day rows BEFORE the first shuffle) and the type-keyed frame
+    window over the day rows. No round-robin repartition, no joins."""
+    p, simple = plans["rolling_metrics"]
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert "RoundRobinPartitioning" not in simple
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_q5_dims_broadcast_facts_shuffle(plans):
+    """TPC-H Q5 shape: nation⋈region broadcast; the four-way fact joins
+    (lineitem/orders/supplier/customer) are keyed shuffle joins — no
+    fact-side broadcast that would OOM at 100 TB, no cartesian."""
+    p, simple = plans["local_supplier_volume"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # at least one shuffle-side join for the facts
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_triangle_joins_all_keyed(plans):
+    """Triangle counting: every join (degree attach ×2, wedge self-join,
+    closure) is a keyed equi-join; no nested-loop fallback, no
+    cartesian."""
+    p, simple = plans["triangle_count"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_jaccard_join_candidate_phase_integer_keys(plans):
+    """Set-similarity join: candidate generation runs on xxhash64 int64
+    keys (the 38-char digests appear only in the verify stage)."""
+    p, simple = plans["jaccard_join"]
+    assert "xxhash64" in p
+    assert "CartesianProduct" not in p
