@@ -6182,6 +6182,48 @@ _SQL_ROLLING = """
 """
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (manual AQE-skew-split twin): a
+    deliberately hot-keyed lineitem side (half the rows share one key)
+    joins supplier through ``salted_join`` — big side salted 1:1, dim
+    replicated ×8, so the hot key spreads over 8 reducers. The result is
+    salt-invariant; the oracle is the PLAIN join."""
+    from obsplus_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE l_suppkey END AS skey",
+        "l_extendedprice",
+    )
+    dim = _t(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS skey", "s_nationkey"
+    )
+    j = salted_join(li, dim, "skey", salt=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("total_price"),
+    )
+
+
+_SQL_SKEW_JOIN = """
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                 AS DOUBLE), 4) AS total_price
+    FROM (
+      SELECT CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE l_suppkey END AS skey,
+             l_extendedprice
+      FROM lineitem
+    ) l
+    JOIN supplier s ON l.skey = s.s_suppkey
+    GROUP BY s_nationkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -6209,6 +6251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "local_supplier_volume": q_local_supplier_volume,
         "rolling_metrics": q_rolling_metrics,
+        "skew_join": q_skew_join,
         # (a) new in r6 + implementation-changed in r6
         "events_wide": q_events_wide,
         "picks_full": q_picks_full,
@@ -6340,6 +6383,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _SQL_WINSOR,
         "local_supplier_volume": _SQL_Q5,
         "rolling_metrics": _SQL_ROLLING,
+        "skew_join": _SQL_SKEW_JOIN,
         "events_wide": _SQL_EVENTS_WIDE,
         "picks_full": _SQL_PICKS_FULL,
         "amplitudes_flat": _SQL_AMP_FLAT,

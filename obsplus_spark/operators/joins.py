@@ -213,6 +213,48 @@ def salted_aggregate(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the BIG side's key, replicate the dim
+    side once per salt bucket, join on ``(key, salt)``.
+
+    The manual twin of AQE's skew-join splitting, exposed as an operator
+    so a plan can apply it deterministically (AQE only splits when its
+    runtime stats spot the skew, and not across every join type). When
+    one key dominates the big side — the hot-document / hot-user shuffle
+    straggler — a plain shuffle join lands the whole hot key on one
+    reducer; salting spreads it over ``salt`` tasks at the cost of
+    ``salt×`` replication OF THE DIM SIDE ONLY (the big side is mapped
+    1:1, its shuffle volume is unchanged).
+
+    The salt is ``F.rand`` — per-row, no cross-engine or cross-run
+    determinism needed because the JOIN RESULT is salt-invariant (every
+    big row still meets exactly its key's dim rows). Join types where a
+    dim row may emit unmatched output (right/full outer) would emit it
+    once per salt replica; they are rejected.
+
+    Output: the plain join's columns (salt column dropped).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}"
+        )
+    s = int(salt)
+    if s < 2:
+        raise ValueError(f"salt must be >= 2, got {salt}")
+    big_s = big.withColumn("_salt", (F.rand(seed=0) * s).cast("int"))
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {s - 1})"))
+    )
+    out = big_s.join(dim_s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def bulk_request_filter(
     index: DataFrame,
     requests: list[tuple],

@@ -291,3 +291,21 @@ def cms_estimates(
         GROUP BY q.{key_col}
         """,
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union count-min sketches cell-wise — the mergeability property
+    that makes the sketch the right frequency structure at 100 TB:
+    build one sketch per ingest bucket (day, partition, stream batch),
+    store ≤ depth×width rows each, and merge on demand without
+    re-scanning raw data. Estimates from a merged sketch are identical
+    to a sketch built over the concatenated streams (cell sums are
+    associative)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc = acc.unionByName(s)
+    return acc.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

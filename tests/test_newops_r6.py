@@ -235,3 +235,63 @@ def test_rolling_window_sums_validates(spark):
     df = spark.createDataFrame([("k", 0, 1.0)], "k string, day long, v double")
     with pytest.raises(ValueError):
         rolling_window_sums(df, "k", "day", "v", window=0)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from obsplus_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 99), (3, 7)], "k long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d")], "k long, name string"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(big, dim, "k", salt=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["name"]) for r in big.join(dim, "k").collect()
+    )
+    assert got == want
+
+
+def test_salted_join_left_keeps_unmatched_big_rows_once(spark):
+    from obsplus_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, 10), (9, 90)], "k long, v long")
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+    rows = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(big, dim, "k", salt=4, how="left").collect()
+    )
+    assert rows == [(1, 10, "a"), (9, 90, None)]
+
+
+def test_salted_join_validations(spark):
+    from obsplus_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, 10)], "k long, v long")
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+    with pytest.raises(ValueError):
+        salted_join(big, dim, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(big, dim, "k", salt=1)
+
+
+def test_cms_merge_equals_whole_stream_sketch(spark):
+    """Mergeability: sketch(part1) ⊕ sketch(part2) == sketch(all)."""
+    from obsplus_spark.operators.sketches import cms_counters, cms_merge
+
+    rows = [(f"k{i % 37}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string")
+    p1 = spark.createDataFrame(rows[:200], "k string")
+    p2 = spark.createDataFrame(rows[200:], "k string")
+    merged = cms_merge(
+        cms_counters(p1, "k", depth=3, width=64),
+        cms_counters(p2, "k", depth=3, width=64),
+    )
+    whole = cms_counters(df, "k", depth=3, width=64)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, whole.collect()))
+    assert a == b
