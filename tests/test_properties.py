@@ -437,3 +437,82 @@ def test_events_to_df_quality_matches_model(spark, trees):
         r = got[eid]
         for k, v in exp.items():
             assert getattr(r, k) == v, (eid, k, getattr(r, k), v)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_triangle_counts_matches_bruteforce(spark, edges):
+    """Degree-ordered wedge closure == brute-force per-node triangle
+    membership over the canonical undirected simple graph."""
+    from itertools import combinations
+
+    from obsplus_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(df, k=100).collect()}
+
+    adj = set()
+    nodes = set()
+    for s, d in edges:
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+            nodes.update((s, d))
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if ((a, b) in adj and (a, c) in adj and (b, c) in adj):
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["w%d" % i for i in range(8)]),
+        min_size=3,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(docs=docs_strategy, threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+@settings(**SETTINGS)
+def test_set_similarity_join_matches_bruteforce(spark, docs, threshold):
+    """Prefix-filtered similarity join == brute-force all-pairs Jaccard
+    over trigram shingle sets (no false negatives at any threshold)."""
+    from obsplus_spark.operators.dedup import set_similarity_join
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): (r["n_inter"], r["n1"], r["n2"])
+        for r in set_similarity_join(
+            df, threshold=threshold, persist_shingles=False
+        ).collect()
+    }
+
+    def sh(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(docs) if len(t) >= 3}
+    want = {}
+    ids = sorted(sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert got == want
