@@ -6224,6 +6224,77 @@ _SQL_SKEW_JOIN = """
 """
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (window-3 co-occurrence): in-row pair expansion,
+    ONE pair-keyed aggregate, vocabulary-sized broadcast joins for the
+    unigram/total normalizers, TakeOrdered on the rounded score."""
+    from obsplus_spark.operators.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, window=3, min_count=10, k=100)
+
+
+_SQL_PMI = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, i, w[i] AS tok
+      FROM toks, unnest(range(1, len(w) + 1)) AS u(i)
+    ),
+    pr AS (
+      SELECT least(p1.tok, p2.tok) AS a, greatest(p1.tok, p2.tok) AS b,
+             count(*) AS n_pair
+      FROM pos p1 JOIN pos p2
+        ON p1.doc_id = p2.doc_id AND p2.i > p1.i AND p2.i <= p1.i + 3
+      GROUP BY 1, 2
+    ),
+    uni AS (SELECT tok, count(*) AS n_tok FROM pos GROUP BY tok),
+    tot AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS n FROM uni)
+    SELECT a AS tok_a, b AS tok_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(ua.n_tok AS BIGINT) AS n_a,
+           CAST(ub.n_tok AS BIGINT) AS n_b,
+           round(ln(CAST(n_pair AS DOUBLE) * tot.n
+                    / (CAST(ua.n_tok AS DOUBLE) * ub.n_tok)), 6) AS pmi
+    FROM pr
+    JOIN uni ua ON pr.a = ua.tok
+    JOIN uni ub ON pr.b = ub.tok
+    CROSS JOIN tot
+    WHERE n_pair >= 10
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 100
+"""
+
+
+def q_rank_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rank normalization (percent-rank + integer-arithmetic
+    decile for every event): one type-keyed exchange, both window values
+    on the same sort; the bucket is ``((rn−1)·10) div n`` — never ntile
+    or floor-of-double, whose tie handling is engine-specific."""
+    from obsplus_spark.operators.sessions import rank_transform
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return rank_transform(ev, "event_type", "value", "event_id", buckets=10)
+
+
+_SQL_RANK_TRANSFORM = """
+    SELECT event_id, event_type, value,
+           round(CASE WHEN n > 1
+                 THEN (rn - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END, 6)
+             AS pct_rank,
+           CAST(((rn - 1) * 10) // n AS INT) AS bucket
+    FROM (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -6231,16 +6302,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
-    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a) the 8
-    # queries NEW in r6 (sub-entity parity set + canonical_docs) and the 3 whose
-    # implementation changed (json_round_trip/quakeml_rt route through
-    # the v2 schema-tolerant extractors; attach_origin through the
-    # dynamic-struct make_origins), (b) the 10 remaining queries whose
-    # last driver row was r1/r2 (judge-verified green in r4; squeezed out
-    # of r5's first 50 — NOTES rotation item), (c) 30 rows last
-    # driver-verified in r4 to refresh them (the last 1 spills past the
-    # cap). The 61 past-cap rows were ALL driver-green in
-    # CORRECTNESS_r05 (50) or _r04 (11).
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a0) the 9
+    # queries NEW in the r6 second wave (triangles/CMS/span-dedup/
+    # set-similarity/PQ/winsorize/Q5/rolling/skew-join), (a) the 8
+    # queries NEW in r6 wave one (sub-entity parity set + canonical_docs)
+    # and the 3 whose implementation changed (json_round_trip/quakeml_rt
+    # route through the v2 schema-tolerant extractors; attach_origin
+    # through the dynamic-struct make_origins), (b) the 10 remaining
+    # queries whose last driver row was r1/r2 (judge-verified green in
+    # r4), (c) rows last driver-verified in r4 up to the cap. The
+    # past-cap rows were ALL driver-green in CORRECTNESS_r05 or _r04.
     return {
         # (a0) new in the r6 second wave (this session)
         "triangle_count": q_triangle_count,
@@ -6252,6 +6323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "rolling_metrics": q_rolling_metrics,
         "skew_join": q_skew_join,
+        "pmi_pairs": q_pmi_pairs,
+        "rank_transform": q_rank_transform,
         # (a) new in r6 + implementation-changed in r6
         "events_wide": q_events_wide,
         "picks_full": q_picks_full,
@@ -6294,6 +6367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": q_approx_quantiles,
         "bloom_semi": q_bloom_semi,
         "sds_chunks": q_sds_chunks,
+        # --- driver cap (50) — moved up by the 11 second-wave queries.
+        # Everything below gets NO driver row this round: first the
+        # remaining r4-verified rows, then the rows driver-green in
+        # CORRECTNESS_r05 and unchanged since. ---
         "wav_roundtrip": q_wav_roundtrip,
         "mseed_roundtrip": q_mseed_roundtrip,
         "csv_round_trip": q_csv_round_trip,
@@ -6306,9 +6383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glob_filter": q_glob_filter,
         "json_props": q_json_props,
         "availability": q_availability,
-        # --- driver cap (50). Everything below gets NO driver row this
-        # round: first the 10 remaining r4-verified rows, then the 50
-        # rows driver-green in CORRECTNESS_r05 and unchanged since. ---
         "origin_quality": q_origin_quality,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -6384,6 +6458,8 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": _SQL_Q5,
         "rolling_metrics": _SQL_ROLLING,
         "skew_join": _SQL_SKEW_JOIN,
+        "pmi_pairs": _SQL_PMI,
+        "rank_transform": _SQL_RANK_TRANSFORM,
         "events_wide": _SQL_EVENTS_WIDE,
         "picks_full": _SQL_PICKS_FULL,
         "amplitudes_flat": _SQL_AMP_FLAT,

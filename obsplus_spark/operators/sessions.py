@@ -455,3 +455,48 @@ def rolling_window_sums(
         FROM {{d}}
         """,
     )
+
+
+def rank_transform(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Per-group rank normalization: percent-rank in [0, 1] plus an
+    integer quantile bucket for every row — the feature transform that
+    makes heavy-tailed metrics comparable across segments (rank/quantile
+    features for ranking models, stratified sampling keys).
+
+    Determinism: ranks come from ``row_number`` under the TOTAL order
+    ``(value, id)``; the bucket is pure integer arithmetic
+    ``((rn − 1) · buckets) div n`` (never ``ntile``/``floor(double)``,
+    whose tie and boundary behavior is engine-specific). One keyed
+    exchange; both window values ride the same sort.
+
+    Output: the input's (id, key, value) plus ``pct_rank`` (6 dp, 0.0
+    for singleton groups) and ``bucket`` (0 .. buckets−1).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    b = int(buckets)
+    if b < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        SELECT {id_col}, {key_col}, {value_col},
+               round(CASE WHEN n > 1
+                     THEN (rn - 1) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END, 6)
+                 AS pct_rank,
+               CAST(((rn - 1) * {b}) div n AS INT) AS bucket
+        FROM (
+          SELECT {id_col}, {key_col}, {value_col},
+                 row_number() OVER (PARTITION BY {key_col}
+                     ORDER BY {value_col}, {id_col}) AS rn,
+                 count(1) OVER (PARTITION BY {key_col}) AS n
+          FROM {{d}} WHERE {value_col} IS NOT NULL
+        )
+        """,
+    )

@@ -850,3 +850,75 @@ def posting_lists(
         HAVING max(_df) >= {int(min_df)}
         """,
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise-mutual-information collocations: unordered token pairs
+    co-occurring within ``window`` positions, scored
+    ``ln(c_ab · N / (c_a · c_b))`` — the corpus-statistics pass that
+    surfaces multi-word expressions ("new york") before tokenizer
+    training or phrase-aware dedup. Complements ``bpe_pair_counts``
+    (adjacent-only, frequency-ranked) with distance-``window``
+    association strength.
+
+    Scale shape: pair expansion is IN-ROW (a bounded ``window ×
+    positions`` flatten — no positions self-join), then ONE pair-keyed
+    map-combined aggregate; unigram counts and the corpus token total
+    are vocabulary-/scalar-sized and ride broadcast joins. Top-k is a
+    distributed TakeOrdered on the 6-dp-rounded score (engine-stable
+    boundary).
+
+    Output: (tok_a, tok_b, n_pair, n_a, n_b, pmi) — ≤ k rows.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = ensure_parallelism(df).selectExpr(
+        f"{_lower_tokens_sql(text_col)} AS _toks"
+    )
+    pairs_expr = f"""
+        CASE WHEN size(_toks) >= 2 THEN
+          flatten(transform(sequence(0, size(_toks) - 2), i ->
+            transform(sequence(i + 1, least(i + {w}, size(_toks) - 1)), j ->
+              named_struct('a', least(_toks[i], _toks[j]),
+                           'b', greatest(_toks[i], _toks[j])))))
+        ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END
+    """
+    return sql_over(
+        {"t": toks},
+        f"""
+        WITH pr AS (
+          SELECT p.a, p.b, count(1) AS n_pair
+          FROM (SELECT explode({pairs_expr}) AS p FROM {{t}})
+          GROUP BY p.a, p.b
+        ),
+        uni AS (
+          SELECT tok, count(1) AS n_tok
+          FROM (SELECT explode(_toks) AS tok FROM {{t}})
+          GROUP BY tok
+        ),
+        tot AS (SELECT sum(n_tok) AS n FROM uni)
+        SELECT a AS tok_a, b AS tok_b,
+               CAST(n_pair AS BIGINT) AS n_pair,
+               CAST(ua.n_tok AS BIGINT) AS n_a,
+               CAST(ub.n_tok AS BIGINT) AS n_b,
+               round(ln(CAST(n_pair AS DOUBLE) * tot.n
+                        / (CAST(ua.n_tok AS DOUBLE) * ub.n_tok)), 6) AS pmi
+        FROM pr
+        JOIN uni ua ON pr.a = ua.tok
+        JOIN uni ub ON pr.b = ub.tok
+        CROSS JOIN tot
+        WHERE n_pair >= {int(min_count)}
+        ORDER BY pmi DESC, tok_a, tok_b
+        LIMIT {int(k)}
+        """,
+    )

@@ -295,3 +295,72 @@ def test_cms_merge_equals_whole_stream_sketch(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, whole.collect()))
     assert a == b
+
+
+def test_pmi_collocations_hand_case(spark):
+    import math as _math
+
+    from obsplus_spark.operators.text import pmi_collocations
+
+    # "x y" always adjacent; "a" spread out. 4 docs of "x y a".
+    docs = spark.createDataFrame(
+        [(i, "x y a") for i in range(4)], "doc_id long, text string"
+    )
+    out = {(r["tok_a"], r["tok_b"]): r for r in
+           pmi_collocations(docs, window=3, min_count=2, k=10).collect()}
+    # tokens per doc: x y a -> pairs within window 3: (x,y),(a,x),(a,y)
+    # each 4 times; unigrams all 4; total 12
+    assert set(out) == {("x", "y"), ("a", "x"), ("a", "y")}
+    r = out[("x", "y")]
+    assert r["n_pair"] == 4 and r["n_a"] == 4 and r["n_b"] == 4
+    assert _math.isclose(
+        r["pmi"], round(_math.log(4 * 12 / (4 * 4)), 6), abs_tol=1e-9
+    )
+
+
+def test_pmi_collocations_window_limits_pairs(spark):
+    from obsplus_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "p q r s t u") for i in range(3)], "doc_id long, text string"
+    )
+    out = {(r["tok_a"], r["tok_b"]) for r in
+           pmi_collocations(docs, window=1, min_count=1, k=100).collect()}
+    # window=1: adjacent pairs only
+    assert out == {("p", "q"), ("q", "r"), ("r", "s"), ("s", "t"), ("t", "u")}
+
+
+def test_pmi_collocations_validates(spark):
+    from obsplus_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pmi_collocations(docs, window=0)
+
+
+def test_rank_transform_hand_case(spark):
+    from obsplus_spark.operators.sessions import rank_transform
+
+    rows = [("k", float(v), i) for i, v in enumerate([10, 20, 30, 40, 50])]
+    df = spark.createDataFrame(rows, "k string, v double, id long")
+    out = {r["id"]: r for r in
+           rank_transform(df, "k", "v", "id", buckets=10).collect()}
+    assert out[0]["pct_rank"] == 0.0 and out[4]["pct_rank"] == 1.0
+    assert out[2]["pct_rank"] == 0.5
+    # buckets: ((rn-1)*10) div 5 -> 0,2,4,6,8
+    assert [out[i]["bucket"] for i in range(5)] == [0, 2, 4, 6, 8]
+
+
+def test_rank_transform_singleton_and_ties(spark):
+    from obsplus_spark.operators.sessions import rank_transform
+
+    df = spark.createDataFrame(
+        [("a", 5.0, 1), ("b", 7.0, 2), ("b", 7.0, 3)],
+        "k string, v double, id long",
+    )
+    out = {(r["k"], r["id"]): r for r in
+           rank_transform(df, "k", "v", "id").collect()}
+    assert out[("a", 1)]["pct_rank"] == 0.0  # singleton group
+    # tie broken by id: id=2 ranks first
+    assert out[("b", 2)]["pct_rank"] == 0.0
+    assert out[("b", 3)]["pct_rank"] == 1.0

@@ -422,3 +422,29 @@ def test_jaccard_join_candidate_phase_integer_keys(plans):
     p, simple = plans["jaccard_join"]
     assert "xxhash64" in p
     assert "CartesianProduct" not in p
+
+
+def test_pmi_pair_expansion_in_row(plans):
+    """PMI collocations: pair expansion is an in-row flatten (no
+    positions self-join — the only joins attach the vocabulary-sized
+    unigram normalizers) and the top-k is a distributed TakeOrdered."""
+    p, simple = plans["pmi_pairs"]
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # normalizer joins must broadcast
+
+
+def test_rank_transform_single_exchange(plans):
+    """Rank transform: one type-keyed exchange; both window values ride
+    the same sort."""
+    p, simple = plans["rank_transform"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_skew_join_salted_key(plans):
+    """Skew join: the join key carries the salt column (keyed equi-join
+    on (key, _salt)), and the dim replication is an in-row explode."""
+    p, simple = plans["skew_join"]
+    assert "_salt" in p
+    assert "CartesianProduct" not in p
