@@ -631,10 +631,19 @@ def pq_encode(
     then one ``posexplode``). No corpus shuffle at all — the output is
     narrow per row.
 
+    Dimensions not divisible by ``m``: the subspace width is
+    ``dim div m``, so up to ``m − 1`` trailing dimensions fall outside
+    every subspace and do not contribute to any code (the standard PQ
+    padding caveat — pick ``m`` dividing the dimension).
+
     Output: (id, sub, code) — m rows per vector, all-integer.
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
+    if int(m) < 1 or int(n_codes) < 1:
+        raise ValueError(
+            f"m and n_codes must be >= 1, got m={m}, n_codes={n_codes}"
+        )
     vectors = ensure_parallelism(vectors)
     codes = sql_over(
         {"v": vectors},

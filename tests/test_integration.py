@@ -129,6 +129,8 @@ _DATE_LITERAL_QUERIES = [
     "returned_customers",
     "table_profile",
     "rfm_segments",
+    # r6 second wave: Q5 compares o_orderdate against timestamp literals
+    "local_supplier_volume",
 ]
 
 
