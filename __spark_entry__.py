@@ -6295,6 +6295,40 @@ _SQL_RANK_TRANSFORM = """
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution: ONE
+    (source, token)-keyed aggregate; corpus/source totals re-aggregate
+    from it (vocabulary-/source-sized) and broadcast back."""
+    from obsplus_spark.operators.text import source_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_divergence(docs)
+
+
+_SQL_SOURCE_KL = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    st AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY source, tok),
+    ct AS (SELECT tok, sum(n) AS nc FROM st GROUP BY tok),
+    stot AS (SELECT source, sum(n) AS ns FROM st GROUP BY source),
+    ctot AS (SELECT sum(nc) AS nt FROM ct)
+    SELECT s.source,
+           CAST(max(t.ns) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           round(sum((s.n / CAST(t.ns AS DOUBLE))
+                 * ln((s.n / CAST(t.ns AS DOUBLE))
+                      / (c.nc / CAST(x.nt AS DOUBLE)))), 6) AS kl
+    FROM st s
+    JOIN ct c ON s.tok = c.tok
+    JOIN stot t ON s.source = t.source
+    CROSS JOIN ctot x
+    GROUP BY s.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -6325,6 +6359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "pmi_pairs": q_pmi_pairs,
         "rank_transform": q_rank_transform,
+        "source_divergence": q_source_divergence,
         # (a) new in r6 + implementation-changed in r6
         "events_wide": q_events_wide,
         "picks_full": q_picks_full,
@@ -6366,11 +6401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": q_hll_users,
         "approx_quantiles": q_approx_quantiles,
         "bloom_semi": q_bloom_semi,
-        "sds_chunks": q_sds_chunks,
-        # --- driver cap (50) — moved up by the 11 second-wave queries.
+        # --- driver cap (50) — moved up by the 12 second-wave queries.
         # Everything below gets NO driver row this round: first the
         # remaining r4-verified rows, then the rows driver-green in
         # CORRECTNESS_r05 and unchanged since. ---
+        "sds_chunks": q_sds_chunks,
         "wav_roundtrip": q_wav_roundtrip,
         "mseed_roundtrip": q_mseed_roundtrip,
         "csv_round_trip": q_csv_round_trip,
@@ -6460,6 +6495,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": _SQL_SKEW_JOIN,
         "pmi_pairs": _SQL_PMI,
         "rank_transform": _SQL_RANK_TRANSFORM,
+        "source_divergence": _SQL_SOURCE_KL,
         "events_wide": _SQL_EVENTS_WIDE,
         "picks_full": _SQL_PICKS_FULL,
         "amplitudes_flat": _SQL_AMP_FLAT,

@@ -922,3 +922,56 @@ def pmi_collocations(
         LIMIT {int(k)}
         """,
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-distribution divergence from the whole corpus:
+    ``KL(P_source ‖ P_corpus) = Σ_t p_s(t) · ln(p_s(t) / p_c(t))`` — the
+    mixture-quality signal that flags a source whose language diverges
+    from the blend (scraped boilerplate, wrong-language shards) before
+    it skews a training mix.
+
+    Every source token is by construction in the corpus distribution, so
+    the ratio is always finite. Scale shape: ONE (source, token)-keyed
+    map-combined aggregate over the token stream; the corpus token
+    totals re-aggregate from that table (vocabulary-sized) and ride a
+    broadcast join back, the per-source totals a second broadcast
+    (source-count-sized); one final source-keyed sum. No windows, no
+    corpus re-scan.
+
+    Output: (source, n_tokens, n_distinct_tokens, kl) — one row per
+    source, kl rounded to 6 dp.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    toks = ensure_parallelism(df).selectExpr(
+        group_col, f"explode({_lower_tokens_sql(text_col)}) AS tok"
+    )
+    return sql_over(
+        {"t": toks},
+        f"""
+        WITH st AS (
+          SELECT {group_col}, tok, count(1) AS n
+          FROM {{t}} GROUP BY {group_col}, tok
+        ),
+        ct AS (SELECT tok, sum(n) AS nc FROM st GROUP BY tok),
+        stot AS (SELECT {group_col}, sum(n) AS ns FROM st
+                 GROUP BY {group_col}),
+        ctot AS (SELECT sum(nc) AS nt FROM ct)
+        SELECT s.{group_col},
+               CAST(max(t.ns) AS BIGINT) AS n_tokens,
+               CAST(count(1) AS BIGINT) AS n_distinct_tokens,
+               round(sum((s.n / CAST(t.ns AS DOUBLE))
+                     * ln((s.n / CAST(t.ns AS DOUBLE))
+                          / (c.nc / CAST(x.nt AS DOUBLE)))), 6) AS kl
+        FROM st s
+        JOIN ct c ON s.tok = c.tok
+        JOIN stot t ON s.{group_col} = t.{group_col}
+        CROSS JOIN ctot x
+        GROUP BY s.{group_col}
+        """,
+    )

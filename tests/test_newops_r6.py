@@ -364,3 +364,32 @@ def test_rank_transform_singleton_and_ties(spark):
     # tie broken by id: id=2 ranks first
     assert out[("b", 2)]["pct_rank"] == 0.0
     assert out[("b", 3)]["pct_rank"] == 1.0
+
+
+def test_source_divergence_identical_sources_zero_kl(spark):
+    from obsplus_spark.operators.text import source_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_divergence(docs).collect()}
+    assert out["s1"]["kl"] == 0.0 and out["s2"]["kl"] == 0.0
+    assert out["s1"]["n_tokens"] == 3 and out["s1"]["n_distinct_tokens"] == 3
+
+
+def test_source_divergence_skewed_source_positive(spark):
+    import math as _math
+
+    from obsplus_spark.operators.text import source_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "skew"), (2, "x y", "mix")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_divergence(docs).collect()}
+    # corpus: x=5, y=1, N=6. skew: p(x)=1 -> kl = ln(1/(5/6)) = ln(6/5)
+    assert _math.isclose(
+        out["skew"]["kl"], round(_math.log(6 / 5), 6), abs_tol=1e-9
+    )
+    assert out["mix"]["kl"] > 0.0
