@@ -6329,6 +6329,116 @@ _SQL_SOURCE_KL = r"""
 """
 
 
+def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (the FAISS-style two-level quantization): broadcast
+    centroid + codebook folds, map-only corpus encode, per-query in-row
+    ADC tables, cluster equi-join candidates, WindowGroupLimit
+    top-rerank on the ADC estimate, exact re-rank of the survivors. The
+    oracle replays the full structure (assignment, codes, probe lists,
+    ADC cells, re-rank) in SQL."""
+    from obsplus_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_topk(
+        emb, n_clusters=4, nprobe=2, m=8, n_codes=4, rerank=32, k=8,
+        queries=queries,
+    )
+
+
+_SQL_IVF_PQ = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
+             sqrt(list_dot_product(ev, ev)) AS nrm
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ev AS cv
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv
+          FROM v WHERE vec_id >= 5 AND vec_id < 10),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.ev, c.c)
+                   / (sqrt(list_dot_product(v.ev, v.ev)) * c.nrm) DESC,
+                 c.cluster) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT v.vec_id, u.s AS sub, cb.code,
+               row_number() OVER (PARTITION BY v.vec_id, u.s ORDER BY
+                 round(list_sum(list_transform(range(1, 9), i ->
+                   (ev[CAST(u.s * 8 + i AS INT)]
+                      - cv[CAST(u.s * 8 + i AS INT)])
+                   * (ev[CAST(u.s * 8 + i AS INT)]
+                      - cv[CAST(u.s * 8 + i AS INT)]))), 9),
+                 cb.code) AS rn
+        FROM v, unnest(range(0, 8)) AS u(s), cb
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.query_id, c.cluster,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, c.c) / c.nrm DESC, c.cluster) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    tbl AS (
+      SELECT q.query_id, u.s AS sub, cb.code,
+             round(list_sum(list_transform(range(1, 9), i ->
+               (qv[CAST(u.s * 8 + i AS INT)]
+                  - cv[CAST(u.s * 8 + i AS INT)])
+               * (qv[CAST(u.s * 8 + i AS INT)]
+                  - cv[CAST(u.s * 8 + i AS INT)]))), 9) AS d
+      FROM q, unnest(range(0, 8)) AS u(s), cb
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id, round(sum(t.d), 6) AS adc
+      FROM probe p
+      JOIN asg a ON a.cluster = p.cluster
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN tbl t ON t.query_id = p.query_id
+               AND t.sub = c.sub AND t.code = c.code
+      GROUP BY p.query_id, a.vec_id
+    ),
+    rer AS (
+      SELECT r.query_id, r.vec_id,
+             round(list_sum(list_transform(range(1, len(v.ev) + 1), i ->
+               (v.ev[CAST(i AS INT)] - q.qv[CAST(i AS INT)])
+               * (v.ev[CAST(i AS INT)] - q.qv[CAST(i AS INT)]))), 6)
+               AS l2_sq
+      FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc, vec_id) AS rr
+        FROM cand
+      ) r
+      JOIN v ON v.vec_id = r.vec_id
+      JOIN q ON q.query_id = r.query_id
+      WHERE r.rr <= 32
+    )
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank, l2_sq
+    FROM (
+      SELECT query_id, vec_id, l2_sq,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY l2_sq, vec_id) AS rank
+      FROM rer
+    ) WHERE rank <= 8
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -6360,6 +6470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "rank_transform": q_rank_transform,
         "source_divergence": q_source_divergence,
+        "ivf_pq": q_ivf_pq,
         # (a) new in r6 + implementation-changed in r6
         "events_wide": q_events_wide,
         "picks_full": q_picks_full,
@@ -6400,11 +6511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_arrivals": q_orphan_arrivals,
         "hll_users": q_hll_users,
         "approx_quantiles": q_approx_quantiles,
-        "bloom_semi": q_bloom_semi,
-        # --- driver cap (50) — moved up by the 12 second-wave queries.
+        # --- driver cap (50) — moved up by the 14 second-wave queries.
         # Everything below gets NO driver row this round: first the
         # remaining r4-verified rows, then the rows driver-green in
         # CORRECTNESS_r05 and unchanged since. ---
+        "bloom_semi": q_bloom_semi,
         "sds_chunks": q_sds_chunks,
         "wav_roundtrip": q_wav_roundtrip,
         "mseed_roundtrip": q_mseed_roundtrip,
@@ -6496,6 +6607,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_pairs": _SQL_PMI,
         "rank_transform": _SQL_RANK_TRANSFORM,
         "source_divergence": _SQL_SOURCE_KL,
+        "ivf_pq": _SQL_IVF_PQ,
         "events_wide": _SQL_EVENTS_WIDE,
         "picks_full": _SQL_PICKS_FULL,
         "amplitudes_flat": _SQL_AMP_FLAT,

@@ -605,6 +605,48 @@ def hard_negatives(
     )
 
 
+def _pq_codebook(
+    vectors: DataFrame,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Fold the deterministic PQ codebook (subvectors of the ``n_codes``
+    lowest-id vectors, codes 0..n_codes−1 by ascending seed id) into ONE
+    broadcastable array row ``_codes`` of (code, vec<double>)."""
+    from obsplus_spark.util import sql_over
+
+    return sql_over(
+        {"v": vectors},
+        f"""
+        SELECT transform(sort_array(collect_list(named_struct(
+                 '_k', _sid, 'vec', vec))),
+               (c, i) -> named_struct('code', i, 'vec', c.vec)) AS _codes
+        FROM (SELECT {id_col} AS _sid,
+                     transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec
+              FROM {{v}} ORDER BY {id_col} LIMIT {int(n_codes)})
+        """,
+    )
+
+
+def _pq_assign_expr(m: int, arr: str = "ev", codes: str = "_codes") -> str:
+    """In-row PQ code-array expression over a double-array column: per
+    subspace, the argmin-L2 code (distances rounded to 9 dp so the
+    argmin is engine-stable; rounded ties break to the smallest code)."""
+    dsub = f"(size({arr}) div {int(m)})"
+    dist = (
+        f"round(aggregate(zip_with("
+        f"slice({arr}, s * {dsub} + 1, {dsub}),"
+        f" slice(cb.vec, s * {dsub} + 1, {dsub}),"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x), 9)"
+    )
+    return (
+        f"transform(sequence(0, {int(m) - 1}), s ->"
+        f" array_min(transform({codes}, cb -> named_struct("
+        f"'dist', {dist}, 'code', cb.code))).code)"
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     m: int = 8,
@@ -645,24 +687,7 @@ def pq_encode(
             f"m and n_codes must be >= 1, got m={m}, n_codes={n_codes}"
         )
     vectors = ensure_parallelism(vectors)
-    codes = sql_over(
-        {"v": vectors},
-        f"""
-        SELECT transform(sort_array(collect_list(named_struct(
-                 '_k', _sid, 'vec', vec))),
-               (c, i) -> named_struct('code', i, 'vec', c.vec)) AS _codes
-        FROM (SELECT {id_col} AS _sid,
-                     transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec
-              FROM {{v}} ORDER BY {id_col} LIMIT {int(n_codes)})
-        """,
-    )
-    dsub = f"(size(ev) div {int(m)})"
-    dist = (
-        f"round(aggregate(zip_with("
-        f"slice(ev, s * {dsub} + 1, {dsub}),"
-        f" slice(cb.vec, s * {dsub} + 1, {dsub}),"
-        " (x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x), 9)"
-    )
+    codes = _pq_codebook(vectors, n_codes, id_col, vec_col)
     return sql_over(
         {"v": vectors, "c": codes},
         f"""
@@ -673,9 +698,131 @@ def pq_encode(
                  c._codes AS _codes
           FROM {{v}} v CROSS JOIN {{c}} c
         )
-        LATERAL VIEW posexplode(transform(sequence(0, {int(m) - 1}), s ->
-          array_min(transform(_codes, cb -> named_struct(
-            'dist', {dist}, 'code', cb.code))).code
-        )) AS sub, code
+        LATERAL VIEW posexplode({_pq_assign_expr(int(m))}) AS sub, code
+        """,
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    n_clusters: int = 4,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 4,
+    rerank: int = 32,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ search — the two-level quantization architecture of a
+    production ANN index (FAISS ``IVFx,PQy`` — public algorithm):
+    an IVF coarse quantizer prunes the corpus to ``nprobe`` inverted
+    lists, PQ codes give each candidate an asymmetric-distance (ADC)
+    estimate from an m-lookup table instead of a d-dimensional scan, and
+    only the ``rerank`` best ADC candidates pay the exact distance.
+
+    Scale shape, stage by stage:
+    - centroids AND the PQ codebook each fold into one broadcast array
+      row (tiny aggregates; deterministic lowest-id seeding, no RNG);
+    - the corpus is touched ONCE to attach (cluster, pq_codes) — both
+      map-only in-row expressions under the same broadcasts;
+    - each query precomputes its probe list and its m×n_codes ADC table
+      in-row (broadcast-sized side);
+    - the candidate join is an equi-join on ``cluster`` against the
+      broadcast query side — candidate fraction ≈ nprobe/n_clusters of
+      the corpus, each candidate costing an m-element table lookup sum,
+      NOT a d-element vector scan;
+    - per-query top-``rerank`` by (6-dp ADC, id) compiles to
+      WindowGroupLimit; only those rows pay the exact d-dimensional
+      distance, and the final top-k ranks on the 6-dp exact value.
+
+    Output: (query_id, vec_id, rank, l2_sq) — k rows per query; l2_sq
+    is the EXACT squared L2 (6 dp), ranks 1..k ascending.
+    """
+    from obsplus_spark.util import sql_over
+
+    if int(rerank) < int(k):
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    assignments, carr = ivf_assign(
+        vectors,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_iterations=0,
+        folded=True,
+    )
+    codebook = _pq_codebook(vectors, n_codes, id_col, vec_col)
+    if queries is None:
+        raise ValueError("queries frame is required")
+    dsq = f"(size(qv) div {int(m)})"
+    adc_cell = (
+        f"round(aggregate(zip_with("
+        f"slice(qv, s * {dsq} + 1, {dsq}),"
+        f" slice(cb.vec, s * {dsq} + 1, {dsq}),"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x), 9)"
+    )
+    return sql_over(
+        {"a": assignments, "c": carr, "cb": codebook, "q": queries},
+        f"""
+        WITH corpus AS (
+          SELECT /*+ BROADCAST(cb) */ a.{id_col} AS vid, a.ev, a.cluster,
+                 {_pq_assign_expr(int(m), arr="a.ev", codes="cb._codes")}
+                   AS codes
+          FROM (SELECT {id_col},
+                       transform({vec_col}, x -> CAST(x AS DOUBLE)) AS ev,
+                       cluster
+                FROM {{a}}) a
+          CROSS JOIN {{cb}} cb
+        ),
+        qside AS (
+          SELECT query_id, qv, tbl, explode(probes) AS cluster
+          FROM (
+            SELECT query_id, qv,
+                   transform(sequence(0, {int(m) - 1}), s ->
+                     transform(cbv, cb -> {adc_cell})) AS tbl,
+                   transform(slice(sort_array(transform(cents,
+                     s -> named_struct('ns',
+                       -aggregate(zip_with(qv, s.centroid,
+                          (x, y) -> x * y), 0.0D, (a, x) -> a + x) / s.nrm,
+                       'cluster', s.cluster))), 1, {int(nprobe)}),
+                     s -> s.cluster) AS probes
+            FROM (
+              SELECT /*+ BROADCAST(c), BROADCAST(cb) */
+                     q.{query_id_col} AS query_id,
+                     transform(q.{query_vec_col},
+                       x -> CAST(x AS DOUBLE)) AS qv,
+                     c._cents AS cents, cb._codes AS cbv
+              FROM {{q}} q CROSS JOIN {{c}} c CROSS JOIN {{cb}} cb
+            )
+          )
+        ),
+        cand AS (
+          SELECT /*+ BROADCAST(s) */ s.query_id, v.vid, v.ev, s.qv,
+                 round(aggregate(zip_with(v.codes, s.tbl,
+                   (c, t) -> element_at(t, c + 1)), 0.0D,
+                   (a, x) -> a + x), 6) AS adc
+          FROM corpus v JOIN qside s ON v.cluster = s.cluster
+        ),
+        rer AS (
+          SELECT query_id, vid,
+                 round(aggregate(zip_with(ev, qv,
+                   (x, y) -> (x - y) * (x - y)), 0.0D,
+                   (a, x) -> a + x), 6) AS l2_sq
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc, vid) AS rr
+            FROM cand
+          ) WHERE rr <= {int(rerank)}
+        )
+        SELECT query_id, vid AS {id_col}, CAST(rank AS INT) AS rank, l2_sq
+        FROM (
+          SELECT query_id, vid, l2_sq,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY l2_sq, vid) AS rank
+          FROM rer
+        ) WHERE rank <= {int(k)}
         """,
     )

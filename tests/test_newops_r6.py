@@ -393,3 +393,76 @@ def test_source_divergence_skewed_source_positive(spark):
         out["skew"]["kl"], round(_math.log(6 / 5), 6), abs_tol=1e-9
     )
     assert out["mix"]["kl"] > 0.0
+
+
+def test_ivf_pq_exhaustive_equals_bruteforce(spark):
+    """With nprobe = n_clusters and rerank >= corpus, IVF-PQ degrades to
+    exact search: the ADC stage reorders but the exact re-rank covers
+    everything."""
+    import numpy as np
+
+    from obsplus_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(40, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in (7, 9)],
+        "query_id long, query_vec array<float>",
+    )
+    out = ivf_pq_topk(
+        df, n_clusters=4, nprobe=4, m=4, n_codes=4, rerank=40, k=5,
+        queries=qs,
+    ).collect()
+    X = mat.astype(np.float64)
+    for qid in (7, 9):
+        d = ((X - X[qid]) ** 2).sum(axis=1).round(6)
+        want = sorted(range(40), key=lambda i: (d[i], i))[:5]
+        got = [r["vec_id"] for r in
+               sorted((r for r in out if r["query_id"] == qid),
+                      key=lambda r: r["rank"])]
+        assert got == want
+
+
+def test_ivf_pq_prunes_and_stays_sane(spark):
+    """With real pruning (nprobe < n_clusters, small rerank) every query
+    still returns k rows, ranks 1..k, and its own id first (self hit —
+    the query vectors are corpus members)."""
+    import numpy as np
+
+    from obsplus_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(60, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in (12, 33)],
+        "query_id long, query_vec array<float>",
+    )
+    out = ivf_pq_topk(
+        df, n_clusters=4, nprobe=2, m=4, n_codes=4, rerank=16, k=4,
+        queries=qs,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+        assert rows[0]["vec_id"] == qid and rows[0]["l2_sq"] == 0.0
+
+
+def test_ivf_pq_validates_rerank(spark):
+    from obsplus_spark.operators.similarity import ivf_pq_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        ivf_pq_topk(df, rerank=2, k=4, queries=df)
