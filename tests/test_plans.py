@@ -448,3 +448,23 @@ def test_skew_join_salted_key(plans):
     p, simple = plans["skew_join"]
     assert "_salt" in p
     assert "CartesianProduct" not in p
+
+
+def test_source_divergence_normalizers_broadcast(plans):
+    """KL divergence: one (source, token) aggregate; the corpus/source
+    normalizers ride broadcast joins (no SortMergeJoin — the big token
+    stream never shuffles against them)."""
+    p, simple = plans["source_divergence"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_pq_candidates_window_group_limit(plans):
+    """IVF-PQ: the ADC top-rerank compiles to WindowGroupLimit; the
+    candidate join is keyed (no cartesian); centroid/codebook folds ride
+    broadcasts."""
+    p, simple = plans["ivf_pq"]
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
