@@ -247,6 +247,8 @@ def salted_join(
     s = int(salt)
     if s < 2:
         raise ValueError(f"salt must be >= 2, got {salt}")
+    if "_salt" in big.columns or "_salt" in dim.columns:
+        raise ValueError("inputs must not already carry a _salt column")
     big_s = big.withColumn("_salt", (F.rand(seed=0) * s).cast("int"))
     dim_s = dim.withColumn(
         "_salt", F.explode(F.expr(f"sequence(0, {s - 1})"))

@@ -204,3 +204,53 @@ def streaming_rate_alerts(
         .alias("z"),
     )
     return scored.filter(F.abs(F.col("z")) > float(sigma))
+
+
+def stream_cms_counters(
+    stream: DataFrame,
+    key_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 512,
+    available_now: bool = True,
+):
+    """foreachBatch count-min-sketch maintenance: each micro-batch builds
+    its own ≤ depth×width-cell sketch and merges it CELL-WISE into a
+    persistent counters table — the streaming form of the mergeable-
+    sketch contract (``sketches.cms_merge``): the maintained table is at
+    every point identical to a sketch built over everything ingested so
+    far, while per-batch work is one map-combined aggregate plus a
+    sketch-sized merge (never a rescan).
+
+    The store swaps generations (write new, rename over old) — the same
+    single-writer snapshot pattern as the bank upsert; readers see either
+    the previous or the new complete table. Returns the started
+    StreamingQuery.
+    """
+    import os
+    import shutil
+
+    from obsplus_spark.operators.sketches import cms_counters, cms_merge
+
+    cur = os.path.join(store_dir, "current")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = cms_counters(batch_df, key_col, depth=depth, width=width)
+        if os.path.isdir(cur):
+            b = cms_merge(batch_df.sparkSession.read.parquet(cur), b)
+        tmp = os.path.join(store_dir, f"_gen_{batch_id}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = os.path.join(store_dir, f"_old_{batch_id}")
+        if os.path.isdir(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -306,3 +306,50 @@ def test_streaming_rate_alerts(spark, tmp_path):
     # batch mode: same helper, same rule (backtesting path)
     batch = streaming_rate_alerts(df, baseline, duration="60 seconds")
     assert [r.n for r in batch.collect()] == [5]
+
+
+def test_streaming_cms_counters_equal_batch_sketch(spark, tmp_path):
+    """The maintained streaming CMS equals a batch sketch over the full
+    ingested stream after any number of micro-batches (mergeability,
+    end to end through foreachBatch + generation swap)."""
+    from obsplus_spark.operators.sketches import cms_counters
+    from obsplus_spark.streaming.incremental import stream_cms_counters
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "cms_store")
+    schema = "doc_id long, text string"
+
+    rows1 = [(i, f"tok{i % 7}") for i in range(40)]
+    rows2 = [(i + 100, f"tok{i % 5}") for i in range(30)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_cms_counters(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            key_col="text",
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            depth=3,
+            width=64,
+        )
+        q.awaitTermination(120)
+
+    write_batch(rows1)
+    run()
+    write_batch(rows2)
+    run()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{store}/current").collect())
+    )
+    whole = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        map(tuple, cms_counters(whole, "text", depth=3, width=64).collect())
+    )
+    assert got == want
