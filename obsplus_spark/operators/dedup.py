@@ -1170,12 +1170,20 @@ def set_similarity_join(
     Any internally-consistent global order yields a candidate SUPERSET,
     and candidates are verified with exact set intersection before
     emission, so results are order-independent (the DuckDB oracle orders
-    by shingle strings, this plan by md5 digests; outputs agree exactly).
+    by shingle strings, this plan by gram hashes; outputs agree exactly).
+
+    Set elements are 64-bit gram hashes end-to-end
+    (:func:`gram_hash_array` — integer shuffle/sort/join keys and
+    integer array intersection, no md5 strings anywhere): a collision
+    only MERGES two elements, which can only raise a pair's hashed
+    Jaccard, so the ≥ t result set matches string-set semantics up to
+    2⁻⁶⁴ odds — the same accepted digest argument as
+    :func:`duplicate_span_mass` / :func:`boilerplate_ngram_stats`.
 
     Scale shape: one shingle-frequency aggregate, one frequency-attach
     join that reuses the same shingle-keyed exchange, one per-doc rank
     window, the prefix self-equi-join on shingle, a candidate-pair
-    distinct, and one verify join against the per-doc digest arrays —
+    distinct, and one verify join against the per-doc gram-hash arrays —
     every stage keyed, no broadcast of anything corpus-sized, no driver
     actions.
 
@@ -1187,18 +1195,17 @@ def set_similarity_join(
     t = float(threshold)
     if not (0.0 < t <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingle_digest_array(
+    sh = gram_hash_array(
         ensure_parallelism(df),
         id_col=id_col,
         text_col=text_col,
         n=shingle_size,
         out_col="sh",
-        drop_empty=True,
     )
     # the shingle array feeds THREE plan references (the prefix explode
-    # and both verify sides) — persist it once so the md5 chain runs one
-    # pass over the corpus, not three (same bounded cache ring as
-    # near_duplicates; measured 5.8 s → ~2 s at sf0.1)
+    # and both verify sides) — persist it once so the gram-hash chain
+    # runs one pass over the corpus, not three (same bounded cache ring
+    # as near_duplicates)
     if persist_shingles is None:
         persist_shingles = True
     if persist_shingles:
@@ -1208,13 +1215,7 @@ def set_similarity_join(
         {"sh": sh},
         f"""
         WITH ex AS (
-          -- candidate phase runs on int64 hashes of the digests: integer
-          -- shuffle/sort/join keys instead of 38-char strings. A hash
-          -- collision only ever MERGES elements, which raises hashed
-          -- Jaccard — candidates stay a superset and the exact verify on
-          -- the digest arrays below keeps the result identical.
-          SELECT {id_col} AS id, xxhash64(s) AS h
-          FROM (SELECT {id_col}, explode(sh) AS s FROM {{sh}})
+          SELECT {id_col} AS id, explode(sh) AS h FROM {{sh}}
         ),
         dfreq AS (SELECT h, count(1) AS df FROM ex GROUP BY h),
         ranked AS (
