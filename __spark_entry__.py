@@ -968,7 +968,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_sql(
+    n_hashes: int = 16, bands: int = 4, extra_pair_pred: str = ""
+) -> str:
     rows_per_band = n_hashes // bands
     # lane j = 8 hex chars of the 38-char extended digest (md5 ||
     # substr(md5,1,6)) at stride-2 offset, parsed as uint32 (lockstep with
@@ -1014,7 +1016,7 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
+       AND a.doc_id < b.doc_id{extra_pair_pred}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -6439,6 +6441,33 @@ _SQL_IVF_PQ = """
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: the batch (doc_id % 3 = 0) is signed
+    and banded fresh; the existing corpus contributes ONLY its persisted
+    LSH band index — never re-scanned or re-paired. Candidates =
+    batch-internal buckets ∪ batch×index collisions; exact Jaccard
+    verify; identical result to full LSH over old ∪ new filtered to
+    pairs touching the batch (which is what the oracle computes)."""
+    from obsplus_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        lsh_band_index,
+        ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter("doc_id % 3 = 0")
+    old = docs.filter("doc_id % 3 != 0")
+    index = lsh_band_index(old, n_hashes=16, bands=4, shingle_size=3)
+    pairs = incremental_candidate_pairs(
+        new, index, n_hashes=16, bands=4, shingle_size=3
+    )
+    out = ngram_jaccard(docs, pairs, shingle_size=3)
+    return out.filter(F.col("jaccard") >= 0.2).select(
+        "id1", "id2", "n_inter", "n1", "n2",
+        F.round("jaccard", 8).alias("jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -6471,6 +6500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_transform": q_rank_transform,
         "source_divergence": q_source_divergence,
         "ivf_pq": q_ivf_pq,
+        "incremental_dedup": q_incremental_dedup,
         # (a) new in r6 + implementation-changed in r6
         "events_wide": q_events_wide,
         "picks_full": q_picks_full,
@@ -6510,11 +6540,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amp_violations": q_amp_violations,
         "orphan_arrivals": q_orphan_arrivals,
         "hll_users": q_hll_users,
-        "approx_quantiles": q_approx_quantiles,
-        # --- driver cap (50) — moved up by the 14 second-wave queries.
+        # --- driver cap (50) — moved up by the 15 second-wave queries.
         # Everything below gets NO driver row this round: first the
         # remaining r4-verified rows, then the rows driver-green in
         # CORRECTNESS_r05 and unchanged since. ---
+        "approx_quantiles": q_approx_quantiles,
         "bloom_semi": q_bloom_semi,
         "sds_chunks": q_sds_chunks,
         "wav_roundtrip": q_wav_roundtrip,
@@ -6608,6 +6638,10 @@ def oracle_sql() -> dict[str, str]:
         "rank_transform": _SQL_RANK_TRANSFORM,
         "source_divergence": _SQL_SOURCE_KL,
         "ivf_pq": _SQL_IVF_PQ,
+        "incremental_dedup": _minhash_sql(
+            16, 4,
+            extra_pair_pred="\n       AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)",
+        ),
         "events_wide": _SQL_EVENTS_WIDE,
         "picks_full": _SQL_PICKS_FULL,
         "amplitudes_flat": _SQL_AMP_FLAT,

@@ -1258,3 +1258,82 @@ def set_similarity_join(
         WHERE n_inter / CAST(n1 + n2 - n_inter AS DOUBLE) >= {t!r}
         """,
     )
+
+
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one (id, band, band_hash)
+    row per band per document — ``bands`` small rows per doc, the thing
+    an incremental dedup pipeline WRITES at ingest so later batches
+    never re-derive signatures for the existing corpus.
+
+    Narrow end to end: per-row digest set → per-row lane minima →
+    per-row band explode. No shuffle at all; partitioning/bucketing by
+    ``band_hash`` at write time is the storage-layout lever.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_size=shingle_size
+    )
+    band_structs = _band_structs(n_hashes, bands)
+    return sigs.select(
+        F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("bh")
+    ).select(id_col, "bh.band", "bh.band_hash")
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-dup candidates for an INCREMENTAL ingest batch: new×new
+    pairs from the batch's own buckets plus new×old pairs from a join
+    against the stored :func:`lsh_band_index` — the existing corpus is
+    never re-scanned, re-signed, or re-paired (its band rows are read
+    once, keyed by the same (band, band_hash) the new batch shuffles
+    on). Identical pair set to re-running full LSH over old ∪ new and
+    keeping pairs that touch the batch. Caller contract: new ids are
+    disjoint from indexed ids (re-ingest upserts the index first).
+
+    Scale shape: the batch side is batch-sized everywhere; the only
+    corpus-sized input is the index (bands·|old| small rows), touched
+    by one keyed equi-join that AQE can broadcast when the batch's
+    band set is small. Output: (id1, id2) distinct, id1 < id2.
+    """
+    nb = lsh_band_index(
+        new_docs, id_col, text_col,
+        n_hashes=n_hashes, bands=bands, shingle_size=shingle_size,
+    )
+    new_new = lsh_candidate_pairs(
+        minhash_signatures(
+            new_docs, id_col, text_col,
+            n_hashes=n_hashes, shingle_size=shingle_size,
+        ),
+        id_col=id_col, n_hashes=n_hashes, bands=bands,
+    )
+    new_old = (
+        nb.alias("n")
+        .join(
+            index.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id1"),
+            F.greatest(
+                F.col(f"n.{id_col}"), F.col(f"o.{id_col}")
+            ).alias("id2"),
+        )
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+    return new_new.unionByName(new_old).distinct()

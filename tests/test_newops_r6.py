@@ -466,3 +466,40 @@ def test_ivf_pq_validates_rerank(spark):
     )
     with pytest.raises(ValueError):
         ivf_pq_topk(df, rerank=2, k=4, queries=df)
+
+
+def test_incremental_candidates_match_full_lsh(spark):
+    """Batch candidates (new×new ∪ new×index) == full-corpus LSH pairs
+    restricted to pairs touching the batch."""
+    from obsplus_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        lsh_band_index,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(12):
+        # clusters of 3 near-identical docs
+        rows.append((i, base + f" variant {i // 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter("doc_id % 3 = 0")
+    old = docs.filter("doc_id % 3 != 0")
+
+    index = lsh_band_index(old, n_hashes=8, bands=2)
+    got = sorted(
+        (r["id1"], r["id2"])
+        for r in incremental_candidate_pairs(
+            new, index, n_hashes=8, bands=2
+        ).collect()
+    )
+    full = lsh_candidate_pairs(
+        minhash_signatures(docs, n_hashes=8), n_hashes=8, bands=2
+    )
+    want = sorted(
+        (r["id1"], r["id2"])
+        for r in full.collect()
+        if r["id1"] % 3 == 0 or r["id2"] % 3 == 0
+    )
+    assert got == want and len(got) > 0
