@@ -5796,7 +5796,7 @@ GROUP BY station, channel
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle counting (wedge closure on the oriented
-    DAG) over the hash-folded part↔supplier co-occurrence graph: the
+    DAG) over the hash-folded customer↔order interaction graph: the
     orientation bounds wedge fan-out by O(√|E|) even on hub nodes; every
     stage is a keyed equi-join or map-combined aggregate."""
     from obsplus_spark.operators.graph import triangle_counts
@@ -5991,16 +5991,19 @@ _SQL_SETSIM = r"""
     ),
     pref AS (
       SELECT doc_id, shingle, rn, sz FROM ranked
-      WHERE rn <= sz - CAST(ceil(0.5 * sz) AS INT) + 1
+      WHERE rn <= sz - CAST(ceil(0.5 * sz - 1e-9) AS INT) + 1
     ),
     cand AS (
       -- same lossless PPJoin length/positional pruning as the engine
+      -- (epsilon inside every ceil, mirroring dedup._PPJOIN_EPS: the
+      -- rational bounds must never round UP past an exact-boundary pair)
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       FROM pref a JOIN pref b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       AND b.sz >= ceil(0.5 * a.sz) AND a.sz >= ceil(0.5 * b.sz)
+       AND b.sz >= ceil(0.5 * a.sz - 1e-9)
+       AND a.sz >= ceil(0.5 * b.sz - 1e-9)
        AND least(a.sz - a.rn, b.sz - b.rn) + 1
-           >= ceil(0.5 / 1.5 * (a.sz + b.sz))
+           >= ceil(0.3333333333333333 * (a.sz + b.sz) - 1e-9)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -6475,9 +6478,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
-    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a0) the 9
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a0) the 14
     # queries NEW in the r6 second wave (triangles/CMS/span-dedup/
-    # set-similarity/PQ/winsorize/Q5/rolling/skew-join), (a) the 8
+    # set-similarity/PQ/winsorize/Q5/rolling/skew-join/PMI/rank/KL/
+    # IVF-PQ/incremental-dedup), (a) the 8
     # queries NEW in r6 wave one (sub-entity parity set + canonical_docs)
     # and the 3 whose implementation changed (json_round_trip/quakeml_rt
     # route through the v2 schema-tolerant extractors; attach_origin
@@ -6540,7 +6544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amp_violations": q_amp_violations,
         "orphan_arrivals": q_orphan_arrivals,
         "hll_users": q_hll_users,
-        # --- driver cap (50) — moved up by the 15 second-wave queries.
+        # --- driver cap (50) — moved up by the 14 second-wave queries.
         # Everything below gets NO driver row this round: first the
         # remaining r4-verified rows, then the rows driver-green in
         # CORRECTNESS_r05 and unchanged since. ---

@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: slack subtracted inside every PPJoin ceil() bound — absorbs DECIMAL/
+#: float upward rounding of the rational bounds so exact-boundary pairs
+#: (J == t) are never pruned; loosening a pruning filter is always safe
+#: (the exact verify decides membership)
+_PPJOIN_EPS = 1e-9
+
+
 def normalize_text(col) -> F.Column:
     """Canonical text form: lowercase, collapsed whitespace, trimmed."""
     c = F.col(col) if isinstance(col, str) else col
@@ -288,6 +295,14 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("bh")
     ).select(id_col, "bh.band", "bh.band_hash")
+    return _bucket_pairs(banded, id_col)
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(band, band_hash, id) rows → distinct ``i < j`` collision pairs:
+    one groupBy on the band key, bucket ids sorted and expanded to pairs
+    in-row (the one-shuffle formulation shared by the full and
+    incremental LSH paths)."""
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
@@ -1227,20 +1242,27 @@ def set_similarity_join(
         ),
         pref AS (
           SELECT id, h, rn, sz FROM ranked
-          WHERE rn <= sz - CAST(ceil({t!r} * sz) AS INT) + 1
+          WHERE rn <= sz - CAST(ceil({t!r} * sz - {_PPJOIN_EPS!r}) AS INT) + 1
         ),
         cand AS (
           -- PPJoin pruning, both lossless for J >= t: the LENGTH filter
           -- (sets whose sizes differ by more than t can never reach t)
           -- and the POSITIONAL filter (elements after the matching
-          -- prefix position bound the best-possible intersection)
+          -- prefix position bound the best-possible intersection).
+          -- Every ceil subtracts a tiny epsilon first: the bounds are
+          -- rational (t·n, t/(1+t)·n) and the engine's DECIMAL/float
+          -- evaluation can land a hair ABOVE the true value, which ceil
+          -- then overshoots — pruning an exact-boundary pair (J == t)
+          -- and violating the no-false-negative contract. The epsilon
+          -- can only loosen a filter (superset candidates; the exact
+          -- verify below decides membership).
           SELECT DISTINCT a.id AS id1, b.id AS id2
           FROM pref a JOIN pref b
             ON a.h = b.h AND a.id < b.id
-           AND b.sz >= ceil({t!r} * a.sz)
-           AND a.sz >= ceil({t!r} * b.sz)
+           AND b.sz >= ceil({t!r} * a.sz - {_PPJOIN_EPS!r})
+           AND a.sz >= ceil({t!r} * b.sz - {_PPJOIN_EPS!r})
            AND least(a.sz - a.rn, b.sz - b.rn) + 1
-               >= ceil({t!r} / (1 + {t!r}) * (a.sz + b.sz))
+               >= ceil({t / (1.0 + t)!r} * (a.sz + b.sz) - {_PPJOIN_EPS!r})
         )
         SELECT id1, id2, n_inter, n1, n2,
                round(n_inter / CAST(n1 + n2 - n_inter AS DOUBLE), 6)
@@ -1304,22 +1326,20 @@ def incremental_candidate_pairs(
     keeping pairs that touch the batch. Caller contract: new ids are
     disjoint from indexed ids (re-ingest upserts the index first).
 
-    Scale shape: the batch side is batch-sized everywhere; the only
-    corpus-sized input is the index (bands·|old| small rows), touched
-    by one keyed equi-join that AQE can broadcast when the batch's
-    band set is small. Output: (id1, id2) distinct, id1 < id2.
+    Scale shape: the batch side is batch-sized everywhere and SIGNED
+    ONCE — its band rows feed both the batch-internal bucket expansion
+    and the index join (persist the band frame so the digest/lane pass
+    runs one time). The only corpus-sized input is the index
+    (bands·|old| small rows), touched by one keyed equi-join that AQE
+    can broadcast when the batch's band set is small. Output:
+    (id1, id2) distinct, id1 < id2.
     """
     nb = lsh_band_index(
         new_docs, id_col, text_col,
         n_hashes=n_hashes, bands=bands, shingle_size=shingle_size,
-    )
-    new_new = lsh_candidate_pairs(
-        minhash_signatures(
-            new_docs, id_col, text_col,
-            n_hashes=n_hashes, shingle_size=shingle_size,
-        ),
-        id_col=id_col, n_hashes=n_hashes, bands=bands,
-    )
+    ).persist()
+    _register_shingle_cache(nb)
+    new_new = _bucket_pairs(nb, id_col)
     new_old = (
         nb.alias("n")
         .join(

@@ -225,27 +225,25 @@ def stream_cms_counters(
 
     The store swaps generations (write new, rename over old) — the same
     single-writer snapshot pattern as the bank upsert; readers see either
-    the previous or the new complete table. Returns the started
-    StreamingQuery.
+    the previous or the new complete table. Two at-least-once hazards of
+    ``foreachBatch`` are handled explicitly:
+
+    - **replay idempotence**: each generation carries an
+      ``_applied_<batch_id>`` marker file (underscore-prefixed — the
+      parquet reader ignores it), written into the generation BEFORE the
+      swap so marker and data commit atomically in the same rename. A
+      replayed batch (crash after the swap, before the stream checkpoint
+      committed) finds its own marker in ``current`` and no-ops instead
+      of double-counting.
+    - **crash between the two swap renames** (``current`` renamed away,
+      new generation not yet in place): the next invocation restores the
+      newest ``_old_*`` survivor as ``current`` before doing anything.
+
+    Returns the started StreamingQuery.
     """
-    import os
-    import shutil
-
-    from obsplus_spark.operators.sketches import cms_counters, cms_merge
-
-    cur = os.path.join(store_dir, "current")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        b = cms_counters(batch_df, key_col, depth=depth, width=width)
-        if os.path.isdir(cur):
-            b = cms_merge(batch_df.sparkSession.read.parquet(cur), b)
-        tmp = os.path.join(store_dir, f"_gen_{batch_id}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = os.path.join(store_dir, f"_old_{batch_id}")
-        if os.path.isdir(cur):
-            os.rename(cur, old)
-        os.rename(tmp, cur)
-        shutil.rmtree(old, ignore_errors=True)
+        _cms_apply_batch(batch_df, batch_id, key_col, store_dir, depth, width)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
@@ -254,3 +252,47 @@ def stream_cms_counters(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _cms_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str,
+    store_dir: str,
+    depth: int,
+    width: int,
+) -> None:
+    """One idempotent CMS-store transition (the ``foreachBatch`` body of
+    :func:`stream_cms_counters`, module-level so the crash/replay paths
+    are directly unit-testable)."""
+    import os
+    import shutil
+
+    from obsplus_spark.operators.sketches import cms_counters, cms_merge
+
+    cur = os.path.join(store_dir, "current")
+    if not os.path.isdir(cur) and os.path.isdir(store_dir):
+        olds = sorted(
+            (d for d in os.listdir(store_dir) if d.startswith("_old_")),
+            key=lambda d: int(d.rsplit("_", 1)[-1]),
+        )
+        if olds:
+            os.rename(os.path.join(store_dir, olds[-1]), cur)
+    marker = f"_applied_{batch_id}"
+    if os.path.isfile(os.path.join(cur, marker)):
+        return  # replayed batch, already folded into `current`
+    b = cms_counters(batch_df, key_col, depth=depth, width=width)
+    if os.path.isdir(cur):
+        b = cms_merge(batch_df.sparkSession.read.parquet(cur), b)
+    tmp = os.path.join(store_dir, f"_gen_{batch_id}")
+    b.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # marker rides INSIDE the generation dir (underscore-prefixed, so the
+    # parquet reader skips it): data + applied-mark commit in ONE rename
+    with open(os.path.join(tmp, marker), "w") as fh:
+        fh.write(str(batch_id))
+    old = os.path.join(store_dir, f"_old_{batch_id}")
+    shutil.rmtree(old, ignore_errors=True)  # crashed prior retry
+    if os.path.isdir(cur):
+        os.rename(cur, old)
+    os.rename(tmp, cur)
+    shutil.rmtree(old, ignore_errors=True)

@@ -503,3 +503,22 @@ def test_incremental_candidates_match_full_lsh(spark):
         if r["id1"] % 3 == 0 or r["id2"] % 3 == 0
     )
     assert got == want and len(got) > 0
+
+
+def test_set_similarity_join_exact_boundary_pair_kept(spark):
+    """Regression (r6 review): a pair whose Jaccard is EXACTLY the
+    threshold must be emitted — the PPJoin ceil() bounds previously
+    rounded the rational t/(1+t) bound UP in DECIMAL arithmetic and
+    pruned it (t=0.2, sizes 10/2, intersection 2 -> J == 0.2)."""
+    from obsplus_spark.operators.dedup import set_similarity_join
+
+    toks = [f"w{i:02d}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks[:4]))],
+        "doc_id long, text string",
+    )
+    got = {(r["id1"], r["id2"]): (r["n_inter"], r["n1"], r["n2"])
+           for r in set_similarity_join(
+               docs, threshold=0.2, persist_shingles=False
+           ).collect()}
+    assert got == {(1, 2): (2, 10, 2)}

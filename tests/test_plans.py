@@ -146,7 +146,7 @@ def test_flagship_interval_join_is_equi(plans):
     )
 
 
-def test_parquet_scan_pushdown(spark):
+def test_parquet_scan_pushdown(spark, tmp_path):
     """Interval + NSLC predicates and column pruning reach the parquet
     scan itself (PushedFilters non-empty, ReadSchema pruned) — the
     row-group-skipping contract WaveBank.read_index relies on."""
@@ -160,11 +160,11 @@ def test_parquet_scan_pushdown(spark):
     # read a TEMP COPY of region: every driver table is now cached by
     # some queries() entry (_t), and the cache manager plan-matches
     # same-path scans into InMemoryRelation — which (correctly) has no
-    # PushedFilters line. A fresh path keeps this a real parquet scan.
+    # PushedFilters line. A fresh path (pytest-managed, auto-cleaned)
+    # keeps this a real parquet scan.
     import shutil
-    import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="pushdown_probe_")
+    tmp = str(tmp_path)
     shutil.copy(f"{SF_DIR}/region.parquet", f"{tmp}/region.parquet")
     df = (
         spark.read.parquet(f"{tmp}/region.parquet")

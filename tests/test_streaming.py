@@ -353,3 +353,49 @@ def test_streaming_cms_counters_equal_batch_sketch(spark, tmp_path):
         map(tuple, cms_counters(whole, "text", depth=3, width=64).collect())
     )
     assert got == want
+
+
+def test_streaming_cms_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an already-committed
+    batch_id must NOT double-count (the _applied marker commits with the
+    data in the same rename)."""
+    from obsplus_spark.streaming.incremental import _cms_apply_batch
+
+    store = str(tmp_path / "store")
+    import os
+
+    os.makedirs(store)
+    df = spark.createDataFrame([(i, "k") for i in range(10)],
+                               "doc_id long, text string")
+    _cms_apply_batch(df, 0, "text", store, 2, 16)
+    first = sorted(map(tuple,
+                       spark.read.parquet(f"{store}/current").collect()))
+    _cms_apply_batch(df, 0, "text", store, 2, 16)  # replay
+    again = sorted(map(tuple,
+                       spark.read.parquet(f"{store}/current").collect()))
+    assert first == again
+
+
+def test_streaming_cms_recovers_from_half_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves `_old_N` and no
+    `current`; the next batch restores the survivor before applying."""
+    import os
+
+    from obsplus_spark.operators.sketches import cms_counters, cms_merge
+    from obsplus_spark.streaming.incremental import _cms_apply_batch
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(3, "a")], "doc_id long, text string")
+    _cms_apply_batch(d1, 0, "text", store, 2, 16)
+    # simulate the crash window: current renamed away, new gen never landed
+    os.rename(f"{store}/current", f"{store}/_old_1")
+    _cms_apply_batch(d2, 1, "text", store, 2, 16)
+    got = sorted(map(tuple,
+                     spark.read.parquet(f"{store}/current").collect()))
+    want = sorted(map(tuple, cms_merge(
+        cms_counters(d1, "text", depth=2, width=16),
+        cms_counters(d2, "text", depth=2, width=16),
+    ).collect()))
+    assert got == want
