@@ -444,11 +444,23 @@ def _orders_dim_small(sf_dir: str, limit_bytes: int = 64 * 1024 * 1024) -> bool:
     Driver-side file stat, no Spark job; mirrors what AQE's runtime
     stats would decide, pinned plan-side so the choice is deterministic
     under the bench's AQE-off session. A/B at sf0.1 (NOTES r6): the
-    broadcast form is 19-40% faster when it applies."""
+    broadcast form is 19-40% faster when it applies. Handles BOTH
+    dataset shapes: a single parquet file (the driver's testdata) and a
+    Spark-written DIRECTORY, whose getsize would report the ~4 KB inode
+    and mislabel any table as broadcastable."""
     import os
 
+    p = f"{sf_dir}/orders.parquet"
     try:
-        return os.path.getsize(f"{sf_dir}/orders.parquet") < limit_bytes
+        if os.path.isdir(p):
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                for fn in files:
+                    total += os.path.getsize(os.path.join(root, fn))
+                    if total >= limit_bytes:
+                        return False
+            return total < limit_bytes
+        return os.path.getsize(p) < limit_bytes
     except OSError:
         return False
 

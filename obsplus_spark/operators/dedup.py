@@ -618,7 +618,13 @@ def dedup_clusters(
     Raise ``max_iterations`` for deeper graphs (checkpoints bound the
     lineage past round 8), or reach for convergence mode when the
     component shape is genuinely unknown (e.g. path-like link
-    graphs). ``check_convergence=False`` lazily builds ``max_iterations`` rounds
+    graphs). **The failure mode of an undersized bound is SILENT**: a
+    chain-shaped family (successive document revisions, each pairing
+    only with its neighbor) of diameter > ``max_iterations`` keeps
+    non-minimal labels at the far end — the component splits into
+    several clusters with no error. If chains are plausible in your
+    pair graph, pass ``check_convergence=True`` (verified fixed point)
+    or a diameter-safe bound. ``check_convergence=False`` lazily builds ``max_iterations`` rounds
     (zero driver actions for bounds below ``checkpoint_every`` — correct
     iff the true diameter is within the bound). Beyond-toy bounds in
     lazy mode checkpoint the label table every ``checkpoint_every``
@@ -1072,8 +1078,10 @@ def canonical_docs(
     Scale shape: component resolution is the dedup_clusters contract
     (one hash-aggregate round per diameter step, action-free in the
     default lazy mode); the election itself is ONE id-keyed join to pull
-    quality + ONE cluster-keyed aggregate (``max_by`` over a (quality,
-    -id) struct — no window, no second pass for the tie-break). Both
+    quality + ONE cluster-keyed aggregate (``min_by`` over a (-quality,
+    id) struct — no window, no second pass for the tie-break; negating
+    the NUMERIC quality instead of the id keeps the id column free to be
+    any orderable type, including strings). Both
     map-side combinable; cluster count ≪ doc count so the output is
     small.
 
@@ -1089,7 +1097,7 @@ def canonical_docs(
     )
     j = labels.join(q, "id")
     return j.groupBy("cluster_id").agg(
-        F.expr("max_by(id, struct(_q, -id))").alias("canonical_id"),
+        F.expr("min_by(id, struct(-_q, id))").alias("canonical_id"),
         F.max("_q").alias("best_quality"),
         F.count(F.lit(1)).alias("n_members"),
     )

@@ -370,6 +370,17 @@ def _sub(parent: Column, avail: set[str], name: str, dtype: T.DataType) -> Colum
     return F.lit(None).cast(dtype)
 
 
+def _elem_sub(x, avail: set, name: str, dtype: T.DataType) -> Column:
+    """Element-level twin of :func:`_sub` for array lambdas: ``x[name]``
+    when THIS tree's element struct carries the field, else a typed NULL
+    — extends the schema-tolerance contract into every in-row array
+    expression (a bare ``x[name]`` on a subset-schema tree fails
+    analysis with FIELD_NOT_FOUND)."""
+    if name in avail:
+        return x[name]
+    return F.lit(None).cast(dtype)
+
+
 # --------------------------------------------------------------------------
 # preferred-object chain
 # --------------------------------------------------------------------------
@@ -393,18 +404,54 @@ def preferred(
     )
 
 
+def _preferred_t(
+    tree: DataFrame,
+    list_col: str,
+    preferred_id_col: str,
+    default_struct: T.StructType,
+) -> Column:
+    """Schema-tolerant :func:`preferred`: absent list column → typed NULL
+    element; absent preferred-id column or element ``resource_id`` →
+    the last-element fallback alone (nothing to match against)."""
+    if list_col not in _top_fields(tree):
+        return F.lit(None).cast(_elem_type(tree, list_col, default_struct))
+    lst = F.coalesce(
+        F.col(list_col),
+        F.array().cast(T.ArrayType(_elem_type(tree, list_col, default_struct))),
+    )
+    last = F.when(F.size(lst) > 0, F.element_at(lst, -1))
+    efields = _elem_fields(tree, list_col)
+    if preferred_id_col in _top_fields(tree) and "resource_id" in efields:
+        match = F.filter(
+            lst, lambda o: o["resource_id"] == F.col(preferred_id_col)
+        )
+        return F.when(F.size(match) > 0, F.element_at(match, 1)).otherwise(
+            last
+        )
+    return last
+
+
 # --------------------------------------------------------------------------
 # event-summary table (EVENT_DTYPES parity)
 # --------------------------------------------------------------------------
 
 
-def _last_mag_of_type(mag_type: str) -> Column:
+def _last_mag_of_type(tree: DataFrame, mag_type: str) -> Column:
     """Last magnitude (document order) whose upper-cased type equals
     ``mag_type`` — events/pd.py:166-175 _get_last_magnitude ('last wins',
-    type compared after ``(magnitude_type or '').upper()``)."""
-    typed = F.expr(
-        "filter(magnitudes, m -> upper(coalesce(m.magnitude_type, ''))"
-        f" = '{mag_type}')"
+    type compared after ``(magnitude_type or '').upper()``).
+    Schema-tolerant: no ``mag`` field → typed NULL; no
+    ``magnitude_type`` → every magnitude reads as type '' (matches
+    nothing here)."""
+    avail = _elem_fields(tree, "magnitudes")
+    if "mag" not in avail:
+        return F.lit(None).cast(D)
+    typed = F.filter(
+        F.col("magnitudes"),
+        lambda m: F.upper(
+            F.coalesce(_elem_sub(m, avail, "magnitude_type", S), F.lit(""))
+        )
+        == mag_type,
     )
     return F.when(F.size(typed) > 0, F.element_at(typed, -1)["mag"])
 
@@ -449,8 +496,10 @@ def events_to_df(tree: DataFrame) -> DataFrame:
     pfields = _elem_fields(tree, "picks")
     has_mags = "magnitudes" in _top_fields(tree)
 
-    o = preferred("origins", "preferred_origin_id")
-    m = preferred("magnitudes", "preferred_magnitude_id")
+    o = _preferred_t(tree, "origins", "preferred_origin_id", ORIGIN_STRUCT)
+    m = _preferred_t(
+        tree, "magnitudes", "preferred_magnitude_id", MAGNITUDE_STRUCT
+    )
 
     def of(name, dtype=D):
         return _sub(o, ofields, name, dtype)
@@ -467,26 +516,38 @@ def events_to_df(tree: DataFrame) -> DataFrame:
         else F.array().cast(arr_type)
     )
 
+    arr_et = _arrival_elem_type(tree)
+    arr_avail = (
+        set(arr_et.fieldNames()) if isinstance(arr_et, T.StructType) else set()
+    )
+
     def phase_count(ph):
         # unspecified phases are not counted (pd.py:100-108)
-        return F.size(F.filter(arrivals, lambda a: a["phase"] == ph))
+        return F.size(
+            F.filter(
+                arrivals,
+                lambda a: _elem_sub(a, arr_avail, "phase", S) == ph,
+            )
+        )
 
     picks = _arr_or_empty(tree, "picks", PICK_STRUCT)
+    pick_avail = _elem_fields(tree, "picks") or set(PICK_STRUCT.fieldNames())
 
     def pick_count(ph):
-        def keep(p):
-            st = p["evaluation_status"]
-            return (p["phase_hint"] == ph) & (st.isNull() | (st != "rejected"))
-
-        return F.size(F.filter(picks, keep))
+        return _pick_phase_count(picks, ph, pick_avail)
 
     p_phase, s_phase = phase_count("P"), phase_count("S")
-    arr_pick_ids = F.transform(arrivals, lambda a: a["pick_id"])
+    arr_pick_ids = F.transform(
+        arrivals, lambda a: _elem_sub(a, arr_avail, "pick_id", S)
+    )
     used_picks = F.filter(
-        picks, lambda p: F.array_contains(arr_pick_ids, p["resource_id"])
+        picks,
+        lambda p: F.array_contains(
+            arr_pick_ids, _elem_sub(p, pick_avail, "resource_id", S)
+        ),
     )
     station_count = F.size(
-        F.array_distinct(F.transform(used_picks, lambda p: p["station"]))
+        _distinct_stations(used_picks, pick_avail)
     ).cast("long")
 
     # updated: max creation_time over every sub-object + the event itself
@@ -548,13 +609,13 @@ def events_to_df(tree: DataFrame) -> DataFrame:
         ),
         F.col("event_id"),
         of("horizontal_uncertainty").alias("horizontal_uncertainty"),
-        (_last_mag_of_type("ML") if has_mags else F.lit(None).cast(D)).alias(
+        (_last_mag_of_type(tree, "ML") if has_mags else F.lit(None).cast(D)).alias(
             "local_magnitude"
         ),
-        (_last_mag_of_type("MW") if has_mags else F.lit(None).cast(D)).alias(
+        (_last_mag_of_type(tree, "MW") if has_mags else F.lit(None).cast(D)).alias(
             "moment_magnitude"
         ),
-        (_last_mag_of_type("MD") if has_mags else F.lit(None).cast(D)).alias(
+        (_last_mag_of_type(tree, "MD") if has_mags else F.lit(None).cast(D)).alias(
             "duration_magnitude"
         ),
         mag_type_col.alias("magnitude_type"),
@@ -724,7 +785,7 @@ def arrivals_to_df(tree: DataFrame) -> DataFrame:
     with origin_id/origin_time denormalized — mirrored exactly: events
     whose preferred origin has no arrivals contribute no rows."""
     ofields = _elem_fields(tree, "origins")
-    o = preferred("origins", "preferred_origin_id")
+    o = _preferred_t(tree, "origins", "preferred_origin_id", ORIGIN_STRUCT)
     if "arrivals" not in ofields:
         arr = F.lit(None).cast(T.ArrayType(ARRIVAL_STRUCT))
     else:
@@ -770,48 +831,32 @@ def arrivals_to_df(tree: DataFrame) -> DataFrame:
 
 def focal_mechanisms_to_df(tree: DataFrame) -> DataFrame:
     """FocalMechanism sub-entity table (schema.py:554-570): nodal planes
-    flattened, one row per mechanism with the parent event key."""
-    avail = _elem_fields(tree, "focal_mechanisms")
-    arr = (
-        F.col("focal_mechanisms")
-        if "focal_mechanisms" in _top_fields(tree)
-        else F.lit(None).cast(T.ArrayType(FOCAL_MECHANISM_STRUCT))
-    )
-    base = tree.select("event_id", F.explode(F.coalesce(arr, F.expr("array()"))).alias("fm"))
-    x = F.col("fm")
-    by_name = {f.name: f.dataType for f in FOCAL_MECHANISM_STRUCT.fields}
-    cols = [F.col("event_id")]
-    for f in FOCAL_MECHANISM_STRUCT.fields:
-        if f.name in avail:
-            cols.append(x[f.name].alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(by_name[f.name]).alias(f.name))
-    return base.select(*cols)
+    flattened, one row per mechanism with the parent event key (the
+    generic :func:`_explode_entity` body; event_time dropped — the
+    reference's focal table carries no reference time)."""
+    fields = [f.name for f in FOCAL_MECHANISM_STRUCT.fields]
+    return _explode_entity(
+        tree, "focal_mechanisms", FOCAL_MECHANISM_STRUCT, fields,
+        alias="fm", outer=False,
+    ).drop("event_time")
 
 
 def magnitudes_to_df(tree: DataFrame) -> DataFrame:
-    """Magnitude sub-entity table (MAGNITUDE_DTYPES, constants.py:236-257)."""
-    avail = _elem_fields(tree, "magnitudes")
-    base = tree.select(
-        "event_id",
-        _reference_time(tree).alias("event_time"),
-        F.explode_outer("magnitudes").alias("m"),
+    """Magnitude sub-entity table (MAGNITUDE_DTYPES, constants.py:236-257)
+    — the generic :func:`_explode_entity` projection."""
+    return _explode_entity(
+        tree,
+        "magnitudes",
+        MAGNITUDE_STRUCT,
+        [
+            "resource_id", "mag", "magnitude_type", "origin_id",
+            "method_id", "station_count", "azimuthal_gap",
+            "evaluation_mode", "evaluation_status", "creation_time",
+            "author", "agency_id", "uncertainty", "lower_uncertainty",
+            "upper_uncertainty", "confidence_level",
+        ],
+        alias="m",
     )
-    x = F.col("m")
-    by_name = {f.name: f.dataType for f in MAGNITUDE_STRUCT.fields}
-    cols = [F.col("event_id"), F.col("event_time")]
-    for name in (
-        "resource_id", "mag", "magnitude_type", "origin_id", "method_id",
-        "station_count", "azimuthal_gap", "evaluation_mode",
-        "evaluation_status", "creation_time", "author", "agency_id",
-        "uncertainty", "lower_uncertainty", "upper_uncertainty",
-        "confidence_level",
-    ):
-        if name in avail:
-            cols.append(x[name].alias(name))
-        else:
-            cols.append(F.lit(None).cast(by_name[name]).alias(name))
-    return base.select(*cols)
 
 
 def origins_to_df(tree: DataFrame) -> DataFrame:
@@ -847,6 +892,38 @@ def origins_to_df(tree: DataFrame) -> DataFrame:
     )
 
 
+def _pick_phase_count(picks, ph, avail: set):
+    """Non-rejected picks with the given phase hint — NULL evaluation
+    status COUNTS (events/pd.py:100-108). Shared by ``events_to_df`` and
+    ``origin_quality`` so the rejected-status semantics live once.
+    Schema-tolerant: a tree without ``phase_hint`` counts zero (no phase
+    to match); one without ``evaluation_status`` counts every phase
+    match (nothing is rejected)."""
+
+    def keep(p):
+        st = _elem_sub(p, avail, "evaluation_status", S)
+        hint = _elem_sub(p, avail, "phase_hint", S)
+        return (hint == ph) & (st.isNull() | (st != "rejected"))
+
+    return F.size(F.filter(picks, keep))
+
+
+def _distinct_stations(pick_arr, avail: set):
+    """Distinct NON-NULL station codes of a pick array: a pick without a
+    waveformID (station NULL — common in real QuakeML) contributes no
+    station, matching COUNT(DISTINCT) / collect_set semantics (a bare
+    array_distinct(transform(...)) would count NULL as a station).
+    Schema-tolerant: no ``station`` field → empty set."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                pick_arr, lambda p: _elem_sub(p, avail, "station", S)
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+
+
 def origin_quality(tree: DataFrame) -> DataFrame:
     """Per-event quality counts (events/pd.py:73-163 _OriginQualityExtractor):
     P/S pick counts excluding rejected picks, distinct station count.
@@ -856,15 +933,12 @@ def origin_quality(tree: DataFrame) -> DataFrame:
     that the nesting makes unnecessary). Events without picks are dropped,
     matching the old explode/groupBy contract."""
     picks = _arr_or_empty(tree, "picks", PICK_STRUCT)
+    avail = _elem_fields(tree, "picks") or set(PICK_STRUCT.fieldNames())
 
     def pick_count(ph):
-        def keep(p):
-            st = p["evaluation_status"]
-            return (p["phase_hint"] == ph) & (st.isNull() | (st != "rejected"))
+        return _pick_phase_count(picks, ph, avail).cast("long")
 
-        return F.size(F.filter(picks, keep)).cast("long")
-
-    stations = F.array_distinct(F.transform(picks, lambda p: p["station"]))
+    stations = _distinct_stations(picks, avail)
     return (
         tree.filter(F.size(picks) > 0)
         .select(
@@ -882,9 +956,9 @@ def last_magnitude_per_type(tree: DataFrame) -> DataFrame:
     'last wins', in-row via the array filter + element_at(-1))."""
     return tree.select(
         "event_id",
-        _last_mag_of_type("ML").alias("local_magnitude"),
-        _last_mag_of_type("MW").alias("moment_magnitude"),
-        _last_mag_of_type("MD").alias("duration_magnitude"),
+        _last_mag_of_type(tree, "ML").alias("local_magnitude"),
+        _last_mag_of_type(tree, "MW").alias("moment_magnitude"),
+        _last_mag_of_type(tree, "MD").alias("duration_magnitude"),
     ).filter(
         F.col("local_magnitude").isNotNull()
         | F.col("moment_magnitude").isNotNull()
@@ -899,11 +973,17 @@ def first_pick_origins(tree: DataFrame) -> DataFrame:
     The picks already live inside each event row, so the earliest pick is
     an array_min over the nested list — map-only, no explode, no window
     shuffle. Returns (event_id, first_pick_time) for events with ≥1
-    resolvable pick."""
+    resolvable pick. Schema-tolerant: a pick struct without ``time``
+    (or ``resource_id``) yields no fabricated origin for that tree."""
+    avail = _elem_fields(tree, "picks") or set(PICK_STRUCT.fieldNames())
+    picks = _arr_or_empty(tree, "picks", PICK_STRUCT)
     fp = F.array_min(
-        F.expr(
-            "transform(filter(picks, p -> p.resource_id IS NOT NULL),"
-            " p -> p.time)"
+        F.transform(
+            F.filter(
+                picks,
+                lambda p: _elem_sub(p, avail, "resource_id", S).isNotNull(),
+            ),
+            lambda p: _elem_sub(p, avail, "time", L),
         )
     )
     return tree.select(

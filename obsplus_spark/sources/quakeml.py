@@ -642,12 +642,6 @@ def event_to_quakeml(row: dict) -> str:
     return ET.tostring(ev, encoding="unicode")
 
 
-def _row_to_plain(rec: dict) -> dict:
-    """Arrow hands nested structs back as dicts/ndarrays already; pass
-    through. (Kept as a hook for dtype quirks.)"""
-    return rec
-
-
 def quakeml_to_tree(files: DataFrame) -> DataFrame:
     """binaryFile rows → nested event rows, Arrow-batched on executors.
 

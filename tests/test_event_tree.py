@@ -430,3 +430,80 @@ def test_sub_entity_empty_on_slim_tree(tree):
     assert station_magnitudes_to_df(tree).count() == 0
     assert arrivals_to_df(tree).count() == 0
     assert focal_mechanisms_to_df(tree).count() == 0
+
+
+def test_events_to_df_null_station_not_counted(spark):
+    """Regression (r6 review): a pick without a waveformID (station NULL
+    — common in real QuakeML) must not count as a distinct station."""
+    from obsplus_spark.operators.event_tree import (
+        events_to_df, origin_quality,
+    )
+
+    tree = spark.createDataFrame(
+        [
+            (
+                "ev1",
+                [
+                    {"resource_id": "p1", "time": 100, "phase_hint": "P",
+                     "evaluation_status": None, "station": None},
+                    {"resource_id": "p2", "time": 200, "phase_hint": "S",
+                     "evaluation_status": None, "station": "STA1"},
+                ],
+            )
+        ],
+        "event_id string, picks array<struct<resource_id string, "
+        "time long, phase_hint string, evaluation_status string, "
+        "station string>>",
+    )
+    q = origin_quality(tree).collect()[0]
+    assert q["station_count"] == 1 and q["stations"] == ["STA1"]
+    wide = events_to_df(tree).collect()[0]
+    # station_count in events_to_df counts arrival-LINKED picks only;
+    # with no origins/arrivals it is 0 — but must not crash and must not
+    # count the NULL
+    assert wide["station_count"] == 0
+
+
+def test_events_to_df_intermediate_schema_tolerated(spark):
+    """Regression (r6 review): element structs carrying a SUBSET of the
+    canonical fields (an older dump generation) must flatten, not fail
+    analysis with FIELD_NOT_FOUND."""
+    from obsplus_spark.operators.event_tree import (
+        events_to_df, last_magnitude_per_type,
+    )
+
+    tree = spark.createDataFrame(
+        [
+            (
+                "ev1",
+                [{"resource_id": "m1", "mag": 3.5}],
+                [{"resource_id": "p1", "time": 100}],
+            )
+        ],
+        "event_id string, "
+        "magnitudes array<struct<resource_id string, mag double>>, "
+        "picks array<struct<resource_id string, time long>>",
+    )
+    row = events_to_df(tree).collect()[0]
+    # no magnitude_type field -> typeless magnitudes match no ML/MW/MD
+    assert row["local_magnitude"] is None
+    # no phase_hint -> zero phase counts; no station -> zero stations
+    assert row["p_pick_count"] == 0 and row["station_count"] == 0
+    lm = last_magnitude_per_type(tree).collect()
+    assert lm == []  # nothing typed -> no row
+
+
+def test_canonical_docs_string_ids(spark):
+    """Regression (r6 review): the min-id tie-break must work for string
+    doc ids (the previous max_by(id, struct(q, -id)) negated the id)."""
+    from obsplus_spark.operators.dedup import canonical_docs
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id1 string, id2 string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 1.0)], "doc_id string, quality double"
+    )
+    rows = canonical_docs(pairs, docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["canonical_id"] == "a"  # equal quality -> smallest id
