@@ -1297,6 +1297,7 @@ def lsh_band_index(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    digest_arrays_df: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable LSH index of a corpus: one (id, band, band_hash)
     row per band per document — ``bands`` small rows per doc, the thing
@@ -1308,7 +1309,8 @@ def lsh_band_index(
     ``band_hash`` at write time is the storage-layout lever.
     """
     sigs = minhash_signatures(
-        df, id_col, text_col, n_hashes=n_hashes, shingle_size=shingle_size
+        df, id_col, text_col, n_hashes=n_hashes, shingle_size=shingle_size,
+        digest_arrays_df=digest_arrays_df,
     )
     band_structs = _band_structs(n_hashes, bands)
     return sigs.select(
@@ -1324,6 +1326,7 @@ def incremental_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    digest_arrays_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates for an INCREMENTAL ingest batch: new×new
     pairs from the batch's own buckets plus new×old pairs from a join
@@ -1345,6 +1348,7 @@ def incremental_candidate_pairs(
     nb = lsh_band_index(
         new_docs, id_col, text_col,
         n_hashes=n_hashes, bands=bands, shingle_size=shingle_size,
+        digest_arrays_df=digest_arrays_df,
     ).persist()
     _register_shingle_cache(nb)
     new_new = _bucket_pairs(nb, id_col)
