@@ -296,3 +296,68 @@ def _cms_apply_batch(
         os.rename(cur, old)
     os.rename(tmp, cur)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def streaming_event_window_join(
+    events: DataFrame,
+    picks: DataFrame,
+    before_s: float = 10.0,
+    after_s: float = 60.0,
+    watermark: str = "1 minute",
+    event_ts_col: str = "ev_time",
+    pick_ts_col: str = "pk_time",
+) -> DataFrame:
+    """Stream-stream interval join: a stream of EVENTS (window anchors)
+    joined with a stream of PICKS that fall inside each event's
+    ``[anchor − before, anchor + after]`` window — the streaming form of
+    the flagship ``Fetcher.yield_event_waveforms`` interval extraction
+    (``structures/fetcher.py``), expressed as Spark's watermarked
+    stream-stream join.
+
+    State contract: BOTH sides carry an event-time watermark, and the
+    join condition bounds pick time relative to event time on both ends
+    — that pair of constraints is exactly what lets Spark compute how
+    long each side's rows can still match and evict join state (an
+    unbounded-range stream-stream join would hold state forever). Late
+    rows beyond the watermark drop on ingestion; in-window late rows
+    still pair correctly across micro-batches.
+
+    Spark refuses a PURE range condition between two streams (no way to
+    hash-partition the state), so the join rides the same bucketing
+    trick as the batch flagship ``interval_overlap_join``: both sides
+    get a coarse time-bucket EQUALITY key — the event side explodes
+    into the (≤ 2, for a bucket no shorter than the window span)
+    buckets its window touches, the pick side computes its single
+    bucket — and the exact range stays as the residual predicate. A
+    pick matches in exactly its own bucket, so no pair duplicates.
+
+    Inner join (an event with no picks emits nothing until a pick
+    arrives — the streaming semantic twin of the batch interval join's
+    inner mode). Works identically under batch frames for A/B tests.
+    """
+    before_expr = f"INTERVAL {int(before_s * 1000)} MILLISECONDS"
+    after_expr = f"INTERVAL {int(after_s * 1000)} MILLISECONDS"
+    bucket_s = max(before_s + after_s, 1.0)
+    ev = events.withWatermark(event_ts_col, watermark).withColumn(
+        "_bkt",
+        F.expr(
+            f"explode(array_distinct(array("
+            f"CAST(floor((unix_millis({event_ts_col}) / 1000.0D"
+            f" - {before_s!r}) / {bucket_s!r}) AS BIGINT),"
+            f"CAST(floor((unix_millis({event_ts_col}) / 1000.0D"
+            f" + {after_s!r}) / {bucket_s!r}) AS BIGINT))))"
+        ),
+    )
+    pk = picks.withWatermark(pick_ts_col, watermark).withColumn(
+        "_bkt",
+        F.expr(
+            f"CAST(floor(unix_millis({pick_ts_col}) / 1000.0D"
+            f" / {bucket_s!r}) AS BIGINT)"
+        ),
+    )
+    cond = (
+        (ev["_bkt"] == pk["_bkt"])
+        & (F.col(pick_ts_col) >= F.expr(f"{event_ts_col} - {before_expr}"))
+        & (F.col(pick_ts_col) <= F.expr(f"{event_ts_col} + {after_expr}"))
+    )
+    return ev.join(pk, cond, "inner").drop("_bkt")

@@ -399,3 +399,67 @@ def test_streaming_cms_recovers_from_half_swap(spark, tmp_path):
         cms_counters(d2, "text", depth=2, width=16),
     ).collect()))
     assert got == want
+
+
+def test_streaming_event_window_join_cross_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: picks pair with event
+    windows across micro-batches; out-of-window picks never pair."""
+    import datetime as dt
+
+    from obsplus_spark.streaming.incremental import (
+        streaming_event_window_join,
+    )
+
+    ev_src = str(tmp_path / "events")
+    pk_src = str(tmp_path / "picks")
+    out_dir = str(tmp_path / "out")
+    ev_schema = "event_id string, ev_time timestamp"
+    pk_schema = "pick_id string, pk_time timestamp"
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def w(path, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def run():
+        joined = streaming_event_window_join(
+            spark.readStream.schema(ev_schema).parquet(ev_src),
+            spark.readStream.schema(pk_schema).parquet(pk_src),
+            before_s=10.0,
+            after_s=60.0,
+            watermark="10 minutes",
+        )
+        q = (
+            joined.select("event_id", "pick_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: one event window, one in-window pick, one far-out pick
+    w(ev_src, [("ev1", t0)], ev_schema)
+    w(pk_src, [("in1", t0 + dt.timedelta(seconds=30)),
+               ("out1", t0 + dt.timedelta(seconds=300))], pk_schema)
+    run()
+    # batch 2: a pick arriving later that still falls in ev1's window
+    # (cross-batch pairing via retained join state), plus a new event
+    # whose window catches the batch-1 'out1' pick? (out1 at +300 s is
+    # inside ev2's [before, after] window anchored at +290 s)
+    w(ev_src, [("ev2", t0 + dt.timedelta(seconds=290))], ev_schema)
+    w(pk_src, [("in2", t0 + dt.timedelta(seconds=5))], pk_schema)
+    run()
+
+    got = sorted(
+        (r.event_id, r.pick_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert ("ev1", "in1") in got
+    assert ("ev1", "in2") in got           # cross-batch pairing
+    assert ("ev2", "out1") in got          # state retained for late event
+    assert ("ev1", "out1") not in got      # out-of-window never pairs
