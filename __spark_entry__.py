@@ -929,20 +929,23 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TEXT_STATS = r"""
     WITH toks AS (
-      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS w
       FROM documents
     )
     SELECT doc_id,
            length(text) AS n_chars_calc,
            len(w) AS n_tokens,
            len(list_distinct(w)) AS n_distinct_tokens,
-           len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
-           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(w)
-             AS avg_token_len,
+           len(list_distinct(w)) / CAST(nullif(len(w), 0) AS DOUBLE)
+             AS distinct_ratio,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / nullif(len(w), 0) AS avg_token_len,
            len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it')))
-             / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+             / CAST(nullif(len(w), 0) AS DOUBLE) AS stopword_ratio,
            length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-             / CAST(length(text) AS DOUBLE) AS alpha_ratio
+             / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio
     FROM toks
 """
 
@@ -1614,7 +1617,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SALTED = """
-    SELECT event_type, count(*) AS n,
+    SELECT event_type, count(epoch_ns(ts)) AS n,
            min(epoch_ns(ts)) AS min_ns, max(epoch_ns(ts)) AS max_ns
     FROM events GROUP BY event_type
 """

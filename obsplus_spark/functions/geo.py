@@ -75,14 +75,23 @@ def bounding_box(
     Mirror of reference ``events/get_events.py:80-100 _get_bounding_box``:
     the bbox predicate is pushdown-able/prunable; the exact distance
     refine is not — the two-phase split is load-bearing at scale.
-    Longitude span widens by 1/cos(lat) and clamps to the full range near
-    the poles.
+
+    The longitude span widens by ``1/cos`` of the POLEWARD band edge
+    (``max(|lat−r|, |lat+r|)``): meridians converge toward the pole, so
+    the widest Δλ a point at distance ``r`` can reach occurs at the
+    band's high-latitude edge — using the equatorward edge (or the
+    center latitude) under-sizes the box and silently drops true
+    in-radius rows. A prefilter may only ever be LOOSE. Clamps to the
+    full range when the band touches a pole; the returned min/max
+    longitude may leave [-180, 180] — the caller must apply the
+    antimeridian-aware predicate (``radius_search`` does).
     """
     import math
 
     r = radius_deg * margin
     min_lat, max_lat = lat - r, lat + r
-    coslat = math.cos(math.radians(min(abs(min_lat), 89.0) if abs(lat) > 60 else lat))
+    band = min(max(abs(min_lat), abs(max_lat)), 89.0)
+    coslat = math.cos(math.radians(band))
     lon_r = min(r / max(coslat, 1e-9), 360.0)
     return {
         "minlatitude": max(min_lat, -90.0),

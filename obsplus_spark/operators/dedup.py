@@ -175,11 +175,32 @@ def shingles(
     )
 
 
+def _check_lanes(n_hashes: int, bands: int | None = None) -> None:
+    """Guard the digest-window lane family's hard bounds: the 38-char
+    extended digest supports AT MOST 16 lanes (lane j reads 8 hex chars
+    at offset 2j+1; j=15 ends exactly at char 38 — beyond that the
+    substring truncates/empties and lanes go constant/NULL, which makes
+    every band hash collide corpus-wide and LSH degenerate toward the
+    n² cross product with no error). Bands must divide n_hashes or the
+    trailing lanes silently drop out of every band."""
+    if not (1 <= int(n_hashes) <= 16):
+        raise ValueError(
+            f"n_hashes must be in [1, 16] (38-char digest window family),"
+            f" got {n_hashes}"
+        )
+    if bands is not None:
+        if int(bands) < 1 or int(n_hashes) % int(bands) != 0:
+            raise ValueError(
+                f"bands ({bands}) must divide n_hashes ({n_hashes})"
+            )
+
+
 def _lane_exprs(n_hashes: int, arr_col: str = "shingles") -> list[str]:
     """MinHash lane SQL expressions: lane ``j`` = min over the document's
     extended digests of the uint32 at hex offset ``2·j`` (lockstep with
     :func:`shingle_digest_array`'s 38-char extension and the DuckDB oracle
     twin)."""
+    _check_lanes(n_hashes)
     return [
         f"array_min(transform({arr_col}, h -> CAST(conv("
         f"substring(h, {2 * j + 1}, 8), 16, 10) AS BIGINT))) AS mh_{j}"
@@ -189,6 +210,7 @@ def _lane_exprs(n_hashes: int, arr_col: str = "shingles") -> list[str]:
 
 def _band_structs(n_hashes: int, bands: int) -> str:
     """SQL array of (band, band_hash) structs over the ``mh_*`` lanes."""
+    _check_lanes(n_hashes, bands)
     rows_per_band = n_hashes // bands
     return ", ".join(
         "named_struct('band', {b}, 'band_hash', md5(concat_ws('|', {cols})))".format(
@@ -238,6 +260,7 @@ def minhash_signatures(
       pipeline that also needs the long form): one wide aggregate —
       n_hashes ``min`` aggregations, all map-side combinable.
     """
+    _check_lanes(n_hashes)
     if shingles_df is None:
         arr = (
             digest_arrays_df
@@ -281,7 +304,8 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
-    Band hash = md5 of the concatenated band rows. Pairs come from ONE
+    Band hash = md5 of the concatenated band rows (``bands`` must divide
+    ``n_hashes`` — validated). Pairs come from ONE
     shuffle: explode to (band, band_hash, id), groupBy the band key
     collecting the bucket's ids, and expand each bucket's sorted id array
     to its ``i < j`` pairs in-row — identical pair set to the classic
@@ -291,6 +315,7 @@ def lsh_candidate_pairs(
     corpus; a pathologically duplicated corpus makes one quadratic bucket
     (the self-join had the same blow-up — salting hook would go here).
     """
+    _check_lanes(n_hashes, bands)
     band_structs = _band_structs(n_hashes, bands)
     banded = signatures.select(
         F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("bh")

@@ -496,10 +496,22 @@ def events_to_df(tree: DataFrame) -> DataFrame:
     pfields = _elem_fields(tree, "picks")
     has_mags = "magnitudes" in _top_fields(tree)
 
-    o = _preferred_t(tree, "origins", "preferred_origin_id", ORIGIN_STRUCT)
-    m = _preferred_t(
-        tree, "magnitudes", "preferred_magnitude_id", MAGNITUDE_STRUCT
+    # the preferred structs are STAGED as real columns: ~10 output
+    # columns reference them, and interpreted higher-order filter chains
+    # are not CSE'd — unstaged, the preferred-origin filter re-evaluates
+    # once per referencing column per row (CollapseProject keeps the two
+    # projections apart because the aliases are non-cheap and multiply
+    # referenced)
+    staged = tree.select(
+        "*",
+        _preferred_t(
+            tree, "origins", "preferred_origin_id", ORIGIN_STRUCT
+        ).alias("_po"),
+        _preferred_t(
+            tree, "magnitudes", "preferred_magnitude_id", MAGNITUDE_STRUCT
+        ).alias("_pm"),
     )
+    o, m = F.col("_po"), F.col("_pm")
 
     def of(name, dtype=D):
         return _sub(o, ofields, name, dtype)
@@ -589,12 +601,14 @@ def events_to_df(tree: DataFrame) -> DataFrame:
         )
     updated = F.greatest(*updated_parts) if len(updated_parts) > 1 else updated_parts[0]
 
-    first_pick = F.array_min(F.transform(picks, lambda p: p["time"]))
+    first_pick = F.array_min(
+        F.transform(picks, lambda p: _elem_sub(p, pick_avail, "time", L))
+    )
 
     mag_col = _sub(m, mfields, "mag", D)
     mag_type_col = _sub(m, mfields, "magnitude_type", S)
 
-    return tree.select(
+    return staged.select(
         F.coalesce(of("time", L), first_pick).alias("time"),
         of("latitude").alias("latitude"),
         of("longitude").alias("longitude"),
@@ -650,14 +664,17 @@ def _reference_time(tree: DataFrame) -> Column:
     as ``event_time``."""
     top = _top_fields(tree)
     ofields = _elem_fields(tree, "origins")
-    if "origins" in top and "preferred_origin_id" in top:
-        o = preferred("origins", "preferred_origin_id")
+    if "origins" in top:
+        o = _preferred_t(tree, "origins", "preferred_origin_id", ORIGIN_STRUCT)
         ot = _sub(o, ofields, "time", L)
     else:
         ot = F.lit(None).cast(L)
     if "picks" in top:
         picks = _arr_or_empty(tree, "picks", PICK_STRUCT)
-        fp = F.array_min(F.transform(picks, lambda p: p["time"]))
+        pavail = _elem_fields(tree, "picks") or set(PICK_STRUCT.fieldNames())
+        fp = F.array_min(
+            F.transform(picks, lambda p: _elem_sub(p, pavail, "time", L))
+        )
     else:
         fp = F.lit(None).cast(L)
     return F.coalesce(ot, fp)

@@ -145,7 +145,14 @@ def segments_df(
         pre = (
             df.groupBy(
                 *keys,
-                F.floor(F.col(start_col) / F.lit(int(min_gap))).alias("_pbk"),
+                # integer division, NOT floor(a / b): `/` on ns-epoch
+                # longs is IEEE double division, and past 2^53 a start
+                # within ~hundreds of ns of a bucket boundary can round
+                # into the neighboring bucket — fusing intervals the
+                # direct sessionize path splits (the same hazard class
+                # sessions.py cohort_retention documents). Non-negative
+                # ns epochs make `div` == floor division.
+                F.expr(f"{start_col} div {int(min_gap)}").alias("_pbk"),
             )
             .agg(
                 F.min(start_col).alias(start_col),

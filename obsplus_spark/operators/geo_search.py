@@ -53,11 +53,27 @@ def radius_search(
     if maxradius is not None:
         radius_deg = maxradius * to_m / M_PER_DEG
         box = bounding_box(latitude, longitude, radius_deg, bbox_margin)
+        lon_min, lon_max = box["minlongitude"], box["maxlongitude"]
+        # antimeridian-aware longitude band: a box crossing ±180 becomes
+        # the OR of the two wrapped segments (the dateline rewrite the
+        # FDSN predicate compiler applies — plans/predicates.py); a box
+        # spanning the full circle drops the predicate entirely
+        if lon_max - lon_min >= 360.0:
+            lon_pred = F.lit(True)
+        elif lon_min < -180.0:
+            lon_pred = (F.col(lon_col) > lon_min + 360.0) | (
+                F.col(lon_col) < lon_max
+            )
+        elif lon_max > 180.0:
+            lon_pred = (F.col(lon_col) > lon_min) | (
+                F.col(lon_col) < lon_max - 360.0
+            )
+        else:
+            lon_pred = (F.col(lon_col) > lon_min) & (F.col(lon_col) < lon_max)
         out = out.filter(
             (F.col(lat_col) > box["minlatitude"])
             & (F.col(lat_col) < box["maxlatitude"])
-            & (F.col(lon_col) > box["minlongitude"])
-            & (F.col(lon_col) < box["maxlongitude"])
+            & lon_pred
         )
     out = out.withColumn(
         distance_col, haversine_m(F.lit(latitude), F.lit(longitude), F.col(lat_col), F.col(lon_col))

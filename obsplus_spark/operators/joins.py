@@ -199,13 +199,17 @@ def salted_aggregate(
     ``aggs`` maps output column → (partial_fn, merge_fn, input_col), e.g.
     ``{"n": (F.count, F.sum, "x"), "mx": (F.max, F.max, "x")}``. Only
     aggregations with an associative merge decompose this way (count→sum,
-    sum→sum, min→min, max→max).
+    sum→sum, min→min, max→max). Every partial — including ``count`` —
+    receives the INPUT COLUMN, so ``count`` keeps SQL semantics (non-null
+    values only) and the salting stays a pure internal rewrite of the
+    plain groupBy; for a row count pass a non-nullable column or a
+    literal-1 column.
     """
     salted = df.withColumn(
         "_salt", (F.rand(seed=0) * salt).cast("int")
     )
     partial = salted.groupBy(*keys, "_salt").agg(
-        *[pf(F.col(c) if pf is not F.count else F.lit(1)).alias(f"_p_{out}")
+        *[pf(F.col(c)).alias(f"_p_{out}")
           for out, (pf, _mf, c) in aggs.items()]
     )
     return partial.groupBy(*keys).agg(

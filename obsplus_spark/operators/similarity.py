@@ -336,9 +336,18 @@ def embedding_near_dup(
         ).filter(F.col("cosine_sim") >= threshold)
 
     import pandas as pd
+    from pyspark.sql import types as T
 
-    out_schema = (
-        f"id1 long, id2 long, cosine_sim double"
+    # id columns inherit the INPUT id dtype (string doc ids are first-
+    # class across the dedup stack — a hardcoded `long` here cast-broke
+    # them at runtime while the exact path worked)
+    id_dt = vectors.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", id_dt, True),
+            T.StructField("id2", id_dt, True),
+            T.StructField("cosine_sim", T.DoubleType(), True),
+        ]
     )
 
     def _gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -355,8 +364,10 @@ def embedding_near_dup(
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = g[iu, ju] >= threshold
         i, j = iu[keep], ju[keep]
-        lo = np.minimum(ids[i], ids[j])
-        hi = np.maximum(ids[i], ids[j])
+        # elementwise min/max works for numeric AND object (string) ids
+        swap = ids[j] < ids[i]
+        lo = np.where(swap, ids[j], ids[i])
+        hi = np.where(swap, ids[i], ids[j])
         return pd.DataFrame(
             {"id1": lo, "id2": hi, "cosine_sim": g[iu, ju][keep]}
         )

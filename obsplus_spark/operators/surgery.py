@@ -16,7 +16,7 @@ transform over the flattened tables:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,7 +37,10 @@ def merge_new_picks(target: DataFrame, incoming: DataFrame) -> DataFrame:
     'only new picks' append (merge.py:83-88,114-118) as an anti join."""
     t = pick_merge_key(target)
     i = pick_merge_key(incoming)
-    new_only = i.join(t.select("_merge_key").distinct(), "_merge_key", "left_anti")
+    # no .distinct() on the anti-join build side: existence is all an
+    # anti join tests, so the dedup aggregate was a wasted exchange
+    # (same note as prune_rejected's edge build below)
+    new_only = i.join(t.select("_merge_key"), "_merge_key", "left_anti")
     return t.unionByName(new_only).drop("_merge_key")
 
 
@@ -288,74 +291,160 @@ def duplicate_events(
     """Systematic resource-id remap of a nested event tree.
 
     Mirror of ``utils/events.py:36-71 duplicate_events``: every internal
-    object (event, origins, magnitudes, picks) gets a fresh id from a
+    object (event, origins+arrivals, magnitudes, picks, amplitudes,
+    station magnitudes, focal mechanisms) gets a fresh id from a
     deterministic generator (md5 of old id + suffix); **references** to
-    those objects (``preferred_origin_id``, ``preferred_magnitude_id``,
-    ``magnitudes[].origin_id``) remap iff they point at an internal
-    object — ids referencing external resources pass through unchanged.
-    Pure array/struct expressions over the nested rows; no explode, no
-    shuffle, no Python per row.
+    those objects (``preferred_*_id``, ``magnitudes[].origin_id``,
+    ``arrivals[].pick_id``, ``amplitudes[].pick_id``,
+    ``station_magnitudes[].origin_id/amplitude_id/magnitude_id``,
+    ``focal_mechanisms[].triggering_origin_id/moment_magnitude_id``)
+    remap iff they point at an internal object — ids referencing
+    external resources pass through unchanged.
+
+    Field-preserving: element structs are rewritten with ``withField``,
+    so every field the tree carries (quality nodes, uncertainties,
+    creation info, …) survives the remap untouched — and the same body
+    serves slim and full trees (only the id/reference fields that
+    actually exist are rewritten). Pure array/struct expressions over
+    the nested rows; no explode, no shuffle, no Python per row.
     """
+    from obsplus_spark.operators.event_tree import _elem_fields, _top_fields
 
-    # ONE projection against the INPUT columns: every membership check
-    # compares against the original id arrays by construction (the old
-    # sequential-withColumns formulation had to snapshot them first), and
-    # the whole rewrite is a single JVM-parsed statement instead of a
-    # Python-lambda Column tree (~0.2 s of py4j per plan build)
-    from obsplus_spark.util import sql_str_lit
+    top = _top_fields(tree)
 
-    # the caller-supplied suffix lands inside SQL string literals
-    sfx = sql_str_lit(suffix)
-
-    def remap(x: str) -> str:
-        return (
-            f"concat('{sfx}:', substring(md5(concat({x},"
-            f" ':{sfx}')), 1, {int(id_len)}))"
+    def remap(c: Column) -> Column:
+        # Column-API literals need no SQL-quote escaping (the old
+        # selectExpr formulation did)
+        return F.concat(
+            F.lit(f"{suffix}:"),
+            F.substring(
+                F.md5(F.concat(c, F.lit(f":{suffix}"))), 1, int(id_len)
+            ),
         )
 
-    oid0 = "transform(coalesce(origins, array()), o -> o.resource_id)"
-    mid0 = "transform(coalesce(magnitudes, array()), m -> m.resource_id)"
-
-    def remap_if_internal(c: str, internal: str) -> str:
-        return (
-            f"CASE WHEN {c} IS NOT NULL AND array_contains({internal}, {c})"
-            f" THEN {remap(c)} ELSE {c} END"
+    def ids_of(arr_col: str) -> Column:
+        # id array from the INPUT column (pre-rewrite), empty when absent
+        if arr_col not in top or "resource_id" not in _elem_fields(
+            tree, arr_col
+        ):
+            return F.array().cast("array<string>")
+        return F.transform(
+            F.coalesce(F.col(arr_col), F.expr("array()")),
+            lambda x: x["resource_id"],
         )
 
-    rewritten = {
-        "event_id": f"{remap('event_id')} AS event_id",
-        "preferred_origin_id": (
-            f"{remap_if_internal('preferred_origin_id', oid0)}"
-            " AS preferred_origin_id"
-        ),
-        "preferred_magnitude_id": (
-            f"{remap_if_internal('preferred_magnitude_id', mid0)}"
-            " AS preferred_magnitude_id"
-        ),
-        "origins": (
-            "transform(origins, o -> named_struct("
-            f"'resource_id', {remap('o.resource_id')},"
-            " 'time', o.time, 'latitude', o.latitude,"
-            " 'longitude', o.longitude, 'depth', o.depth)) AS origins"
-        ),
-        "magnitudes": (
-            "transform(magnitudes, m -> named_struct("
-            f"'resource_id', {remap('m.resource_id')},"
-            " 'mag', m.mag, 'magnitude_type', m.magnitude_type,"
-            f" 'origin_id', {remap_if_internal('m.origin_id', oid0)}))"
-            " AS magnitudes"
-        ),
-        "picks": (
-            "transform(picks, p -> named_struct("
-            f"'resource_id', {remap('p.resource_id')},"
-            " 'time', p.time, 'phase_hint', p.phase_hint,"
-            " 'evaluation_status', p.evaluation_status,"
-            " 'network', p.network, 'station', p.station,"
-            " 'location', p.location, 'channel', p.channel)) AS picks"
-        ),
-    }
-    return tree.selectExpr(
-        *[rewritten.get(c, c) for c in tree.columns]
+    # the id arrays are STAGED as real columns before any rewrite: a
+    # transform(...) expression nested inside another array lambda makes
+    # PySpark's auto-named lambda variables collide (the inner
+    # `x.resource_id` silently resolves against the OUTER element — the
+    # membership test then checks the wrong id family). A plain column
+    # reference inside a lambda has no such hazard.
+    staged = tree.select(
+        "*",
+        ids_of("origins").alias("_oid0"),
+        ids_of("magnitudes").alias("_mid0"),
+        ids_of("picks").alias("_pid0"),
+        ids_of("amplitudes").alias("_aid0"),
+        ids_of("focal_mechanisms").alias("_fid0"),
+    )
+    oid0, mid0 = F.col("_oid0"), F.col("_mid0")
+    pid0, aid0 = F.col("_pid0"), F.col("_aid0")
+    fid0 = F.col("_fid0")
+
+    def remap_ref(c: Column, internal: Column) -> Column:
+        return F.when(
+            c.isNotNull() & F.array_contains(internal, c), remap(c)
+        ).otherwise(c)
+
+    def rewrite_elem(arr_col: str, refs: dict[str, Column]):
+        """transform(arr, x -> x.withField(...)) rewriting resource_id +
+        any reference fields present in THIS tree's element struct."""
+        avail = _elem_fields(tree, arr_col)
+
+        def body(x):
+            out = x
+            if "resource_id" in avail:
+                out = out.withField("resource_id", remap(x["resource_id"]))
+            for name, internal in refs.items():
+                if name in avail:
+                    out = out.withField(
+                        name, remap_ref(x[name], internal)
+                    )
+            return out
+
+        return F.transform(F.col(arr_col), body)
+
+    def rewrite_origins():
+        avail = _elem_fields(tree, "origins")
+
+        def body(o):
+            out = o
+            if "resource_id" in avail:
+                out = out.withField("resource_id", remap(o["resource_id"]))
+            if "arrivals" in avail:
+                arr_avail = set()
+                et = tree.schema["origins"].dataType.elementType
+                if "arrivals" in et.fieldNames():
+                    at = et["arrivals"].dataType.elementType
+                    arr_avail = set(at.fieldNames())
+
+                def abody(a):
+                    ao = a
+                    if "resource_id" in arr_avail:
+                        ao = ao.withField(
+                            "resource_id", remap(a["resource_id"])
+                        )
+                    if "pick_id" in arr_avail:
+                        ao = ao.withField(
+                            "pick_id", remap_ref(a["pick_id"], pid0)
+                        )
+                    return ao
+
+                out = out.withField(
+                    "arrivals",
+                    F.transform(o["arrivals"], abody),
+                )
+            return out
+
+        return F.transform(F.col("origins"), body)
+
+    rewritten: dict[str, Column] = {"event_id": remap(F.col("event_id"))}
+    if "preferred_origin_id" in top:
+        rewritten["preferred_origin_id"] = remap_ref(
+            F.col("preferred_origin_id"), oid0
+        )
+    if "preferred_magnitude_id" in top:
+        rewritten["preferred_magnitude_id"] = remap_ref(
+            F.col("preferred_magnitude_id"), mid0
+        )
+    if "preferred_focal_mechanism_id" in top:
+        rewritten["preferred_focal_mechanism_id"] = remap_ref(
+            F.col("preferred_focal_mechanism_id"), fid0
+        )
+    if "origins" in top:
+        rewritten["origins"] = rewrite_origins()
+    if "magnitudes" in top:
+        rewritten["magnitudes"] = rewrite_elem(
+            "magnitudes", {"origin_id": oid0}
+        )
+    if "picks" in top:
+        rewritten["picks"] = rewrite_elem("picks", {})
+    if "amplitudes" in top:
+        rewritten["amplitudes"] = rewrite_elem(
+            "amplitudes", {"pick_id": pid0}
+        )
+    if "station_magnitudes" in top:
+        rewritten["station_magnitudes"] = rewrite_elem(
+            "station_magnitudes",
+            {"origin_id": oid0, "amplitude_id": aid0, "magnitude_id": mid0},
+        )
+    if "focal_mechanisms" in top:
+        rewritten["focal_mechanisms"] = rewrite_elem(
+            "focal_mechanisms",
+            {"triggering_origin_id": oid0, "moment_magnitude_id": mid0},
+        )
+    return staged.select(
+        *[rewritten.get(c, F.col(c)).alias(c) for c in tree.columns]
     )
 
 

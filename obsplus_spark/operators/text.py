@@ -71,7 +71,13 @@ def text_stats(
     # — the Column-object tree with a per-stopword literal array cost
     # ~0.3 s of py4j/analysis per plan build
     sw_lits = ", ".join("'" + s.replace("'", "''") + "'" for s in sw)
-    toks_sql = rf"split(trim({text_col}), '\\s+')"
+    # blank/whitespace-only text yields ZERO tokens (split of '' returns
+    # [''] — the phantom token skewed corpus totals; r6 review) and NULL
+    # ratios (nullif guards below)
+    toks_sql = (
+        rf"CASE WHEN length(trim({text_col})) = 0 THEN array()"
+        rf" ELSE split(trim({text_col}), '\\s+') END"
+    )
     staged = df.selectExpr(
         id_col,
         f"length({text_col}) AS _len",
@@ -85,12 +91,12 @@ def text_stats(
         "CAST(_len AS BIGINT) AS n_chars_calc",
         "CAST(size(_toks) AS BIGINT) AS n_tokens",
         "CAST(size(array_distinct(_toks)) AS BIGINT) AS n_distinct_tokens",
-        "size(array_distinct(_toks)) / CAST(size(_toks) AS DOUBLE)"
-        " AS distinct_ratio",
-        "CAST(_nws AS DOUBLE) / size(_toks) AS avg_token_len",
+        "size(array_distinct(_toks)) / CAST(nullif(size(_toks), 0)"
+        " AS DOUBLE) AS distinct_ratio",
+        "CAST(_nws AS DOUBLE) / nullif(size(_toks), 0) AS avg_token_len",
         f"size(filter(_toks, t -> array_contains(array({sw_lits}), t)))"
-        " / CAST(size(_toks) AS DOUBLE) AS stopword_ratio",
-        "_alpha / CAST(_len AS DOUBLE) AS alpha_ratio",
+        " / CAST(nullif(size(_toks), 0) AS DOUBLE) AS stopword_ratio",
+        "_alpha / CAST(nullif(_len, 0) AS DOUBLE) AS alpha_ratio",
     )
 
 

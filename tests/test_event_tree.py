@@ -507,3 +507,23 @@ def test_canonical_docs_string_ids(spark):
     rows = canonical_docs(pairs, docs).collect()
     assert len(rows) == 1
     assert rows[0]["canonical_id"] == "a"  # equal quality -> smallest id
+
+
+def test_reference_time_tolerates_timeless_picks(spark):
+    """Regression (r6 review): a pick struct without `time` (or origins
+    without `resource_id`) must not fail analysis in _reference_time /
+    the sub-entity flattens."""
+    from obsplus_spark.operators.event_tree import (
+        events_to_df, picks_to_df,
+    )
+
+    tree = spark.createDataFrame(
+        [("ev1", [{"phase_hint": "P"}], [{"time": 5}])],
+        "event_id string, picks array<struct<phase_hint string>>, "
+        "origins array<struct<time long>>",
+    )
+    row = events_to_df(tree).collect()[0]
+    # origins lack resource_id -> preferred falls back to last element
+    assert row["time"] == 5
+    pk = picks_to_df(tree).collect()[0]
+    assert pk["event_time"] == 5 and pk["time"] is None

@@ -80,3 +80,30 @@ def test_gaps_empty_input(spark):
         "starttime long, endtime long, sampling_period long",
     )
     assert gaps_df(empty).count() == 0
+
+
+def test_segments_pre_merge_exact_at_ns_epoch_scale(spark):
+    """Regression (r6 review): the pre-merge bucket id must use integer
+    division — double division of ~1.7e18 ns starts rounds near bucket
+    boundaries and can fuse intervals the direct path keeps apart."""
+    from obsplus_spark.operators.gaps import segments_df
+
+    base = 1_700_000_000_000_000_000  # ns epoch, above 2^53
+    gap = 1_000_000_000
+    rows = [
+        ("A", base + 1, base + 2),
+        # starts exactly gap + 200 ns after the FIRST interval's end:
+        # must remain a separate segment
+        ("A", base + 2 + gap + 200, base + 2 + gap + 300),
+    ]
+    df = spark.createDataFrame(rows, "k string, starttime long, endtime long")
+    direct = segments_df(
+        df, keys=["k"], min_gap=gap, sampling_period_col=None
+    ).collect()
+    pre = segments_df(
+        df, keys=["k"], min_gap=gap, sampling_period_col=None, pre_merge=True
+    ).collect()
+    assert len(direct) == len(pre) == 2
+    assert sorted((r.seg_start, r.seg_end) for r in direct) == sorted(
+        (r.seg_start, r.seg_end) for r in pre
+    )

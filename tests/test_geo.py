@@ -89,3 +89,58 @@ def test_spatial_join_banded_equals_cross(spark):
     got_c = sorted((r.aid, r.bid) for r in cross.select("aid", "bid").collect())
     got_b = sorted((r.aid, r.bid) for r in banded.select("aid", "bid").collect())
     assert got_b == got_c and len(got_c) > 0
+
+
+def _brute_radius_ids(df, lat0, lon0, rmin, rmax):
+    return {
+        r.id
+        for r in df.withColumn(
+            "d",
+            haversine_m(
+                F.lit(lat0), F.lit(lon0), F.col("latitude"), F.col("longitude")
+            ),
+        )
+        .filter((F.col("d") > rmin * M_PER_DEG) & (F.col("d") < rmax * M_PER_DEG))
+        .collect()
+    }
+
+
+def test_radius_search_high_latitude_matches_bruteforce(spark):
+    """Regression (r6 review): at high latitudes the bbox must widen by
+    the POLEWARD band edge's cosine — the old equatorward choice pruned
+    true in-radius points (e.g. center lat 70, a point ~5 deg away at
+    Δλ ≈ 14.8 deg fell outside the 13.7-deg box)."""
+    pts = [
+        (70.0 + (i % 21 - 10) * 0.8, (i % 73 - 36) * 1.0, i)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(pts, "latitude double, longitude double, id int")
+    got = {
+        r.id
+        for r in radius_search(
+            df, 70.0, 0.0, minradius=0.0, maxradius=5.0, radius_unit="deg"
+        ).collect()
+    }
+    assert got == _brute_radius_ids(df, 70.0, 0.0, 0.0, 5.0) and got
+
+
+def test_radius_search_antimeridian_matches_bruteforce(spark):
+    """Regression (r6 review): a search circle crossing ±180 must keep
+    points on the far side of the dateline (wrapped OR predicate)."""
+    pts = [
+        (float(i % 31 - 15), 175.0 + (i % 21),  i) for i in range(300)
+    ]
+    # wrap into [-180, 180]
+    pts = [(la, lo - 360.0 if lo > 180.0 else lo, i) for la, lo, i in pts]
+    df = spark.createDataFrame(pts, "latitude double, longitude double, id int")
+    got = {
+        r.id
+        for r in radius_search(
+            df, 0.0, 179.0, minradius=0.0, maxradius=6.0, radius_unit="deg"
+        ).collect()
+    }
+    want = _brute_radius_ids(df, 0.0, 179.0, 0.0, 6.0)
+    assert got == want and got
+    # and the kept set genuinely spans the dateline
+    lons = {r.longitude for r in df.collect() if r.id in got}
+    assert any(lo > 170 for lo in lons) and any(lo < -170 for lo in lons)

@@ -249,3 +249,21 @@ def test_bulk_request_filter_matches_join(spark):
     via_join = {tuple(r) for r in bulk_request_join(index, req_df).collect()}
     assert via_filter == via_join
     assert {r[1] for r in via_filter} == {"STA1"}
+
+
+def test_salted_aggregate_count_skips_nulls(spark):
+    """Regression (r6 review): F.count in the partial phase must keep
+    SQL count(col) semantics (non-null only) — the old lit(1) rewrite
+    counted rows."""
+    import pyspark.sql.functions as F
+
+    from obsplus_spark.operators.joins import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", None), ("k", 3.0)], "k string, x double"
+    )
+    got = salted_aggregate(
+        df, ["k"], {"n": (F.count, F.sum, "x")}, salt=4
+    ).collect()[0]
+    want = df.groupBy("k").agg(F.count("x").alias("n")).collect()[0]
+    assert got["n"] == want["n"] == 2

@@ -989,3 +989,62 @@ def test_canonical_docs_survivor_election(spark):
     # cluster 1: quality tie 9.0 between ids 2,3 -> smaller id 2 wins
     # cluster 10: tie 1.0 between 10,11 -> 10; doc 99 in no pair -> absent
     assert out == [(1, 2, 9.0, 3), (10, 10, 1.0, 2)]
+
+
+def test_minhash_lane_family_bounds_validated(spark):
+    """Regression (r6 review): >16 lanes silently truncated into
+    constant/NULL lanes (the 38-char digest supports exactly 16); bands
+    not dividing n_hashes silently dropped trailing lanes. Both now
+    raise."""
+    import pytest as _pytest
+
+    from obsplus_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError):
+        minhash_signatures(docs, n_hashes=32)
+    sigs = minhash_signatures(docs, n_hashes=16)
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, n_hashes=16, bands=5)
+
+
+def test_embedding_near_dup_string_ids_blocked(spark):
+    """Regression (r6 review): the blocked gram-matrix path must accept
+    string ids (output schema now inherits the input id dtype)."""
+    import numpy as np
+
+    from obsplus_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.RandomState(2)
+    base = rng.randn(8)
+    rows = [
+        ("a", (base + 0.001 * rng.randn(8)).tolist(), 0),
+        ("b", (base + 0.001 * rng.randn(8)).tolist(), 0),
+        ("c", rng.randn(8).tolist(), 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<float>, label int"
+    )
+    got = {(r["id1"], r["id2"]) for r in
+           embedding_near_dup(df, threshold=0.99, method="blocked").collect()}
+    assert got == {("a", "b")}
+
+
+def test_text_stats_blank_text_zero_tokens(spark):
+    """Regression (r6 review): empty/whitespace-only docs must report 0
+    tokens (split of '' yields [''] — a phantom token) and NULL ratios."""
+    from obsplus_spark.operators.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text_stats(df).collect()}
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["distinct_ratio"] is None
+        assert out[d]["avg_token_len"] is None
+    assert out[3]["n_tokens"] == 2

@@ -435,3 +435,53 @@ def test_validate_rules_on_real_tree_extractors(spark):
     assert len(win) == 2
     assert {'"pick_id":"p1"' in r.detail or '"pick_id":"p2"' in r.detail
             for r in win} == {True}
+
+
+def test_duplicate_events_full_tree_preserves_fields(spark):
+    """Regression (r6 review): on a FULL-schema tree the remap must keep
+    every non-id field (quality, arrivals, creation info) and remap the
+    amplitude/station-magnitude/arrival references too — the old slim
+    named_struct rebuild silently dropped them."""
+    import pyspark.sql.functions as F
+
+    from obsplus_spark.operators.event_tree import NESTED_EVENT_SCHEMA
+    from obsplus_spark.operators.surgery import duplicate_events
+
+    row = {
+        "event_id": "e1",
+        "preferred_origin_id": "o1",
+        "origins": [
+            {
+                "resource_id": "o1",
+                "time": 100,
+                "latitude": 1.0,
+                "quality": {"used_phase_count": 7},
+                "arrivals": [{"resource_id": "ar1", "pick_id": "p1",
+                              "phase": "P"}],
+            }
+        ],
+        "magnitudes": [{"resource_id": "m1", "mag": 2.0,
+                        "origin_id": "o1"}],
+        "picks": [{"resource_id": "p1", "time": 110, "station": "S1"}],
+        "amplitudes": [{"resource_id": "a1", "pick_id": "p1",
+                        "generic_amplitude": 3.5}],
+        "station_magnitudes": [
+            {"resource_id": "sm1", "mag": 2.1, "origin_id": "o1",
+             "amplitude_id": "a1", "magnitude_id": "m1"}
+        ],
+    }
+    tree = spark.createDataFrame([row], NESTED_EVENT_SCHEMA)
+    d = duplicate_events(tree).collect()[0]
+    o = d.origins[0]
+    # non-id payload preserved
+    assert o.quality.used_phase_count == 7 and o.latitude == 1.0
+    assert d.amplitudes[0].generic_amplitude == 3.5
+    # internal references follow the remap everywhere
+    new_p1 = d.picks[0].resource_id
+    assert new_p1 != "p1"
+    assert o.arrivals[0].pick_id == new_p1
+    assert d.amplitudes[0].pick_id == new_p1
+    sm = d.station_magnitudes[0]
+    assert sm.origin_id == o.resource_id != "o1"
+    assert sm.amplitude_id == d.amplitudes[0].resource_id
+    assert sm.magnitude_id == d.magnitudes[0].resource_id
