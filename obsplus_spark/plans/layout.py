@@ -71,9 +71,14 @@ def zorder_key(
             binned = binned.withColumn(
                 f"_b_{c}",
                 F.expr(
-                    f"least(CAST({nbins - 1} AS BIGINT), greatest(CAST(0 AS"
-                    f" BIGINT), width_bucket(CAST({c} AS DOUBLE), _lo_{c},"
-                    f" _hi_{c} + 1e-9, {nbins}) - 1))"
+                    # coalesce: a NULL value must bin to the 0 sentinel,
+                    # not NULL the whole Morton key (which would dump
+                    # every partially-null row into one unclustered
+                    # range partition — r6 review)
+                    f"coalesce(least(CAST({nbins - 1} AS BIGINT),"
+                    f" greatest(CAST(0 AS BIGINT),"
+                    f" width_bucket(CAST({c} AS DOUBLE), _lo_{c},"
+                    f" _hi_{c} + 1e-9, {nbins}) - 1)), CAST(0 AS BIGINT))"
                 ),
             )
             bin_cols.append(f"_b_{c}")

@@ -134,6 +134,12 @@ def dateline_longitude_predicate(
         m = v % 360.0
         return m - 360.0 if m > 180.0 else m
 
+    if maxlongitude - minlongitude >= 360.0:
+        # the raw range spans the whole circle (the common
+        # minlongitude=-180, maxlongitude=180 "no longitude filter"
+        # query): wrapping would collapse both bounds to the same value
+        # and the strict range would silently match NOTHING
+        return F.lit(True)
     lo, hi = _wrap(minlongitude), _wrap(maxlongitude)
     c = wrap_longitude(F.col(col))
     if lo > hi:  # crosses the dateline

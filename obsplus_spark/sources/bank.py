@@ -74,20 +74,37 @@ class _GenerationTable:
             raise FileNotFoundError(f"bank at {self.root} has no data yet")
         return self.spark.read.parquet(str(self._gen_dir(meta["generation"])))
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        scan_started_ns: int | None = None,
+    ) -> None:
+        """Write the next generation and swap the meta pointer.
+
+        ``scan_started_ns``: the moment the CALLER listed the files this
+        write indexes. The incremental contract compares future file
+        mtimes against ``last_updated_ns`` — stamping the (later) write
+        time would permanently skip any file created while the indexing
+        job ran (listed by neither this scan nor the next). Callers that
+        do not index from a file listing may omit it.
+        """
         meta = self._read_meta()
         new_gen = meta["generation"] + 1
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(self._gen_dir(new_gen)))
+        stamp = scan_started_ns if scan_started_ns is not None else time.time_ns()
         self._write_meta(
-            {"generation": new_gen, "last_updated_ns": time.time_ns()}
+            {"generation": new_gen, "last_updated_ns": stamp}
         )
-        # snapshot isolation: keep the immediately-prior generation so any
-        # DataFrame handed out before this write (including a lazy cached
-        # index) still reads live files; garbage-collect older ones only.
-        for gen in range(new_gen - 1):
+        # bounded snapshot window: keep the TWO prior generations so any
+        # DataFrame handed out within the last two writes (including a
+        # lazy cached index) still reads live files; older generations
+        # are garbage-collected. A handle older than two writes must be
+        # re-read from the bank — document, not MVCC.
+        for gen in range(new_gen - 2):
             old = self._gen_dir(gen)
             if old.exists():
                 shutil.rmtree(old, ignore_errors=True)
@@ -97,6 +114,7 @@ class _GenerationTable:
         new: DataFrame,
         key: str,
         partition_by: list[str] | None = None,
+        scan_started_ns: int | None = None,
     ) -> None:
         """MERGE-equivalent: delete matching keys, insert new rows.
 
@@ -109,7 +127,41 @@ class _GenerationTable:
             merged = keep.unionByName(new, allowMissingColumns=True)
         else:
             merged = new
-        self.overwrite(merged, partition_by)
+        self.overwrite(merged, partition_by, scan_started_ns=scan_started_ns)
+
+
+def _prune_part_year(
+    df: DataFrame, t1_ns: int | None, t2_ns: int | None
+) -> DataFrame:
+    """Derive part_year partition bounds from an ns time range, THEN drop
+    the column. Catalyst cannot infer ``part_year`` from a predicate on
+    the raw time column, so without this the Hive layout's advertised
+    partition pruning never fires and every year directory is scanned
+    (r6 review). The bounds are derived plan-side from the literals —
+    the filter lands as a PartitionFilter on the scan."""
+    import datetime as _dt
+
+    if "part_year" not in df.columns:
+        return df
+    def _year(ns: int) -> int | None:
+        try:
+            return _dt.datetime.fromtimestamp(
+                int(ns) / 1e9, tz=_dt.timezone.utc
+            ).year
+        except (OverflowError, OSError, ValueError):
+            return None  # sentinel beyond datetime range → no bound
+
+    pred = None
+    if t1_ns is not None and (y1 := _year(t1_ns)) is not None:
+        pred = F.col("part_year") >= F.lit(y1)
+    if t2_ns is not None and (y2 := _year(t2_ns)) is not None:
+        p2 = F.col("part_year") <= F.lit(y2)
+        pred = p2 if pred is None else (pred & p2)
+    if pred is not None:
+        # part_year=0 marks null-time rows (see _with_part_year): they
+        # match no time range, so excluding them is correct
+        df = df.filter(pred)
+    return df.drop("part_year")
 
 
 def _with_part_year(df: DataFrame, time_col: str) -> DataFrame:
@@ -143,7 +195,10 @@ class EventBank:
         self._cache = IndexCache(cache_size=cache_size)
 
     def put_events(
-        self, events: DataFrame, trees: DataFrame | None = None
+        self,
+        events: DataFrame,
+        trees: DataFrame | None = None,
+        scan_started_ns: int | None = None,
     ) -> "EventBank":
         """Upsert event-summary rows keyed on event_id
         (``eventbank.py:441-494 put_events``).
@@ -160,9 +215,14 @@ class EventBank:
 
             events = events_to_df(trees)
         df = _with_part_year(events, "time")
-        self.table.upsert(df, "event_id", partition_by=["part_year"])
+        self.table.upsert(
+            df, "event_id", partition_by=["part_year"],
+            scan_started_ns=scan_started_ns,
+        )
         if trees is not None:
-            self._payload.upsert(trees, "event_id")
+            self._payload.upsert(
+                trees, "event_id", scan_started_ns=scan_started_ns
+            )
         return self
 
     # update_index is put_events in this engine: the index IS the table
@@ -181,7 +241,8 @@ class EventBank:
         kwargs_end = kwargs.pop("endtime", None)
 
         def build(t1, t2):
-            df = self.table.read().drop("part_year")
+            df = self.table.read()
+            df = _prune_part_year(df, t1, t2)
             return fdsn_event_filter(df, starttime=t1, endtime=t2, **kwargs)
 
         if not use_cache:
@@ -294,6 +355,13 @@ class WaveBank:
         from obsplus_spark.plans.predicates import interval_overlap
         from obsplus_spark.schemas import LARGEDT_NS, SMALLDT_NS
 
+        if not self._payload.exists():
+            raise FileNotFoundError(
+                f"WaveBank at {self.table.root.parent} is index-only (no "
+                "waveform payload stored): get_waveforms needs "
+                "put_waveforms-ingested traces. Use read_index() to "
+                "locate the source files instead."
+            )
         df = self._payload.read().drop("part_year", "_trace_key")
         pred = interval_overlap(starttime, endtime, buffer_ns=self.buffer_ns)
         for col, pat in (
@@ -311,9 +379,13 @@ class WaveBank:
         t2 = LARGEDT_NS if endtime is None else endtime
         return trim_traces(out, t1, t2)
 
-    def update_index(self, index_rows: DataFrame) -> "WaveBank":
+    def update_index(
+        self, index_rows: DataFrame, scan_started_ns: int | None = None
+    ) -> "WaveBank":
         """Append/refresh index rows (``wavebank.py:247-276 update_index``);
-        key = (seed, starttime, path) so re-indexed files replace cleanly."""
+        key = (seed, starttime, path) so re-indexed files replace cleanly.
+        ``scan_started_ns``: when indexing from a file listing, the moment
+        the listing was taken (see ``_GenerationTable.overwrite``)."""
         df = _with_part_year(index_rows, "starttime").withColumn(
             "_idx_key",
             F.concat_ws(
@@ -321,7 +393,10 @@ class WaveBank:
                 F.col("starttime").cast("string"), "path",
             ),
         )
-        self.table.upsert(df, "_idx_key", partition_by=["part_year"])
+        self.table.upsert(
+            df, "_idx_key", partition_by=["part_year"],
+            scan_started_ns=scan_started_ns,
+        )
         return self
 
     def read_index(
@@ -343,7 +418,16 @@ class WaveBank:
         patterns = (network, station, location, channel)
 
         def build(t1, t2):
-            df = self.table.read().drop("part_year", "_idx_key")
+            df = self.table.read()
+            # partition pruning: part_year derives from the trace START,
+            # so only the UPPER bound is safe for an overlap query (a
+            # trace starting in an earlier year can still overlap t1;
+            # one that starts after t2+buffer cannot overlap at all)
+            df = _prune_part_year(
+                df,
+                None,
+                None if t2 is None else int(t2) + self.buffer_ns,
+            ).drop("_idx_key")
             pred = interval_overlap(t1, t2, buffer_ns=self.buffer_ns)
             for col, pat in zip(("network", "station", "location", "channel"), patterns):
                 if pat is not None:

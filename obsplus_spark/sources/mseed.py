@@ -59,7 +59,10 @@ def _sample_period_ns(factor: int, multiplier: int) -> int | None:
     rate = f×m (f>0,m>0) · f/|m| (f>0,m<0) · m/|f| (f<0,m>0) ·
     1/(|f|·|m|) (f<0,m<0).
     """
-    if factor == 0:
+    if factor == 0 or multiplier == 0:
+        # a zero multiplier is nonconforming SEED — treat the record as
+        # corrupt (None → caller skips it) instead of dividing by zero
+        # and aborting the whole file's parse
         return None
     if factor > 0:
         rate = factor * multiplier if multiplier > 0 else factor / -multiplier

@@ -31,7 +31,12 @@ def read_csv(
     if schema is not None:
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
-        schema = schema.add("_corrupt_record", T.StringType())
+        # COPY before add: StructType.add mutates in place, so reusing a
+        # caller's schema object across calls would grow duplicate
+        # _corrupt_record fields (and pollute the caller's schema)
+        schema = T.StructType(list(schema.fields)).add(
+            "_corrupt_record", T.StringType()
+        )
         reader = reader.schema(schema).option(
             "columnNameOfCorruptRecord", "_corrupt_record"
         )

@@ -138,6 +138,12 @@ def update_wavebank_from_files(
 ) -> None:
     """WaveBank.update_index end-to-end (``wavebank.py:247-276``): discover
     (new) files, summarize distributed, upsert into the bank index."""
+    import time as _time
+
     after = bank.last_updated_ns if incremental else None
+    # stamp BEFORE the listing: a file created while the indexing job
+    # runs is missed by this scan, and must still be newer than the
+    # recorded watermark so the NEXT incremental run picks it up
+    scan_ns = _time.time_ns()
     files = binary_file_scan(spark, path, glob, modified_after_ns=after)
-    bank.update_index(summarize_files(files))
+    bank.update_index(summarize_files(files), scan_started_ns=scan_ns)

@@ -312,9 +312,16 @@ class DataSet(abc.ABC):
                 or self.stations_need_downloading
             )
             if not need:
+                # data is present and intact, only the version marker is
+                # gone — HEAL it (write the current version) instead of
+                # warning about a re-download that nothing performs; the
+                # warning would otherwise repeat on every load forever
                 warnings.warn(
-                    "Version file is missing. Attempting to re-download the dataset."
+                    "Version file was missing; restored it from the"
+                    f" dataset definition ({self.version})."
                 )
+                self.write_version()
+                return True
             return False
         if _version_tuple(version) < _version_tuple(self.version):
             raise DataVersionError(

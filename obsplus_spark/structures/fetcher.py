@@ -46,9 +46,15 @@ class Fetcher:
         waveform_index: DataFrame,
         picks: DataFrame | None = None,
     ):
-        self.events = events
-        self.stations = stations
-        self.index = waveform_index
+        def _df(x):
+            # honor the documented contract: bank facades resolve to
+            # their index DataFrame here (r6 review — the methods below
+            # call DataFrame ops directly)
+            return x.read_index() if hasattr(x, "read_index") else x
+
+        self.events = _df(events)
+        self.stations = _df(stations)
+        self.index = _df(waveform_index)
         self.picks = picks
 
     # -- reference-time strategies (fetcher.py:328 reference_funcs) ----------

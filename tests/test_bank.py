@@ -255,6 +255,12 @@ def test_generation_retention_snapshot_isolation(spark, tmp_path, event_rows):
     assert snapshot.count() == 3          # old snapshot still readable
     gens = {d.name for d in (tmp_path / "event_index").glob("gen=*")}
     assert gens == {"gen=0", "gen=1"}
-    bank.put_events(event_rows.limit(1))  # gen 2: gen 0 now GCs
+    # r6 review: the snapshot window is TWO prior generations (a handle
+    # from one write ago survives a further write; only older ones GC)
+    bank.put_events(event_rows.limit(1))  # gen 2: gen 0 still retained
+    assert snapshot.count() == 3
     gens = {d.name for d in (tmp_path / "event_index").glob("gen=*")}
-    assert gens == {"gen=1", "gen=2"}
+    assert gens == {"gen=0", "gen=1", "gen=2"}
+    bank.put_events(event_rows.limit(1))  # gen 3: gen 0 now GCs
+    gens = {d.name for d in (tmp_path / "event_index").glob("gen=*")}
+    assert gens == {"gen=1", "gen=2", "gen=3"}

@@ -78,3 +78,18 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     assert set(back.columns) == {"k", "a", "b"}
     # same content
     assert back.agg(F.sum("k")).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_zorder_null_values_bin_to_sentinel(spark):
+    """Regression (r6 review): NULL in one z-order column must not NULL
+    the whole Morton key — the row keeps clustering on its non-null
+    columns (NULL bins to the 0 sentinel)."""
+    from obsplus_spark.plans.layout import zorder_key
+
+    rows = [(None, 5.0, 1), (1.0, 5.0, 2), (100.0, 5.0, 3)]
+    df = spark.createDataFrame(rows, "a double, b double, id long")
+    out = zorder_key(df, ["a", "b"], bits=4)
+    vals = {r["id"]: r["_zkey"] for r in out.collect()}
+    assert vals[1] is not None
+    # null a -> bin 0 -> same key as the minimum a value's row
+    assert vals[1] == vals[2]

@@ -102,3 +102,14 @@ def test_distributed_summarize_real_mseed(spark, tmp_path):
     stations = {r.station for r in idx}
     assert stations == {"S0", "S1", "S2"}
     assert all(r.endtime - r.starttime == 999 * (NS // 100) for r in idx)
+
+
+def test_sample_period_zero_multiplier_skips_record():
+    """Regression (r6 review): a zero sample-rate multiplier must mark
+    the record invalid, not ZeroDivisionError the whole file."""
+    from obsplus_spark.sources.mseed import _sample_period_ns
+
+    assert _sample_period_ns(20, 0) is None
+    assert _sample_period_ns(-20, 0) is None
+    assert _sample_period_ns(0, 1) is None
+    assert _sample_period_ns(20, 1) == 50_000_000

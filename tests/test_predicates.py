@@ -172,3 +172,16 @@ def test_glob_to_regex_expr_matches_python_twin(spark):
     }
     for p, v in rows:
         assert got[(p, v)] == fnmatch.fnmatchcase(v, p), (p, v)
+
+
+def test_full_globe_longitude_range_matches_everything(spark):
+    """Regression (r6 review): minlongitude=-180, maxlongitude=180 (the
+    'no longitude filter' query) wrapped both bounds to 180 and matched
+    NOTHING."""
+    from obsplus_spark.plans.predicates import fdsn_event_filter
+
+    df = spark.createDataFrame(
+        [(1, -179.0), (2, 0.0), (3, 179.9)], "event_id long, longitude double"
+    )
+    out = fdsn_event_filter(df, minlongitude=-180.0, maxlongitude=180.0)
+    assert out.count() == 3

@@ -130,3 +130,22 @@ def test_strip_and_attach(spark):
     out = attach_new_origin(tree, new_o)
     flat = events_to_df(out).collect()[0]
     assert flat.time == 123 and flat.latitude == 1.0
+
+
+def test_read_csv_does_not_mutate_caller_schema(spark, tmp_path):
+    """Regression (r6 review): StructType.add mutates in place — reusing
+    one schema object across read_csv calls grew duplicate
+    _corrupt_record fields."""
+    import pyspark.sql.types as T
+
+    from obsplus_spark.sources.readers import read_csv
+
+    p = str(tmp_path / "x.csv")
+    with open(p, "w") as fh:
+        fh.write("a,b\n1,2\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    read_csv(spark, p, schema=schema, header=True)
+    read_csv(spark, p, schema=schema, header=True)  # same object again
+    assert [f.name for f in schema.fields] == ["a", "b"]
