@@ -51,8 +51,36 @@ WIN_NS = 600 * NS
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _ring(df: DataFrame) -> None:
+    """Register a query-level persisted intermediate in the bounded
+    per-session cache ring (dedup.py's) so repeated plan builds in one
+    session — bench reps, check loops — release older persists instead
+    of accumulating one per build (r6 review)."""
+    from obsplus_spark.operators.dedup import _register_shingle_cache
+
+    _register_shingle_cache(df)
+
+
+def _evict_dead_sessions() -> None:
+    """Drop _TABLE_CACHE entries whose SparkSession has stopped: the
+    cached DataFrames pin their session (and its JVM-side blocks), so a
+    driver that cycles sessions in one process would otherwise grow one
+    persisted table set per dead session (r6 review)."""
+    dead = []
+    for key, df in _TABLE_CACHE.items():
+        try:
+            if df.sparkSession._jsc.sc().isStopped():
+                dead.append(key)
+        except Exception:
+            dead.append(key)  # JVM gateway gone — certainly dead
+    for key in dead:
+        _TABLE_CACHE.pop(key, None)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
+
+    _evict_dead_sessions()
 
     # defensive session conf: the driver may build its own SparkSession.
     # nanosAsLong keeps old TIMESTAMP(NANOS) testdata readable as int64;
@@ -692,12 +720,17 @@ def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", _ts_ns().alias("t_ns"), "event_type"
     )
-    return topk_per_group(ev, ["user_id"], [F.col("t_ns").asc()], k=1)
+    # event_id tie-break: same-µs events for one user would otherwise
+    # make both engines pick nondeterministically (r6 review)
+    return topk_per_group(
+        ev, ["user_id"], [F.col("t_ns").asc(), F.col("event_id").asc()], k=1
+    )
 
 
 _SQL_FIRST = """
     SELECT user_id, event_id, epoch_ns(ts) AS t_ns, event_type
-    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts), event_id) rn
           FROM events)
     WHERE rn = 1
 """
@@ -1159,17 +1192,28 @@ def q_last_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-magnitude-per-type (events/pd.py:166-175): per user, the value
     of the most recent event of each type — max_by/arg_max."""
     ev = _t(spark, sf_dir, "events")
+    # ordering key packs (t_ns, event_id): a same-µs tie within a
+    # (user, type) group would otherwise let max_by/arg_max pick
+    # different rows across engines (r6 review)
     return ev.groupBy("user_id", "event_type").agg(
-        F.max_by("value", _ts_ns()).alias("last_value"),
+        F.max_by(
+            "value", F.struct(_ts_ns().alias("t"), F.col("event_id"))
+        ).alias("last_value"),
         F.max(_ts_ns()).alias("last_ns"),
     )
 
 
+# DuckDB's arg_max takes no struct key — rank by the same composite
+# (t_ns DESC, event_id DESC) the engine's struct-max encodes
 _SQL_LAST = """
-    SELECT user_id, event_type,
-           arg_max(value, epoch_ns(ts)) AS last_value,
-           max(epoch_ns(ts)) AS last_ns
-    FROM events GROUP BY user_id, event_type
+    SELECT user_id, event_type, last_value, last_ns FROM (
+      SELECT user_id, event_type, value AS last_value,
+             max(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type)
+               AS last_ns,
+             row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
 """
 
 
@@ -1485,6 +1529,7 @@ def q_common_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampling_period_col=None,
         pre_merge=True,
     ).persist()
+    _ring(segs)
     return common_coverage(
         segs, seed_col="event_type", start_col="seg_start", end_col="seg_end"
     )
@@ -1558,12 +1603,23 @@ def q_nested_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the engine's element_at(sort_array(...), -1) is a STRUCT max over
+# (t_ns, event_type, value); arg_max over the bare timestamp had an
+# implementation-defined tie choice (r6 review) — rank by the same
+# composite ordering instead
 _SQL_NESTED = """
-    SELECT user_id, count(*) AS n_events,
-           max(epoch_ns(ts)) AS last_ns,
-           arg_max(event_type, epoch_ns(ts)) AS last_type,
-           arg_max(value, epoch_ns(ts)) AS last_value
-    FROM events GROUP BY user_id
+    SELECT user_id, CAST(cnt AS BIGINT) AS n_events,
+           last_ns, last_type, last_value
+    FROM (
+      SELECT user_id, epoch_ns(ts) AS last_ns, event_type AS last_type,
+             value AS last_value,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) DESC, event_type DESC, value DESC)
+               AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    ) x
+    WHERE rn = 1
 """
 
 
@@ -1861,6 +1917,7 @@ def q_prune_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The edge table is consulted by every fixed-point round — persist it
     # so the agg cascade runs once, not once per plan reference.
     edges = day_first_edges.unionByName(other_edges).persist()
+    _ring(edges)
     nodes = ev.select("resource_id", "evaluation_status")
     alive = prune_rejected(
         nodes, edges, max_iterations=2, check_convergence=False,
@@ -2531,7 +2588,7 @@ def q_amp_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from obsplus_spark.operators import validate as V
 
     ev = _t(spark, sf_dir, "events")
-    ts = "cast(ts as bigint) - (cast(ts as bigint) % 1000)"
+    ts = _TS_NS_SQL
     picks = ev.filter(
         F.col("event_type").isin("view", "purchase")
     ).selectExpr(
