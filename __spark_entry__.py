@@ -80,8 +80,6 @@ def _evict_dead_sessions() -> None:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
-    _evict_dead_sessions()
-
     # defensive session conf: the driver may build its own SparkSession.
     # nanosAsLong keeps old TIMESTAMP(NANOS) testdata readable as int64;
     # UTC pins timestamp-literal parsing to match the DuckDB oracle.
@@ -101,6 +99,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _norm_ts(spark.read.parquet(path))
     key = (id(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
+        # eviction only on MISS: the liveness probe is a py4j round trip
+        # per cached entry, far too hot for the per-read path (a miss
+        # means a new session/table is arriving — exactly when stale
+        # sessions could pile up)
+        _evict_dead_sessions()
         df = _norm_ts(spark.read.parquet(path))
         # fact tables: a single small parquet file scans with row-group
         # parallelism (often 1-3 tasks); repartition once at cache
