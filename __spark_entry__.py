@@ -6558,6 +6558,382 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): per part, the supplier with
+    the lowest observed unit price — argmin-per-group as ONE struct-min
+    hash aggregate (lexicographic (unit, suppkey) min ≡ ORDER BY unit,
+    suppkey LIMIT 1 per group, but map-side combinable: the shuffle
+    carries one candidate per part per partition, no window, no
+    per-group sort). True dimension tables (part, supplier, nation)
+    broadcast onto the aggregate. Unit price is one IEEE division —
+    bit-identical across engines, so the argmin tie-break is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    best = (
+        li.select(
+            "l_partkey",
+            F.struct(
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("u"),
+                F.col("l_suppkey").alias("k"),
+            ).alias("_c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("_c").alias("_b"))
+        .select("l_partkey", F.col("_b.u").alias("_u"), F.col("_b.k").alias("_k"))
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best._k == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("_u", 6).alias("best_unit_price"),
+        )
+        .orderBy(F.col("_u"), F.col("p_partkey"))
+        .limit(100)
+    )
+
+
+_SQL_CHEAPEST = """
+    SELECT p_partkey, p_brand, s_name, n_name AS nation,
+           round(u, 6) AS best_unit_price
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS u,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice / l_quantity,
+                                         l_suppkey) AS rn
+      FROM lineitem
+    ) b
+    JOIN part ON b.l_partkey = p_partkey
+    JOIN supplier ON b.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE rn = 1
+    ORDER BY u, p_partkey
+    LIMIT 100
+"""
+
+
+def q_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi): orders with at least one
+    returned lineitem, counted per priority. The EXISTS subquery
+    compiles to a left-semi shuffle join on the order key (semi joins
+    short-circuit per probe row and never widen the orders side), then
+    one tiny priority aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.filter("l_returnflag = 'R'").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_PRIORITY_RETURNS = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join so zero-order customers survive with count 0, then a histogram
+    of the per-customer counts. Two aggregates, each map-side combined;
+    the outer join shuffles on the customer key once (counting
+    ``o_orderkey`` — never ``count(*)`` — keeps the no-match rows at
+    zero)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_SQL_ORDER_COUNT_DIST = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (HAVING → semi): orders whose total quantity
+    exceeds 300 (~top 0.1%), joined back to the order/customer dims.
+    The quantity rollup is ONE map-combined aggregate; its survivors
+    (a few hundred keys) broadcast into orders, so the big table
+    shuffles zero rows past its own aggregate. Quantities are small
+    integral doubles — the sum is exact, the 300 threshold portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    o = o.withColumn("o_orderdate", _tcol(o, "o_orderdate"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 4).alias("total_price"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_SQL_LARGE_ORDERS = """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o_totalprice, 4) AS total_price,
+           round(total_qty, 4) AS total_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) b
+    JOIN orders ON o_orderkey = b.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+def q_sole_supplier_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers who
+    were the ONLY supplier with a returned item on a multi-supplier
+    order. Instead of two correlated self-joins over the fact table
+    (three lineitem scans), the pair table aggregates once to
+    (order, supplier, had_return) and once more to per-order counts —
+    the sole-return predicate becomes ``n_supp > 1 AND n_r_supp = 1``
+    on that tiny rollup, joined back on the order key. Skew-safe: no
+    count-distinct Expand, every shuffle keyed on the order prefix."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_returnflag") == "R").alias("had_r"))
+    )
+    # per-order counts as unordered full-partition windows over the pair
+    # rollup instead of a second aggregate + self-join: the same numbers,
+    # but ONE re-shuffle (to the order key) instead of three (agg + both
+    # join sides)
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_r_supp", F.sum(F.col("had_r").cast("int")).over(w)
+        )
+        .filter("had_r AND n_supp > 1 AND n_r_supp = 1")
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(25)
+    )
+
+
+_SQL_SOLE_SUPPLIER = """
+    WITH pairs AS (
+      SELECT l_orderkey, l_suppkey,
+             max(l_returnflag = 'R') AS had_r
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp,
+             count(*) FILTER (had_r) AS n_r_supp
+      FROM pairs GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM pairs p
+    JOIN per_order o ON p.l_orderkey = o.l_orderkey
+    JOIN supplier ON p.l_suppkey = s_suppkey
+    WHERE p.had_r AND o.n_supp > 1 AND o.n_r_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-scalar subquery + anti join): customers
+    with an above-average positive balance and NO order since
+    2000-01-01, rolled up per market segment. The global average rides
+    a broadcast single-row cross join; the comparison is done in exact
+    integer cents (``cents · n > Σcents``) so the threshold is
+    bit-portable across engines; the NOT EXISTS compiles to a left-anti
+    shuffle join on the customer key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    o = o.withColumn("o_orderdate", _tcol(o, "o_orderdate"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = (
+        c.filter("c_acctbal > 0")
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "_tot_cents"
+            ),
+            F.count(F.lit(1)).alias("_n_pos"),
+        )
+    )
+    recent = o.filter("o_orderdate >= TIMESTAMP '2000-01-01'").select(
+        "o_custkey"
+    )
+    rich = (
+        c.withColumn("_cents", cents)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("_cents") * F.col("_n_pos") > F.col("_tot_cents"))
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_IDLE_CUSTOMERS = """
+    WITH stats AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot_cents,
+             count(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_balance
+    FROM customer c, stats
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > tot_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality classifier over documents —
+    fastText-style scoring as a pure map (see
+    operators/text.py linear_quality_score): tokenize, fold the in-row
+    token array through hash→weight→add, sigmoid. No shuffle at all."""
+    from obsplus_spark.operators.text import linear_quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return linear_quality_score(docs, dims=1024)
+
+
+_SQL_LINEAR_QUALITY = """
+    SELECT doc_id, n_tokens,
+           round(margin, 6) AS margin,
+           round(1.0 / (1.0 + exp(-margin)), 6) AS score,
+           (1.0 / (1.0 + exp(-margin))) > 0.5 AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_sum(list_transform(toks, t ->
+               CAST((('0x' || substr(md5(t), 1, 8))::BIGINT % 1024)
+                    * 2654435761 % 4096 AS DOUBLE) / 4096.0 - 0.5))
+               / sqrt(CAST(len(toks) AS DOUBLE)) AS margin
+      FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\\s+')
+               END AS toks
+        FROM documents
+      )
+      WHERE len(toks) > 0
+    )
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for documents against the 'src0' target
+    slice (operators/text.py dsir_importance): hashed-unigram
+    target/proposal models, one bucket aggregate + one broadcast join +
+    one per-doc aggregate."""
+    from obsplus_spark.operators.text import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dsir_importance(docs, target_value="src0", dims=4096)
+
+
+def _dsir_sql(target: str = "src0", dims: int = 4096) -> str:
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, source = '{target}' AS is_t,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {dims} AS bucket
+      FROM (
+        SELECT doc_id, source,
+               unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                           ELSE string_split_regex(trim(lower(text)), '\\s+')
+                      END) AS tok
+        FROM documents
+      )
+    ),
+    bc AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(count(*) FILTER (is_t) AS BIGINT) AS n_tgt
+      FROM occ GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(n_all) AS DOUBLE) AS t_all,
+             CAST(sum(n_tgt) AS DOUBLE) AS t_tgt
+      FROM bc
+    ),
+    wt AS (
+      SELECT bucket, ln(((n_tgt + 1) / (t_tgt + {dims}))
+                        / ((n_all + 1) / (t_all + {dims}))) AS lw
+      FROM bc CROSS JOIN tot
+    )
+    SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(w.lw), 6) AS log_weight
+    FROM occ o JOIN wt w ON o.bucket = w.bucket
+    GROUP BY o.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -6577,6 +6953,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4), (c) rows last driver-verified in r4 up to the cap. The
     # past-cap rows were ALL driver-green in CORRECTNESS_r05 or _r04.
     return {
+        # (a00) new in the r6 third wave: join-strategy TPC-H shapes
+        # (argmin struct-min, EXISTS semi, outer-join histogram,
+        # HAVING-broadcast, self-join rollup, scalar-subquery + anti)
+        # and the two newest LLM-pipeline ops
+        "cheapest_supplier": q_cheapest_supplier,
+        "priority_returns": q_priority_returns,
+        "order_count_dist": q_order_count_dist,
+        "large_orders": q_large_orders,
+        "sole_supplier_returns": q_sole_supplier_returns,
+        "idle_customers": q_idle_customers,
+        "linear_quality": q_linear_quality,
+        "dsir_weights": q_dsir_weights,
         # (a0) new in the r6 second wave (this session)
         "triangle_count": q_triangle_count,
         "heavy_hitters": q_heavy_hitters,
@@ -6716,6 +7104,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "cheapest_supplier": _SQL_CHEAPEST,
+        "priority_returns": _SQL_PRIORITY_RETURNS,
+        "order_count_dist": _SQL_ORDER_COUNT_DIST,
+        "large_orders": _SQL_LARGE_ORDERS,
+        "sole_supplier_returns": _SQL_SOLE_SUPPLIER,
+        "idle_customers": _SQL_IDLE_CUSTOMERS,
+        "linear_quality": _SQL_LINEAR_QUALITY,
+        "dsir_weights": _dsir_sql(),
         "triangle_count": _SQL_TRIANGLES,
         "heavy_hitters": _SQL_CMS,
         "span_dedup": _SQL_SPAN,

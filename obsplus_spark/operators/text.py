@@ -981,3 +981,133 @@ def source_divergence(
         GROUP BY s.{group_col}
         """,
     )
+
+
+def _hash_bucket_sql(token_expr: str, dims: int) -> str:
+    """SQL expr: stable token → ``[0, dims)`` bucket via the module's
+    md5-hex convention (engine-portable — no integer-hash builtin is
+    shared between Spark and other engines)."""
+    return (
+        f"CAST(conv(substring(md5({token_expr}), 1, 8), 16, 10) AS BIGINT)"
+        f" % {int(dims)}"
+    )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 1024,
+) -> DataFrame:
+    """Hashed bag-of-words linear quality classifier — the fastText-style
+    scoring pass of web-corpus pipelines (CCNet/RefinedWeb run exactly
+    this shape: hash each token into a fixed-width feature vector, dot it
+    with trained weights, sigmoid the margin, threshold to keep/drop).
+
+    A real deployment broadcasts its trained weight vector as a
+    plan-time literal array (``element_at(lit(weights), bucket + 1)``);
+    here the weight for bucket ``b`` derives in-plan from the bucket id
+    (Knuth-multiplier mix, quantized to 1/4096ths) so both engines
+    reproduce it without a side table. The 2^-12 quantization makes
+    every per-doc weight SUM exact in binary floating point — the score
+    is order-independent, so the oracle match doesn't lean on
+    accumulation order.
+
+    Scale shape: pure map — tokenize, fold the in-row token array
+    through hash→weight→add (no explode, no shuffle, no window); a
+    100 TB corpus scores at scan speed. Blank docs carry no signal and
+    are dropped (no 0/0 margin).
+
+    Output: (id, n_tokens, margin, score, keep) — margin is the
+    root-n-normalized weight sum (CLT keeps its spread O(1) in doc
+    length), score = sigmoid(margin), keep = score > 0.5.
+    """
+    from obsplus_spark.util import sql_over
+
+    w = (
+        f"(CAST(({_hash_bucket_sql('t', dims)} * 2654435761) % 4096"
+        f" AS DOUBLE) / 4096.0D - 0.5D)"
+    )
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": df},
+        f"""
+        SELECT {id_col}, n_tokens,
+               round(margin, 6) AS margin,
+               round(1.0D / (1.0D + exp(-margin)), 6) AS score,
+               (1.0D / (1.0D + exp(-margin))) > 0.5D AS keep
+        FROM (
+          SELECT {id_col},
+                 CAST(size(_toks) AS BIGINT) AS n_tokens,
+                 aggregate(_toks, CAST(0.0 AS DOUBLE),
+                           (acc, t) -> acc + {w})
+                   / sqrt(CAST(size(_toks) AS DOUBLE)) AS margin
+          FROM (SELECT {id_col}, {toks} AS _toks FROM {{d}})
+          WHERE size(_toks) > 0
+        )
+        """,
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_value: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    dims: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hash tokens into ``dims`` buckets, fit add-one-smoothed unigram
+    models for the TARGET slice (``group_col == target_value``) and the
+    full-corpus PROPOSAL, and score each document by
+    ``log w(x) = Σ_tok ln(p_target(bucket) / p_corpus(bucket))``.
+    Downstream selection resamples with probability ∝ exp(log w).
+
+    Scale shape: the token stream aggregates to ≤ ``dims`` bucket-count
+    rows (map-side combined — the shuffle carries buckets, not
+    occurrences); target totals re-aggregate from that table; the
+    dims-row weight table rides ONE broadcast join back onto a second
+    occurrence pass, then one per-doc hash aggregate. Identical skeleton
+    to :func:`unigram_logprob` — no windows, nothing driver-side, the
+    corpus streams twice and shuffles once at document granularity.
+
+    Output: (id, n_tokens, log_weight) — blank docs are absent (a
+    zero-token doc has no importance evidence).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    occ = ensure_parallelism(df).selectExpr(
+        id_col,
+        f"({group_col} = '{target_value}') AS _is_target",
+        f"explode({_lower_tokens_sql(text_col)}) AS tok",
+    ).selectExpr(id_col, "_is_target", f"{_hash_bucket_sql('tok', dims)} AS bucket")
+    d = int(dims)
+    return sql_over(
+        {"o": occ},
+        f"""
+        WITH bc AS (
+          SELECT bucket,
+                 CAST(count(1) AS BIGINT) AS n_all,
+                 CAST(count_if(_is_target) AS BIGINT) AS n_tgt
+          FROM {{o}} GROUP BY bucket
+        ),
+        tot AS (
+          SELECT CAST(sum(n_all) AS DOUBLE) AS t_all,
+                 CAST(sum(n_tgt) AS DOUBLE) AS t_tgt
+          FROM bc
+        ),
+        wt AS (
+          SELECT /*+ BROADCAST(bc) */ bucket,
+                 ln(((n_tgt + 1) / (t_tgt + {d}))
+                    / ((n_all + 1) / (t_all + {d}))) AS lw
+          FROM bc CROSS JOIN tot
+        )
+        SELECT /*+ BROADCAST(w) */ o.{id_col},
+               CAST(count(1) AS BIGINT) AS n_tokens,
+               round(sum(w.lw), 6) AS log_weight
+        FROM {{o}} o JOIN wt w ON o.bucket = w.bucket
+        GROUP BY o.{id_col}
+        """,
+    )

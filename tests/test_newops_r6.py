@@ -522,3 +522,124 @@ def test_set_similarity_join_exact_boundary_pair_kept(spark):
                docs, threshold=0.2, persist_shingles=False
            ).collect()}
     assert got == {(1, 2): (2, 10, 2)}
+
+
+# --- r6 third wave: linear quality classifier + DSIR importance ---
+
+
+def _py_bucket(tok: str, dims: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dims
+
+
+def _py_weight(tok: str, dims: int) -> float:
+    return (_py_bucket(tok, dims) * 2654435761 % 4096) / 4096.0 - 0.5
+
+
+def test_linear_quality_matches_python_model(spark):
+    from obsplus_spark.operators.text import linear_quality_score
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark spark spark"),
+        (3, "   "),  # blank: dropped
+        (4, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in linear_quality_score(df, dims=64).collect()
+    }
+    assert 3 not in got
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        if not toks:
+            continue
+        margin = sum(_py_weight(t, 64) for t in toks) / math.sqrt(len(toks))
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["margin"] == pytest.approx(round(margin, 6), abs=1e-9)
+        score = 1.0 / (1.0 + math.exp(-margin))
+        assert r["score"] == pytest.approx(round(score, 6), abs=1e-9)
+        assert r["keep"] == (score > 0.5)
+
+
+def test_linear_quality_sum_is_exact_across_order(spark):
+    # weights are multiples of 2^-12, so the fold is order-independent
+    # (exact binary sums) — permuting tokens must reproduce the margin
+    from obsplus_spark.operators.text import linear_quality_score
+
+    toks = ["alpha", "beta", "gamma", "delta", "epsilon"] * 7
+    fwd = " ".join(toks)
+    rev = " ".join(reversed(toks))
+    df = spark.createDataFrame([(1, fwd), (2, rev)], ["doc_id", "text"])
+    a, b = sorted(
+        linear_quality_score(df, dims=32).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a["margin"] == b["margin"]
+    assert a["score"] == b["score"]
+
+
+def test_dsir_importance_matches_python_model(spark):
+    from obsplus_spark.operators.text import dsir_importance
+
+    rows = [
+        (1, "tgt", "alpha beta alpha"),
+        (2, "tgt", "alpha gamma"),
+        (3, "other", "delta delta epsilon"),
+        (4, "other", "alpha delta"),
+        (5, "other", "  "),  # blank: absent from output
+    ]
+    dims = 16
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            df, target_value="tgt", group_col="source", dims=dims
+        ).collect()
+    }
+    assert 5 not in got
+    # python model over hashed buckets
+    all_cnt: dict = {}
+    tgt_cnt: dict = {}
+    for _, src, text in rows:
+        for t in text.strip().lower().split():
+            b = _py_bucket(t, dims)
+            all_cnt[b] = all_cnt.get(b, 0) + 1
+            if src == "tgt":
+                tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    t_all = sum(all_cnt.values())
+    t_tgt = sum(tgt_cnt.values())
+    for doc_id, _, text in rows:
+        toks = text.strip().lower().split()
+        if not toks:
+            continue
+        lw = sum(
+            math.log(
+                ((tgt_cnt.get(_py_bucket(t, dims), 0) + 1) / (t_tgt + dims))
+                / ((all_cnt[_py_bucket(t, dims)] + 1) / (t_all + dims))
+            )
+            for t in toks
+        )
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["log_weight"] == pytest.approx(round(lw, 6), abs=1e-6)
+
+
+def test_dsir_target_like_docs_rank_higher(spark):
+    from obsplus_spark.operators.text import dsir_importance
+
+    rows = [(i, "tgt", "wiki facts article") for i in range(5)] + [
+        (10, "web", "wiki facts article"),   # looks like target
+        (11, "web", "buy cheap pills now"),  # does not
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance(
+            df, target_value="tgt", group_col="source", dims=64
+        ).collect()
+    }
+    assert got[10] > got[11]
