@@ -468,3 +468,80 @@ def test_ivf_pq_candidates_window_group_limit(plans):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_linear_quality_is_pure_map(plans):
+    """The hashed-BoW classifier is a scan-speed map: the executed plan
+    has NO exchange of any kind, no join, no window — the in-row token
+    fold is the whole program."""
+    p, simple = plans["linear_quality"]
+    assert "Exchange" not in simple
+    assert not any(m in p for m in _JOIN_MARKERS)
+    assert "Window" not in p
+
+
+def test_dsir_weight_table_broadcasts(plans):
+    """DSIR: the ≤dims bucket-weight table rides broadcast joins back
+    onto the occurrence stream — the corpus-side token stream never
+    shuffles against the model (only the bucket/doc aggregates are
+    keyed exchanges)."""
+    p, simple = plans["dsir_weights"]
+    assert "BroadcastHashJoin" in p
+    assert simple.count("Exchange hashpartitioning") <= 3
+    assert "Window" not in p
+
+
+def test_cheapest_supplier_struct_min_single_exchange(plans):
+    """Q2 shape: argmin-per-group is ONE struct-min hash aggregate
+    (map-side combinable — no window, no per-group sort); part/supplier/
+    nation broadcast; top-100 is TakeOrdered, never a global sort."""
+    p, simple = plans["cheapest_supplier"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_priority_returns_is_semi_join(plans):
+    """Q4 shape: the EXISTS compiles to a left-semi join (orders never
+    widen), then one tiny priority aggregate."""
+    p, simple = plans["priority_returns"]
+    assert "LeftSemi" in p
+
+
+def test_order_count_dist_outer_join_keeps_zeros(plans):
+    """Q13 shape: LEFT OUTER join + two map-combined aggregates — two
+    keyed exchanges, no window."""
+    p, simple = plans["order_count_dist"]
+    assert "LeftOuter" in p
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert "Window" not in p
+
+
+def test_large_orders_rollup_broadcasts_into_dims(plans):
+    """Q18 shape: the quantity rollup is the only keyed exchange; its
+    ~0.1% survivors ride broadcast joins into orders/customer — the
+    fact table never re-shuffles."""
+    p, simple = plans["large_orders"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sole_supplier_returns_window_not_self_join(plans):
+    """Q21 shape: per-order counts come from full-partition windows over
+    the pair rollup (3 keyed exchanges), NOT a second aggregate joined
+    back (which would cost 6); supplier dim broadcasts."""
+    p, simple = plans["sole_supplier_returns"]
+    assert "Window" in p
+    assert simple.count("Exchange hashpartitioning") == 3
+    assert "BroadcastHashJoin" in p
+
+
+def test_idle_customers_anti_join_and_scalar_broadcast(plans):
+    """Q22 shape: the NOT EXISTS compiles to a left-anti join; the
+    global-average threshold is a broadcast single-row cross join (exact
+    integer-cents compare, no double-rounding dependence)."""
+    p, simple = plans["idle_customers"]
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p
