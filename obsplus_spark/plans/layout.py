@@ -152,3 +152,63 @@ def clustering_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max(c).alias(f"{c}_max"),
         ]
     return df.select(pid, *cols).groupBy("_pid").agg(*aggs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: "list[str] | None" = None,
+    path: "str | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED table — the co-located-join
+    layout: each row lands in ``hash(bucket_cols) % n_buckets``, and the
+    bucket spec is recorded in the catalog, so a later equi-join or
+    aggregate on the bucket keys between two tables bucketed the same
+    way runs with ZERO shuffle exchanges (Spark trusts the on-disk
+    partitioning as its required ClusteredDistribution).
+
+    This is the batch answer to the flagship bank joins at 100 TB: a
+    waveform/event index bucketed on its join key joins new batches
+    exchange-free forever after, instead of re-shuffling 100 TB per
+    query. ``sort_cols`` additionally orders rows inside each bucket
+    file (``sortBy``) — Spark still keeps a Sort node under the
+    sort-merge join (it does not trust per-file order), but sorting
+    already-ordered runs is the cheap path of the sorter, and the
+    ordering gives parquet tight footer min/max spans on the sort key
+    (the same prunability effect :func:`zorder_repartition` buys for
+    multi-column predicates, but exact for one column).
+
+    Notes for plan hygiene (asserted in tests/test_layout.py):
+
+    - both sides must use the SAME ``n_buckets`` (or enable
+      ``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` for
+      multiples);
+    - bucketed writes require ``saveAsTable`` (the catalog carries the
+      bucket spec — a bare ``.parquet(path)`` write silently drops it);
+      pass ``path`` to keep the data outside the warehouse as an
+      external table.
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = df.write.format("parquet").mode(mode).bucketBy(
+        int(n_buckets), *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def colocated_join(spark, left_table: str, right_table: str, on: list[str],
+                   how: str = "inner") -> DataFrame:
+    """Join two same-spec bucketed tables on their bucket keys. The plan
+    contains no Exchange: each task reads bucket *i* of both sides and
+    merges. Exists mostly to carry the documented invariant — any
+    equi-join of ``spark.table(...)`` frames gets the same plan."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
