@@ -528,12 +528,15 @@ def test_large_orders_rollup_broadcasts_into_dims(plans):
     assert "TakeOrderedAndProject" in p
 
 
-def test_sole_supplier_returns_window_not_self_join(plans):
-    """Q21 shape: per-order counts come from full-partition windows over
-    the pair rollup (3 keyed exchanges), NOT a second aggregate joined
-    back (which would cost 6); supplier dim broadcasts."""
+def test_sole_supplier_returns_two_hash_aggs_no_window(plans):
+    """Q21 shape: pair rollup + per-order aggregate that CARRIES the
+    sole returning supplier (min-when) — 3 sort-free keyed exchanges,
+    no window (a full-partition window re-sorts every pair row: 3.1 s
+    vs 2.7 s at synthetic sf1), no self-join back (re-computes the
+    rollup), no count-distinct Expand (5.9 s); supplier dim broadcasts."""
     p, simple = plans["sole_supplier_returns"]
-    assert "Window" in p
+    assert "Window" not in p
+    assert "Expand" not in p
     assert simple.count("Exchange hashpartitioning") == 3
     assert "BroadcastHashJoin" in p
 
