@@ -6938,6 +6938,112 @@ def _dsir_sql(target: str = "src0", dims: int = 4096) -> str:
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup) over the embeddings table:
+    deterministic IVF assignment (broadcast centroids), per-cluster
+    BLAS gram pairs, min-id keep rule — every vector labeled
+    keep/duplicate (operators/similarity.py semantic_dedup)."""
+    from obsplus_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, n_clusters=4, threshold=0.3)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_dup",
+        "dup_of",
+    )
+
+
+_SQL_SEMANTIC_DEDUP = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
+             sqrt(list_dot_product(ev, ev)) AS nrm
+      FROM v WHERE vec_id < 4
+    ),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.ev, c.c)
+                   / (sqrt(list_dot_product(v.ev, v.ev)) * c.nrm) DESC,
+                 c.cluster) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    vv AS (
+      SELECT a.vec_id, a2.cluster AS cluster, a.ev,
+             sqrt(list_dot_product(a.ev, a.ev)) AS nrm
+      FROM v a JOIN asg a2 USING (vec_id)
+    ),
+    dup AS (
+      SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+      FROM vv a JOIN vv b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.3
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+           d.dup_of IS NOT NULL AS is_dup, d.dup_of
+    FROM asg s LEFT JOIN dup d ON s.vec_id = d.vec_id
+"""
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {spark, merge, vector}: zero
+    keyed shuffles — in-row per-term tf, ONE single-row stats
+    aggregate broadcast back, TakeOrdered (operators/text.py
+    bm25_scores)."""
+    from obsplus_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, ["spark", "merge", "vector"], k=20)
+
+
+def _bm25_sql(terms: "list[str]", k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> str:
+    tf = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"CAST(count(*) FILTER (tf{i} > 0) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * ({k1} + 1.0)"
+        f" / (tf{i} + {k1} * (1.0 - {b} + {b} * len_d / avgdl))"
+        for i in range(len(terms))
+    )
+    any_match = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len_d, {tf}
+      FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\\s+')
+               END AS toks
+        FROM documents
+      )
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(len_d) AS avgdl, {dfs}
+      FROM t
+    )
+    SELECT doc_id, CAST(len_d AS BIGINT) AS n_tokens,
+           round({score}, 6) AS score
+    FROM t CROSS JOIN stats
+    WHERE {any_match}
+    ORDER BY score DESC, doc_id
+    LIMIT {int(k)}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -6961,6 +7067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (argmin struct-min, EXISTS semi, outer-join histogram,
         # HAVING-broadcast, self-join rollup, scalar-subquery + anti)
         # and the two newest LLM-pipeline ops
+        "semantic_dedup": q_semantic_dedup,
+        "bm25": q_bm25,
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
@@ -7108,6 +7216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "cheapest_supplier": _SQL_CHEAPEST,
         "priority_returns": _SQL_PRIORITY_RETURNS,
         "order_count_dist": _SQL_ORDER_COUNT_DIST,

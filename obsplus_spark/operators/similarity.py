@@ -837,3 +837,66 @@ def ivf_pq_topk(
         ) WHERE rank <= {int(k)}
         """,
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 0,
+    method: str = "blocked",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then deduplicate WITHIN clusters — the k-means
+    blocking is what makes semantic (non-exact) dedup tractable at
+    corpus scale, because pairwise cosine only ever runs inside a
+    cluster, never across the corpus.
+
+    Pipeline (all existing scale shapes composed):
+
+    1. :func:`ivf_assign` — deterministic seeding + optional Lloyd
+       refinement; assignment is a broadcast-centroid map, the corpus
+       never shuffles for it;
+    2. :func:`embedding_near_dup` with ``block_col='cluster'`` —
+       per-cluster gram matrix via the Arrow-batched BLAS kernel (one
+       shuffle on the cluster key);
+    3. a row is a semantic duplicate iff a SMALLER-id member of its
+       cluster has cosine ≥ ``threshold``; ``dup_of`` is the smallest
+       such id. The min-id rule is the deterministic stand-in for the
+       paper's keep-one-per-group (exact group structure under
+       non-transitive similarity is a connected-components question —
+       :func:`obsplus_spark.operators.dedup.canonical_docs` does that
+       when needed).
+
+    Output: (id, cluster, is_dup, dup_of) — one row per input vector,
+    ``dup_of`` NULL on keepers.
+    """
+    asg, _ = ivf_assign(
+        vectors,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_iterations=refine_iterations,
+    )
+    pairs = embedding_near_dup(
+        asg,
+        threshold=threshold,
+        block_col="cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        method=method,
+    )
+    dup = pairs.groupBy("id2").agg(F.min("id1").alias("dup_of"))
+    keep = asg.select(F.col(id_col), F.col("cluster"))
+    return (
+        keep.join(dup, keep[id_col] == dup.id2, "left_outer")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

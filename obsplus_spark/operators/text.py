@@ -1111,3 +1111,76 @@ def dsir_importance(
         GROUP BY o.{id_col}
         """,
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for one query over the corpus —
+    the classic keyword-search scorer (Robertson & Zaragoza 2009),
+    with the standard non-negative idf variant
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``::
+
+        score(d) = Σ_t idf(t) · tf(t,d)·(k1+1)
+                              / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+
+    Scale shape: zero keyed shuffles. Per-term tf is an in-row
+    ``size(filter(...))`` over the token array (never an explode — the
+    corpus-size work is a pure map); N, avgdl and every term's df come
+    out of ONE single-row aggregate that rides a broadcast cross join
+    back onto the scan; top-k is TakeOrdered. A 100 TB corpus answers
+    a query in one scan + one 1-row exchange.
+
+    Output: (id, n_tokens, score) — top ``k`` docs by (score desc, id),
+    zero-score docs (no term matches) excluded.
+    """
+    from obsplus_spark.util import sql_over
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    for t in terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"unsupported character in term: {t!r}")
+    tf_cols = ", ".join(
+        f"CAST(size(filter(_toks, x -> x = '{t}')) AS DOUBLE) AS _tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_aggs = ", ".join(
+        f"CAST(count_if(_tf{i} > 0) AS DOUBLE) AS _df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0D + (_n - _df{i} + 0.5D) / (_df{i} + 0.5D))"
+        f" * _tf{i} * ({k1} + 1.0D)"
+        f" / (_tf{i} + {k1} * (1.0D - {b} + {b} * _len / _avgdl))"
+        for i in range(len(terms))
+    )
+    any_match = " OR ".join(f"_tf{i} > 0" for i in range(len(terms)))
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": df},
+        f"""
+        WITH t AS (
+          SELECT {id_col}, CAST(size(_toks) AS DOUBLE) AS _len, {tf_cols}
+          FROM (SELECT {id_col}, {toks} AS _toks FROM {{d}})
+        ),
+        stats AS (
+          SELECT CAST(count(1) AS DOUBLE) AS _n,
+                 avg(_len) AS _avgdl, {df_aggs}
+          FROM t
+        )
+        SELECT {id_col},
+               CAST(_len AS BIGINT) AS n_tokens,
+               round({score}, 6) AS score
+        FROM t CROSS JOIN stats
+        WHERE {any_match}
+        ORDER BY score DESC, {id_col}
+        LIMIT {int(k)}
+        """,
+    )

@@ -643,3 +643,99 @@ def test_dsir_target_like_docs_rank_higher(spark):
         ).collect()
     }
     assert got[10] > got[11]
+
+
+def test_semantic_dedup_hand_case(spark):
+    """Two tight groups far apart: seeds = first 2 ids; in-group
+    near-identical vectors flag against the smallest group member."""
+    from obsplus_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # seed / centroid A, keeper
+        (1, [0.0, 1.0, 0.0]),     # seed / centroid B, keeper
+        (2, [0.99, 0.01, 0.0]),   # dup of 0
+        (3, [0.98, 0.02, 0.0]),   # dup of 0 (min-id rule, not of 2)
+        (4, [0.0, 0.97, 0.03]),   # dup of 1
+        (5, [0.0, 0.0, 1.0]),     # assigned somewhere, no near neighbor
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, n_clusters=2, threshold=0.9).collect()
+    }
+    assert len(out) == 6
+    assert not out[0]["is_dup"] and out[0]["dup_of"] is None
+    assert not out[1]["is_dup"]
+    assert out[2]["is_dup"] and out[2]["dup_of"] == 0
+    assert out[3]["is_dup"] and out[3]["dup_of"] == 0
+    assert out[4]["is_dup"] and out[4]["dup_of"] == 1
+    assert not out[5]["is_dup"]
+
+
+def test_semantic_dedup_exact_matches_blocked(spark):
+    """The JVM expression path and the BLAS gram path agree."""
+    from obsplus_spark.operators.similarity import semantic_dedup
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        semantic_dedup(df, n_clusters=3, threshold=0.5,
+                       method="blocked").collect()
+    )
+    b = sorted(
+        semantic_dedup(df, n_clusters=3, threshold=0.5,
+                       method="exact").collect()
+    )
+    assert a == b
+
+
+def test_bm25_matches_python_model(spark):
+    from obsplus_spark.operators.text import bm25_scores
+
+    rows = [
+        (1, "spark join spark merge"),
+        (2, "merge sort merge merge"),
+        (3, "vector"),
+        (4, "nothing relevant here"),
+        (5, ""),
+    ]
+    terms = ["spark", "merge"]
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_scores(df, terms, k=10, k1=k1, b=b).collect()
+    # python model (N counts every doc incl. blank; avgdl over all)
+    toks = {i: t.strip().lower().split() for i, t in rows}
+    n = float(len(rows))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    exp = {}
+    for i, v in toks.items():
+        s = 0.0
+        matched = False
+        for t in terms:
+            tf = float(v.count(t))
+            if tf > 0:
+                matched = True
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if matched:
+            exp[i] = round(s, 6)
+    assert {r["doc_id"]: r["score"] for r in got} == pytest.approx(exp)
+    # ranked by score desc
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_validates(spark):
+    from obsplus_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [])
+    with pytest.raises(ValueError, match="unsupported"):
+        bm25_scores(df, ["a'b"])

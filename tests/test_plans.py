@@ -32,6 +32,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #: mapInPandas/applyInPandas surface; everything else must stay JVM-only)
 PYTHON_STAGE_QUERIES = {
     "embed_near_dup",   # per-block gram matrix (BLAS) pandas UDF
+    "semantic_dedup",   # SemDeDup: same gram kernel blocked by cluster
     "wav_roundtrip",    # WAV PCM codec
     "ppm_roundtrip",    # PPM/BMP image codecs + resize + features
     "mseed_roundtrip",  # miniSEED header codec
@@ -548,3 +549,22 @@ def test_idle_customers_anti_join_and_scalar_broadcast(plans):
     p, simple = plans["idle_customers"]
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_bm25_no_keyed_exchange(plans):
+    """BM25: corpus work is a pure map (in-row per-term tf); the only
+    aggregate is the single-row stats frame riding a broadcast cross
+    join back; top-k is TakeOrdered — zero keyed exchanges."""
+    p, simple = plans["bm25"]
+    assert simple.count("Exchange hashpartitioning") == 0
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_semantic_dedup_pairs_blocked_by_cluster(plans):
+    """SemDeDup: the quadratic phase is the cluster-blocked gram kernel
+    (Arrow applyInPandas), never an unblocked self-join; assignment is
+    broadcast-centroid map; the keep join is a plain outer id join."""
+    p, simple = plans["semantic_dedup"]
+    assert "FlatMapGroupsInPandas" in p or "ArrowEvalPython" in p
+    assert "CartesianProduct" not in p
