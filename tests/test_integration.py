@@ -131,6 +131,9 @@ _DATE_LITERAL_QUERIES = [
     "rfm_segments",
     # r6 second wave: Q5 compares o_orderdate against timestamp literals
     "local_supplier_volume",
+    # r6 third wave: Q18 formats o_orderdate, Q22 filters on it
+    "large_orders",
+    "idle_customers",
 ]
 
 
