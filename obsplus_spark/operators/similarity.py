@@ -874,6 +874,12 @@ def semantic_dedup(
     Output: (id, cluster, is_dup, dup_of) — one row per input vector,
     ``dup_of`` NULL on keepers.
     """
+    if int(n_clusters) < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if not (-1.0 <= float(threshold) <= 1.0):
+        raise ValueError(
+            f"threshold must be a cosine in [-1, 1], got {threshold}"
+        )
     asg, _ = ivf_assign(
         vectors,
         n_clusters=n_clusters,

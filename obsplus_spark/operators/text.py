@@ -1024,6 +1024,8 @@ def linear_quality_score(
     """
     from obsplus_spark.util import sql_over
 
+    if int(dims) < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
     w = (
         f"(CAST(({_hash_bucket_sql('t', dims)} * 2654435761) % 4096"
         f" AS DOUBLE) / 4096.0D - 0.5D)"
@@ -1078,9 +1080,12 @@ def dsir_importance(
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
+    if int(dims) < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    tgt_lit = str(target_value).replace("\\", "\\\\").replace("'", "''")
     occ = ensure_parallelism(df).selectExpr(
         id_col,
-        f"({group_col} = '{target_value}') AS _is_target",
+        f"({group_col} = '{tgt_lit}') AS _is_target",
         f"explode({_lower_tokens_sql(text_col)}) AS tok",
     ).selectExpr(id_col, "_is_target", f"{_hash_bucket_sql('tok', dims)} AS bucket")
     d = int(dims)
@@ -1144,6 +1149,8 @@ def bm25_scores(
 
     if not terms:
         raise ValueError("terms must be non-empty")
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     for t in terms:
         if "'" in t or "\\" in t:
             raise ValueError(f"unsupported character in term: {t!r}")
