@@ -4202,9 +4202,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ANN_RECALL = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     cents AS (
+      -- seeds by RANK (the 4 smallest ids), matching the Spark side's
+      -- ORDER BY id LIMIT k — not by id VALUE, which would silently
+      -- assume dense vec_ids starting at 0
       SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
              sqrt(list_dot_product(ev, ev)) AS nrm
-      FROM v WHERE vec_id < 4
+      FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 4)
     ),
     q AS (SELECT vec_id AS query_id, ev AS qv
           FROM v WHERE vec_id >= 5 AND vec_id < 10),
@@ -5242,9 +5245,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_KMEANS = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     cents AS (
+      -- seeds by RANK (the 4 smallest ids), matching the Spark side's
+      -- ORDER BY id LIMIT k — not by id VALUE, which would silently
+      -- assume dense vec_ids starting at 0
       SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
              sqrt(list_dot_product(ev, ev)) AS nrm
-      FROM v WHERE vec_id < 4
+      FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 4)
     ),
     asg AS (
       SELECT vec_id, cluster FROM (
@@ -6960,9 +6966,12 @@ _SQL_SEMANTIC_DEDUP = """
       SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
     ),
     cents AS (
+      -- seeds by RANK (the 4 smallest ids), matching the Spark side's
+      -- ORDER BY id LIMIT k — not by id VALUE, which would silently
+      -- assume dense vec_ids starting at 0
       SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
              sqrt(list_dot_product(ev, ev)) AS nrm
-      FROM v WHERE vec_id < 4
+      FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 4)
     ),
     asg AS (
       SELECT vec_id, cluster FROM (

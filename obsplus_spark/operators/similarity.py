@@ -839,6 +839,23 @@ def ivf_pq_topk(
     )
 
 
+#: bounded per-session ring of persisted assignment frames (same
+#: lifecycle pattern as operators/dedup._SHINGLE_CACHES: the newest two
+#: stay warm, older ones unpersist — repeated semantic_dedup calls never
+#: accumulate executor storage)
+_ASSIGNMENT_CACHES: "dict[int, list[DataFrame]]" = {}
+
+
+def _register_assignment_cache(df: DataFrame) -> None:
+    ring = _ASSIGNMENT_CACHES.setdefault(id(df.sparkSession), [])
+    ring.append(df)
+    while len(ring) > 2:
+        try:
+            ring.pop(0).unpersist()
+        except Exception:
+            pass  # session torn down; nothing to release
+
+
 def semantic_dedup(
     vectors: DataFrame,
     n_clusters: int = 8,
@@ -887,6 +904,11 @@ def semantic_dedup(
         vec_col=vec_col,
         refine_iterations=refine_iterations,
     )
+    # the assignment feeds BOTH the pair phase and the keep join — persist
+    # it so the corpus scan + centroid argmax (+ Lloyd passes) run once
+    # per action, not twice; bounded ring so repeated calls don't leak
+    asg = asg.persist()
+    _register_assignment_cache(asg)
     pairs = embedding_near_dup(
         asg,
         threshold=threshold,

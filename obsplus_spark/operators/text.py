@@ -988,8 +988,8 @@ def _hash_bucket_sql(token_expr: str, dims: int) -> str:
     md5-hex convention (engine-portable — no integer-hash builtin is
     shared between Spark and other engines)."""
     return (
-        f"CAST(conv(substring(md5({token_expr}), 1, 8), 16, 10) AS BIGINT)"
-        f" % {int(dims)}"
+        f"(CAST(conv(substring(md5({token_expr}), 1, 8), 16, 10) AS BIGINT)"
+        f" % {int(dims)})"
     )
 
 
@@ -1080,12 +1080,13 @@ def dsir_importance(
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
+    from obsplus_spark.util import sql_str_lit
+
     if int(dims) < 1:
         raise ValueError(f"dims must be >= 1, got {dims}")
-    tgt_lit = str(target_value).replace("\\", "\\\\").replace("'", "''")
     occ = ensure_parallelism(df).selectExpr(
         id_col,
-        f"({group_col} = '{tgt_lit}') AS _is_target",
+        f"({group_col} = '{sql_str_lit(target_value)}') AS _is_target",
         f"explode({_lower_tokens_sql(text_col)}) AS tok",
     ).selectExpr(id_col, "_is_target", f"{_hash_bucket_sql('tok', dims)} AS bucket")
     d = int(dims)
@@ -1151,7 +1152,13 @@ def bm25_scores(
         raise ValueError("terms must be non-empty")
     if int(k) < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # tokens are lowercased whitespace-split (_lower_tokens_sql): a
+    # mixed-case or whitespace-bearing term could never match and would
+    # silently score 0 — normalize/reject at validation time instead
+    terms = [t.lower() for t in terms]
     for t in terms:
+        if not t or any(ch.isspace() for ch in t):
+            raise ValueError(f"term must be one non-blank token: {t!r}")
         if "'" in t or "\\" in t:
             raise ValueError(f"unsupported character in term: {t!r}")
     tf_cols = ", ".join(

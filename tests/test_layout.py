@@ -136,14 +136,19 @@ def test_bucketed_join_mismatched_buckets_shuffles(spark, tmp_path):
     from obsplus_spark.plans.layout import colocated_join, write_bucketed
 
     df = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         write_bucketed(df, "bkt_a", ["k"], n_buckets=4,
                        path=str(tmp_path / "a"))
         write_bucketed(df, "bkt_b", ["k"], n_buckets=6,
                        path=str(tmp_path / "b"))
         plan = _executed(colocated_join(spark, "bkt_a", "bkt_b", ["k"]))
-        assert "Exchange" in plan
+        # a SHUFFLE exchange specifically — a BroadcastExchange would
+        # also match bare "Exchange" and make this test vacuous
+        assert "Exchange hashpartitioning" in plan
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
