@@ -7053,6 +7053,90 @@ def _bm25_sql(terms: "list[str]", k: int = 20,
 """
 
 
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join-cardinality estimation WITHOUT running the
+    join: count-min sketches of the click and purchase user-id streams,
+    inner-product bound (operators/sketches.py cms_join_size), emitted
+    next to the exact join size so the bound quality is auditable.
+    Everything after the two one-pass sketch builds is sketch-sized."""
+    from obsplus_spark.operators.sketches import cms_counters, cms_join_size
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "CAST(user_id AS STRING) AS k"
+    )
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "CAST(user_id AS STRING) AS k"
+    )
+    est = cms_join_size(
+        cms_counters(clicks, "k", depth=4, width=512),
+        cms_counters(purchases, "k", depth=4, width=512),
+    )
+    exact = (
+        clicks.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_na"))
+        .join(
+            purchases.groupBy("k").agg(F.count(F.lit(1)).alias("_nb")),
+            "k",
+        )
+        .agg(
+            F.sum(F.col("_na") * F.col("_nb"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            F.col("est_join_size") / F.col("exact_join_size"), 6
+        ).alias("inflation"),
+    )
+
+
+_SQL_JOIN_SIZE_EST = """
+    WITH a AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE event_type = 'purchase'
+    ),
+    ca AS (
+      SELECT j AS hrow,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+               ::BIGINT % 512 AS bucket,
+             count(*) AS cnt
+      FROM a, unnest(range(0, 4)) AS u(j) GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT j AS hrow,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+               ::BIGINT % 512 AS bucket,
+             count(*) AS cnt
+      FROM b, unnest(range(0, 4)) AS u(j) GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM (
+        SELECT x.hrow, sum(x.cnt * y.cnt) AS ip
+        FROM ca x JOIN cb y ON x.hrow = y.hrow AND x.bucket = y.bucket
+        GROUP BY x.hrow
+      )
+    ),
+    ex AS (
+      SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM (
+        SELECT k, count(*) AS na FROM a GROUP BY k
+      ) JOIN (
+        SELECT k, count(*) AS nb FROM b GROUP BY k
+      ) USING (k)
+    )
+    SELECT est_join_size, exact_join_size,
+           round(est_join_size / exact_join_size, 6) AS inflation
+    FROM est CROSS JOIN ex
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7078,6 +7162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the two newest LLM-pipeline ops
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
+        "join_size_est": q_join_size_est,
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
@@ -7227,6 +7312,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
+        "join_size_est": _SQL_JOIN_SIZE_EST,
         "cheapest_supplier": _SQL_CHEAPEST,
         "priority_returns": _SQL_PRIORITY_RETURNS,
         "order_count_dist": _SQL_ORDER_COUNT_DIST,

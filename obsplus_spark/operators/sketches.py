@@ -309,3 +309,40 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return acc.groupBy("row", "bucket").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate from two count-min sketches via the
+    inner-product bound (Cormode & Muthukrishnan 2005, §4.2):
+    ``|A ⋈_k B| ≤ min_j Σ_bucket cntA[j,·]·cntB[j,·]`` — collisions only
+    ever inflate, so the minimum over the ``depth`` independent rows is
+    an upper bound that tightens as ``width`` grows. With ``a is b`` it
+    bounds the self-join size (the F₂ frequency moment), the classic
+    skew signal.
+
+    This is the optimizer-side use of the sketch: estimate a join's
+    output size from two ≤ depth×width summaries — built once per
+    table/partition and mergeable (:func:`cms_merge`) — without
+    touching either table at estimation time. Both sketches must share
+    ``depth``/``width`` AND key dtype/rendering (the cell hash is over
+    the stringified key, so ``1`` as BIGINT and ``'1'`` as STRING
+    collide correctly, but ``1.0`` as DOUBLE does not).
+
+    Cost: the two counter frames join on (row, bucket) — both sides are
+    sketch-sized, so this is broadcast-trivial; output is ONE row
+    (est_join_size BIGINT).
+    """
+    x = a.select(
+        F.col("row"), F.col("bucket"), F.col("cnt").alias("_ca")
+    )
+    y = b.select(
+        F.col("row"), F.col("bucket"), F.col("cnt").alias("_cb")
+    )
+    per_row = (
+        x.join(y, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return per_row.agg(
+        F.min("_ip").cast("long").alias("est_join_size")
+    )

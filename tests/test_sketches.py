@@ -84,3 +84,40 @@ def test_approx_quantiles_band(spark):
         p50, p90 = rows[g]
         assert abs(p50 - 5000) < 200
         assert abs(p90 - 9000) < 200
+
+
+def test_cms_join_size_upper_bound_and_exact_when_wide(spark):
+    """The inner-product estimate is ≥ the true join size always, and
+    equals it when the width is collision-free for the key set."""
+    from obsplus_spark.operators.sketches import cms_counters, cms_join_size
+
+    a_rows = [("u1",)] * 5 + [("u2",)] * 3 + [("u3",)] * 1
+    b_rows = [("u1",)] * 2 + [("u2",)] * 4 + [("u4",)] * 7
+    a = spark.createDataFrame(a_rows, ["k"])
+    b = spark.createDataFrame(b_rows, ["k"])
+    exact = 5 * 2 + 3 * 4  # u1 + u2; u3/u4 unmatched
+    # wide sketch: 4 keys into 4096 buckets — collision-free in every
+    # row with near-certainty, so the bound is tight
+    est_wide = cms_join_size(
+        cms_counters(a, "k", depth=4, width=4096),
+        cms_counters(b, "k", depth=4, width=4096),
+    ).collect()[0]["est_join_size"]
+    assert est_wide == exact
+    # pathologically narrow sketch: collisions inflate, never deflate
+    est_narrow = cms_join_size(
+        cms_counters(a, "k", depth=2, width=2),
+        cms_counters(b, "k", depth=2, width=2),
+    ).collect()[0]["est_join_size"]
+    assert est_narrow >= exact
+
+
+def test_cms_join_size_self_join_f2(spark):
+    """With a sketch joined to itself the bound covers the F2 moment
+    (Σ cnt²) — the self-join-size / skew signal."""
+    from obsplus_spark.operators.sketches import cms_counters, cms_join_size
+
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    sk = cms_counters(df, "k", depth=4, width=2048)
+    est = cms_join_size(sk, sk).collect()[0]["est_join_size"]
+    assert est == 4 * 4 + 2 * 2 + 1
