@@ -7137,6 +7137,35 @@ _SQL_JOIN_SIZE_EST = """
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample: top-50 docs by
+    u^(1/n_chars) with hash-derived uniforms — reproducible,
+    subset-consistent weighted pick (operators/dedup.py
+    weighted_sample); one scan + TakeOrdered."""
+    from obsplus_spark.operators.dedup import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample(docs, weight_col="n_chars", k=50)
+    return out.select(
+        "doc_id", "n_chars", F.round("sample_key", 8).alias("sample_key")
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """
+    SELECT doc_id, n_chars, round(sample_key, 8) AS sample_key
+    FROM (
+      SELECT doc_id, n_chars,
+             pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))
+                    ::BIGINT + 1) / 4294967296.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS sample_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 50
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7163,6 +7192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
+        "weighted_sample": q_weighted_sample,
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
@@ -7313,6 +7343,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "cheapest_supplier": _SQL_CHEAPEST,
         "priority_returns": _SQL_PRIORITY_RETURNS,
         "order_count_dist": _SQL_ORDER_COUNT_DIST,

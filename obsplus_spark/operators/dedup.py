@@ -1394,3 +1394,50 @@ def incremental_candidate_pairs(
         .distinct()
     )
     return new_new.unionByName(new_old).distinct()
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis (2006) one-pass scheme: each row draws a
+    uniform ``u``, keys itself by ``u^(1/w)``, and the top-``k`` keys
+    are an exact weighted sample. The uniform is hash-derived
+    (``md5(id || salt)`` → (0,1]) instead of ``rand()``, so the sample
+    is reproducible across runs/engines and SUBSET-CONSISTENT: re-running
+    on yesterday's corpus plus today's delta re-draws nothing — the
+    same property :func:`hash_split` buys for split assignment, here
+    for the mixture-realization step (executing a
+    :func:`obsplus_spark.operators.text.mixture_plan` quota needs a
+    stable weighted pick, not an RNG one).
+
+    Scale shape: the sample key is a per-row expression; top-k is
+    TakeOrdered (per-partition heap + one small merge), so a 100 TB
+    corpus samples in one scan. Rows with non-positive or NULL weight
+    are excluded (zero-weight items are never sampled in the ES scheme).
+
+    Output: the input columns + ``sample_key`` (the ES key, for audit),
+    top ``k`` rows by (sample_key desc, id).
+    """
+    from obsplus_spark.util import sql_str_lit
+
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    salt_sql = sql_str_lit(salt)
+    # uniform in (0, 1]: (h + 1) / 2^32 over the first 8 md5 hex chars —
+    # never 0, so ln(u) is finite and u^(1/w) well-defined
+    u = (
+        f"((CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
+        f" '{salt_sql}')), 1, 8), 16, 10) AS BIGINT) + 1) / 4294967296.0D)"
+    )
+    key = f"pow({u}, 1.0D / CAST({weight_col} AS DOUBLE))"
+    return (
+        df.where(f"{weight_col} IS NOT NULL AND {weight_col} > 0")
+        .selectExpr("*", f"{key} AS sample_key")
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -739,3 +739,60 @@ def test_bm25_validates(spark):
         bm25_scores(df, [])
     with pytest.raises(ValueError, match="unsupported"):
         bm25_scores(df, ["a'b"])
+
+
+def test_weighted_sample_matches_python_model(spark):
+    from obsplus_spark.operators.dedup import weighted_sample
+
+    import hashlib
+
+    rows = [(i, float(w) if w is not None else None) for i, w in
+            [(1, 10), (2, 1), (3, 1000), (4, 5), (5, 0), (6, None)]]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", k=3, id_col="doc_id").collect()
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        return u ** (1.0 / w)
+
+    exp = sorted(
+        ((key(i, w), i, w) for i, w in rows if w),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    assert [(r["doc_id"], r["w"]) for r in got] == [
+        (i, w) for _, i, w in exp
+    ]
+    for r, (kk, _, _) in zip(got, exp):
+        assert r["sample_key"] == pytest.approx(kk, rel=1e-12)
+    # zero/NULL weights never sampled
+    assert all(r["doc_id"] not in (5, 6) for r in got)
+
+
+def test_weighted_sample_subset_consistent(spark):
+    """Hash-derived keys are per-row facts: a row's sample_key is
+    identical whether computed over the full frame or any subset —
+    the incremental-pipeline property rand() sampling lacks."""
+    from obsplus_spark.operators.dedup import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    full = {
+        r["doc_id"]: r["sample_key"]
+        for r in weighted_sample(df, "w", k=100).collect()
+    }
+    sub = {
+        r["doc_id"]: r["sample_key"]
+        for r in weighted_sample(
+            df.filter("doc_id % 2 = 0"), "w", k=100
+        ).collect()
+    }
+    assert sub == {i: k for i, k in full.items() if i % 2 == 0}
+
+
+def test_weighted_sample_validates(spark):
+    from obsplus_spark.operators.dedup import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "w", k=0)
