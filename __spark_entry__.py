@@ -7166,6 +7166,62 @@ _SQL_WEIGHTED_SAMPLE = """
 """
 
 
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature framing: per-user PCM16 sample streams (same
+    trunc-quantization as wav_roundtrip) framed into 256-sample windows
+    with exact integer energy, zero crossings, and RMS — one
+    user-keyed shuffle shared by the ordering window and the frame
+    aggregate (operators/multimodal.py frame_signal_features)."""
+    from obsplus_spark.operators.multimodal import frame_signal_features
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "ts",
+            # Spark's double→BIGINT cast truncates toward zero (trunc()
+            # here is date-only); the DuckDB twin needs an explicit
+            # trunc() because ITS cast rounds — the documented pair
+            "CAST((2.0D * (value - floor(value)) - 1.0D) * 32767.0D"
+            " AS BIGINT) AS k",
+        )
+    )
+    return frame_signal_features(
+        ev,
+        frame_len=256,
+        id_col="user_id",
+        order_cols=("ts", "event_id"),
+        sample_col="k",
+    )
+
+
+_SQL_AUDIO_FRAMES = """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(trunc((2.0 * (value - floor(value)) - 1.0) * 32767.0)
+               AS BIGINT) AS k
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT user_id, k,
+             row_number() OVER w - 1 AS rn,
+             lag(k) OVER w AS pk
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           rn // 256 AS frame_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(k * k) AS BIGINT) AS energy,
+           CAST(count(*) FILTER (k * pk < 0) AS BIGINT) AS zero_crossings,
+           round(sqrt(sum(k * k) / count(*)), 9) AS rms
+    FROM o
+    GROUP BY user_id, rn // 256
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7193,6 +7249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
         "weighted_sample": q_weighted_sample,
+        "audio_frames": q_audio_frames,
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
@@ -7344,6 +7401,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "audio_frames": _SQL_AUDIO_FRAMES,
         "cheapest_supplier": _SQL_CHEAPEST,
         "priority_returns": _SQL_PRIORITY_RETURNS,
         "order_count_dist": _SQL_ORDER_COUNT_DIST,

@@ -269,3 +269,57 @@ def sample_video_frames(
         "media_id long, frame_idx long, h long, w long,"
         " f_sum long, f_min long, f_max long",
     )
+
+
+def frame_signal_features(
+    df: DataFrame,
+    frame_len: int = 256,
+    id_col: str = "signal_id",
+    order_cols: "tuple[str, ...]" = ("pos",),
+    sample_col: str = "k",
+) -> DataFrame:
+    """Fixed-length framing + per-frame features over a sequential
+    signal — the audio feature-extraction stage (frame → energy /
+    zero-crossing rate) that follows :func:`~obsplus_spark.operators.
+    codecs.decode_wav` in a real pipeline, expressed entirely as JVM
+    window/aggregate expressions (the decode step is the only Python in
+    the chain; framing integer samples needs none).
+
+    Per frame of ``frame_len`` consecutive samples (ordered by
+    ``order_cols`` within ``id_col``): sample count (the tail frame may
+    be short), energy ``Σk²`` (exact integer math for PCM-int inputs),
+    zero crossings (sign change vs the previous sample of the SIGNAL —
+    a crossing on a frame boundary is attributed to the later frame;
+    the first sample of a signal has no predecessor and contributes
+    none), and raw RMS ``sqrt(energy/n)`` rounded to 9 dp.
+
+    Scale shape: ONE shuffle — the row-number/lag window partitions by
+    the signal id, and the (id, frame) aggregate reuses that
+    partitioning (grouping keys extend the partition key, so no second
+    exchange). 100 TB of decoded audio frames in one pass.
+    """
+    if int(frame_len) < 1:
+        raise ValueError(f"frame_len must be >= 1, got {frame_len}")
+    from obsplus_spark.util import sql_over
+
+    order = ", ".join(order_cols)
+    return sql_over(
+        {"d": df},
+        f"""
+        WITH o AS (
+          SELECT {id_col}, {sample_col} AS _k,
+                 row_number() OVER w - 1 AS _rn,
+                 lag({sample_col}) OVER w AS _pk
+          FROM {{d}}
+          WINDOW w AS (PARTITION BY {id_col} ORDER BY {order})
+        )
+        SELECT {id_col},
+               _rn div {int(frame_len)} AS frame_idx,
+               CAST(count(1) AS BIGINT) AS n_samples,
+               CAST(sum(_k * _k) AS BIGINT) AS energy,
+               CAST(count_if(_k * _pk < 0) AS BIGINT) AS zero_crossings,
+               round(sqrt(sum(_k * _k) / count(1)), 9) AS rms
+        FROM o
+        GROUP BY {id_col}, _rn div {int(frame_len)}
+        """,
+    )

@@ -117,3 +117,36 @@ def test_sorted_group_apply_carries_across_batches(spark):
         t, c = expect.get(i % n_groups, (0, 0))
         expect[i % n_groups] = (t + i, c + 1)
     assert got == expect
+
+
+def test_frame_signal_features_hand_case(spark):
+    """Known 6-sample signal, frame_len=4: energies, crossings and the
+    boundary-crossing attribution are hand-checkable."""
+    from obsplus_spark.operators.multimodal import frame_signal_features
+
+    #            pos: 0   1   2    3    4   5
+    samples = [3, -1, 2, -2, -4, 5]  # crossings at 1,2,3 (frame 0), 5 (frame 1)
+    rows = [(1, i, s) for i, s in enumerate(samples)]
+    df = spark.createDataFrame(rows, "signal_id long, pos long, k long")
+    out = {
+        r["frame_idx"]: r
+        for r in frame_signal_features(df, frame_len=4).collect()
+    }
+    assert set(out) == {0, 1}
+    f0, f1 = out[0], out[1]
+    assert f0["n_samples"] == 4 and f1["n_samples"] == 2  # short tail kept
+    assert f0["energy"] == 9 + 1 + 4 + 4
+    assert f1["energy"] == 16 + 25
+    # first sample has no predecessor; -2 → -4 is NOT a crossing;
+    # -4 → 5 crosses on the frame boundary and lands in frame 1
+    assert f0["zero_crossings"] == 3
+    assert f1["zero_crossings"] == 1
+    assert f0["rms"] == pytest.approx(round((18 / 4) ** 0.5, 9))
+
+
+def test_frame_signal_features_validates(spark):
+    from obsplus_spark.operators.multimodal import frame_signal_features
+
+    df = spark.createDataFrame([(1, 0, 1)], "signal_id long, pos long, k long")
+    with pytest.raises(ValueError, match="frame_len"):
+        frame_signal_features(df, frame_len=0)

@@ -568,3 +568,12 @@ def test_semantic_dedup_pairs_blocked_by_cluster(plans):
     p, simple = plans["semantic_dedup"]
     assert "FlatMapGroupsInPandas" in p or "ArrowEvalPython" in p
     assert "CartesianProduct" not in p
+
+
+def test_audio_frames_single_exchange(plans):
+    """Signal framing: the ordering window and the (id, frame)
+    aggregate share ONE id-keyed exchange (grouping keys extend the
+    window partition key); no joins."""
+    p, simple = plans["audio_frames"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
