@@ -7222,6 +7222,49 @@ _SQL_AUDIO_FRAMES = """
 """
 
 
+#: fixed merge list for the bpe_encode demo (production loads the
+#: tokenizer's merges.txt; the operator takes any list)
+_BPE_MERGES = [
+    ("s", "p"), ("a", "r"), ("ar", "k"), ("sp", "ark"),
+    ("m", "e"), ("r", "g"), ("me", "rg"),
+    ("j", "o"), ("i", "n"), ("jo", "in"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge application (the encode side of bpe_pairs): 10 chained
+    plan-time regexp merges over the in-row word arrays — pure map, no
+    shuffle (operators/text.py bpe_apply)."""
+    from obsplus_spark.operators.text import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_apply(docs, _BPE_MERGES)
+
+
+def _bpe_encode_sql(merges: "list[tuple[str, str]]") -> str:
+    expr = "array_to_string(string_split(w, ''), ' ')"
+    for a, b in merges:
+        expr = f"regexp_replace({expr}, '{a} {b}', '{a}{b}', 'g')"
+    return f"""
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(enc,
+                 e -> len(string_split(e, ' ')))) AS BIGINT) AS n_bpe_tokens,
+           array_to_string(enc[1:5], ' | ') AS head_encoding
+    FROM (
+      SELECT doc_id, words, list_transform(words, w -> {expr}) AS enc
+      FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\\s+')
+               END AS words
+        FROM documents
+      )
+      WHERE len(words) > 0
+    )
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7250,6 +7293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_est": q_join_size_est,
         "weighted_sample": q_weighted_sample,
         "audio_frames": q_audio_frames,
+        "bpe_encode": q_bpe_encode,
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
@@ -7402,6 +7446,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_est": _SQL_JOIN_SIZE_EST,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "audio_frames": _SQL_AUDIO_FRAMES,
+        "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
         "cheapest_supplier": _SQL_CHEAPEST,
         "priority_returns": _SQL_PRIORITY_RETURNS,
         "order_count_dist": _SQL_ORDER_COUNT_DIST,

@@ -796,3 +796,38 @@ def test_weighted_sample_validates(spark):
     df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "w", k=0)
+
+
+def test_bpe_apply_hand_case(spark):
+    from obsplus_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame(
+        [(1, "spark sparks park"), (2, "aaaa"), (3, " ")],
+        ["doc_id", "text"],
+    )
+    merges = [("s", "p"), ("a", "r"), ("ar", "k"), ("sp", "ark"),
+              ("a", "a")]
+    out = {r["doc_id"]: r for r in bpe_apply(df, merges).collect()}
+    assert 3 not in out  # blank doc dropped
+    # 'spark' → sp a r k → sp ar k → sp ark → spark (1 token)
+    # 'sparks' → spark s? no: sp ark s → 'sp'+'ark' merges to 'spark'?
+    # merge ('sp','ark') needs 'sp ark' adjacency: s p a r k s →
+    # sp a r k s → sp ar k s → sp ark s → spark? ('sp','ark') gives
+    # 'spark s' → 2 tokens. 'park' → p ar k → p ark (2 tokens).
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_bpe_tokens"] == 1 + 2 + 2
+    enc = out[1]["head_encoding"].split(" | ")
+    assert enc == ["spark", "spark s", "p ark"]
+    # greedy leftmost non-overlapping: a a a a → aa aa (one pass)
+    assert out[2]["head_encoding"] == "aa aa"
+    assert out[2]["n_bpe_tokens"] == 2
+
+
+def test_bpe_apply_validates(spark):
+    from obsplus_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="non-empty"):
+        bpe_apply(df, [])
+    with pytest.raises(ValueError, match="alphanumeric"):
+        bpe_apply(df, [("a", ".")])
