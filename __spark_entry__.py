@@ -7265,6 +7265,79 @@ def _bpe_encode_sql(merges: "list[tuple[str, str]]") -> str:
 """
 
 
+def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch grid per user image: the deterministic byte
+    stream becomes an H×16 grayscale image, round-trips the PPM codec,
+    and a 4×4 patch grid reports exact integer sums + means
+    (operators/codecs.py patch_grid_sums — one vectorized reshape-sum,
+    emitted as an array and exploded to patch rows). Same
+    sorted_group_apply harness as the other codec queries: one Arrow
+    stream per partition, no per-group pandas objects."""
+    from obsplus_spark.util import sorted_group_apply
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.col("event_id") * 256 + (F.col("event_id") * 37 + 11) % 256
+        ).alias("pk"),
+    )
+
+    def _emit(user_id, chunks):
+        import numpy as np
+
+        from obsplus_spark.operators.codecs import (
+            decode_ppm,
+            encode_ppm,
+            patch_grid_sums,
+        )
+
+        x = np.sort(
+            chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        )
+        b = (x % 256).astype(np.uint8)
+        h = len(b) // 16
+        img = decode_ppm(encode_ppm(b[: h * 16].reshape(h, 16)))
+        rows, cols, sums = patch_grid_sums(img, 4)
+        return (int(user_id), rows, cols, [int(s) for s in sums])
+
+    grids = sorted_group_apply(
+        ev,
+        "user_id",
+        _emit,
+        "user_id long, p_rows int, p_cols int, sums array<bigint>",
+    )
+    return grids.selectExpr(
+        "user_id",
+        "posexplode(sums) AS (pos, pix_sum)",
+    ).selectExpr(
+        "user_id",
+        "CAST(pos DIV 4 AS BIGINT) AS patch_row",
+        "CAST(pos % 4 AS BIGINT) AS patch_col",
+        "pix_sum",
+        "round(pix_sum / 16.0D, 6) AS mean_intensity",
+    )
+
+
+_SQL_IMAGE_PATCHES = """
+    WITH s AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               - 1 AS i,
+             (event_id * 37 + 11) % 256 AS b,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           (i // 16) // 4 AS patch_row,
+           (i % 16) // 4 AS patch_col,
+           CAST(sum(b) AS BIGINT) AS pix_sum,
+           round(sum(b) / 16.0, 6) AS mean_intensity
+    FROM s
+    WHERE i < ((n // 16) // 4) * 4 * 16
+    GROUP BY user_id, (i // 16) // 4, (i % 16) // 4
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7272,16 +7345,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
-    # only the FIRST 50 entries. Rotation policy (NOTES.md): (a0) the 14
-    # queries NEW in the r6 second wave (triangles/CMS/span-dedup/
-    # set-similarity/PQ/winsorize/Q5/rolling/skew-join/PMI/rank/KL/
-    # IVF-PQ/incremental-dedup), (a) the 8
-    # queries NEW in r6 wave one (sub-entity parity set + canonical_docs)
-    # and the 3 whose implementation changed (json_round_trip/quakeml_rt
-    # route through the v2 schema-tolerant extractors; attach_origin
-    # through the dynamic-struct make_origins), (b) the 10 remaining
-    # queries whose last driver row was r1/r2 (judge-verified green in
-    # r4), (c) rows last driver-verified in r4 up to the cap. The
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): every
+    # query with NO driver row yet comes first — (a00) the 17 queries
+    # NEW in the r6 third wave (TPC-H join-strategy shapes, scoring/
+    # importance/retrieval ops, SemDeDup, CMS join-size, weighted
+    # sampling, audio framing, BPE encode), then (a0) the 14 from the
+    # r6 second wave, then (a) the r6 wave-one sub-entity set + the 3
+    # implementation-changed queries — 39 never-driver-tested in total,
+    # all inside the cap — then (b) the queries whose last driver row
+    # was r1/r2 (judge re-verified green in r4/r5) up to the cap. The
     # past-cap rows were ALL driver-green in CORRECTNESS_r05 or _r04.
     return {
         # (a00) new in the r6 third wave: join-strategy TPC-H shapes
@@ -7294,6 +7366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "audio_frames": q_audio_frames,
         "bpe_encode": q_bpe_encode,
+        "image_patches": q_image_patches,
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
@@ -7447,6 +7520,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "audio_frames": _SQL_AUDIO_FRAMES,
         "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
+        "image_patches": _SQL_IMAGE_PATCHES,
         "cheapest_supplier": _SQL_CHEAPEST,
         "priority_returns": _SQL_PRIORITY_RETURNS,
         "order_count_dist": _SQL_ORDER_COUNT_DIST,

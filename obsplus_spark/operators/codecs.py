@@ -286,3 +286,25 @@ def decode_ppmv(payload: bytes, every_n: int = 1) -> list:
             out.append((i, decode_ppm(payload[pos : pos + ln])))
         pos += ln
     return out
+
+
+def patch_grid_sums(img, p: int):
+    """ViT-style patch grid over a 2-D grayscale image: crop to whole
+    ``p×p`` patches, return ``(rows, cols, sums)`` where ``sums`` is the
+    integer pixel sum per patch (row-major) — one vectorized reshape +
+    two axis sums, no Python loop. Exact integer math so downstream
+    means are single IEEE divisions (oracle-portable).
+    """
+    import numpy as np
+
+    if p < 1:
+        raise ValueError(f"patch size must be >= 1, got {p}")
+    a = np.asarray(img)
+    if a.ndim != 2:
+        raise ValueError(f"expected a 2-D grayscale image, got {a.ndim}-D")
+    rows, cols = a.shape[0] // p, a.shape[1] // p
+    if rows == 0 or cols == 0:
+        return 0, 0, np.zeros((0,), dtype=np.int64)
+    a = a[: rows * p, : cols * p].astype(np.int64)
+    sums = a.reshape(rows, p, cols, p).sum(axis=(1, 3)).reshape(-1)
+    return rows, cols, sums

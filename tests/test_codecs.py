@@ -159,3 +159,27 @@ def test_ppmv_roundtrip_and_seek_sampling():
 
     with pytest.raises(ValueError):
         decode_ppmv(b"JUNK" + blob[4:])
+
+
+def test_patch_grid_sums_exact():
+    import numpy as np
+
+    from obsplus_spark.operators.codecs import patch_grid_sums
+
+    img = np.arange(48).reshape(6, 8)
+    rows, cols, sums = patch_grid_sums(img, 4)
+    # 6x8 with p=4: one patch row (rows 0-3), two patch cols; rows 4-5 cropped
+    assert (rows, cols) == (1, 2)
+    assert sums.tolist() == [
+        int(img[:4, :4].sum()),
+        int(img[:4, 4:8].sum()),
+    ]
+    # too-small image -> empty grid, not an error
+    r0, c0, s0 = patch_grid_sums(np.zeros((3, 3)), 4)
+    assert (r0, c0) == (0, 0) and len(s0) == 0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="patch size"):
+        patch_grid_sums(img, 0)
+    with _p.raises(ValueError, match="2-D"):
+        patch_grid_sums(np.zeros(5), 2)

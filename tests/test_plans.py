@@ -35,6 +35,7 @@ PYTHON_STAGE_QUERIES = {
     "semantic_dedup",   # SemDeDup: same gram kernel blocked by cluster
     "wav_roundtrip",    # WAV PCM codec
     "ppm_roundtrip",    # PPM/BMP image codecs + resize + features
+    "image_patches",    # PPM codec + numpy patch-grid kernel
     "mseed_roundtrip",  # miniSEED header codec
     "quakeml_rt",       # QuakeML XML codec
     "stationxml_rt",    # StationXML parser
