@@ -7118,11 +7118,17 @@ _SQL_JOIN_SIZE_EST = """
       FROM b, unnest(range(0, 4)) AS u(j) GROUP BY 1, 2
     ),
     est AS (
-      SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM (
+      -- rows with zero bucket overlap bound the join at 0 — re-seat
+      -- them with coalesce instead of letting the inner join drop them
+      -- (mirrors sketches.cms_join_size)
+      SELECT CAST(coalesce(min(coalesce(p.ip, 0)), 0) AS BIGINT)
+               AS est_join_size
+      FROM (SELECT hrow FROM ca UNION SELECT hrow FROM cb) r
+      LEFT JOIN (
         SELECT x.hrow, sum(x.cnt * y.cnt) AS ip
         FROM ca x JOIN cb y ON x.hrow = y.hrow AND x.bucket = y.bucket
         GROUP BY x.hrow
-      )
+      ) p ON r.hrow = p.hrow
     ),
     ex AS (
       SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM (
@@ -7152,16 +7158,20 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_WEIGHTED_SAMPLE = """
-    SELECT doc_id, n_chars, round(sample_key, 8) AS sample_key
+    SELECT doc_id, n_chars, round(sk, 8) AS sample_key
     FROM (
       SELECT doc_id, n_chars,
              pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))
-                    ::BIGINT + 1) / 4294967296.0,
-                 1.0 / CAST(n_chars AS DOUBLE)) AS sample_key
+                    ::BIGINT + 0.5) / 4294967296.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS sk
       FROM documents
-      WHERE n_chars IS NOT NULL AND n_chars > 0
+      WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+        AND n_chars > 0
     )
-    ORDER BY sample_key DESC, doc_id
+    -- order by the FULL-PRECISION key (aliasing it sample_key in the
+    -- outer select would rebind ORDER BY to the 8-dp ROUNDED value and
+    -- let rank-50 ties resolve differently than the Spark side)
+    ORDER BY sk DESC, doc_id
     LIMIT 50
 """
 
@@ -7346,15 +7356,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
     # only the FIRST 50 entries. Rotation policy (NOTES.md): every
-    # query with NO driver row yet comes first — (a00) the 17 queries
+    # query with NO driver row yet comes first — (a00) the 15 queries
     # NEW in the r6 third wave (TPC-H join-strategy shapes, scoring/
     # importance/retrieval ops, SemDeDup, CMS join-size, weighted
-    # sampling, audio framing, BPE encode), then (a0) the 14 from the
-    # r6 second wave, then (a) the r6 wave-one sub-entity set + the 3
-    # implementation-changed queries — 39 never-driver-tested in total,
-    # all inside the cap — then (b) the queries whose last driver row
-    # was r1/r2 (judge re-verified green in r4/r5) up to the cap. The
-    # past-cap rows were ALL driver-green in CORRECTNESS_r05 or _r04.
+    # sampling, audio framing, BPE encode, image patches), then (a0)
+    # the 14 from the r6 second wave, then (a) the r6 wave-one
+    # sub-entity set (8 never-tested) — 37 never-driver-tested in
+    # total, all inside the cap — then the 3 implementation-changed
+    # queries and (b) the queries whose last driver row was r1/r2
+    # (judge re-verified green in r4/r5) up to the cap. The past-cap
+    # rows were ALL driver-green in CORRECTNESS_r05 or _r04.
     return {
         # (a00) new in the r6 third wave: join-strategy TPC-H shapes
         # (argmin struct-min, EXISTS semi, outer-join histogram,

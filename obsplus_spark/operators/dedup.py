@@ -759,6 +759,20 @@ def dedup_clusters(
     return lbl
 
 
+def _md5_u32_sql(id_col: str, salt: str) -> str:
+    """SQL expr: first 8 hex chars of ``md5(id || salt)`` as uint32 —
+    THE cross-engine-portable per-row hash recipe (DuckDB twin:
+    ``('0x' || substr(md5(id || salt), 1, 8))::BIGINT``). Shared by
+    :func:`hash_split` and :func:`weighted_sample` so the recipe cannot
+    drift between its consumers."""
+    from obsplus_spark.util import sql_str_lit
+
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
+        f" '{sql_str_lit(salt)}')), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -780,13 +794,7 @@ def hash_split(
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError("split weights must sum to 100")
-    from obsplus_spark.util import sql_str_lit
-
-    salt_sql = sql_str_lit(salt)  # SQL string-literal escape
-    bucket = (
-        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
-        f" '{salt_sql}')), 1, 8), 16, 10) AS BIGINT) % 100"
-    )
+    bucket = f"{_md5_u32_sql(id_col, salt)} % 100"
     case, lo = "CASE", 0
     for name, w in weights.items():
         hi = lo + w
@@ -1423,20 +1431,23 @@ def weighted_sample(
     Output: the input columns + ``sample_key`` (the ES key, for audit),
     top ``k`` rows by (sample_key desc, id).
     """
-    from obsplus_spark.util import sql_str_lit
-
     if int(k) < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    salt_sql = sql_str_lit(salt)
-    # uniform in (0, 1]: (h + 1) / 2^32 over the first 8 md5 hex chars —
-    # never 0, so ln(u) is finite and u^(1/w) well-defined
-    u = (
-        f"((CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
-        f" '{salt_sql}')), 1, 8), 16, 10) AS BIGINT) + 1) / 4294967296.0D)"
-    )
+    # uniform STRICTLY inside (0, 1): (h + 0.5) / 2^32 over the md5
+    # uint32 — never 0 (ln(u) finite) and never 1 (an id hashing to
+    # 0xFFFFFFFF would otherwise get key 1.0 for ANY weight and win
+    # every sample forever; r6 review batch 6)
+    u = f"(({_md5_u32_sql(id_col, salt)} + 0.5D) / 4294967296.0D)"
     key = f"pow({u}, 1.0D / CAST({weight_col} AS DOUBLE))"
+    # NaN weights would pass `> 0` (Spark orders NaN above every number)
+    # and then sort FIRST with a NaN key — exclude them with the
+    # non-positives
     return (
-        df.where(f"{weight_col} IS NOT NULL AND {weight_col} > 0")
+        df.where(
+            f"{weight_col} IS NOT NULL AND"
+            f" NOT isnan(CAST({weight_col} AS DOUBLE)) AND"
+            f" {weight_col} > 0"
+        )
         .selectExpr("*", f"{key} AS sample_key")
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(int(k))

@@ -338,11 +338,22 @@ def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
     y = b.select(
         F.col("row"), F.col("bucket"), F.col("cnt").alias("_cb")
     )
-    per_row = (
+    prod = (
         x.join(y, ["row", "bucket"])
         .groupBy("row")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
     )
+    # a depth row with ZERO bucket overlap vanishes from the inner join,
+    # but its inner product is 0 — the TIGHTEST bound. Re-seat every row
+    # either sketch knows about with coalesce(ip, 0) so disjoint sketches
+    # bound to 0 instead of dropping their best rows (r6 review batch 6);
+    # two empty sketches also bound to 0 via the final coalesce.
+    rows = x.select("row").union(y.select("row")).distinct()
+    per_row = rows.join(prod, "row", "left_outer").select(
+        F.coalesce(F.col("_ip"), F.lit(0)).alias("_ip")
+    )
     return per_row.agg(
-        F.min("_ip").cast("long").alias("est_join_size")
+        F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias(
+            "est_join_size"
+        )
     )

@@ -1218,9 +1218,10 @@ def bpe_apply(
     Scale shape: pure map — the merge chain is ``len(merges)`` chained
     ``regexp_replace`` expressions over the in-row word array (JVM
     regex, whole-stage codegen; no explode, no shuffle). Output is one
-    row per document: the BPE token count and the space-joined encoding
-    of the first words (audit column), so a 100 TB corpus tokenizes at
-    scan speed.
+    row per NON-BLANK document (blank/whitespace-only docs carry no
+    words and are dropped, like the other tokenizing operators): the
+    BPE token count and the space-joined encoding of the first words
+    (audit column), so a 100 TB corpus tokenizes at scan speed.
 
     Merge symbols must be regex-safe (alphanumeric); reject anything
     else up front rather than emitting a broken pattern.

@@ -753,7 +753,7 @@ def test_weighted_sample_matches_python_model(spark):
 
     def key(i, w):
         h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-        u = (h + 1) / 4294967296.0
+        u = (h + 0.5) / 4294967296.0  # strictly inside (0, 1)
         return u ** (1.0 / w)
 
     exp = sorted(

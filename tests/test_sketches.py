@@ -121,3 +121,20 @@ def test_cms_join_size_self_join_f2(spark):
     sk = cms_counters(df, "k", depth=4, width=2048)
     est = cms_join_size(sk, sk).collect()[0]["est_join_size"]
     assert est == 4 * 4 + 2 * 2 + 1
+
+
+def test_cms_join_size_disjoint_is_zero(spark):
+    """Sketches with no shared keys (and near-certainly no shared
+    buckets) must bound the join at 0 — a depth row with zero bucket
+    overlap is the tightest bound, not a missing row."""
+    from obsplus_spark.operators.sketches import cms_counters, cms_join_size
+
+    a = cms_counters(
+        spark.createDataFrame([("only-in-a",)], ["k"]), "k",
+        depth=4, width=4096,
+    )
+    b = cms_counters(
+        spark.createDataFrame([("only-in-b",)], ["k"]), "k",
+        depth=4, width=4096,
+    )
+    assert cms_join_size(a, b).collect()[0]["est_join_size"] == 0
