@@ -1211,9 +1211,14 @@ def bpe_apply(
     space-separated character sequence; merge ``i`` rewrites every
     non-overlapping leftmost occurrence of ``'a b'`` to ``'ab'``, in
     merge-priority order — the standard greedy BPE apply (one pass per
-    merge rank, all occurrences per pass). In production ``merges``
-    comes from the tokenizer's merges.txt; it compiles to plan-time
-    literals here.
+    merge rank, all occurrences per pass). ``merges`` is the prefix of
+    a tokenizer's merges.txt; each merge compiles to one plan-time
+    regex, so this shape is for BOUNDED merge lists (rule-of-thumb
+    ≤ a few hundred — the expression tree and per-row cost grow
+    linearly with the list). A full 30k-merge vocabulary encode does
+    not belong in a regex chain: do that in an Arrow-batched
+    ``mapInPandas`` kernel with a real tokenizer, the same honest
+    Python-kernel boundary as the media codecs.
 
     Scale shape: pure map — the merge chain is ``len(merges)`` chained
     ``regexp_replace`` expressions over the in-row word array (JVM
@@ -1232,6 +1237,12 @@ def bpe_apply(
 
     if not merges:
         raise ValueError("merges must be non-empty")
+    if len(merges) > 1024:
+        raise ValueError(
+            f"{len(merges)} merges would compile to {len(merges)} chained"
+            " regexes — use an Arrow tokenizer kernel for full"
+            " vocabularies (see docstring); cap is 1024"
+        )
     for a, b in merges:
         if not (_re.fullmatch(r"[0-9A-Za-z]+", a)
                 and _re.fullmatch(r"[0-9A-Za-z]+", b)):
