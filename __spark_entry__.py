@@ -7348,6 +7348,62 @@ _SQL_IMAGE_PATCHES = """
 """
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the bidirectional supplier↔customer
+    co-shipment graph (prefixed node ids keep the two key spaces
+    disjoint): hop tiers from suppliers s1/s2 within 3 hops —
+    operators/graph.py bfs_distances, rounds unrolled into one
+    statement, min-layering exact."""
+    from obsplus_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ship = li.join(orders, li.l_orderkey == orders.o_orderkey).selectExpr(
+        "concat('s', l_suppkey) AS src", "concat('c', o_custkey) AS dst"
+    )
+    edges = ship.union(ship.selectExpr("dst AS src", "src AS dst"))
+    return bfs_distances(edges, ["s1", "s2"], max_hops=3)
+
+
+_SQL_BFS = """
+    WITH e AS (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    d0 AS (SELECT node, 0 AS dist FROM (VALUES ('s1'), ('s2')) t(node)),
+    d1 AS (
+      SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d0 d JOIN e ON d.node = e.src
+      ) GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d1 d JOIN e ON d.node = e.src
+      ) GROUP BY node
+    ),
+    d3 AS (
+      SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d2 d JOIN e ON d.node = e.src
+      ) GROUP BY node
+    )
+    SELECT node, dist FROM d3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7378,6 +7434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": q_audio_frames,
         "bpe_encode": q_bpe_encode,
         "image_patches": q_image_patches,
+        "bfs_hops": q_bfs_hops,
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
@@ -7532,6 +7589,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_frames": _SQL_AUDIO_FRAMES,
         "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
         "image_patches": _SQL_IMAGE_PATCHES,
+        "bfs_hops": _SQL_BFS,
         "cheapest_supplier": _SQL_CHEAPEST,
         "priority_returns": _SQL_PRIORITY_RETURNS,
         "order_count_dist": _SQL_ORDER_COUNT_DIST,

@@ -187,3 +187,66 @@ def pagerank(
         LIMIT {int(k)}
         """,
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: "list[int] | list[str]",
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distances — frontier expansion unrolled to a
+    fixed ``max_hops`` bound, the k-hop-neighborhood primitive (blast
+    radius, reachability tiers, feature "distance to a seed set").
+
+    ``dist(n) = min hops from ANY source``, edges directed src→dst.
+    Each round joins the previous DISTANCE TABLE (not the frontier
+    alone) against the edge frame and re-minimizes — a node reached in
+    round i and again in round j > i keeps i (min-aggregate), so the
+    result is exact BFS layering without per-round driver actions or a
+    visited-set broadcast.
+
+    Scale shape: the same bounded-unroll contract as :func:`pagerank`
+    and ``dedup_clusters``' lazy mode — ONE SQL statement, per round
+    one dist-keyed join + one dst-keyed map-combined min-aggregate;
+    the shuffle carries ≤ |reached nodes| rows, never |edges| (the
+    min folds map-side). Plan depth grows with ``max_hops`` (bounded;
+    checkpoint past ~8 like the cluster resolver if you need deep
+    radii). Sources are plan-time literals (seed sets are small by
+    nature — a large seed FRAME would instead union into round 0).
+
+    Output: (node, dist) for every node within ``max_hops`` of a
+    source, including the sources at dist 0.
+    """
+    from obsplus_spark.util import sql_over
+
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if int(max_hops) < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+
+    def _lit(v) -> str:
+        if isinstance(v, str):
+            from obsplus_spark.util import sql_str_lit
+
+            return "'" + sql_str_lit(v) + "'"
+        return str(int(v))
+
+    seed_rows = ", ".join(f"({_lit(s)})" for s in dict.fromkeys(sources))
+    ctes = [f"d0 AS (SELECT node, 0 AS dist FROM VALUES {seed_rows} t(node))"]
+    for i in range(1, int(max_hops) + 1):
+        ctes.append(
+            f"d{i} AS ("
+            f" SELECT node, CAST(min(dist) AS INT) AS dist FROM ("
+            f"   SELECT node, dist FROM d{i - 1}"
+            f"   UNION ALL"
+            f"   SELECT e.{dst_col} AS node, d.dist + 1 AS dist"
+            f"   FROM d{i - 1} d JOIN {{e}} e ON d.node = e.{src_col}"
+            f" ) GROUP BY node)"
+        )
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{int(max_hops)}"
+    )
+    return sql_over({"e": edges}, sql)

@@ -831,3 +831,52 @@ def test_bpe_apply_validates(spark):
         bpe_apply(df, [])
     with pytest.raises(ValueError, match="alphanumeric"):
         bpe_apply(df, [("a", ".")])
+
+
+def test_bfs_distances_hand_graph(spark):
+    from obsplus_spark.operators.graph import bfs_distances
+
+    # path 1→2→3→4→5 plus shortcut 1→4; multi-source adds 10→3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (10, 3)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [1, 10], max_hops=3).collect()
+    }
+    # 4 reachable via shortcut in 1 hop (min over paths); 3 via source 10
+    assert got == {1: 0, 10: 0, 2: 1, 4: 1, 3: 1, 5: 2}
+
+
+def test_bfs_distances_bounded_and_validates(spark):
+    from obsplus_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [1], max_hops=1).collect()
+    }
+    assert got == {1: 0, 2: 1}  # 3 and 4 beyond the bound
+    # hop 0 = just the seeds
+    assert {r["node"] for r in
+            bfs_distances(edges, [1], max_hops=0).collect()} == {1}
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_distances(edges, [])
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(edges, [1], max_hops=-1)
+
+
+def test_bfs_distances_string_nodes_and_cycles(spark):
+    from obsplus_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, ["a"], max_hops=4).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}  # cycle does not inflate dists
