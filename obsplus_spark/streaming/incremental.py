@@ -361,3 +361,101 @@ def streaming_event_window_join(
         & (F.col(pick_ts_col) <= F.expr(f"{event_ts_col} + {after_expr}"))
     )
     return ev.join(pk, cond, "inner").drop("_bkt")
+
+
+def stream_weighted_sample(
+    stream: DataFrame,
+    weight_col: str,
+    k: int,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    available_now: bool = True,
+):
+    """foreachBatch maintenance of an EXACT weighted sample: because
+    :func:`~obsplus_spark.operators.dedup.weighted_sample` derives its
+    Efraimidis–Spirakis keys from a content hash (not an RNG), the
+    sample is MERGEABLE — ``top_k(old_sample ∪ top_k(batch))`` equals
+    ``top_k(everything ingested)`` at every point, so the maintained
+    k-row table is always the exact weighted sample of the full stream
+    history while per-batch work is one scan of the batch plus a
+    2k-row merge (never a rescan).
+
+    Same at-least-once hardening as :func:`stream_cms_counters`:
+    generation-swap store, ``_applied_<batch_id>`` marker committed in
+    the same rename as the data (replay no-ops), half-swap recovery
+    from the newest ``_old_*`` survivor.
+
+    Store schema: (id, weight, sample_key). Returns the started
+    StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _weighted_sample_apply_batch(
+            batch_df, batch_id, weight_col, k, store_dir, id_col, salt
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _weighted_sample_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    weight_col: str,
+    k: int,
+    store_dir: str,
+    id_col: str,
+    salt: str,
+) -> None:
+    """One idempotent sample-store transition (module-level so the
+    crash/replay paths are directly unit-testable, like
+    :func:`_cms_apply_batch`)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from obsplus_spark.operators.dedup import weighted_sample
+
+    cur = os.path.join(store_dir, "current")
+    if not os.path.isdir(cur) and os.path.isdir(store_dir):
+        olds = sorted(
+            (d for d in os.listdir(store_dir) if d.startswith("_old_")),
+            key=lambda d: int(d.rsplit("_", 1)[-1]),
+        )
+        if olds:
+            os.rename(os.path.join(store_dir, olds[-1]), cur)
+    marker = f"_applied_{batch_id}"
+    if os.path.isfile(os.path.join(cur, marker)):
+        return  # replayed batch, already folded into `current`
+    cols = [id_col, weight_col, "sample_key"]
+    top = weighted_sample(
+        batch_df.select(id_col, weight_col), weight_col, k,
+        id_col=id_col, salt=salt,
+    ).select(*cols)
+    if os.path.isdir(cur):
+        prev = batch_df.sparkSession.read.parquet(cur).select(*cols)
+        # keys are per-row facts: the union's top-k IS the history's
+        # top-k (no re-draw, no re-keying of survivors)
+        top = (
+            prev.unionByName(top)
+            .orderBy(F.col("sample_key").desc(), F.col(id_col))
+            .limit(int(k))
+        )
+    tmp = os.path.join(store_dir, f"_gen_{batch_id}")
+    top.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, marker), "w") as fh:
+        fh.write(str(batch_id))
+    old = os.path.join(store_dir, f"_old_{batch_id}")
+    shutil.rmtree(old, ignore_errors=True)  # crashed prior retry
+    if os.path.isdir(cur):
+        os.rename(cur, old)
+    os.rename(tmp, cur)
+    shutil.rmtree(old, ignore_errors=True)

@@ -463,3 +463,75 @@ def test_streaming_event_window_join_cross_batch(spark, tmp_path):
     assert ("ev1", "in2") in got           # cross-batch pairing
     assert ("ev2", "out1") in got          # state retained for late event
     assert ("ev1", "out1") not in got      # out-of-window never pairs
+
+
+def test_streaming_weighted_sample_equal_batch_sample(spark, tmp_path):
+    """The maintained streaming weighted sample equals the batch
+    weighted_sample over the full ingested stream — the hash-keyed ES
+    scheme makes the sample exactly mergeable across micro-batches."""
+    from obsplus_spark.operators.dedup import weighted_sample
+    from obsplus_spark.streaming.incremental import stream_weighted_sample
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "ws_store")
+    schema = "doc_id long, w double"
+
+    rows1 = [(i, float(1 + i % 9)) for i in range(50)]
+    rows2 = [(i + 100, float(1 + i % 4)) for i in range(40)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_weighted_sample(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            weight_col="w",
+            k=10,
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write_batch(rows1)
+    run()
+    write_batch(rows2)
+    run()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{store}/current").collect())
+    )
+    whole = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        map(
+            tuple,
+            weighted_sample(whole, "w", k=10)
+            .select("doc_id", "w", "sample_key")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == 10
+
+
+def test_streaming_weighted_sample_replay_idempotent(spark, tmp_path):
+    from obsplus_spark.streaming.incremental import (
+        _weighted_sample_apply_batch,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, float(i % 3 + 1)) for i in range(20)], "doc_id long, w double"
+    )
+    _weighted_sample_apply_batch(df, 0, "w", 5, store, "doc_id", "")
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{store}/current").collect())
+    )
+    _weighted_sample_apply_batch(df, 0, "w", 5, store, "doc_id", "")  # replay
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{store}/current").collect())
+    )
+    assert first == again
