@@ -7358,22 +7358,31 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    ship = li.join(orders, li.l_orderkey == orders.o_orderkey).selectExpr(
-        "concat('s', l_suppkey) AS src", "concat('c', o_custkey) AS dst"
+    # distinct BEFORE the frontier expansion (pagerank's convention):
+    # a (supplier, customer) pair repeats per lineitem, and duplicate
+    # edges multiply every frontier join's fan-out ~4× for identical
+    # min-layering output
+    ship = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .selectExpr(
+            "concat('s', l_suppkey) AS src", "concat('c', o_custkey) AS dst"
+        )
+        .distinct()
     )
     edges = ship.union(ship.selectExpr("dst AS src", "src AS dst"))
     return bfs_distances(edges, ["s1", "s2"], max_hops=3)
 
 
 _SQL_BFS = """
-    WITH e AS (
-      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+    WITH ship AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
              'c' || CAST(o_custkey AS VARCHAR) AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT src, dst FROM ship
       UNION ALL
-      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-             's' || CAST(l_suppkey AS VARCHAR) AS dst
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      SELECT dst AS src, src AS dst FROM ship
     ),
     d0 AS (SELECT node, 0 AS dist FROM (VALUES ('s1'), ('s2')) t(node)),
     d1 AS (
