@@ -7369,7 +7369,13 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = ship.union(ship.selectExpr("dst AS src", "src AS dst"))
+    # the unrolled BFS references the edge view once per round and the
+    # view inlines at every reference — persist so the join+distinct
+    # derivation runs once, not per round (bounded ring releases it)
+    edges = ship.union(ship.selectExpr("dst AS src", "src AS dst")).persist()
+    from obsplus_spark.operators.dedup import _register_shingle_cache
+
+    _register_shingle_cache(edges)
     return bfs_distances(edges, ["s1", "s2"], max_hops=3)
 
 
@@ -7391,6 +7397,7 @@ _SQL_BFS = """
         UNION ALL
         SELECT e.dst AS node, d.dist + 1 AS dist
         FROM d0 d JOIN e ON d.node = e.src
+        WHERE d.dist = 0
       ) GROUP BY node
     ),
     d2 AS (
@@ -7399,6 +7406,7 @@ _SQL_BFS = """
         UNION ALL
         SELECT e.dst AS node, d.dist + 1 AS dist
         FROM d1 d JOIN e ON d.node = e.src
+        WHERE d.dist = 1
       ) GROUP BY node
     ),
     d3 AS (
@@ -7407,6 +7415,7 @@ _SQL_BFS = """
         UNION ALL
         SELECT e.dst AS node, d.dist + 1 AS dist
         FROM d2 d JOIN e ON d.node = e.src
+        WHERE d.dist = 2
       ) GROUP BY node
     )
     SELECT node, dist FROM d3

@@ -201,11 +201,14 @@ def bfs_distances(
     radius, reachability tiers, feature "distance to a seed set").
 
     ``dist(n) = min hops from ANY source``, edges directed src→dst.
-    Each round joins the previous DISTANCE TABLE (not the frontier
-    alone) against the edge frame and re-minimizes — a node reached in
-    round i and again in round j > i keeps i (min-aggregate), so the
-    result is exact BFS layering without per-round driver actions or a
-    visited-set broadcast.
+    Each round expands ONLY the newest layer (``dist = round − 1``)
+    against the edge frame, unions the offers with the carried distance
+    table and re-minimizes — a node settled in an earlier layer already
+    offered its neighbors their minimal distance, so frontier-only
+    expansion is exact BFS layering (expanding the whole reached set
+    each round would re-emit always-losing offers and multiply the
+    join fan-out for the same result) with no per-round driver action
+    and no visited-set broadcast.
 
     Scale shape: the same bounded-unroll contract as :func:`pagerank`
     and ``dedup_clusters``' lazy mode — ONE SQL statement, per round
@@ -243,6 +246,7 @@ def bfs_distances(
             f"   UNION ALL"
             f"   SELECT e.{dst_col} AS node, d.dist + 1 AS dist"
             f"   FROM d{i - 1} d JOIN {{e}} e ON d.node = e.{src_col}"
+            f"   WHERE d.dist = {i - 1}"
             f" ) GROUP BY node)"
         )
     sql = (

@@ -254,21 +254,33 @@ def stream_cms_counters(
     return writer.start()
 
 
-def _cms_apply_batch(
-    batch_df: DataFrame,
-    batch_id: int,
-    key_col: str,
+def _gen_swap_apply(
+    spark,
     store_dir: str,
-    depth: int,
-    width: int,
+    batch_id: int,
+    fold: "Callable[[DataFrame | None], DataFrame]",
 ) -> None:
-    """One idempotent CMS-store transition (the ``foreachBatch`` body of
-    :func:`stream_cms_counters`, module-level so the crash/replay paths
-    are directly unit-testable)."""
+    """ONE idempotent generation-swap store transition — the shared
+    crash-safety protocol of every foreachBatch-maintained table
+    (:func:`stream_cms_counters`, :func:`stream_weighted_sample`):
+
+    - **half-swap recovery**: if ``current`` is missing (crash between
+      the two renames), the newest ``_old_*`` survivor is restored
+      first;
+    - **replay idempotence**: an ``_applied_<batch_id>`` marker rides
+      INSIDE the generation dir (underscore-prefixed, so the parquet
+      reader skips it) and commits with the data in the SAME rename; a
+      replayed batch finds its marker and no-ops;
+    - **no _old_ leak**: a crash after the swap but before the final
+      cleanup leaves ``_old_<id>`` behind — swept on the replay path
+      (once the marker is visible in ``current``, every ``_old_*`` is
+      garbage) as well as after a normal swap.
+
+    ``fold(prev)`` receives the current table (or None on first batch)
+    and returns the next generation's full contents.
+    """
     import os
     import shutil
-
-    from obsplus_spark.operators.sketches import cms_counters, cms_merge
 
     cur = os.path.join(store_dir, "current")
     if not os.path.isdir(cur) and os.path.isdir(store_dir):
@@ -278,16 +290,23 @@ def _cms_apply_batch(
         )
         if olds:
             os.rename(os.path.join(store_dir, olds[-1]), cur)
+
+    def _sweep_olds() -> None:
+        for d in os.listdir(store_dir):
+            if d.startswith("_old_"):
+                shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+
     marker = f"_applied_{batch_id}"
     if os.path.isfile(os.path.join(cur, marker)):
-        return  # replayed batch, already folded into `current`
-    b = cms_counters(batch_df, key_col, depth=depth, width=width)
-    if os.path.isdir(cur):
-        b = cms_merge(batch_df.sparkSession.read.parquet(cur), b)
+        # replayed batch, already folded into `current`; a crash right
+        # after the swap can strand its _old_ dir — current is complete
+        # (the marker proves it), so stale _old_* are safe to sweep here
+        _sweep_olds()
+        return
+    prev = spark.read.parquet(cur) if os.path.isdir(cur) else None
+    nxt = fold(prev)
     tmp = os.path.join(store_dir, f"_gen_{batch_id}")
-    b.coalesce(1).write.mode("overwrite").parquet(tmp)
-    # marker rides INSIDE the generation dir (underscore-prefixed, so the
-    # parquet reader skips it): data + applied-mark commit in ONE rename
+    nxt.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, marker), "w") as fh:
         fh.write(str(batch_id))
     old = os.path.join(store_dir, f"_old_{batch_id}")
@@ -295,7 +314,27 @@ def _cms_apply_batch(
     if os.path.isdir(cur):
         os.rename(cur, old)
     os.rename(tmp, cur)
-    shutil.rmtree(old, ignore_errors=True)
+    _sweep_olds()
+
+
+def _cms_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str,
+    store_dir: str,
+    depth: int,
+    width: int,
+) -> None:
+    """One idempotent CMS-store transition (the ``foreachBatch`` body of
+    :func:`stream_cms_counters`; crash/replay handling lives in the
+    shared :func:`_gen_swap_apply`)."""
+    from obsplus_spark.operators.sketches import cms_counters, cms_merge
+
+    def fold(prev):
+        b = cms_counters(batch_df, key_col, depth=depth, width=width)
+        return b if prev is None else cms_merge(prev, b)
+
+    _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
 
 
 def streaming_event_window_join(
@@ -375,7 +414,9 @@ def stream_weighted_sample(
 ):
     """foreachBatch maintenance of an EXACT weighted sample: because
     :func:`~obsplus_spark.operators.dedup.weighted_sample` derives its
-    Efraimidis–Spirakis keys from a content hash (not an RNG), the
+    Efraimidis–Spirakis keys from an ID hash (``md5(id || salt)`` — a
+    per-row fact, not an RNG draw; note: keyed on identity, so a
+    re-ingested id keeps its key even if its payload changed), the
     sample is MERGEABLE — ``top_k(old_sample ∪ top_k(batch))`` equals
     ``top_k(everything ingested)`` at every point, so the maintained
     k-row table is always the exact weighted sample of the full stream
@@ -414,48 +455,28 @@ def _weighted_sample_apply_batch(
     id_col: str,
     salt: str,
 ) -> None:
-    """One idempotent sample-store transition (module-level so the
-    crash/replay paths are directly unit-testable, like
-    :func:`_cms_apply_batch`)."""
-    import os
-    import shutil
-
+    """One idempotent sample-store transition (the ``foreachBatch`` body
+    of :func:`stream_weighted_sample`; crash/replay handling lives in
+    the shared :func:`_gen_swap_apply`)."""
     from pyspark.sql import functions as F
 
     from obsplus_spark.operators.dedup import weighted_sample
 
-    cur = os.path.join(store_dir, "current")
-    if not os.path.isdir(cur) and os.path.isdir(store_dir):
-        olds = sorted(
-            (d for d in os.listdir(store_dir) if d.startswith("_old_")),
-            key=lambda d: int(d.rsplit("_", 1)[-1]),
-        )
-        if olds:
-            os.rename(os.path.join(store_dir, olds[-1]), cur)
-    marker = f"_applied_{batch_id}"
-    if os.path.isfile(os.path.join(cur, marker)):
-        return  # replayed batch, already folded into `current`
     cols = [id_col, weight_col, "sample_key"]
-    top = weighted_sample(
-        batch_df.select(id_col, weight_col), weight_col, k,
-        id_col=id_col, salt=salt,
-    ).select(*cols)
-    if os.path.isdir(cur):
-        prev = batch_df.sparkSession.read.parquet(cur).select(*cols)
+
+    def fold(prev):
+        top = weighted_sample(
+            batch_df.select(id_col, weight_col), weight_col, k,
+            id_col=id_col, salt=salt,
+        ).select(*cols)
+        if prev is None:
+            return top
         # keys are per-row facts: the union's top-k IS the history's
         # top-k (no re-draw, no re-keying of survivors)
-        top = (
-            prev.unionByName(top)
+        return (
+            prev.select(*cols).unionByName(top)
             .orderBy(F.col("sample_key").desc(), F.col(id_col))
             .limit(int(k))
         )
-    tmp = os.path.join(store_dir, f"_gen_{batch_id}")
-    top.coalesce(1).write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, marker), "w") as fh:
-        fh.write(str(batch_id))
-    old = os.path.join(store_dir, f"_old_{batch_id}")
-    shutil.rmtree(old, ignore_errors=True)  # crashed prior retry
-    if os.path.isdir(cur):
-        os.rename(cur, old)
-    os.rename(tmp, cur)
-    shutil.rmtree(old, ignore_errors=True)
+
+    _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)

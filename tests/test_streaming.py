@@ -535,3 +535,24 @@ def test_streaming_weighted_sample_replay_idempotent(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{store}/current").collect())
     )
     assert first == again
+
+
+def test_gen_swap_replay_sweeps_stranded_old_dirs(spark, tmp_path):
+    """Crash AFTER the swap but before cleanup strands _old_<id>; the
+    replay (marker already in current) must sweep it instead of leaking
+    one dir per crash."""
+    import os
+
+    from obsplus_spark.streaming.incremental import (
+        _weighted_sample_apply_batch,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, float(i % 3 + 1)) for i in range(10)], "doc_id long, w double"
+    )
+    _weighted_sample_apply_batch(df, 0, "w", 3, store, "doc_id", "")
+    # simulate the crash window: a stranded _old_ survives the swap
+    os.makedirs(os.path.join(store, "_old_0"))
+    _weighted_sample_apply_batch(df, 0, "w", 3, store, "doc_id", "")  # replay
+    assert not [d for d in os.listdir(store) if d.startswith("_old_")]
