@@ -7422,6 +7422,127 @@ _SQL_BFS = """
 """
 
 
+def q_hits_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS (hubs & authorities) over the directed
+    customer→supplier purchase graph: top-20 authority suppliers —
+    operators/graph.py hits_scores, iterations unrolled, all-BIGINT
+    intermediates (no per-round float normalizer), per half-round one
+    keyed join + one map-combined aggregate."""
+    from obsplus_spark.operators.dedup import _register_shingle_cache
+    from obsplus_spark.operators.graph import hits_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # the unrolled HITS references the edge CTE once per half-round and
+    # Spark inlines it per reference — distinct + persist OUTSIDE the
+    # statement so the join+distinct derivation runs once (same
+    # convention as q_bfs_hops; bounded ring releases it)
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .selectExpr(
+            "concat('c', o_custkey) AS src", "concat('s', l_suppkey) AS dst"
+        )
+        .distinct()
+        .persist()
+    )
+    _register_shingle_cache(edges)
+    return hits_scores(edges, iterations=2, k=20)
+
+
+_SQL_HITS = """
+    WITH edges AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    a1 AS (
+      SELECT dst AS node, CAST(count(*) AS BIGINT) AS auth
+      FROM edges GROUP BY dst
+    ),
+    h1 AS (
+      SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS hub
+      FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY e.src
+    ),
+    a2 AS (
+      SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS auth
+      FROM edges e JOIN h1 h ON e.src = h.node GROUP BY e.dst
+    ),
+    h2 AS (
+      SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS hub
+      FROM edges e JOIN a2 a ON e.dst = a.node GROUP BY e.src
+    )
+    SELECT n.node AS node,
+           CAST(coalesce(a.auth, 0) AS BIGINT) AS auth,
+           CAST(coalesce(h.hub, 0) AS BIGINT) AS hub
+    FROM nodes n
+    LEFT JOIN a2 a ON n.node = a.node
+    LEFT JOIN h2 h ON n.node = h.node
+    ORDER BY auth DESC, hub DESC, n.node
+    LIMIT 20
+"""
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 4 rounds) on a hash-folded sparse
+    orders graph — operators/graph.py k_core_peel: each round
+    references the previous edge set exactly ONCE (explode + window
+    degree + min-degree HAVING), dodging the 3^rounds CTE-inlining
+    blowup of the naive degree-join formulation."""
+    from obsplus_spark.operators.graph import k_core_peel
+
+    o = _t(spark, sf_dir, "orders")
+    # a different fold than triangle_count's graph: 4001-bucket node
+    # space with a multiplicative scramble on the order side keeps the
+    # graph sparse (mean degree ~7 at sf0.01) so the peel cascades
+    edges = o.selectExpr(
+        "o_custkey % 4001 AS src", "(o_orderkey * 7 + 3) % 4001 AS dst"
+    )
+    return k_core_peel(edges, k=3, rounds=4)
+
+
+def _k_core_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    """DuckDB twin of k_core_peel. DuckDB materializes multiply-
+    referenced CTEs (no inlining blowup), so the oracle uses the
+    straightforward degree-table formulation — semantically identical
+    to the engine's single-reference explode/window form."""
+    parts = [
+        """
+    e0 AS (
+      SELECT DISTINCT least(o_custkey % 4001, (o_orderkey * 7 + 3) % 4001)
+               AS a,
+             greatest(o_custkey % 4001, (o_orderkey * 7 + 3) % 4001) AS b
+      FROM orders
+      WHERE o_custkey % 4001 <> (o_orderkey * 7 + 3) % 4001
+    )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""
+    d{i} AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
+      ) GROUP BY node HAVING count(*) >= {k}
+    ),
+    e{i + 1} AS (
+      SELECT e.a, e.b FROM e{i} e
+      JOIN d{i} x ON e.a = x.node
+      JOIN d{i} y ON e.b = y.node
+    )"""
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY node
+"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7445,6 +7566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (argmin struct-min, EXISTS semi, outer-join histogram,
         # HAVING-broadcast, self-join rollup, scalar-subquery + anti)
         # and the two newest LLM-pipeline ops
+        "hits_auth": q_hits_auth,
+        "k_core": q_k_core,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -7600,6 +7723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "hits_auth": _SQL_HITS,
+        "k_core": _k_core_oracle_sql(3, 4),
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -189,6 +189,174 @@ def pagerank(
     )
 
 
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 2,
+    k: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) over a directed edge
+    frame, returning the top-``k`` authorities — the complementary
+    centrality to :func:`pagerank` for link/citation curation: an
+    authority is pointed at by good hubs, a hub points at good
+    authorities (Kleinberg 1999, public algorithm).
+
+    INTEGER variant: scores start at 1 and iterations alternate
+    ``auth'(n) = Σ_{s→n} hub(s)`` then ``hub'(n) = Σ_{n→d} auth'(d)``
+    with NO per-round normalization — every intermediate is an exact
+    BIGINT, so two engines agree bit-for-bit (a float normalizer is an
+    order-dependent double sum; the RANKING is identical because
+    normalization rescales all scores by the same factor). Production
+    runs more rounds and normalizes at read-out; the bounded-unroll
+    contract (one statement, plan depth ∝ iterations, checkpoint past
+    ~8) matches :func:`pagerank`. ANSI overflow bound: scores grow as
+    (max degree)^(2·iterations) — with the default 2 iterations a
+    graph needs ~degree-10⁴ hubs to threaten BIGINT; raise iterations
+    only with a normalizing read-out.
+
+    Scale shape: per half-round ONE keyed equi-join (edge frame probed
+    by the current score vector) + one map-combined hash aggregate; the
+    shuffle carries ≤ |nodes| partial sums. No windows, no driver
+    actions, no collect.
+
+    Output: (node, auth, hub) — ≤ k rows, BIGINT scores, ordered
+    auth DESC, hub DESC, node ASC.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    its = int(iterations)
+    if its < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    parts = [
+        f"""
+        edges AS (
+          SELECT DISTINCT {src_col} AS src, {dst_col} AS dst FROM {{e}}
+          WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT explode(array(src, dst)) AS node FROM edges)
+        ),
+        a1 AS (
+          -- hub_0 = 1 constant-folds round 1's auth into an indegree count
+          SELECT dst AS node, CAST(count(1) AS BIGINT) AS auth
+          FROM edges GROUP BY dst
+        ),
+        h1 AS (
+          SELECT e.src AS node, sum(a.auth) AS hub
+          FROM edges e JOIN a1 a ON e.dst = a.node
+          GROUP BY e.src
+        )"""
+    ]
+    for i in range(2, its + 1):
+        parts.append(
+            f"""
+        a{i} AS (
+          SELECT e.dst AS node, sum(h.hub) AS auth
+          FROM edges e JOIN h{i - 1} h ON e.src = h.node
+          GROUP BY e.dst
+        ),
+        h{i} AS (
+          SELECT e.src AS node, sum(a.auth) AS hub
+          FROM edges e JOIN a{i} a ON e.dst = a.node
+          GROUP BY e.src
+        )"""
+        )
+    body = ",".join(parts)
+    return sql_over(
+        {"e": ensure_parallelism(edges)},
+        f"""
+        WITH {body}
+        SELECT n.node,
+               coalesce(a.auth, 0L) AS auth,
+               coalesce(h.hub, 0L) AS hub
+        FROM nodes n
+        LEFT JOIN a{its} a ON n.node = a.node
+        LEFT JOIN h{its} h ON n.node = h.node
+        ORDER BY auth DESC, hub DESC, node
+        LIMIT {int(k)}
+        """,
+    )
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge frame: ``rounds``
+    iterations of "drop every node whose CURRENT degree is below ``k``,
+    then drop edges touching a dropped node" — the dense-subgraph
+    extractor a curation pipeline uses to isolate tightly-linked
+    communities (spam rings, boilerplate link farms) or to prune
+    low-connectivity noise before heavier graph passes.
+
+    Fixed-round semantics (same contract as :func:`bfs_distances`): a
+    node surviving round R is in the k-core only if peeling has
+    CONVERGED by round R — cascades deeper than ``rounds`` leave
+    not-yet-peeled nodes in the output (documented bound, not silent:
+    the output's min degree reveals an unconverged peel, since a
+    converged peel has every degree ≥ k). All-integer → engine-exact.
+
+    Scale shape: the naive formulation (degree table joined back on
+    both endpoints) references each round's edge set THREE times — and
+    Spark inlines deterministic CTEs per reference, so the plan (and
+    the work) grows 3^rounds (the documented twice-referenced-lineage
+    trap from ``dedup_clusters``). This implementation references each
+    round's edge set exactly ONCE: explode both endpoints in-row, a
+    node-partitioned window count annotates every edge copy with its
+    endpoint's CURRENT degree, and ``GROUP BY edge HAVING min(deg) ≥
+    k`` reconstitutes the surviving edge set. Per round: one node-keyed
+    window exchange over 2·|E| rows + one edge-keyed aggregate — linear
+    plan depth, no driver actions (checkpoint past ~8 rounds like the
+    other iterative operators).
+
+    Output: (node, degree) for survivors of the final round, with the
+    degree AFTER that round's edge pruning.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    kk, rr = int(k), int(rounds)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rr < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    parts = [
+        f"""
+        e0 AS (
+          SELECT DISTINCT least({src_col}, {dst_col}) AS a,
+                          greatest({src_col}, {dst_col}) AS b
+          FROM {{e}}
+          WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+            AND {src_col} <> {dst_col}
+        )"""
+    ]
+    for i in range(rr):
+        parts.append(
+            f"""
+        w{i} AS (
+          SELECT a, b, count(1) OVER (PARTITION BY node) AS deg
+          FROM (SELECT a, b, explode(array(a, b)) AS node FROM e{i})
+        ),
+        e{i + 1} AS (
+          SELECT a, b FROM w{i} GROUP BY a, b HAVING min(deg) >= {kk}
+        )"""
+        )
+    body = ",".join(parts)
+    return sql_over(
+        {"e": ensure_parallelism(edges)},
+        f"""
+        WITH {body}
+        SELECT node, CAST(count(1) AS BIGINT) AS degree
+        FROM (SELECT explode(array(a, b)) AS node FROM e{rr})
+        GROUP BY node
+        """,
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: "list[int] | list[str]",

@@ -1,0 +1,79 @@
+"""Round-6 fourth-wave operators: HITS, k-core peeling, OLS trends,
+bigram LM scoring, conjunctive search, cascade delete, image phash
+near-dup, audio activity segments."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_hits_hand_graph(spark):
+    """c1→{s1,s2}, c2→s1: two exact integer half-round updates."""
+    from obsplus_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c1", "s1")],
+        "src string, dst string",
+    )
+    rows = [tuple(r) for r in hits_scores(edges, iterations=2, k=10).collect()]
+    # a1: s1=2, s2=1; h1: c1=3, c2=2; a2: s1=5, s2=3; h2: c1=8, c2=5
+    assert rows == [
+        ("s1", 5, 0),
+        ("s2", 3, 0),
+        ("c1", 0, 8),
+        ("c2", 0, 5),
+    ]
+
+
+def test_hits_single_iteration_and_validation(spark):
+    from obsplus_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    rows = {r["node"]: (r["auth"], r["hub"]) for r in
+            hits_scores(edges, iterations=1, k=10).collect()}
+    # a1: b=1, c=1; h1: a=auth(b)=1, b=auth(c)=1
+    assert rows == {"a": (0, 1), "b": (1, 1), "c": (1, 0)}
+    with pytest.raises(ValueError, match="iterations"):
+        hits_scores(edges, iterations=0)
+
+
+def test_k_core_triangle_with_pendant_chain(spark):
+    """Triangle {1,2,3} + chain 3-4-5: the 2-core is the triangle, and
+    reaching it needs the cascade (5 peels, THEN 4 peels)."""
+    from obsplus_spark.operators.graph import k_core_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 1)],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r["degree"] for r in
+            k_core_peel(edges, k=2, rounds=3).collect()}
+    assert rows == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_bounded_rounds_leave_unconverged_tail(spark):
+    """Fixed-round semantics: one round on a 6-chain peels only the
+    endpoints — the surviving frame still has degree-1 nodes, exactly
+    as documented (min degree < k reveals the unconverged peel)."""
+    from obsplus_spark.operators.graph import k_core_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    rows = {r["node"]: r["degree"] for r in
+            k_core_peel(edges, k=2, rounds=1).collect()}
+    assert rows == {2: 1, 3: 2, 4: 2, 5: 1}
+    # converged: the chain has no 2-core at all
+    assert k_core_peel(edges, k=2, rounds=4).count() == 0
+
+
+def test_k_core_validates(spark):
+    from obsplus_spark.operators.graph import k_core_peel
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must"):
+        k_core_peel(edges, k=0)
+    with pytest.raises(ValueError, match="rounds"):
+        k_core_peel(edges, k=2, rounds=0)
