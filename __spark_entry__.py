@@ -7543,6 +7543,58 @@ def _k_core_oracle_sql(k: int = 3, rounds: int = 4) -> str:
     )
 
 
+def q_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value vs days-since-first-event —
+    operators/sessions.py ols_trends: closed-form slope/intercept/r²
+    from sufficient statistics, integer day re-basing keeps the
+    denominator exact (ns-epoch squares would shred double precision);
+    one user-keyed exchange shared by the re-basing window and the
+    stats aggregate."""
+    from obsplus_spark.operators.sessions import ols_trends
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ts_ns().alias("t_ns"), "value"
+    )
+    return ols_trends(ev, "user_id", "t_ns", "value")
+
+
+_SQL_TRENDS = """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS t_ns, value AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT user_id,
+             (t_ns - min(t_ns) OVER (PARTITION BY user_id))
+               // 86400000000000 AS x,
+             y
+      FROM e
+    ),
+    a AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((sy - sx * (n * sxy - sx * sy)
+                            / (n * sxx - sx * sx)) / n, 6)
+           END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx)
+                              * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7568,6 +7620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the two newest LLM-pipeline ops
         "hits_auth": q_hits_auth,
         "k_core": q_k_core,
+        "trend_lines": q_trend_lines,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -7725,6 +7778,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "hits_auth": _SQL_HITS,
         "k_core": _k_core_oracle_sql(3, 4),
+        "trend_lines": _SQL_TRENDS,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -500,3 +500,78 @@ def rank_transform(
         )
         """,
     )
+
+
+def ols_trends(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    day_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line of a metric against
+    time: slope (metric units / day), intercept, and r² for every key —
+    the drift/trend detector a monitoring or curation pipeline runs per
+    segment (is this source's quality decaying? is this user's activity
+    ramping?).
+
+    Closed-form OLS over sufficient statistics: ``slope = (n·Σxy −
+    Σx·Σy) / (n·Σx² − (Σx)²)``. The time axis is re-based per key to
+    integer DAYS since the key's first event (``(t − min t) div
+    day_ns``) BEFORE any squaring: raw ns epochs are ~1e18, their
+    squares (~1e36) shred a double's 52-bit mantissa and make the
+    denominator catastrophic-cancellation garbage; re-based day indexes
+    are small integers, so Σx and Σx² are EXACT BIGINTs and the
+    denominator is integer-exact. Only the y-sums are doubles (6-dp
+    rounded outputs absorb summation-order jitter).
+
+    Degenerate keys are NULL, not wrong: a single observation or a
+    single distinct day has no slope (integer denominator exactly 0);
+    zero y-variance has no r².
+
+    Scale shape: ONE exchange keyed by the group — the re-basing
+    window min and the sufficient-statistics aggregate share the same
+    partitioning (no join; the stats table is key-sized). No driver
+    actions.
+
+    Output: (key, n, slope, intercept, r2) — doubles 6 dp.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    d_ns = int(day_ns)
+    if d_ns < 1:
+        raise ValueError(f"day_ns must be >= 1, got {day_ns}")
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH b AS (
+          SELECT {key_col},
+                 CAST(({ts_col} - min({ts_col}) OVER (PARTITION BY
+                     {key_col})) div {d_ns} AS BIGINT) AS x,
+                 {value_col} AS y
+          FROM {{d}}
+          WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+        ),
+        a AS (
+          SELECT {key_col}, CAST(count(1) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(x * x) AS sxx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM b GROUP BY {key_col}
+        )
+        SELECT {key_col}, n,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN round((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx), 6) END AS slope,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN round((sy - sx * (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) / n, 6)
+               END AS intercept,
+               CASE WHEN n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                    THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                               / ((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+               END AS r2
+        FROM a
+        """,
+    )

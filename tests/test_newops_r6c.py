@@ -77,3 +77,50 @@ def test_k_core_validates(spark):
         k_core_peel(edges, k=0)
     with pytest.raises(ValueError, match="rounds"):
         k_core_peel(edges, k=2, rounds=0)
+
+
+def test_ols_trends_hand_cases(spark):
+    from obsplus_spark.operators.sessions import ols_trends
+
+    day = 86_400_000_000_000
+    rows = [
+        # perfect line y = x + 1
+        ("a", 0 * day, 1.0), ("a", 1 * day, 2.0), ("a", 2 * day, 3.0),
+        # single point: no slope
+        ("b", 5 * day, 7.0),
+        # two points on the same day: integer denominator exactly 0
+        ("c", 0, 1.0), ("c", 1000, 9.0),
+        # constant y across days: slope 0, r2 undefined
+        ("d", 0 * day, 4.0), ("d", 3 * day, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    out = {r["k"]: r for r in ols_trends(df, "k", "t", "y").collect()}
+    assert out["a"]["slope"] == 1.0
+    assert out["a"]["intercept"] == 1.0
+    assert out["a"]["r2"] == 1.0
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None
+    assert out["c"]["slope"] is None
+    assert out["d"]["slope"] == 0.0 and out["d"]["intercept"] == 4.0
+    assert out["d"]["r2"] is None
+    with pytest.raises(ValueError, match="day_ns"):
+        ols_trends(df, "k", "t", "y", day_ns=0)
+
+
+def test_ols_trends_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from obsplus_spark.operators.sessions import ols_trends
+
+    rng_vals = [((i * 37 + 11) % 100) / 7.0 for i in range(40)]
+    day = 86_400_000_000_000
+    rows = [("u", (i % 13) * day + i, float(v))
+            for i, v in enumerate(rng_vals)]
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    got = ols_trends(df, "k", "t", "y").collect()[0]
+    x = np.array([i % 13 for i in range(40)], dtype=float)
+    y = np.array(rng_vals)
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["slope"] == pytest.approx(slope, abs=2e-6)
+    assert got["intercept"] == pytest.approx(intercept, abs=2e-6)
+    assert got["r2"] == pytest.approx(r * r, abs=2e-6)
