@@ -7595,6 +7595,90 @@ _SQL_TRENDS = """
 """
 
 
+def q_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM bits (add-0.5 smoothing, corpus-fit) —
+    operators/text.py bigram_logprob: in-row bigram expansion, one
+    (doc,w1,w2) aggregate, keyed bigram-vocabulary probe join (NOT
+    broadcast — bigram tables are corpus-sized at scale), broadcast
+    unigram-sized left-context table."""
+    from obsplus_spark.operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs)
+
+
+_SQL_BIGRAM_LP = r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+      WHERE length(trim(text)) > 0
+        AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+    ),
+    occ AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        FROM docs)
+    ),
+    tf AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+      FROM occ GROUP BY doc_id, w1, w2
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt
+      FROM tf GROUP BY w1, w2
+    ),
+    lc AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS left_cnt
+      FROM occ GROUP BY w1
+    ),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsize
+      FROM (SELECT unnest([w1, w2]) AS tok FROM occ)
+    )
+    SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+           round(-sum(t.tf * ln((b.cnt + 0.5)
+                                / (l.left_cnt + 0.5 * v.vsize))
+                      / ln(2.0)) / sum(t.tf), 6) AS bits_per_bigram
+    FROM tf t
+    JOIN bg b ON t.w1 = b.w1 AND t.w2 = b.w2
+    JOIN lc l ON t.w1 = l.w1
+    CROSS JOIN v
+    GROUP BY t.doc_id
+"""
+
+
+def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive AND retrieval for ('spark', 'merge', 'vector') —
+    operators/text.py conjunctive_search: scan-level token filter, one
+    (doc, token) + one doc aggregate, count(DISTINCT)=|terms| coverage
+    test, integer TakeOrdered top-20. No joins."""
+    from obsplus_spark.operators.text import conjunctive_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return conjunctive_search(docs, ["spark", "merge", "vector"], k=20)
+
+
+_SQL_BOOL_SEARCH = r"""
+    WITH hits AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t IN ('spark', 'merge', 'vector'))) AS tok
+        FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM hits
+    GROUP BY doc_id
+    HAVING count(DISTINCT tok) = 3
+    ORDER BY total_tf DESC, doc_id
+    LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7621,6 +7705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_auth": q_hits_auth,
         "k_core": q_k_core,
         "trend_lines": q_trend_lines,
+        "bigram_lp": q_bigram_lp,
+        "bool_search": q_bool_search,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -7779,6 +7865,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_auth": _SQL_HITS,
         "k_core": _k_core_oracle_sql(3, 4),
         "trend_lines": _SQL_TRENDS,
+        "bigram_lp": _SQL_BIGRAM_LP,
+        "bool_search": _SQL_BOOL_SEARCH,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -1268,3 +1268,153 @@ def bpe_apply(
         )
         """,
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram-LM score: mean bits per bigram under the
+    corpus's own add-α-smoothed bigram model — the next step up from
+    :func:`unigram_logprob` toward the KenLM-perplexity quality filter
+    (a bigram model catches scrambled/shuffled text that fools a
+    unigram model, since it scores token ORDER, not just token choice).
+
+    ``p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V)`` with bigram counts
+    from the input itself, left-context counts ``c(w₁·)`` summed over
+    the same bigram occurrences, and ``V`` = distinct tokens appearing
+    in any bigram. ``bits = −Σ tf·log₂ p / Σ tf`` per doc. Docs with
+    fewer than two tokens have no bigrams and are absent (documented,
+    matching unigram_logprob's no-0/0-row contract).
+
+    Scale shape: bigrams expand IN-ROW (a codegen'd transform over the
+    token array — no self-join of positions), one (doc, w₁, w₂) hash
+    aggregate, one (w₁, w₂) vocabulary aggregate, and dimension-sized
+    left-context/vocab-size aggregates. The probe joins the bigram
+    vocabulary on its composite key (a keyed shuffle join — the bigram
+    table is NOT broadcast: unlike the unigram vocabulary it can be
+    corpus-sized at 100 TB) and broadcasts only the unigram-sized
+    left-context table. No windows, no driver actions.
+
+    Output: (id, n_bigrams, bits_per_bigram) — 6 dp.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    a = float(alpha)
+    if not a > 0.0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH docs AS (
+          SELECT {id_col}, _toks FROM
+            (SELECT {id_col}, {toks} AS _toks FROM {{d}})
+          WHERE size(_toks) >= 2
+        ),
+        occ AS (
+          -- the bigram expression must be TOTAL even though docs
+          -- filters size >= 2: InferFiltersFromGenerate derives a
+          -- size(_bgs) > 0 predicate and predicate reordering can
+          -- evaluate it BEFORE the size filter, so a plain _toks[i+1]
+          -- throws INVALID_ARRAY_INDEX on 1-token rows under ANSI.
+          -- try_element_at (1-based) + a degenerate-safe sequence
+          -- bound make speculative evaluation harmless; the size
+          -- filter still drops those rows from the real output.
+          SELECT {id_col}, bg.w1 AS w1, bg.w2 AS w2
+          FROM (
+            SELECT {id_col},
+                   transform(sequence(1, greatest(size(_toks), 2) - 1),
+                     i -> named_struct('w1', try_element_at(_toks, i),
+                                       'w2', try_element_at(_toks, i + 1)))
+                     AS _bgs
+            FROM docs)
+          LATERAL VIEW explode(_bgs) _e AS bg
+        ),
+        tf AS (
+          SELECT {id_col}, w1, w2, CAST(count(1) AS BIGINT) AS tf
+          FROM occ GROUP BY {id_col}, w1, w2
+        ),
+        bg AS (
+          SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt
+          FROM tf GROUP BY w1, w2
+        ),
+        lc AS (
+          SELECT w1, CAST(count(1) AS BIGINT) AS left_cnt
+          FROM occ GROUP BY w1
+        ),
+        v AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsize
+          FROM (SELECT explode(array(w1, w2)) AS tok FROM occ)
+        )
+        SELECT /*+ BROADCAST(l) */ t.{id_col},
+               CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+               round(-sum(t.tf * ln((b.cnt + {a!r}D)
+                                    / (l.left_cnt + {a!r}D * v.vsize))
+                          / ln(2.0D)) / sum(t.tf), 6) AS bits_per_bigram
+        FROM tf t
+        JOIN bg b ON t.w1 = b.w1 AND t.w2 = b.w2
+        JOIN lc l ON t.w1 = l.w1
+        CROSS JOIN v
+        GROUP BY t.{id_col}
+        """,
+    )
+
+
+def conjunctive_search(
+    df: DataFrame,
+    terms: "list[str]",
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) keyword search: documents containing EVERY
+    query term, ranked by total term frequency — the boolean-retrieval
+    complement to :func:`bm25_scores` (candidate generation for a
+    reranker, eval-set mining, "must mention all of X, Y, Z" slicing).
+
+    Matching is on the shared lowercase whitespace tokenization (exact
+    token equality, not substring). The AND folds into ONE doc-keyed
+    aggregate: tokens are filtered to the query set at the scan
+    (predicate pushdown — the explode only emits query-term hits), and
+    ``count(DISTINCT token) = |terms|`` keeps exactly the docs covering
+    all terms. Top-k is a distributed TakeOrdered on (total tf DESC,
+    id ASC) — integer-exact, engine-stable.
+
+    Scale shape: scan → in-row filter → one map-combined (doc, token)
+    aggregate → one doc aggregate → TakeOrdered. No joins at all; the
+    query set is a plan-time literal IN-list.
+
+    Output: (id, total_tf) — ≤ k rows, BIGINT.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over, sql_str_lit
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    termlist = ", ".join("'" + sql_str_lit(t) + "'" for t in uniq)
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH hits AS (
+          SELECT {id_col}, tok, CAST(count(1) AS BIGINT) AS tf
+          FROM (SELECT {id_col},
+                       filter({toks}, t -> t IN ({termlist})) AS _toks
+                FROM {{d}})
+          LATERAL VIEW explode(_toks) _e AS tok
+          GROUP BY {id_col}, tok
+        )
+        SELECT {id_col}, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM hits
+        GROUP BY {id_col}
+        HAVING count(DISTINCT tok) = {len(uniq)}
+        ORDER BY total_tf DESC, {id_col}
+        LIMIT {kk}
+        """,
+    )

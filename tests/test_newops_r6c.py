@@ -124,3 +124,68 @@ def test_ols_trends_matches_numpy_polyfit(spark):
     assert got["slope"] == pytest.approx(slope, abs=2e-6)
     assert got["intercept"] == pytest.approx(intercept, abs=2e-6)
     assert got["r2"] == pytest.approx(r * r, abs=2e-6)
+
+
+def test_bigram_logprob_matches_python_model(spark):
+    import math
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "b a b a"),
+        (3, "c c a"),
+        (4, "solo"),          # < 2 tokens: absent
+        (5, "   "),           # blank: absent
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from obsplus_spark.operators.text import bigram_logprob
+
+    out = {r["doc_id"]: r for r in bigram_logprob(df, alpha=0.5).collect()}
+    assert set(out) == {1, 2, 3}
+
+    # python reference model
+    corpus = {1: "a b a b c", 2: "b a b a", 3: "c c a"}
+    bgs: dict[tuple[str, str], int] = {}
+    left: dict[str, int] = {}
+    vocab = set()
+    for t in corpus.values():
+        ws = t.split()
+        for w1, w2 in zip(ws, ws[1:]):
+            bgs[(w1, w2)] = bgs.get((w1, w2), 0) + 1
+            left[w1] = left.get(w1, 0) + 1
+            vocab.update((w1, w2))
+    v = len(vocab)
+    for did, t in corpus.items():
+        ws = t.split()
+        pairs = list(zip(ws, ws[1:]))
+        bits = -sum(
+            math.log2((bgs[p] + 0.5) / (left[p[0]] + 0.5 * v))
+            for p in pairs
+        ) / len(pairs)
+        assert out[did]["n_bigrams"] == len(pairs)
+        assert out[did]["bits_per_bigram"] == pytest.approx(bits, abs=2e-6)
+
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_logprob(df, alpha=0.0)
+
+
+def test_conjunctive_search_all_terms_required(spark):
+    from obsplus_spark.operators.text import conjunctive_search
+
+    docs = [
+        (1, "Spark and merge and VECTOR"),     # all 3, tf 3
+        (2, "spark spark merge vector vector"),  # all 3, tf 5
+        (3, "spark merge"),                     # missing vector
+        (4, "sparkly merge vector"),            # substring is not a match
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = [tuple(r) for r in
+            conjunctive_search(df, ["Spark", "merge", "vector"]).collect()]
+    assert rows == [(2, 5), (1, 3)]
+    # k caps the list after the deterministic (tf DESC, id) order
+    rows = conjunctive_search(df, ["spark", "merge", "vector"], k=1).collect()
+    assert [tuple(r) for r in rows] == [(2, 5)]
+    with pytest.raises(ValueError, match="terms"):
+        conjunctive_search(df, [])
+    with pytest.raises(ValueError, match="k must"):
+        conjunctive_search(df, ["a"], k=0)
