@@ -7679,6 +7679,61 @@ _SQL_BOOL_SEARCH = r"""
 """
 
 
+def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance purge audit: tombstoned customers (custkey % 97 = 0)
+    cascade through orders to lineitem — operators/joins.py
+    cascade_delete: per level one keyed semi join deriving the
+    persisted banned-PK frame + count aggregates; banned frames are
+    key-sized and AQE-broadcastable."""
+    from obsplus_spark.operators.joins import cascade_delete
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    roots = cust.where("c_custkey % 97 = 0").select("c_custkey")
+    return cascade_delete(
+        roots,
+        [
+            ("customer", cust, "c_custkey", "c_custkey"),
+            ("orders", orders, "o_custkey", "o_orderkey"),
+            ("lineitem", li, "l_orderkey", None),
+        ],
+    )
+
+
+_SQL_CASCADE = """
+    WITH bc AS (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+    ),
+    bo AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_custkey IN (SELECT k FROM bc)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_custkey IN (SELECT k FROM bc)) AS BIGINT)
+             AS n_purged,
+           CAST((SELECT count(*) FROM customer)
+                - (SELECT count(*) FROM customer
+                   WHERE c_custkey IN (SELECT k FROM bc)) AS BIGINT)
+             AS n_kept
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IN (SELECT k FROM bc)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders)
+                - (SELECT count(*) FROM orders
+                   WHERE o_custkey IN (SELECT k FROM bc)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT k FROM bo)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem)
+                - (SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT k FROM bo)) AS BIGINT)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7707,6 +7762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_lines": q_trend_lines,
         "bigram_lp": q_bigram_lp,
         "bool_search": q_bool_search,
+        "cascade_delete": q_cascade_delete,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -7867,6 +7923,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_lines": _SQL_TRENDS,
         "bigram_lp": _SQL_BIGRAM_LP,
         "bool_search": _SQL_BOOL_SEARCH,
+        "cascade_delete": _SQL_CASCADE,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

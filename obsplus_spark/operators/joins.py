@@ -349,3 +349,80 @@ def bulk_request_join(
         .join(F.broadcast(exact_req.alias("r")), exact_cond, "left_anti")
     )
     return exact_hits.unionByName(glob_hits)
+
+
+def cascade_delete(
+    roots: DataFrame,
+    chain: "list[tuple[str, DataFrame, str, str | None]]",
+) -> DataFrame:
+    """Referential purge propagation ("right to be forgotten"): given a
+    frame of banned root keys, walk a foreign-key chain and report, per
+    table, how many rows the cascade deletes and how many survive — the
+    audit report a compliance pipeline emits before (and after) the
+    actual anti-join rewrite of each table.
+
+    ``chain[i] = (name, df, fk_col, pk_col)``: a row of table *i* is
+    purged when its ``fk_col`` is in the banned key set of level *i−1*
+    (the root frame for *i = 0*); its ``pk_col`` values then become the
+    banned set for level *i+1* (``None`` for the leaf). NULL foreign
+    keys never match a ban (join semantics — documented, matching SQL
+    ``IN``).
+
+    Scale shape: per level ONE keyed semi join derives the banned-PK
+    frame (persisted — it feeds both the next level and this level's
+    count, and a bounded per-session ring releases it) plus one
+    semi-joined count aggregate; the per-table totals are map-combined
+    ``count(1)`` scans. Banned-key frames are key-sized, never
+    row-sized; AQE broadcasts them when small. The stats output is
+    chain-sized.
+
+    Output: (table_name, n_purged, n_kept) — one row per chain entry,
+    in chain order by name, all BIGINT.
+    """
+    from pyspark.sql import functions as F
+
+    from obsplus_spark.operators.dedup import _register_shingle_cache
+    from obsplus_spark.util import ensure_parallelism
+
+    if not chain:
+        raise ValueError("chain must be non-empty")
+    if len(roots.columns) != 1:
+        raise ValueError(
+            f"roots must have exactly one column, got {roots.columns}"
+        )
+    banned = (
+        ensure_parallelism(roots)
+        .select(F.col(roots.columns[0]).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+        .persist()
+    )
+    _register_shingle_cache(banned)
+    stats = []
+    for name, df, fk_col, pk_col in chain:
+        purged_rows = df.join(
+            banned, df[fk_col] == banned["_k"], "left_semi"
+        )
+        n_purged = purged_rows.agg(F.count(F.lit(1)).alias("n_purged"))
+        n_total = df.agg(F.count(F.lit(1)).alias("n_total"))
+        stats.append(
+            n_purged.crossJoin(n_total).select(
+                F.lit(name).alias("table_name"),
+                F.col("n_purged").cast("long").alias("n_purged"),
+                (F.col("n_total") - F.col("n_purged"))
+                .cast("long")
+                .alias("n_kept"),
+            )
+        )
+        if pk_col is not None:
+            banned = (
+                purged_rows.select(F.col(pk_col).alias("_k"))
+                .where(F.col("_k").isNotNull())
+                .distinct()
+                .persist()
+            )
+            _register_shingle_cache(banned)
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

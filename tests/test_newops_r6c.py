@@ -189,3 +189,44 @@ def test_conjunctive_search_all_terms_required(spark):
         conjunctive_search(df, [])
     with pytest.raises(ValueError, match="k must"):
         conjunctive_search(df, ["a"], k=0)
+
+
+def test_cascade_delete_hand_chain(spark):
+    from obsplus_spark.operators.joins import cascade_delete
+
+    users = spark.createDataFrame(
+        [(1,), (2,), (3,)], "uid long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, None)],
+        "oid long, uid long",
+    )
+    items = spark.createDataFrame(
+        [(100, 10), (101, 10), (102, 12), (103, 13), (104, 99)],
+        "iid long, oid long",
+    )
+    roots = spark.createDataFrame([(1,), (9,), (1,)], "uid long")
+    out = {r["table_name"]: (r["n_purged"], r["n_kept"]) for r in
+           cascade_delete(
+               roots,
+               [("users", users, "uid", "uid"),
+                ("orders", orders, "uid", "oid"),
+                ("items", items, "oid", None)],
+           ).collect()}
+    # user 1 → orders 10, 11 → items 100, 101; NULL-fk order 13 kept
+    assert out == {
+        "users": (1, 2),
+        "orders": (2, 2),
+        "items": (2, 3),
+    }
+
+
+def test_cascade_delete_validates(spark):
+    from obsplus_spark.operators.joins import cascade_delete
+
+    roots = spark.createDataFrame([(1, 2)], "a long, b long")
+    one = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="one column"):
+        cascade_delete(roots, [("t", one, "a", None)])
+    with pytest.raises(ValueError, match="chain"):
+        cascade_delete(one, [])
