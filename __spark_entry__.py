@@ -7734,6 +7734,120 @@ _SQL_CASCADE = """
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual hash: per-user grayscale images
+    (class-correlated pixel streams so true near-dups exist) round-trip
+    the PPM codec, hash via codecs.average_hash (exact integer
+    cell-vs-global-mean rule), then dedup.phash_near_dup bands the 64
+    bits into 4×16-bit LSH buckets and popcount-verifies collisions —
+    the multimodal leg of the near-dup family, never all-pairs."""
+    from obsplus_spark.operators.dedup import (
+        _register_shingle_cache,
+        phash_near_dup,
+    )
+    from obsplus_spark.util import sorted_group_apply
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def _emit(user_id, chunks):
+        import numpy as np
+
+        from obsplus_spark.operators.codecs import (
+            average_hash,
+            decode_ppm,
+            encode_ppm,
+        )
+
+        ids = np.sort(
+            chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        )
+        n = len(ids)
+        i = np.arange(n, dtype=np.int64)
+        b = ((i * 37 + (int(user_id) % 5) * 11) % 256).astype(np.uint8)
+        h = n // 16
+        if h < 4:
+            return (int(user_id), None, None)
+        img = decode_ppm(encode_ppm(b[: h * 16].reshape(h, 16)))
+        lo, hi = average_hash(img)
+        return (int(user_id), lo, hi)
+
+    hashes = sorted_group_apply(
+        ev, "user_id", _emit, "user_id long, h_lo long, h_hi long"
+    ).where("h_lo IS NOT NULL")
+    # the hash table feeds the banding explode AND both verify joins —
+    # persist so the codec pass runs once (bounded ring releases it)
+    hashes = hashes.persist()
+    _register_shingle_cache(hashes)
+    return phash_near_dup(
+        hashes, max_hamming=8, id_col="user_id", lo_col="h_lo", hi_col="h_hi"
+    )
+
+
+_SQL_IMAGE_PHASH = """
+    WITH s AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               - 1 AS i,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    px AS (
+      SELECT user_id,
+             (i * 37 + (user_id % 5) * 11) % 256 AS b,
+             i // 16 AS row_idx, i % 16 AS col_idx,
+             (n // 16) // 4 AS ch
+      FROM s
+      WHERE n // 16 >= 4 AND i // 16 < ((n // 16) // 4) * 4
+    ),
+    cells AS (
+      SELECT user_id, row_idx // ch AS r, col_idx AS c,
+             CAST(sum(b) AS BIGINT) AS cs
+      FROM px GROUP BY user_id, row_idx // ch, col_idx
+    ),
+    tot AS (
+      SELECT user_id, CAST(sum(cs) AS BIGINT) AS total
+      FROM cells GROUP BY user_id
+    ),
+    bits AS (
+      SELECT cells.user_id, r * 16 + c AS k
+      FROM cells JOIN tot USING (user_id)
+      WHERE cs * 64 > total
+    ),
+    users AS (SELECT DISTINCT user_id FROM px),
+    hs AS (
+      SELECT u.user_id,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+                    THEN (CAST(1 AS BIGINT) << b.k) END), 0) AS BIGINT)
+               AS h_lo,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+                    THEN (CAST(1 AS BIGINT) << (b.k - 32)) END), 0)
+                  AS BIGINT) AS h_hi
+      FROM users u LEFT JOIN bits b USING (user_id)
+      GROUP BY u.user_id
+    ),
+    bands AS (
+      SELECT user_id, band,
+             (CASE band WHEN 0 THEN h_lo WHEN 1 THEN h_lo // 65536
+                        WHEN 2 THEN h_hi ELSE h_hi // 65536 END) % 65536
+               AS bh
+      FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.user_id AS id1, b.user_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.user_id < b.user_id
+    )
+    SELECT c.id1, c.id2,
+           CAST(bit_count(xor(x.h_lo, y.h_lo))
+                + bit_count(xor(x.h_hi, y.h_hi)) AS INT) AS hamming
+    FROM cand c
+    JOIN hs x ON c.id1 = x.user_id
+    JOIN hs y ON c.id2 = y.user_id
+    WHERE bit_count(xor(x.h_lo, y.h_lo))
+          + bit_count(xor(x.h_hi, y.h_hi)) <= 8
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7763,6 +7877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lp": q_bigram_lp,
         "bool_search": q_bool_search,
         "cascade_delete": q_cascade_delete,
+        "image_phash": q_image_phash,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -7924,6 +8039,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lp": _SQL_BIGRAM_LP,
         "bool_search": _SQL_BOOL_SEARCH,
         "cascade_delete": _SQL_CASCADE,
+        "image_phash": _SQL_IMAGE_PHASH,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -308,3 +308,46 @@ def patch_grid_sums(img, p: int):
     a = a[: rows * p, : cols * p].astype(np.int64)
     sums = a.reshape(rows, p, cols, p).sum(axis=(1, 3)).reshape(-1)
     return rows, cols, sums
+
+
+def average_hash(img, grid_rows: int = 4, grid_cols: int = 16):
+    """Perceptual average-hash (aHash) of a 2-D grayscale image: the
+    image is cropped to whole grid cells, each cell's bit is 1 iff its
+    mean exceeds the cropped image's global mean, and the row-major bit
+    string packs into two 32-bit words ``(lo, hi)`` (bit k of the grid
+    → word k div 32, bit k mod 32). The classic cheap image
+    fingerprint: near-identical images agree on almost every bit, so
+    Hamming distance over the packed words ranks visual similarity.
+
+    EXACT integer rule: ``cell_mean > global_mean`` is evaluated as
+    ``cell_sum · n_cells > total_sum`` (equal-sized cells cancel the
+    denominators) — no float division anywhere, so any engine
+    replaying the rule on the same pixels gets the identical hash.
+
+    Returns ``(lo, hi)`` ints, or ``(None, None)`` when the image is
+    smaller than one grid cell per axis (no meaningful hash).
+    ``grid_rows·grid_cols`` must be ≤ 64 so the hash fits two words.
+    """
+    import numpy as np
+
+    gr, gc = int(grid_rows), int(grid_cols)
+    if gr < 1 or gc < 1 or gr * gc > 64:
+        raise ValueError(f"grid must be 1..64 cells, got {gr}x{gc}")
+    a = np.asarray(img)
+    if a.ndim != 2:
+        raise ValueError(f"expected a 2-D grayscale image, got {a.ndim}-D")
+    ch, cw = a.shape[0] // gr, a.shape[1] // gc
+    if ch == 0 or cw == 0:
+        return None, None
+    a = a[: ch * gr, : cw * gc].astype(np.int64)
+    cells = a.reshape(gr, ch, gc, cw).sum(axis=(1, 3)).reshape(-1)
+    total = int(cells.sum())
+    n = gr * gc
+    lo = hi = 0
+    for k, s in enumerate(cells):
+        if int(s) * n > total:
+            if k < 32:
+                lo |= 1 << k
+            else:
+                hi |= 1 << (k - 32)
+    return lo, hi

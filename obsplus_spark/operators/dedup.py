@@ -1452,3 +1452,67 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def phash_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "id",
+    lo_col: str = "h_lo",
+    hi_col: str = "h_hi",
+) -> DataFrame:
+    """Image near-duplicate pairs from 64-bit perceptual hashes (two
+    32-bit words per image, e.g. ``codecs.average_hash``): band LSH on
+    Hamming space → bucket collision pairs → exact popcount verify —
+    the image leg of the near-dup family, same banded one-shuffle shape
+    as the MinHash text path (never all-pairs).
+
+    Banding: the 64 bits split into four 16-bit bands; images sharing
+    ANY band become candidates (by pigeonhole this is exhaustive for
+    Hamming ≤ 3 — one of the four bands must be untouched — and
+    high-recall above that; the miss rate is the standard LSH trade
+    and both this operator and its oracle replay the identical rule).
+    Verify: ``bit_count(lo⊕lo') + bit_count(hi⊕hi') ≤ max_hamming``,
+    integer-exact.
+
+    Scale shape: one banding explode (4 small rows per image), one
+    band-keyed groupBy with in-row pair expansion (the shared
+    ``_bucket_pairs`` one-shuffle formulation), then two keyed joins
+    pulling the pair's hash words for the popcount (candidate table ≪
+    corpus by construction). No windows, no driver actions.
+
+    Output: (id1, id2, hamming) with id1 < id2, BIGINT/INT — ordered
+    nowhere (set semantics; order downstream if needed).
+    """
+    d = int(max_hamming)
+    if d < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    bands = ", ".join(
+        f"named_struct('band', {i}, 'band_hash',"
+        f" CAST(shiftright({col}, {shift}) & 65535 AS BIGINT))"
+        for i, (col, shift) in enumerate(
+            [(lo_col, 0), (lo_col, 16), (hi_col, 0), (hi_col, 16)]
+        )
+    )
+    banded = (
+        hashes.selectExpr(id_col, f"explode(array({bands})) AS bh")
+        .select(F.col(id_col), F.col("bh.band"), F.col("bh.band_hash"))
+    )
+    pairs = _bucket_pairs(banded, id_col)
+    a = hashes.selectExpr(
+        f"{id_col} AS id1", f"{lo_col} AS _lo1", f"{hi_col} AS _hi1"
+    )
+    b = hashes.selectExpr(
+        f"{id_col} AS id2", f"{lo_col} AS _lo2", f"{hi_col} AS _hi2"
+    )
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .selectExpr(
+            "id1",
+            "id2",
+            "CAST(bit_count(_lo1 ^ _lo2) + bit_count(_hi1 ^ _hi2)"
+            " AS INT) AS hamming",
+        )
+        .where(f"hamming <= {d}")
+    )

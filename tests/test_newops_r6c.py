@@ -230,3 +230,60 @@ def test_cascade_delete_validates(spark):
         cascade_delete(roots, [("t", one, "a", None)])
     with pytest.raises(ValueError, match="chain"):
         cascade_delete(one, [])
+
+
+def test_average_hash_halves():
+    import numpy as np
+
+    from obsplus_spark.operators.codecs import average_hash
+
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:4, :] = 200  # bright top half -> first two bands all 1s
+    lo, hi = average_hash(img)
+    assert lo == 0xFFFFFFFF and hi == 0
+    # too small for one cell per axis
+    assert average_hash(np.zeros((3, 16), dtype=np.uint8)) == (None, None)
+    with pytest.raises(ValueError, match="grid"):
+        average_hash(img, grid_rows=9, grid_cols=9)
+    with pytest.raises(ValueError, match="2-D"):
+        average_hash(np.zeros((4, 4, 3), dtype=np.uint8))
+
+
+def test_average_hash_integer_rule_matches_float_means():
+    import numpy as np
+
+    from obsplus_spark.operators.codecs import average_hash
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(12, 16), dtype=np.int64)
+    lo, hi = average_hash(img)
+    # ch = 3 -> all 12 rows used; cell (r, c) sums 3 rows of column c
+    cells = img.reshape(4, 3, 16, 1).sum(axis=(1, 3)).reshape(-1)
+    total = cells.sum()
+    for k in range(64):
+        want = 1 if cells[k] * 64 > total else 0
+        got = (lo >> k) & 1 if k < 32 else (hi >> (k - 32)) & 1
+        assert got == want
+
+
+def test_phash_near_dup_banding_and_verify(spark):
+    from obsplus_spark.operators.dedup import phash_near_dup
+
+    rows = [
+        (1, 0b1010_1100_1111_0000, 0),        # base
+        (2, 0b1010_1100_1111_0000, 0),        # identical -> hamming 0
+        # differs only inside band 0 (5 low bits): bands 1-3 equal
+        (3, 0b1010_1100_1110_1111, 0),
+        # 1 bit flipped in EVERY band: no band collides with 1 despite
+        # hamming 4 (the documented pigeonhole miss above d=3)
+        (4, 0b1010_1100_1111_0000 ^ (1 | (1 << 16)), 1 | (1 << 16)),
+    ]
+    df = spark.createDataFrame(rows, "id long, h_lo long, h_hi long")
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             phash_near_dup(df, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 5  # 1_0000 vs 0_1111: 5 flipped bits
+    assert pairs[(2, 3)] == 5
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    with pytest.raises(ValueError, match="max_hamming"):
+        phash_near_dup(df, max_hamming=-1)
