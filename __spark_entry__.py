@@ -7848,6 +7848,74 @@ _SQL_IMAGE_PHASH = """
 """
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style activity segmentation: the audio_frames feature table
+    (per-user PCM16 framing) thresholded on exact integer energy, runs
+    of consecutive active frames merged via the gaps-and-islands
+    difference trick — operators/multimodal.py activity_segments; the
+    framing window, run window, and segment aggregate all ride ONE
+    user-keyed exchange."""
+    from obsplus_spark.operators.multimodal import (
+        activity_segments,
+        frame_signal_features,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "ts",
+            "CAST((2.0D * (value - floor(value)) - 1.0D) * 32767.0D"
+            " AS BIGINT) AS k",
+        )
+    )
+    frames = frame_signal_features(
+        ev,
+        frame_len=256,
+        id_col="user_id",
+        order_cols=("ts", "event_id"),
+        sample_col="k",
+    )
+    return activity_segments(
+        frames, threshold=23_000_000_000, id_col="user_id"
+    )
+
+
+_SQL_AUDIO_SEGMENTS = """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(trunc((2.0 * (value - floor(value)) - 1.0) * 32767.0)
+               AS BIGINT) AS k
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT user_id, k, row_number() OVER w - 1 AS rn
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    fr AS (
+      SELECT user_id, rn // 256 AS frame_idx,
+             CAST(sum(k * k) AS BIGINT) AS energy
+      FROM o GROUP BY user_id, rn // 256
+    ),
+    act AS (
+      SELECT user_id, frame_idx, energy,
+             frame_idx - row_number() OVER (PARTITION BY user_id
+                 ORDER BY frame_idx) AS run
+      FROM fr WHERE energy > 23000000000
+    )
+    SELECT user_id,
+           CAST(min(frame_idx) AS BIGINT) AS start_frame,
+           CAST(max(frame_idx) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS total_energy
+    FROM act
+    GROUP BY user_id, run
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7878,6 +7946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": q_bool_search,
         "cascade_delete": q_cascade_delete,
         "image_phash": q_image_phash,
+        "audio_segments": q_audio_segments,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -8040,6 +8109,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_search": _SQL_BOOL_SEARCH,
         "cascade_delete": _SQL_CASCADE,
         "image_phash": _SQL_IMAGE_PHASH,
+        "audio_segments": _SQL_AUDIO_SEGMENTS,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -323,3 +323,55 @@ def frame_signal_features(
         GROUP BY {id_col}, _rn div {int(frame_len)}
         """,
     )
+
+
+def activity_segments(
+    frames: DataFrame,
+    threshold: int,
+    id_col: str = "signal_id",
+    frame_col: str = "frame_idx",
+    energy_col: str = "energy",
+) -> DataFrame:
+    """Voice/activity segmentation over framed signal features: frames
+    whose energy exceeds ``threshold`` are "active", and maximal runs
+    of CONSECUTIVE active frames merge into segments — the VAD-style
+    pass that turns :func:`frame_signal_features` output into speech/
+    event regions (clip extraction, silence trimming, per-utterance
+    batching).
+
+    Run detection is the classic gaps-and-islands difference trick:
+    ``frame_idx − row_number()`` over active frames is constant within
+    a consecutive run, so the segment roll-up is a plain aggregate on
+    that derived key. A non-active frame (or a missing frame index —
+    framing emits no empty frames, so index gaps behave as silence)
+    breaks the run. All-integer → engine-exact.
+
+    Scale shape: the threshold filter folds into the scan of the frame
+    table; ONE id-keyed exchange serves both the run-id window and the
+    segment aggregate (grouping keys extend the partition key). No
+    joins, no driver actions.
+
+    Output: (id, start_frame, end_frame, n_frames, total_energy), all
+    BIGINT.
+    """
+    from obsplus_spark.util import sql_over
+
+    t = int(threshold)
+    return sql_over(
+        {"f": frames},
+        f"""
+        WITH act AS (
+          SELECT {id_col}, {frame_col} AS _f, {energy_col} AS _e,
+                 {frame_col} - row_number() OVER (PARTITION BY {id_col}
+                     ORDER BY {frame_col}) AS _run
+          FROM {{f}} WHERE {energy_col} > {t}
+        )
+        SELECT {id_col},
+               CAST(min(_f) AS BIGINT) AS start_frame,
+               CAST(max(_f) AS BIGINT) AS end_frame,
+               CAST(count(1) AS BIGINT) AS n_frames,
+               CAST(sum(_e) AS BIGINT) AS total_energy
+        FROM act
+        GROUP BY {id_col}, _run
+        """,
+    )

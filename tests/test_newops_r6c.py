@@ -287,3 +287,35 @@ def test_phash_near_dup_banding_and_verify(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs
     with pytest.raises(ValueError, match="max_hamming"):
         phash_near_dup(df, max_hamming=-1)
+
+
+def test_activity_segments_runs_and_gaps(spark):
+    from obsplus_spark.operators.multimodal import activity_segments
+
+    frames = spark.createDataFrame(
+        [
+            ("a", 0, 100), ("a", 1, 100), ("a", 2, 5),   # run 0-1
+            ("a", 3, 100),                                # run 3
+            ("a", 5, 100), ("a", 6, 100),                 # index gap breaks
+            ("b", 0, 5),                                  # never active
+        ],
+        "signal_id string, frame_idx long, energy long",
+    )
+    rows = sorted(
+        tuple(r) for r in activity_segments(frames, threshold=50).collect()
+    )
+    assert rows == [
+        ("a", 0, 1, 2, 200),
+        ("a", 3, 3, 1, 100),
+        ("a", 5, 6, 2, 200),
+    ]
+
+
+def test_activity_segments_threshold_is_strict(spark):
+    from obsplus_spark.operators.multimodal import activity_segments
+
+    frames = spark.createDataFrame(
+        [("a", 0, 50)], "signal_id string, frame_idx long, energy long"
+    )
+    assert activity_segments(frames, threshold=50).count() == 0
+    assert activity_segments(frames, threshold=49).count() == 1
