@@ -36,6 +36,7 @@ PYTHON_STAGE_QUERIES = {
     "wav_roundtrip",    # WAV PCM codec
     "ppm_roundtrip",    # PPM/BMP image codecs + resize + features
     "image_patches",    # PPM codec + numpy patch-grid kernel
+    "image_phash",      # PPM codec + average-hash kernel
     "mseed_roundtrip",  # miniSEED header codec
     "quakeml_rt",       # QuakeML XML codec
     "stationxml_rt",    # StationXML parser
@@ -578,3 +579,53 @@ def test_audio_frames_single_exchange(plans):
     p, simple = plans["audio_frames"]
     assert simple.count("Exchange hashpartitioning") == 1
     assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_k_core_has_no_join_operator(plans):
+    """k-core peeling: the single-reference explode/window formulation
+    compiles to NO join at all — a join node here means the rewrite
+    regressed to the degree-table form whose plan grows 3^rounds."""
+    p = plans["k_core"][0]
+    assert not any(m in p for m in _JOIN_MARKERS), "k_core grew a join"
+
+
+def test_trend_lines_single_exchange(plans):
+    """OLS trends: the re-basing window and the sufficient-statistics
+    aggregate share ONE user-keyed exchange; no joins."""
+    p, simple = plans["trend_lines"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_audio_segments_single_exchange(plans):
+    """Framing window, run window, and segment aggregate all ride one
+    user-keyed exchange; no joins."""
+    p, simple = plans["audio_segments"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_bool_search_no_joins_distributed_topk(plans):
+    """Conjunctive search: literal IN-filter + two aggregates + a
+    distributed TakeOrdered — never a join against a term table."""
+    p, _ = plans["bool_search"]
+    assert not any(m in p for m in _JOIN_MARKERS)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_bigram_lp_left_context_broadcasts(plans):
+    """Bigram LM: the unigram-sized left-context table broadcasts; no
+    window operator sneaks into the aggregate pipeline."""
+    p, _ = plans["bigram_lp"]
+    assert "BroadcastHashJoin" in p
+    assert "WindowExec" not in p and "CartesianProduct" not in p
+
+
+def test_hits_is_joins_and_aggregates_only(plans):
+    """Integer HITS: per half-round one keyed join + one hash
+    aggregate — no window, no cartesian, no Python."""
+    p, _ = plans["hits_auth"]
+    assert "CartesianProduct" not in p
+    assert "WindowExec" not in p
+    assert "HashAggregate" in p
