@@ -7916,6 +7916,93 @@ _SQL_AUDIO_SEGMENTS = """
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring runs (3-gram chains, runs ≥ 2) —
+    operators/dedup.py duplicated_spans: in-row gram hashes with
+    positions, gram-keyed frequency window, doc-keyed run detection;
+    the exact-substring-dedup signal beyond span mass."""
+    from obsplus_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_spans(docs, n=3, min_run=2)
+
+
+_SQL_DUP_SPANS = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    f AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+      FROM f WHERE c > 1
+    ),
+    runs AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS rg
+      FROM d GROUP BY doc_id, run
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(rg) AS BIGINT) AS max_run_grams,
+           CAST(max(rg) + 2 AS BIGINT) AS max_span_tokens
+    FROM runs WHERE rg >= 2
+    GROUP BY doc_id
+"""
+
+
+def q_column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the lineitem value columns in
+    ONE scan — operators/sessions.py column_correlations: all
+    sufficient statistics in a single map-combined aggregate, pairs
+    expanded in-row from the one-row result."""
+    from obsplus_spark.operators.sessions import column_correlations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _column_corr_oracle_sql() -> str:
+    cs = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, c in enumerate(cs):
+        aggs.append(f"sum({c}) AS s{i}")
+        aggs.append(f"sum({c} * {c}) AS q{i}")
+    pairs = [(i, j) for i in range(len(cs)) for j in range(len(cs)) if i < j]
+    for i, j in pairs:
+        aggs.append(f"sum({cs[i]} * {cs[j]}) AS p{i}_{j}")
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in cs)
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{cs[i]}' AS col_x, '{cs[j]}' AS col_y, n,
+           CASE WHEN (n * q{i} - s{i} * s{i}) > 0
+                 AND (n * q{j} - s{j} * s{j}) > 0
+                THEN round((n * p{i}_{j} - s{i} * s{j})
+                     / sqrt((n * q{i} - s{i} * s{i})
+                            * (n * q{j} - s{j} * s{j})), 6) END AS r
+    FROM a"""
+        for i, j in pairs
+    )
+    return (
+        "WITH a AS (\n      SELECT "
+        + ", ".join(aggs)
+        + f" FROM lineitem WHERE {not_null}\n    )\n"
+        + rows
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -7947,6 +8034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_delete": q_cascade_delete,
         "image_phash": q_image_phash,
         "audio_segments": q_audio_segments,
+        "dup_spans": q_dup_spans,
+        "column_corr": q_column_corr,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -8110,6 +8199,8 @@ def oracle_sql() -> dict[str, str]:
         "cascade_delete": _SQL_CASCADE,
         "image_phash": _SQL_IMAGE_PHASH,
         "audio_segments": _SQL_AUDIO_SEGMENTS,
+        "dup_spans": _SQL_DUP_SPANS,
+        "column_corr": _column_corr_oracle_sql(),
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -1516,3 +1516,84 @@ def phash_near_dup(
         )
         .where(f"hamming <= {d}")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_run: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-substring runs per document — the run-length
+    extension of :func:`duplicate_span_mass` toward exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public): a corpus-duplicated text SPAN shows up as
+    a run of CONSECUTIVE duplicated ``n``-gram positions, so the length
+    of the longest run bounds the longest copied substring
+    (``run_grams + n − 1`` tokens) and short accidental gram collisions
+    (``run_grams < min_run``) are ignored.
+
+    Scale shape: grams form in-row (the shared shifted-slice xxhash64
+    combine — no gram strings), keep their 0-based positions via
+    ``posexplode``, then exactly two keyed exchanges: the gram-keyed
+    corpus-frequency window, and ONE doc-keyed exchange shared by the
+    run-id window, the (doc, run) roll-up, and the final doc aggregate
+    (each grouping extends the partition key). No joins, no driver
+    actions. The DuckDB oracle groups gram STRINGS (count-identical
+    modulo 2⁻⁶⁴ hash collisions — the repo's accepted digest argument).
+
+    Output: (id, n_runs, max_run_grams, max_span_tokens) for docs with
+    at least one qualifying run — all BIGINT.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    nn, mr = int(n), int(min_run)
+    if nn < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if mr < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    ht = "transform(_toks, t -> xxhash64(t))"
+    nsh = f"(size(_ht) - {nn - 1})"
+    acc = f"slice(_ht, 1, {nsh})"
+    for k in range(1, nn):
+        acc = (
+            f"zip_with({acc}, slice(_ht, {k + 1}, {nsh}),"
+            " (a, b) -> xxhash64(a, b))"
+        )
+    grams = (
+        f"CASE WHEN size(_ht) >= {nn} THEN {acc}"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    base = (
+        ensure_parallelism(df)
+        .selectExpr(id_col, f"{toks} AS _toks")
+        .selectExpr(id_col, f"{ht} AS _ht")
+        .selectExpr(id_col, f"posexplode({grams}) AS (pos, g)")
+    )
+    return sql_over(
+        {"g": base},
+        f"""
+        WITH f AS (
+          SELECT {id_col}, pos, count(1) OVER (PARTITION BY g) AS _c
+          FROM {{g}}
+        ),
+        d AS (
+          SELECT {id_col}, pos,
+                 pos - row_number() OVER (PARTITION BY {id_col}
+                     ORDER BY pos) AS _run
+          FROM f WHERE _c > 1
+        ),
+        runs AS (
+          SELECT {id_col}, CAST(count(1) AS BIGINT) AS run_grams
+          FROM d GROUP BY {id_col}, _run
+        )
+        SELECT {id_col},
+               CAST(count(1) AS BIGINT) AS n_runs,
+               CAST(max(run_grams) AS BIGINT) AS max_run_grams,
+               CAST(max(run_grams) + {nn - 1} AS BIGINT) AS max_span_tokens
+        FROM runs WHERE run_grams >= {mr}
+        GROUP BY {id_col}
+        """,
+    )

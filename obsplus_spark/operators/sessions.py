@@ -575,3 +575,68 @@ def ols_trends(
         FROM a
         """,
     )
+
+
+def column_correlations(
+    df: DataFrame,
+    cols: "list[str]",
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns in ONE
+    pass: the feature-redundancy / drift-structure probe a profiling
+    pipeline runs beside per-column stats (``table_profile``) — which
+    metrics move together, which are near-duplicates of each other.
+
+    All ``k·(k+3)/2`` sufficient statistics (count, per-column sums and
+    squares, per-pair products) accumulate in a single map-combined
+    aggregate over one scan; the correlations are closed-form
+    expressions over that one row, expanded in-row to a pair-per-row
+    frame. Rows with a NULL in ANY requested column are dropped first
+    (listwise deletion — the one rule that keeps every pair on the same
+    n; documented). Degenerate pairs (either variance term ≤ 0) are
+    NULL, not wrong.
+
+    Scale shape: one scan, one aggregate, no shuffle beyond the final
+    single-row reduce, no joins, no windows. 100 TB in one pass.
+
+    Output: (col_x, col_y, n, r) for the ``k·(k−1)/2`` ordered pairs;
+    r rounded to 6 dp.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    cs = list(dict.fromkeys(cols))
+    if len(cs) < 2:
+        raise ValueError(f"need at least two distinct columns, got {cols}")
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in cs)
+    aggs = ["CAST(count(1) AS BIGINT) AS n"]
+    for i, c in enumerate(cs):
+        aggs.append(f"sum(CAST({c} AS DOUBLE)) AS s{i}")
+        aggs.append(
+            f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)) AS q{i}"
+        )
+    pairs = [
+        (i, j) for i in range(len(cs)) for j in range(len(cs)) if i < j
+    ]
+    for i, j in pairs:
+        aggs.append(
+            f"sum(CAST({cs[i]} AS DOUBLE) * CAST({cs[j]} AS DOUBLE))"
+            f" AS p{i}_{j}"
+        )
+    structs = ", ".join(
+        f"named_struct('col_x', '{cs[i]}', 'col_y', '{cs[j]}',"
+        f" 'r', CASE WHEN (n * q{i} - s{i} * s{i}) > 0"
+        f"       AND (n * q{j} - s{j} * s{j}) > 0"
+        f"      THEN round((n * p{i}_{j} - s{i} * s{j})"
+        f"           / sqrt((n * q{i} - s{i} * s{i})"
+        f"                  * (n * q{j} - s{j} * s{j})), 6) END)"
+        for i, j in pairs
+    )
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH a AS (
+          SELECT {", ".join(aggs)} FROM {{d}} WHERE {not_null}
+        )
+        SELECT p.col_x, p.col_y, n, p.r
+        FROM (SELECT n, explode(array({structs})) AS p FROM a)
+        """,
+    )

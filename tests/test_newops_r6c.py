@@ -319,3 +319,72 @@ def test_activity_segments_threshold_is_strict(spark):
     )
     assert activity_segments(frames, threshold=50).count() == 0
     assert activity_segments(frames, threshold=49).count() == 1
+
+
+def test_duplicated_spans_hand_case(spark):
+    from obsplus_spark.operators.dedup import duplicated_spans
+
+    docs = [
+        # "x y z w" appears in docs 1 and 2 -> 2 consecutive dup 3-grams
+        (1, "a x y z w b"),
+        (2, "c x y z w d"),
+        (3, "nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicated_spans(df, n=3, min_run=2).collect()}
+    assert set(out) == {1, 2}
+    for did in (1, 2):
+        assert out[did]["n_runs"] == 1
+        assert out[did]["max_run_grams"] == 2
+        assert out[did]["max_span_tokens"] == 4  # "x y z w"
+    with pytest.raises(ValueError, match="min_run"):
+        duplicated_spans(df, min_run=0)
+
+
+def test_duplicated_spans_intra_doc_repeat_counts(spark):
+    """A phrase repeated INSIDE one doc is duplicated text too."""
+    from obsplus_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "p q r s p q r s")], "doc_id long, text string"
+    )
+    out = duplicated_spans(df, n=3, min_run=1).collect()
+    # grams: pqr qrs rsp spq pqr qrs -> pqr, qrs duplicated at
+    # positions 0,1 and 4,5 -> two runs of length 2
+    assert len(out) == 1
+    assert out[0]["n_runs"] == 2
+    assert out[0]["max_run_grams"] == 2
+
+
+def test_column_correlations_hand_case(spark):
+    import numpy as np
+
+    from obsplus_spark.operators.sessions import column_correlations
+
+    x = [1.0, 2.0, 3.0, 4.0, 5.0]
+    y = [2.0, 4.1, 5.9, 8.2, 10.0]       # nearly 2x
+    z = [5.0, 5.0, 5.0, 5.0, 5.0]        # constant -> NULL r
+    rows = list(zip(x, y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_x"], r["col_y"]): r for r in
+           column_correlations(df, ["x", "y", "z"]).collect()}
+    r_xy = np.corrcoef(x, y)[0, 1]
+    assert out[("x", "y")]["r"] == pytest.approx(r_xy, abs=2e-6)
+    assert out[("x", "y")]["n"] == 5
+    assert out[("x", "z")]["r"] is None
+    assert out[("y", "z")]["r"] is None
+    with pytest.raises(ValueError, match="two distinct"):
+        column_correlations(df, ["x"])
+
+
+def test_column_correlations_listwise_null_drop(spark):
+    from obsplus_spark.operators.sessions import column_correlations
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, None), (None, 4.0)],
+        "x double, y double",
+    )
+    out = column_correlations(df, ["x", "y"]).collect()[0]
+    assert out["n"] == 2
+    assert out["r"] == 1.0
