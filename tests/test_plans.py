@@ -629,3 +629,20 @@ def test_hits_is_joins_and_aggregates_only(plans):
     assert "CartesianProduct" not in p
     assert "WindowExec" not in p
     assert "HashAggregate" in p
+
+
+def test_dup_spans_no_joins(plans):
+    """Duplicated-run detection is windows + aggregates over the gram
+    frame — no join (the flag comes from a frequency window, not a
+    dup-gram semi join)."""
+    p, _ = plans["dup_spans"]
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_column_corr_single_aggregate_scan(plans):
+    """All sufficient statistics ride ONE aggregate over one scan; the
+    pair expansion works on the single-row result (no self-join of the
+    input, no window)."""
+    p, simple = plans["column_corr"]
+    assert not any(m in p for m in _JOIN_MARKERS)
+    assert "WindowExec" not in p
