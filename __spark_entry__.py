@@ -7758,10 +7758,9 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_ppm,
         )
 
-        ids = np.sort(
-            chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
-        )
-        n = len(ids)
+        # pixels depend only on (per-user index, user class), so the
+        # event ids never need sorting — only the stream length matters
+        n = sum(len(c) for c in chunks)
         i = np.arange(n, dtype=np.int64)
         b = ((i * 37 + (int(user_id) % 5) * 11) % 256).astype(np.uint8)
         h = n // 16
