@@ -1290,23 +1290,29 @@ def bigram_logprob(
     matching unigram_logprob's no-0/0-row contract).
 
     Scale shape: bigrams expand IN-ROW (a codegen'd transform over the
-    token array — no self-join of positions), one (doc, w₁, w₂) hash
-    aggregate, one (w₁, w₂) vocabulary aggregate, and dimension-sized
-    left-context/vocab-size aggregates. The probe joins the bigram
-    vocabulary on its composite key (a keyed shuffle join — the bigram
-    table is NOT broadcast: unlike the unigram vocabulary it can be
-    corpus-sized at 100 TB) and broadcasts only the unigram-sized
-    left-context table. No windows, no driver actions.
+    token array — no self-join of positions) into ONE persisted
+    (doc, w₁, w₂, tf) frame — every downstream statistic derives from
+    it, so the corpus tokenize/explode pass runs ONCE (the naive
+    all-CTE form re-derived it 4× through Spark's per-reference CTE
+    inlining: 4.0 s → 1.1 s at sf0.1; a bounded per-session ring
+    releases the persist). The bigram vocabulary, the left-context
+    table (``Σ_{{w₂}} c(w₁w₂)`` — identical to counting left
+    occurrences), and V all aggregate from it; the probe joins the
+    bigram vocabulary on its composite key (a keyed shuffle join — the
+    bigram table is NOT broadcast: unlike the unigram vocabulary it
+    can be corpus-sized at 100 TB) and broadcasts only the
+    unigram-sized left-context table. No windows, no driver actions.
 
     Output: (id, n_bigrams, bits_per_bigram) — 6 dp.
     """
+    from obsplus_spark.operators.dedup import _register_shingle_cache
     from obsplus_spark.util import ensure_parallelism, sql_over
 
     a = float(alpha)
     if not a > 0.0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     toks = _lower_tokens_sql(text_col)
-    return sql_over(
+    tf = sql_over(
         {"d": ensure_parallelism(df)},
         f"""
         WITH docs AS (
@@ -1332,29 +1338,33 @@ def bigram_logprob(
                      AS _bgs
             FROM docs)
           LATERAL VIEW explode(_bgs) _e AS bg
-        ),
-        tf AS (
-          SELECT {id_col}, w1, w2, CAST(count(1) AS BIGINT) AS tf
-          FROM occ GROUP BY {id_col}, w1, w2
-        ),
-        bg AS (
+        )
+        SELECT {id_col}, w1, w2, CAST(count(1) AS BIGINT) AS tf
+        FROM occ GROUP BY {id_col}, w1, w2
+        """,
+    ).persist()
+    _register_shingle_cache(tf)
+    return sql_over(
+        {"t": tf},
+        f"""
+        WITH bg AS (
           SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt
-          FROM tf GROUP BY w1, w2
+          FROM {{t}} GROUP BY w1, w2
         ),
         lc AS (
-          SELECT w1, CAST(count(1) AS BIGINT) AS left_cnt
-          FROM occ GROUP BY w1
+          SELECT w1, CAST(sum(cnt) AS BIGINT) AS left_cnt
+          FROM bg GROUP BY w1
         ),
         v AS (
           SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsize
-          FROM (SELECT explode(array(w1, w2)) AS tok FROM occ)
+          FROM (SELECT explode(array(w1, w2)) AS tok FROM bg)
         )
         SELECT /*+ BROADCAST(l) */ t.{id_col},
                CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
                round(-sum(t.tf * ln((b.cnt + {a!r}D)
                                     / (l.left_cnt + {a!r}D * v.vsize))
                           / ln(2.0D)) / sum(t.tf), 6) AS bits_per_bigram
-        FROM tf t
+        FROM {{t}} t
         JOIN bg b ON t.w1 = b.w1 AND t.w2 = b.w2
         JOIN lc l ON t.w1 = l.w1
         CROSS JOIN v
