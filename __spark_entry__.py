@@ -8002,6 +8002,158 @@ def _column_corr_oracle_sql() -> str:
     )
 
 
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade flow between
+    two nations by ship year. Both nation-filtered dims broadcast —
+    supplier directly, customer pre-joined to its nation THEN broadcast
+    into orders (the filtered customer dim is nation-sized, never
+    fact-sized); lineitem⋈orders stays the one keyed shuffle join.
+    DECIMAL revenue, integer year."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = li.withColumn("l_shipdate", _tcol(li, "l_shipdate"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    nn = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s_dim = s.join(
+        F.broadcast(nn), s.s_nationkey == nn.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c_dim = c.join(
+        F.broadcast(nn), c.c_nationkey == nn.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o_dim = o.join(
+        F.broadcast(c_dim), o.o_custkey == c_dim.c_custkey
+    ).select("o_orderkey", "cust_nation")
+    return (
+        li.filter(
+            "l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1998-01-01'"
+        )
+        .join(F.broadcast(s_dim), li.l_suppkey == s_dim.s_suppkey)
+        .join(o_dim, li.l_orderkey == o_dim.o_orderkey)
+        .filter(
+            "(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+            " OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')"
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+
+
+_SQL_Q7 = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity order revenue): the correlated
+    per-part average decorrelates into one (brand-semi-joined) partkey
+    aggregate broadcast back onto the same rows. The per-part avg is
+    engine-exact (integral-valued quantities sum exactly in doubles),
+    so the `< 0.2·avg` cut is deterministic; revenue sums in DECIMAL."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bp = F.broadcast(
+        p.filter("p_brand = 'Brand#11'").select("p_partkey")
+    )
+    li_b = li.join(bp, li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    th = li_b.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("avg_q")
+    )
+    return (
+        li_b.join(F.broadcast(th), li_b.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                    / 7.0
+                ).cast("double"),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_SQL_Q17 = """
+    WITH li_b AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#11'
+    ),
+    th AS (
+      SELECT l_partkey AS pk, avg(l_quantity) AS avg_q
+      FROM li_b GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) / 7.0
+                 AS DOUBLE), 4) AS avg_yearly
+    FROM li_b JOIN th ON l_partkey = pk
+    WHERE l_quantity < 0.2 * avg_q
+"""
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): an OR-of-ANDs
+    across brand/size/quantity bands — the part dim broadcasts and the
+    quantity legs of each disjunct stay eligible for scan-level
+    pushdown (the whole OR over lineitem-only columns prunes row
+    groups); DECIMAL revenue, single-row output."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15"
+        " AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30"
+        " AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50"
+        " AND l_quantity BETWEEN 20 AND 35)"
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue")
+    )
+
+
+_SQL_Q19 = """
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -8035,6 +8187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "dup_spans": q_dup_spans,
         "column_corr": q_column_corr,
+        "nation_trade": q_nation_trade,
+        "small_qty_revenue": q_small_qty_revenue,
+        "brand_revenue": q_brand_revenue,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -8200,6 +8355,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_segments": _SQL_AUDIO_SEGMENTS,
         "dup_spans": _SQL_DUP_SPANS,
         "column_corr": _column_corr_oracle_sql(),
+        "nation_trade": _SQL_Q7,
+        "small_qty_revenue": _SQL_Q17,
+        "brand_revenue": _SQL_Q19,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -646,3 +646,26 @@ def test_column_corr_single_aggregate_scan(plans):
     p, simple = plans["column_corr"]
     assert not any(m in p for m in _JOIN_MARKERS)
     assert "WindowExec" not in p
+
+
+def test_nation_trade_broadcasts_dims_one_fact_shuffle(plans):
+    """Q7 shape: supplier and the nation-filtered customer→orders dim
+    ride broadcasts; lineitem⋈orders is the only shuffle join."""
+    p, _ = plans["nation_trade"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_small_qty_revenue_threshold_broadcasts(plans):
+    """Q17 shape: the decorrelated per-part average joins back via
+    broadcast (brand-part-sized), never a shuffle of the fact side."""
+    p, _ = plans["small_qty_revenue"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_brand_revenue_pushes_quantity_disjunction(plans):
+    """Q19 shape: part broadcasts; the lineitem-only quantity bounds of
+    the OR-of-ANDs reach the scan as pushed filters."""
+    p, _ = plans["brand_revenue"]
+    assert "BroadcastHashJoin" in p
