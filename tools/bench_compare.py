@@ -42,8 +42,14 @@ def main() -> int:
         qs = {n: f for n, f in qs.items() if n in only}
     for fn in qs.values():  # warmup at the bench SF (JIT + caches)
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # keep in lockstep with bench.py's rebuild_each_rep: every query
+    # whose construction persists a derived frame re-builds per rep so
+    # the rep re-materializes that persist (steady-state, not result
+    # caching)
     rebuild = {"minhash_near_dup", "prune_orphans", "common_coverage",
-               "dedup_clusters"}
+               "dedup_clusters", "canonical_docs", "jaccard_join",
+               "incremental_dedup", "semantic_dedup", "bfs_hops",
+               "hits_auth", "bigram_lp", "cascade_delete", "image_phash"}
     eng: dict[str, float] = {}
     for name, fn in qs.items():
         df = None if name in rebuild else fn(spark, sf_dir)
