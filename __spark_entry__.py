@@ -8154,6 +8154,56 @@ _SQL_Q19 = """
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen (|v − median| > 3·MAD, discrete
+    rank medians) — operators/sessions.py mad_outliers: four windows
+    and the final aggregate all ride ONE event_type-keyed exchange."""
+    from obsplus_spark.operators.sessions import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return mad_outliers(ev, "event_type", "value", "event_id", k=3.0)
+
+
+_SQL_MAD = """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, value, event_id, n,
+             max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                 THEN value END)
+               OVER (PARTITION BY event_type) AS med
+      FROM r
+    ),
+    dv AS (
+      SELECT event_type, n, med, abs(value - med) AS dev,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(value - med), event_id) AS drn
+      FROM m
+    ),
+    md AS (
+      SELECT event_type, n, med, dev,
+             max(CASE WHEN drn = CAST(ceil(n / 2.0) AS BIGINT)
+                 THEN dev END)
+               OVER (PARTITION BY event_type) AS mad
+      FROM dv
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round(max(med), 6) AS med,
+           round(max(mad), 6) AS mad,
+           CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM md
+    GROUP BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -8190,6 +8240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade": q_nation_trade,
         "small_qty_revenue": q_small_qty_revenue,
         "brand_revenue": q_brand_revenue,
+        "mad_outliers": q_mad_outliers,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -8358,6 +8409,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade": _SQL_Q7,
         "small_qty_revenue": _SQL_Q17,
         "brand_revenue": _SQL_Q19,
+        "mad_outliers": _SQL_MAD,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -640,3 +640,79 @@ def column_correlations(
         FROM (SELECT n, explode(array({structs})) AS p FROM a)
         """,
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier detection by median absolute deviation:
+    the heavy-tail-safe alternative to z-scores (one wild value moves a
+    mean and stddev arbitrarily far; it moves a median and MAD not at
+    all) — the anomaly screen for skewed metrics where
+    :func:`rate_zscores`' normal assumption lies.
+
+    Medians are DISCRETE (the value at rank ``⌈n/2⌉`` under the total
+    order ``(value, id)`` — rank-exact, no interpolation, so two
+    engines agree bit-for-bit; same convention as
+    :func:`winsorized_stats`); deviations are ``|v − median|`` and the
+    MAD is their discrete median under ``(deviation, id)``. A row is an
+    outlier when ``deviation > k·MAD``. All comparisons evaluate the
+    identical IEEE expressions on both engines — deterministic.
+
+    Scale shape: ONE exchange keyed by the group — the value-rank
+    window, the median-broadcast window, the deviation-rank window,
+    the MAD-broadcast window, and the final aggregate all share the
+    same partitioning (Catalyst plans one shuffle with per-window
+    sorts). No joins, no driver actions.
+
+    Output: (key, n, med, mad, n_outliers) — 6 dp medians, BIGINT
+    counts.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    kk = float(k)
+    if not kk > 0.0:
+        raise ValueError(f"k must be > 0, got {k}")
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH r AS (
+          SELECT {key_col}, {value_col}, {id_col},
+                 row_number() OVER (PARTITION BY {key_col}
+                     ORDER BY {value_col}, {id_col}) AS rn,
+                 count(1) OVER (PARTITION BY {key_col}) AS n
+          FROM {{d}} WHERE {value_col} IS NOT NULL
+        ),
+        m AS (
+          SELECT {key_col}, {value_col}, {id_col}, n,
+                 max(CASE WHEN rn = CAST(ceil(n / 2.0D) AS BIGINT)
+                     THEN {value_col} END)
+                   OVER (PARTITION BY {key_col}) AS med
+          FROM r
+        ),
+        dv AS (
+          SELECT {key_col}, n, med, abs({value_col} - med) AS dev,
+                 row_number() OVER (PARTITION BY {key_col}
+                     ORDER BY abs({value_col} - med), {id_col}) AS drn
+          FROM m
+        ),
+        md AS (
+          SELECT {key_col}, n, med, dev,
+                 max(CASE WHEN drn = CAST(ceil(n / 2.0D) AS BIGINT)
+                     THEN dev END)
+                   OVER (PARTITION BY {key_col}) AS mad
+          FROM dv
+        )
+        SELECT {key_col}, CAST(max(n) AS BIGINT) AS n,
+               round(max(med), 6) AS med,
+               round(max(mad), 6) AS mad,
+               CAST(sum(CASE WHEN dev > {kk!r}D * mad THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers
+        FROM md
+        GROUP BY {key_col}
+        """,
+    )

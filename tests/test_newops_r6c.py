@@ -388,3 +388,33 @@ def test_column_correlations_listwise_null_drop(spark):
     out = column_correlations(df, ["x", "y"]).collect()[0]
     assert out["n"] == 2
     assert out["r"] == 1.0
+
+
+def test_mad_outliers_hand_case(spark):
+    from obsplus_spark.operators.sessions import mad_outliers
+
+    # key "a": values 1..9 plus one wild 1000. n=10, discrete median
+    # (rank ceil(10/2)=5 under (value,id)) = 5. devs: |v-5| ->
+    # 4,3,2,1,0,1,2,3,4,995; sorted devs rank 5 = 2 -> mad 2.
+    # outliers: dev > 3*2=6 -> only 995.
+    rows = [("a", i, float(v)) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "k string, rid long, v double")
+    out = mad_outliers(df, "k", "v", "rid", k=3.0).collect()[0]
+    assert out["n"] == 10
+    assert out["med"] == 5.0
+    assert out["mad"] == 2.0
+    assert out["n_outliers"] == 1
+    with pytest.raises(ValueError, match="k must"):
+        mad_outliers(df, "k", "v", "rid", k=0)
+
+
+def test_mad_outliers_constant_group(spark):
+    """Constant values: MAD 0, nothing exceeds 3*0 unless dev > 0."""
+    from obsplus_spark.operators.sessions import mad_outliers
+
+    rows = [("c", i, 7.0) for i in range(5)] + [("c", 99, 8.0)]
+    df = spark.createDataFrame(rows, "k string, rid long, v double")
+    out = mad_outliers(df, "k", "v", "rid").collect()[0]
+    assert out["med"] == 7.0 and out["mad"] == 0.0
+    assert out["n_outliers"] == 1  # the single 8.0 has dev 1 > 0

@@ -669,3 +669,11 @@ def test_brand_revenue_pushes_quantity_disjunction(plans):
     the OR-of-ANDs reach the scan as pushed filters."""
     p, _ = plans["brand_revenue"]
     assert "BroadcastHashJoin" in p
+
+
+def test_mad_outliers_single_exchange(plans):
+    """All four MAD windows and the final aggregate share one
+    event_type-keyed exchange; no joins."""
+    p, simple = plans["mad_outliers"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
