@@ -8204,6 +8204,130 @@ _SQL_MAD = """
 """
 
 
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): ratio of conditional
+    to total revenue in ONE pass over the date-pruned fact join — both
+    legs accumulate in the same DECIMAL aggregate (no second scan, no
+    join of two aggregates); part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    li = li.withColumn("l_shipdate", _tcol(li, "l_shipdate"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.filter(
+            "l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1996-04-01'"
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(28,10)")
+                    )).cast("double")
+                    / F.sum(rev).cast("double")
+                ),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+_SQL_Q14 = """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(28,10))
+                 ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    ECONOMY-part revenue sold into ASIA-region customers, by order
+    year. Every dim broadcasts (type-filtered part, nation-annotated
+    supplier, region-pruned customer folded into orders); the share is
+    a conditional/total DECIMAL ratio inside one year-keyed aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = o.withColumn("o_orderdate", _tcol(o, "o_orderdate"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    asia_c = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter("r_name = 'ASIA'")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o_dim = (
+        o.filter(
+            "o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o_orderdate < TIMESTAMP '1998-01-01'"
+        )
+        .join(F.broadcast(asia_c), o.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    )
+    s_dim = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(
+            F.broadcast(_t(spark, sf_dir, "part")
+                        .filter("p_type = 'ECONOMY'")
+                        .select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s_dim), li.l_suppkey == s_dim.s_suppkey)
+        .join(o_dim, li.l_orderkey == o_dim.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev)
+                    .otherwise(F.lit(0).cast("decimal(28,10)"))
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_SQL_Q8 = """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(28,10))
+                 ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,10))) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region   ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY year(o_orderdate)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -8241,6 +8365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "brand_revenue": q_brand_revenue,
         "mad_outliers": q_mad_outliers,
+        "promo_share": q_promo_share,
+        "market_share": q_market_share,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -8410,6 +8536,8 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": _SQL_Q17,
         "brand_revenue": _SQL_Q19,
         "mad_outliers": _SQL_MAD,
+        "promo_share": _SQL_Q14,
+        "market_share": _SQL_Q8,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

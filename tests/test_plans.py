@@ -677,3 +677,19 @@ def test_mad_outliers_single_exchange(plans):
     p, simple = plans["mad_outliers"]
     assert simple.count("Exchange hashpartitioning") == 1
     assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_promo_share_single_pass_ratio(plans):
+    """Q14 shape: both ratio legs live in ONE aggregate over one scan;
+    part broadcasts."""
+    p, _ = plans["promo_share"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_market_share_all_dims_broadcast(plans):
+    """Q8 shape: part/supplier-nation/region-pruned-customer all ride
+    broadcasts; lineitem⋈orders is the only candidate shuffle join."""
+    p, _ = plans["market_share"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
