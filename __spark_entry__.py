@@ -8336,21 +8336,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
     # only the FIRST 50 entries. Rotation policy (NOTES.md): every
-    # query with NO driver row yet comes first — (a00) the 15 queries
-    # NEW in the r6 third wave (TPC-H join-strategy shapes, scoring/
-    # importance/retrieval ops, SemDeDup, CMS join-size, weighted
-    # sampling, audio framing, BPE encode, image patches), then (a0)
-    # the 14 from the r6 second wave, then (a) the r6 wave-one
-    # sub-entity set (8 never-tested) — 37 never-driver-tested in
-    # total, all inside the cap — then the 3 implementation-changed
-    # queries and (b) the queries whose last driver row was r1/r2
-    # (judge re-verified green in r4/r5) up to the cap. The past-cap
-    # rows were ALL driver-green in CORRECTNESS_r05 or _r04.
+    # query with NO driver row yet comes first. Round 6 added FOUR
+    # waves (16 + 16 + 14 + 8 = 54 never-driver-tested queries), so
+    # four of them must sit past the cap until r7: the four simplest
+    # wave-3 TPC-H join shapes (cheapest_supplier, priority_returns,
+    # order_count_dist, large_orders — single-join deterministic
+    # shapes, locally verified at sf0.01 AND sf0.1 by tools/check.py
+    # full runs this round). Order: (a000) the 16 fourth-wave queries,
+    # (a00) the remaining 12 third-wave, (a0) the 14 second-wave, then
+    # (a) the 8 wave-one sub-entity queries — exactly 50. Everything
+    # past the cap was driver-green in CORRECTNESS_r05/_r04 or is one
+    # of those four held-over wave-3 rows.
     return {
-        # (a00) new in the r6 third wave: join-strategy TPC-H shapes
-        # (argmin struct-min, EXISTS semi, outer-join histogram,
-        # HAVING-broadcast, self-join rollup, scalar-subquery + anti)
-        # and the two newest LLM-pipeline ops
+        # (a000) new in the r6 fourth wave: graph centrality/peeling,
+        # robust stats, bigram LM, boolean retrieval, compliance
+        # cascade, image/audio multimodal analysis, substring runs,
+        # correlations, and four more TPC-H shapes
         "hits_auth": q_hits_auth,
         "k_core": q_k_core,
         "trend_lines": q_trend_lines,
@@ -8367,6 +8368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "promo_share": q_promo_share,
         "market_share": q_market_share,
+        # (a00) r6 third wave (minus the four held-over TPC-H shapes)
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "join_size_est": q_join_size_est,
@@ -8375,10 +8377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "image_patches": q_image_patches,
         "bfs_hops": q_bfs_hops,
-        "cheapest_supplier": q_cheapest_supplier,
-        "priority_returns": q_priority_returns,
-        "order_count_dist": q_order_count_dist,
-        "large_orders": q_large_orders,
         "sole_supplier_returns": q_sole_supplier_returns,
         "idle_customers": q_idle_customers,
         "linear_quality": q_linear_quality,
@@ -8407,6 +8405,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_preferred": q_focal_preferred,
         "stations_from_stream": q_stations_from_stream,
         "canonical_docs": q_canonical_docs,
+        # --- driver cap (50) ---
+        # four wave-3 TPC-H shapes held over to r7 (locally verified
+        # at sf0.01 AND sf0.1 this round, full tools/check.py runs)
+        "cheapest_supplier": q_cheapest_supplier,
+        "priority_returns": q_priority_returns,
+        "order_count_dist": q_order_count_dist,
+        "large_orders": q_large_orders,
         "json_round_trip": q_json_round_trip,
         "quakeml_rt": q_quakeml_rt,
         "attach_origin": q_attach_origin,
@@ -8437,10 +8442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amp_violations": q_amp_violations,
         "orphan_arrivals": q_orphan_arrivals,
         "hll_users": q_hll_users,
-        # --- driver cap (50) — moved up by the 14 second-wave queries.
-        # Everything below gets NO driver row this round: first the
-        # remaining r4-verified rows, then the rows driver-green in
-        # CORRECTNESS_r05 and unchanged since. ---
         "approx_quantiles": q_approx_quantiles,
         "bloom_semi": q_bloom_semi,
         "sds_chunks": q_sds_chunks,
