@@ -7505,13 +7505,17 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _k_core_oracle_sql(k: int = 3, rounds: int = 4) -> str:
-    """DuckDB twin of k_core_peel. DuckDB materializes multiply-
-    referenced CTEs (no inlining blowup), so the oracle uses the
-    straightforward degree-table formulation — semantically identical
-    to the engine's single-reference explode/window form."""
+    """DuckDB twin of k_core_peel, in the straightforward degree-table
+    formulation — semantically identical to the engine's
+    single-reference explode/window form. Every CTE is ``AS
+    MATERIALIZED``: each edge set is referenced three times (degree
+    table twice via the endpoint joins, next round once), and DuckDB's
+    optimizer may otherwise inline per reference — the same 3^rounds
+    re-derivation blowup the engine dodges structurally (observed: OOM
+    at the dense synthetic sf1 graph without the hint)."""
     parts = [
         """
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT DISTINCT least(o_custkey % 4001, (o_orderkey * 7 + 3) % 4001)
                AS a,
              greatest(o_custkey % 4001, (o_orderkey * 7 + 3) % 4001) AS b
@@ -7522,12 +7526,12 @@ def _k_core_oracle_sql(k: int = 3, rounds: int = 4) -> str:
     for i in range(rounds):
         parts.append(
             f"""
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT node, count(*) AS d FROM (
         SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
       ) GROUP BY node HAVING count(*) >= {k}
     ),
-    e{i + 1} AS (
+    e{i + 1} AS MATERIALIZED (
       SELECT e.a, e.b FROM e{i} e
       JOIN d{i} x ON e.a = x.node
       JOIN d{i} y ON e.b = y.node
