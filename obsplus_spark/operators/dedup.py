@@ -1479,7 +1479,12 @@ def phash_near_dup(
     band-keyed groupBy with in-row pair expansion (the shared
     ``_bucket_pairs`` one-shuffle formulation), then two keyed joins
     pulling the pair's hash words for the popcount (candidate table ≪
-    corpus by construction). No windows, no driver actions.
+    corpus by construction). No windows, no driver actions. Like every
+    LSH family member, a degenerate bucket (a corpus full of IDENTICAL
+    or near-blank images collapsing to one hash) expands quadratically
+    within that bucket — that is real duplicate mass the caller asked
+    to find, but pre-filter obvious blanks if the corpus has them in
+    volume.
 
     Output: (id1, id2, hamming) with id1 < id2, BIGINT/INT — ordered
     nowhere (set semantics; order downstream if needed).
