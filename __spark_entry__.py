@@ -7428,24 +7428,15 @@ def q_hits_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py hits_scores, iterations unrolled, all-BIGINT
     intermediates (no per-round float normalizer), per half-round one
     keyed join + one map-combined aggregate."""
-    from obsplus_spark.operators.dedup import _register_shingle_cache
     from obsplus_spark.operators.graph import hits_scores
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    # the unrolled HITS references the edge CTE once per half-round and
-    # Spark inlines it per reference — distinct + persist OUTSIDE the
-    # statement so the join+distinct derivation runs once (same
-    # convention as q_bfs_hops; bounded ring releases it)
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .selectExpr(
-            "concat('c', o_custkey) AS src", "concat('s', l_suppkey) AS dst"
-        )
-        .distinct()
-        .persist()
+    # hits_scores dedups + persists the edge frame internally (the
+    # unrolled statement references it once per half-round)
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
+        "concat('c', o_custkey) AS src", "concat('s', l_suppkey) AS dst"
     )
-    _register_shingle_cache(edges)
     return hits_scores(edges, iterations=2, k=20)
 
 

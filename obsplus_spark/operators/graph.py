@@ -218,7 +218,13 @@ def hits_scores(
     Scale shape: per half-round ONE keyed equi-join (edge frame probed
     by the current score vector) + one map-combined hash aggregate; the
     shuffle carries ≤ |nodes| partial sums. No windows, no driver
-    actions, no collect.
+    actions, no collect. The deduplicated edge frame is persisted
+    INSIDE the operator (bounded ring releases it): the unrolled
+    statement references it 2·iterations+2 times and Spark inlines a
+    CTE per reference, so an in-statement DISTINCT would re-aggregate
+    the raw edges at every reference (measured 6.5× DuckDB at the
+    synthetic sf1 before the hoist; the persisted form scans the
+    deduped frame instead).
 
     Output: (node, auth, hub) — ≤ k rows, BIGINT scores, ordered
     auth DESC, hub DESC, node ASC.
@@ -228,12 +234,19 @@ def hits_scores(
     its = int(iterations)
     if its < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from obsplus_spark.operators.dedup import _register_shingle_cache
+
+    dedup = (
+        ensure_parallelism(edges)
+        .selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
+        .where("src IS NOT NULL AND dst IS NOT NULL")
+        .distinct()
+        .persist()
+    )
+    _register_shingle_cache(dedup)
     parts = [
-        f"""
-        edges AS (
-          SELECT DISTINCT {src_col} AS src, {dst_col} AS dst FROM {{e}}
-          WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
-        ),
+        """
+        edges AS (SELECT src, dst FROM {e}),
         nodes AS (
           SELECT DISTINCT node FROM (
             SELECT explode(array(src, dst)) AS node FROM edges)
@@ -265,7 +278,7 @@ def hits_scores(
         )
     body = ",".join(parts)
     return sql_over(
-        {"e": ensure_parallelism(edges)},
+        {"e": dedup},
         f"""
         WITH {body}
         SELECT n.node,
