@@ -134,6 +134,11 @@ _DATE_LITERAL_QUERIES = [
     # r6 third wave: Q18 formats o_orderdate, Q22 filters on it
     "large_orders",
     "idle_customers",
+    # r6 fourth wave: Q7/Q8/Q14 filter l_shipdate/o_orderdate against
+    # timestamp literals
+    "nation_trade",
+    "market_share",
+    "promo_share",
 ]
 
 
