@@ -480,3 +480,66 @@ def _weighted_sample_apply_batch(
         )
 
     _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
+
+
+def stream_hll_distinct(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    lg_k: int = 12,
+    available_now: bool = True,
+):
+    """foreachBatch HLL distinct-count maintenance: each micro-batch
+    builds per-key HLL sketch partials and UNIONS them into a
+    persistent sketch table — the streaming form of the mergeable-HLL
+    contract (``sketches.hll_rollup``): the maintained table is at
+    every point identical to sketches built over everything ingested so
+    far (union of HLLs is exact over the sketch state), while per-batch
+    work is one map-combined sketch aggregate plus a key-sized merge —
+    never a rescan, never raw-value state.
+
+    Crash/replay safety rides the shared generation-swap protocol
+    (:func:`_gen_swap_apply`): applied-marker idempotence under
+    at-least-once foreachBatch, half-swap recovery, stale-generation
+    sweep.
+
+    Store schema: (key_col, hll binary). Read with
+    ``sketches.hll_estimate`` for the per-key distinct estimates.
+
+    Returns the started StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _hll_apply_batch(batch_df, batch_id, key_col, value_col,
+                         store_dir, lg_k)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _hll_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str,
+    value_col: str,
+    store_dir: str,
+    lg_k: int,
+) -> None:
+    """One idempotent HLL-store transition (extracted so tests can
+    drive replay/crash paths without a streaming query)."""
+    from obsplus_spark.operators.sketches import hll_partials, hll_rollup
+
+    def fold(prev):
+        b = hll_partials(batch_df, [key_col], value_col, lg_k=lg_k)
+        return b if prev is None else hll_rollup(
+            prev.unionByName(b), [key_col]
+        )
+
+    _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
