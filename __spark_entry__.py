@@ -7357,7 +7357,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from obsplus_spark.operators.graph import bfs_distances
 
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # projected orders side broadcasts under the shared size gate
+    # (keyed shuffle join at 100 TB)
+    if _orders_dim_small(sf_dir):
+        orders = F.broadcast(orders)
     # distinct BEFORE the frontier expansion (pagerank's convention):
     # a (supplier, customer) pair repeats per lineitem, and duplicate
     # edges multiply every frontier join's fan-out ~4× for identical
@@ -7431,7 +7435,12 @@ def q_hits_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from obsplus_spark.operators.graph import hits_scores
 
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # the projected two-column orders side broadcasts under the same
+    # deterministic size gate as the TPC-H shapes (at 100 TB the gate
+    # flips and the edge build becomes a keyed shuffle join)
+    if _orders_dim_small(sf_dir):
+        o = F.broadcast(o)
     # hits_scores dedups + persists the edge frame internally (the
     # unrolled statement references it once per half-round)
     edges = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
