@@ -374,7 +374,11 @@ def cascade_delete(
     semi-joined count aggregate; the per-table totals are map-combined
     ``count(1)`` scans. Banned-key frames are key-sized, never
     row-sized; AQE broadcasts them when small. The stats output is
-    chain-sized.
+    chain-sized. NB: the release ring keeps TWO entries, so on chains
+    of ≥ 3 levels the earliest banned frames are unpersisted before
+    the output executes — still correct (Spark recomputes an
+    unpersisted frame from lineage), it just re-runs one key-sized
+    semi join per early level instead of reading a cache.
 
     Output: (table_name, n_purged, n_kept) — one row per chain entry,
     in chain order by name, all BIGINT.
