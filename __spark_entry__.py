@@ -8332,6 +8332,103 @@ _SQL_Q8 = """
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-pushdown benchmark — every predicate (date range, discount
+    band, quantity cap) is a lineitem-only conjunct that reaches the
+    parquet scan as a pushed filter, so row groups skip before any
+    compute; one DECIMAL aggregate, no joins at all."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.withColumn("l_shipdate", _tcol(li, "l_shipdate"))
+    return (
+        li.filter(
+            "l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND l_discount BETWEEN 0.05 AND 0.07"
+            " AND l_quantity < 24"
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(28,10)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_Q6 = """
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the max-of-an-aggregate pattern —
+    per-supplier revenue over a quarter, then the supplier(s) achieving
+    the maximum. The max folds into a rank-1 window over the
+    supplier-sized revenue table (NOT a self-join against a scalar
+    subquery re-deriving the aggregate); revenue is integer-cents exact
+    so the max-equality cut is bit-portable; supplier dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    li = li.withColumn("l_shipdate", _tcol(li, "l_shipdate"))
+    # exact integer cents: extendedprice has 2 decimals, discount 2 →
+    # price*(1-disc) has 4 → ×10^4 is integral (the idle_customers
+    # convention); BIGINT sums are order-independent
+    rev = li.filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1996-04-01'"
+    ).groupBy("l_suppkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+                " AS BIGINT)"
+            )
+        ).alias("rev4")
+    )
+    w = Window.orderBy(F.col("rev4").desc())
+    top = (
+        rev.withColumn("_rk", F.rank().over(w))
+        .filter("_rk = 1")
+        .select("l_suppkey", "rev4")
+    )
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .selectExpr(
+            "s_suppkey",
+            "s_name",
+            "round(rev4 / 10000.0D, 4) AS total_revenue",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_Q15 = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                  * 10000) AS BIGINT)) AS BIGINT) AS rev4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(rev4 / 10000.0, 4) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev4 = (SELECT max(rev4) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -8416,6 +8513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
         "large_orders": q_large_orders,
+        "forecast_revenue": q_forecast_revenue,
+        "top_supplier": q_top_supplier,
         "json_round_trip": q_json_round_trip,
         "quakeml_rt": q_quakeml_rt,
         "attach_origin": q_attach_origin,
@@ -8543,6 +8642,8 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _SQL_MAD,
         "promo_share": _SQL_Q14,
         "market_share": _SQL_Q8,
+        "forecast_revenue": _SQL_Q6,
+        "top_supplier": _SQL_Q15,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "bm25": _bm25_sql(["spark", "merge", "vector"], 20),
         "join_size_est": _SQL_JOIN_SIZE_EST,

@@ -693,3 +693,21 @@ def test_market_share_all_dims_broadcast(plans):
     p, _ = plans["market_share"]
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_forecast_revenue_scan_pushdown_no_joins(plans):
+    """Q6 shape: every predicate is a lineitem-only conjunct — no join
+    anywhere, one aggregate over the filtered scan."""
+    p, _ = plans["forecast_revenue"]
+    assert not any(m in p for m in _JOIN_MARKERS)
+    assert "HashAggregate" in p
+
+
+def test_top_supplier_rank_over_dim_sized_table(plans):
+    """Q15 shape: the max-of-aggregate folds into one rank window over
+    the supplier-sized revenue table (the lineitem aggregate runs
+    ONCE — a scalar-subquery form would re-derive it); supplier dim
+    broadcasts."""
+    p, _ = plans["top_supplier"]
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") <= 4  # one agg (partial+final) x2 listings
