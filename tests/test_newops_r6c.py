@@ -418,3 +418,75 @@ def test_mad_outliers_constant_group(spark):
     out = mad_outliers(df, "k", "v", "rid").collect()[0]
     assert out["med"] == 7.0 and out["mad"] == 0.0
     assert out["n_outliers"] == 1  # the single 8.0 has dev 1 > 0
+
+
+def test_k_core_matches_python_peel_on_random_graphs(spark):
+    """Fixed-round peel == a pure-python replication of the same
+    semantics on random graphs (property check)."""
+    import collections
+    import random
+
+    from obsplus_spark.operators.graph import k_core_peel
+
+    rng = random.Random(42)
+    for _ in range(3):
+        edges = set()
+        for _ in range(60):
+            a, b = rng.randrange(15), rng.randrange(15)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        k, rounds = 3, 4
+        es = set(edges)
+        for _ in range(rounds):
+            deg = collections.Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            es = {(a, b) for a, b in es if a in keep and b in keep}
+        expect = collections.Counter()
+        for a, b in es:
+            expect[a] += 1
+            expect[b] += 1
+        df = spark.createDataFrame(list(edges), "src long, dst long")
+        got = {r["node"]: r["degree"]
+               for r in k_core_peel(df, k=k, rounds=rounds).collect()}
+        assert got == dict(expect)
+
+
+def test_duplicated_spans_matches_python_brute_force(spark):
+    import collections
+
+    from obsplus_spark.operators.dedup import duplicated_spans
+
+    docs = {
+        1: "a b c d e f a b c d",   # intra-doc repeated chain
+        2: "x a b c d y",           # shares the 'a b c d' grams
+        3: "q w e r t y u",         # nothing duplicated
+        4: "a b",                   # < n tokens
+    }
+    n = 3
+    grams = collections.Counter()
+    pos = {}
+    for d, t in docs.items():
+        ws = t.split()
+        gs = [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        pos[d] = gs
+        grams.update(gs)
+    expect = {}
+    for d, gs in pos.items():
+        dup = [i for i, g in enumerate(gs) if grams[g] > 1]
+        runs = []
+        for i in dup:
+            if runs and i == runs[-1][1] + 1:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        lens = [(b - a + 1) for a, b in runs if (b - a + 1) >= 2]
+        if lens:
+            expect[d] = (len(lens), max(lens), max(lens) + n - 1)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_runs"], r["max_run_grams"],
+                         r["max_span_tokens"])
+           for r in duplicated_spans(df, n=3, min_run=2).collect()}
+    assert got == expect
