@@ -32,19 +32,29 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Zero-norm-safe cosine: a zero vector (a padding row, a failed
+    encoder) is DEFINED as similarity 0 to everything — the raw ratio
+    is a DIVIDE_BY_ZERO abort under ANSI, and one such row in a real
+    corpus would kill the whole job. ``nullif`` makes the divisor NULL
+    (never 0) and ``coalesce`` maps the NULL ratio to 0; for nonzero
+    norms the float path is bit-identical to the unguarded form."""
+    prod = F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+    return F.coalesce(dot(a, b) / prod, F.lit(0.0))
 
 
 def _cosine_sql(a: str, b: str) -> str:
-    """SQL-string twin of :func:`cosine` (identical fp order)."""
+    """SQL-string twin of :func:`cosine` (identical fp order, same
+    zero-norm → 0 rule)."""
     return (
+        "coalesce("
         f"aggregate(zip_with({a}, {b},"
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " 0.0D, (acc, x) -> acc + x)"
-        f" / (sqrt(aggregate({a}, 0.0D,"
+        f" / nullif(sqrt(aggregate({a}, 0.0D,"
         " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
         f" * sqrt(aggregate({b}, 0.0D,"
-        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0D)"
+        ", 0.0D)"
     )
 
 
@@ -170,9 +180,11 @@ def ivf_assign(
             FROM (
               SELECT {id_col}, {vec_col},
                      array_max(transform(_cents, c -> named_struct(
-                       'sim', aggregate(zip_with({vec_col}, c.centroid,
+                       'sim', coalesce(aggregate(zip_with({vec_col},
+                         c.centroid,
                          (x, y) -> cast(x AS double) * y), 0.0D,
-                         (a, x) -> a + x) / (_vn * c.nrm),
+                         (a, x) -> a + x) / nullif(_vn * c.nrm, 0.0D),
+                         0.0D),
                        'nc', -c.cluster))) AS _best
               FROM (
                 SELECT /*+ BROADCAST(c) */ v.{id_col}, v.{vec_col},
@@ -280,10 +292,11 @@ def ivf_topk(
               SELECT /*+ BROADCAST(c) */ q.{query_id_col},
                      q.{query_vec_col},
                      explode(transform(slice(sort_array(transform(c._cents,
-                       s -> named_struct('ns', -aggregate(zip_with(
+                       s -> named_struct('ns', -coalesce(aggregate(zip_with(
                          q.{query_vec_col}, s.centroid,
                          (x, y) -> cast(x AS double) * y), 0.0D,
-                         (a, x) -> a + x) / s.nrm, 'cluster', s.cluster)))
+                         (a, x) -> a + x) / nullif(s.nrm, 0.0D), 0.0D),
+                         'cluster', s.cluster)))
                        , 1, {int(nprobe)}), s -> s.cluster)) AS cluster
               FROM {{q}} q CROSS JOIN {{c}} c
             ) p ON a.cluster = p.cluster
@@ -796,8 +809,9 @@ def ivf_pq_topk(
                      transform(cbv, cb -> {adc_cell})) AS tbl,
                    transform(slice(sort_array(transform(cents,
                      s -> named_struct('ns',
-                       -aggregate(zip_with(qv, s.centroid,
-                          (x, y) -> x * y), 0.0D, (a, x) -> a + x) / s.nrm,
+                       -coalesce(aggregate(zip_with(qv, s.centroid,
+                          (x, y) -> x * y), 0.0D, (a, x) -> a + x)
+                        / nullif(s.nrm, 0.0D), 0.0D),
                        'cluster', s.cluster))), 1, {int(nprobe)}),
                      s -> s.cluster) AS probes
             FROM (

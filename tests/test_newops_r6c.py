@@ -490,3 +490,37 @@ def test_duplicated_spans_matches_python_brute_force(spark):
                          r["max_span_tokens"])
            for r in duplicated_spans(df, n=3, min_run=2).collect()}
     assert got == expect
+
+
+def test_cosine_family_survives_zero_norm_vectors(spark):
+    """Degenerate-corpus sweep finding (r6): ONE zero vector (a padding
+    row, a failed encoder) used to DIVIDE_BY_ZERO-abort every
+    cosine-based operator under ANSI. The rule is now defined:
+    zero-norm vectors are similarity 0 to everything."""
+    from obsplus_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        ivf_assign,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # scalar helper: zero-norm pair -> exactly 0, no error
+    out = vecs.select(
+        cosine(F.col("embedding"), F.array(F.lit(0.0), F.lit(0.0)))
+        .alias("c")
+    ).collect()
+    assert [r.c for r in out] == [0.0, 0.0, 0.0]
+    # top-k with a zero query vector and a zero corpus vector
+    qs = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [0.0, 0.0])],
+        "query_id long, query_vec array<float>",
+    )
+    rows = cosine_topk(vecs, qs, k=3).collect()
+    assert len(rows) > 0  # completed without DIVIDE_BY_ZERO
+    # IVF assignment with a zero vector in the corpus
+    asg, _cents = ivf_assign(vecs, n_clusters=2)
+    assert asg.count() == 3
