@@ -1116,8 +1116,8 @@ _SQL_KNN = """
     v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     s AS (
       SELECT query_id, vec_id,
-             list_dot_product(ev, qv)
-               / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+             coalesce(list_dot_product(ev, qv)
+               / nullif(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)), 0), 0)
                AS sim
       FROM v CROSS JOIN q
     ),
@@ -2729,8 +2729,8 @@ _SQL_IVF = """
     v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     s AS (
       SELECT query_id, vec_id,
-             list_dot_product(ev, qv)
-               / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+             coalesce(list_dot_product(ev, qv)
+               / nullif(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)), 0), 0)
                AS sim
       FROM v CROSS JOIN q
     ),
@@ -2765,9 +2765,8 @@ _SQL_EMBED_ND = """
     ),
     p AS (
       SELECT a.vec_id AS id1, b.vec_id AS id2,
-             list_dot_product(a.ev, b.ev)
-               / (sqrt(list_dot_product(a.ev, a.ev))
-                  * sqrt(list_dot_product(b.ev, b.ev))) AS c
+             coalesce(list_dot_product(a.ev, b.ev)
+               / nullif(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)), 0), 0) AS c
       FROM v a JOIN v b
         ON a.label = b.label AND a.vec_id < b.vec_id
     )
@@ -3007,9 +3006,8 @@ def _lsh_sql() -> str:
         ),
         s AS (
           SELECT q.query_id, v.vec_id,
-                 list_dot_product(v.ev, q.qv)
-                   / (sqrt(list_dot_product(v.ev, v.ev))
-                      * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                 coalesce(list_dot_product(v.ev, q.qv)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) AS sim
           FROM v JOIN q ON v.bucket = q.bucket
         ),
         r AS (
@@ -4215,8 +4213,8 @@ _SQL_ANN_RECALL = """
       SELECT vec_id, cluster FROM (
         SELECT v.vec_id, c.cluster,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 list_dot_product(v.ev, c.c)
-                   / (sqrt(list_dot_product(v.ev, v.ev)) * c.nrm) DESC,
+                 coalesce(list_dot_product(v.ev, c.c)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * c.nrm, 0), 0) DESC,
                  c.cluster) AS rn
         FROM v CROSS JOIN cents c
       ) WHERE rn = 1
@@ -4225,7 +4223,8 @@ _SQL_ANN_RECALL = """
       SELECT query_id, cluster FROM (
         SELECT q.query_id, c.cluster,
                row_number() OVER (PARTITION BY q.query_id ORDER BY
-                 list_dot_product(q.qv, c.c) / c.nrm DESC, c.cluster) AS rn
+                 coalesce(list_dot_product(q.qv, c.c)
+               / nullif(c.nrm, 0), 0) DESC, c.cluster) AS rn
         FROM q CROSS JOIN cents c
       ) WHERE rn <= 2
     ),
@@ -4233,9 +4232,8 @@ _SQL_ANN_RECALL = """
       SELECT query_id, vec_id FROM (
         SELECT p.query_id, a.vec_id,
                row_number() OVER (PARTITION BY p.query_id ORDER BY
-                 list_dot_product(v.ev, q.qv)
-                   / (sqrt(list_dot_product(v.ev, v.ev))
-                      * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 coalesce(list_dot_product(v.ev, q.qv)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) DESC,
                  a.vec_id) AS rn
         FROM probe p
         JOIN asg a ON a.cluster = p.cluster
@@ -4247,9 +4245,8 @@ _SQL_ANN_RECALL = """
       SELECT query_id, vec_id FROM (
         SELECT q.query_id, v.vec_id,
                row_number() OVER (PARTITION BY q.query_id ORDER BY
-                 list_dot_product(v.ev, q.qv)
-                   / (sqrt(list_dot_product(v.ev, v.ev))
-                      * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 coalesce(list_dot_product(v.ev, q.qv)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) DESC,
                  v.vec_id) AS rn
         FROM v CROSS JOIN q
       ) WHERE rn <= 8
@@ -4766,8 +4763,8 @@ _SQL_HARDNEG = """
     ),
     s AS (
       SELECT query_id, vec_id, v.label,
-             list_dot_product(ev, qv)
-               / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+             coalesce(list_dot_product(ev, qv)
+               / nullif(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)), 0), 0)
                AS sim
       FROM v JOIN q ON v.label != q.qlabel
     ),
@@ -5256,8 +5253,8 @@ _SQL_KMEANS = """
       SELECT vec_id, cluster FROM (
         SELECT v.vec_id, c.cluster,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 list_dot_product(v.ev, c.c)
-                   / (sqrt(list_dot_product(v.ev, v.ev)) * c.nrm) DESC,
+                 coalesce(list_dot_product(v.ev, c.c)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * c.nrm, 0), 0) DESC,
                  c.cluster) AS rn
         FROM v CROSS JOIN cents c
       ) WHERE rn = 1
@@ -6454,8 +6451,8 @@ _SQL_IVF_PQ = """
       SELECT vec_id, cluster FROM (
         SELECT v.vec_id, c.cluster,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 list_dot_product(v.ev, c.c)
-                   / (sqrt(list_dot_product(v.ev, v.ev)) * c.nrm) DESC,
+                 coalesce(list_dot_product(v.ev, c.c)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * c.nrm, 0), 0) DESC,
                  c.cluster) AS rn
         FROM v CROSS JOIN cents c
       ) WHERE rn = 1
@@ -6477,7 +6474,8 @@ _SQL_IVF_PQ = """
       SELECT query_id, cluster FROM (
         SELECT q.query_id, c.cluster,
                row_number() OVER (PARTITION BY q.query_id ORDER BY
-                 list_dot_product(q.qv, c.c) / c.nrm DESC, c.cluster) AS rn
+                 coalesce(list_dot_product(q.qv, c.c)
+               / nullif(c.nrm, 0), 0) DESC, c.cluster) AS rn
         FROM q CROSS JOIN cents c
       ) WHERE rn <= 2
     ),
@@ -6977,8 +6975,8 @@ _SQL_SEMANTIC_DEDUP = """
       SELECT vec_id, cluster FROM (
         SELECT v.vec_id, c.cluster,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 list_dot_product(v.ev, c.c)
-                   / (sqrt(list_dot_product(v.ev, v.ev)) * c.nrm) DESC,
+                 coalesce(list_dot_product(v.ev, c.c)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * c.nrm, 0), 0) DESC,
                  c.cluster) AS rn
         FROM v CROSS JOIN cents c
       ) WHERE rn = 1
@@ -6992,7 +6990,8 @@ _SQL_SEMANTIC_DEDUP = """
       SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
       FROM vv a JOIN vv b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.3
+      WHERE coalesce(list_dot_product(a.ev, b.ev)
+               / nullif(a.nrm * b.nrm, 0), 0) >= 0.3
       GROUP BY b.vec_id
     )
     SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
@@ -8437,18 +8436,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
     # only the FIRST 50 entries. Rotation policy (NOTES.md): every
-    # query with NO driver row yet comes first. Round 6 added FOUR
-    # waves (16 + 16 + 14 + 8 = 54 never-driver-tested queries), so
-    # four of them must sit past the cap until r7: the four simplest
-    # wave-3 TPC-H join shapes (cheapest_supplier, priority_returns,
-    # order_count_dist, large_orders — single-join deterministic
-    # shapes, locally verified at sf0.01 AND sf0.1 by tools/check.py
-    # full runs this round). Order: (a000) the 16 fourth-wave queries,
-    # (a00) the remaining 12 third-wave, (a0) the 14 second-wave, then
-    # (a) the 8 wave-one sub-entity queries — exactly 50. Everything
-    # past the cap was driver-green in CORRECTNESS_r05/_r04 or is one
-    # of those four held-over wave-3 rows.
+    # query with NO driver row yet comes first. Round 8: the SIX
+    # queries that have never had a driver row (the wave-3 TPC-H
+    # shapes held past the cap through r6/r7 — all locally verified at
+    # sf0.01 AND sf0.1 by full tools/check.py runs) lead; after them
+    # the r7-green wave queries, with the entries whose implementation
+    # or oracle changed in r8 (canonical_docs guard; semantic_dedup /
+    # ivf_pq / pq_codes zero-norm-guarded oracle twins) kept inside
+    # the cap for a fresh driver row. The six r7-green rows pushed
+    # past the cap to make room (nation_trade, small_qty_revenue,
+    # brand_revenue, promo_share, market_share, idle_customers) are
+    # single-agg TPC-H shapes with r7 driver rows and local re-checks.
     return {
+        # (a) never driver-tested — MUST be inside the first 50 in r8
+        "cheapest_supplier": q_cheapest_supplier,
+        "priority_returns": q_priority_returns,
+        "order_count_dist": q_order_count_dist,
+        "large_orders": q_large_orders,
+        "forecast_revenue": q_forecast_revenue,
+        "top_supplier": q_top_supplier,
         # (a000) new in the r6 fourth wave: graph centrality/peeling,
         # robust stats, bigram LM, boolean retrieval, compliance
         # cascade, image/audio multimodal analysis, substring runs,
@@ -8463,12 +8469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "dup_spans": q_dup_spans,
         "column_corr": q_column_corr,
-        "nation_trade": q_nation_trade,
-        "small_qty_revenue": q_small_qty_revenue,
-        "brand_revenue": q_brand_revenue,
         "mad_outliers": q_mad_outliers,
-        "promo_share": q_promo_share,
-        "market_share": q_market_share,
         # (a00) r6 third wave (minus the four held-over TPC-H shapes)
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
@@ -8479,7 +8480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_patches": q_image_patches,
         "bfs_hops": q_bfs_hops,
         "sole_supplier_returns": q_sole_supplier_returns,
-        "idle_customers": q_idle_customers,
         "linear_quality": q_linear_quality,
         "dsir_weights": q_dsir_weights,
         # (a0) new in the r6 second wave (this session)
@@ -8507,14 +8507,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stations_from_stream": q_stations_from_stream,
         "canonical_docs": q_canonical_docs,
         # --- driver cap (50) ---
-        # four wave-3 TPC-H shapes held over to r7 (locally verified
-        # at sf0.01 AND sf0.1 this round, full tools/check.py runs)
-        "cheapest_supplier": q_cheapest_supplier,
-        "priority_returns": q_priority_returns,
-        "order_count_dist": q_order_count_dist,
-        "large_orders": q_large_orders,
-        "forecast_revenue": q_forecast_revenue,
-        "top_supplier": q_top_supplier,
+        # r7-green single-agg shapes rotated out to make room for the
+        # six never-driver-tested entries now leading the registry
+        "nation_trade": q_nation_trade,
+        "small_qty_revenue": q_small_qty_revenue,
+        "brand_revenue": q_brand_revenue,
+        "promo_share": q_promo_share,
+        "market_share": q_market_share,
+        "idle_customers": q_idle_customers,
         "json_round_trip": q_json_round_trip,
         "quakeml_rt": q_quakeml_rt,
         "attach_origin": q_attach_origin,

@@ -610,6 +610,7 @@ def dedup_clusters(
     max_iterations: int = 6,
     check_convergence: bool = False,
     checkpoint_every: int = 8,
+    on_nonconverged: str = "error",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: each member id is
     labeled with the **minimum id reachable** in its component
@@ -643,13 +644,25 @@ def dedup_clusters(
     Raise ``max_iterations`` for deeper graphs (checkpoints bound the
     lineage past round 8), or reach for convergence mode when the
     component shape is genuinely unknown (e.g. path-like link
-    graphs). **The failure mode of an undersized bound is SILENT**: a
+    graphs).
+
+    **Truncation guard — an undersized bound is LOUD by default.** A
     chain-shaped family (successive document revisions, each pairing
-    only with its neighbor) of diameter > ``max_iterations`` keeps
-    non-minimal labels at the far end — the component splits into
-    several clusters with no error. If chains are plausible in your
-    pair graph, pass ``check_convergence=True`` (verified fixed point)
-    or a diameter-safe bound. ``check_convergence=False`` lazily builds ``max_iterations`` rounds
+    only with its neighbor) of diameter > ``max_iterations`` would keep
+    non-minimal labels at the far end, silently splitting the component
+    into several clusters. With the default ``on_nonconverged="error"``
+    the lazy plan appends ONE extra guarded propagation round whose
+    aggregate also reads each node's current label off its self-loop
+    rows (the label table stays referenced exactly once; the build
+    stays action-free): any node whose label would still improve hits
+    ``raise_error`` at RUNTIME, aborting the job with a message naming
+    the bound instead of emitting split components. At a fixed point
+    the guard round re-emits the labels unchanged, so its only cost is
+    one extra join+agg. Pass ``on_nonconverged="ignore"`` to
+    explicitly accept possibly-truncated components (intentionally
+    bounded clustering radius), or ``check_convergence=True`` for the
+    eager verified fixed point — that eager mode needs no guard round.
+    ``check_convergence=False`` lazily builds ``max_iterations`` rounds
     (zero driver actions for bounds below ``checkpoint_every`` — correct
     iff the true diameter is within the bound). Beyond-toy bounds in
     lazy mode checkpoint the label table every ``checkpoint_every``
@@ -664,6 +677,12 @@ def dedup_clusters(
     Returns (id, cluster_id), one row per id that appears in ``pairs``.
     """
     from obsplus_spark.util import sql_over
+
+    if on_nonconverged not in ("error", "ignore"):
+        raise ValueError(
+            "on_nonconverged must be 'error' or 'ignore',"
+            f" got {on_nonconverged!r}"
+        )
 
     # undirected edge list WITH SELF-LOOPS, persisted once: the loop rows
     # carry each node's own label through every propagation round, which
@@ -732,6 +751,37 @@ def dedup_clusters(
             n = min(every, max_iterations - done)
             lbl = sql_over({"e": edges, "l": lbl}, rounds_sql(n, seeded=True))
             done += n
+        if on_nonconverged == "error":
+            # guarded extra round: min over in-neighbors (= next label)
+            # plus the node's OWN current label read off its self-loop
+            # rows — one join+agg, label table referenced once, zero
+            # build-time actions. A still-improving label means the
+            # bound truncated a component: raise at runtime instead of
+            # emitting silently split clusters. At a fixed point the
+            # CASE re-emits the unchanged label.
+            lbl = sql_over(
+                {"e": edges, "l": lbl},
+                f"""
+                SELECT id,
+                       CASE WHEN _new < _own THEN raise_error(concat(
+                           'dedup_clusters: not converged within',
+                           ' max_iterations={int(max_iterations)} rounds',
+                           ' (component containing node ',
+                           CAST(id AS STRING),
+                           ' is deeper than the bound); raise',
+                           ' max_iterations, pass check_convergence=True,',
+                           ' or opt in with on_nonconverged=''ignore'''))
+                       ELSE _new END AS cluster_id
+                FROM (
+                  SELECT e._dst AS id,
+                         min(l.cluster_id) AS _new,
+                         min(CASE WHEN e._src = e._dst
+                                  THEN l.cluster_id END) AS _own
+                  FROM {{e}} e JOIN {{l}} l ON l.id = e._src
+                  GROUP BY e._dst
+                )
+                """,
+            )
         return lbl
 
     labels = sql_over({"e": edges}, rounds_sql(0, seeded=False))
@@ -1099,6 +1149,7 @@ def canonical_docs(
     quality_col: str = "quality",
     max_iterations: int = 6,
     check_convergence: bool = False,
+    on_nonconverged: str = "error",
 ) -> DataFrame:
     """Survivor election per near-dup cluster: resolve connected
     components over the pair set (:func:`dedup_clusters`), then keep the
@@ -1110,7 +1161,11 @@ def canonical_docs(
 
     Scale shape: component resolution is the dedup_clusters contract
     (one hash-aggregate round per diameter step, action-free in the
-    default lazy mode); the election itself is ONE id-keyed join to pull
+    default lazy mode, and inheriting its runtime truncation guard —
+    an undersized ``max_iterations`` raises instead of electing wrong
+    survivors on chain-shaped dup families; pass
+    ``on_nonconverged="ignore"`` to opt out); the election itself is
+    ONE id-keyed join to pull
     quality + ONE cluster-keyed aggregate (``min_by`` over a (-quality,
     id) struct — no window, no second pass for the tie-break; negating
     the NUMERIC quality instead of the id keeps the id column free to be
@@ -1124,6 +1179,7 @@ def canonical_docs(
         pairs,
         max_iterations=max_iterations,
         check_convergence=check_convergence,
+        on_nonconverged=on_nonconverged,
     )
     q = docs.select(
         F.col(id_col).alias("id"), F.col(quality_col).alias("_q")

@@ -163,6 +163,14 @@ AMPLITUDE_STRUCT = _struct(
         ("reference", L),  # time_window.reference, ns
         ("time_begin", D),
         ("time_end", D),
+        # DELIBERATE dtype deviation from reference AMPLITUDE_DTYPES
+        # (constants.py:188 declares scaling_time float-seconds): this
+        # engine stores ALL absolute timestamps as ns-since-epoch LONG
+        # (the house convention of `reference` above and the pick/origin
+        # time columns) — exact integer compare/join semantics, no
+        # float-epoch precision loss at 2020+ timestamps (float64 has
+        # ~0.25 µs granularity there). Consumers wanting the reference's
+        # float seconds divide by 1e9 at read-out.
         ("scaling_time", L),
         ("evaluation_mode", S),
         ("evaluation_status", S),

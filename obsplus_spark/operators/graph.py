@@ -212,8 +212,11 @@ def hits_scores(
     contract (one statement, plan depth ∝ iterations, checkpoint past
     ~8) matches :func:`pagerank`. ANSI overflow bound: scores grow as
     (max degree)^(2·iterations) — with the default 2 iterations a
-    graph needs ~degree-10⁴ hubs to threaten BIGINT; raise iterations
-    only with a normalizing read-out.
+    graph needs ~degree-10⁴ hubs to threaten BIGINT, but 4 iterations
+    already overflows at degree ~230, so ``iterations`` is VALIDATED
+    to at most 3 (a ValueError at the API boundary, not a mid-job ANSI
+    abort); deeper HITS belongs to a float variant with per-round
+    normalization.
 
     Scale shape: per half-round ONE keyed equi-join (edge frame probed
     by the current score vector) + one map-combined hash aggregate; the
@@ -234,6 +237,24 @@ def hits_scores(
     its = int(iterations)
     if its < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # ANSI-overflow validation (VERDICT r7 #4): the integer variant has
+    # no per-round normalizer, so scores grow as (max degree)^(2·its);
+    # BIGINT (~9.2e18) holds its=3 up to degree ~1400 hubs, but its>=4
+    # already overflows at degree ~230 — on a dense graph that is a
+    # mid-job ANSI abort, not a validation error. Fail FAST at the API
+    # boundary instead, mirroring the bounds style of the other
+    # operators (minhash lane family, k_core rounds). Production-depth
+    # HITS needs a float read-out with per-round normalization — out
+    # of scope for the exact cross-engine integer contract here.
+    if its > 3:
+        raise ValueError(
+            "hits_scores: the exact-BIGINT variant supports at most 3"
+            f" iterations (got {iterations}); scores grow as"
+            " (max degree)^(2*iterations) and iterations >= 4 overflows"
+            " BIGINT at max degree ~230, aborting mid-job under ANSI"
+            " mode. Use <= 3 iterations (ranking is already stable on"
+            " near-all graphs) or normalize scores externally."
+        )
     from obsplus_spark.operators.dedup import _register_shingle_cache
 
     dedup = (

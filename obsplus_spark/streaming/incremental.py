@@ -426,7 +426,12 @@ def stream_weighted_sample(
     Same at-least-once hardening as :func:`stream_cms_counters`:
     generation-swap store, ``_applied_<batch_id>`` marker committed in
     the same rename as the data (replay no-ops), half-swap recovery
-    from the newest ``_old_*`` survivor.
+    from the newest ``_old_*`` survivor. Additionally the merge dedups
+    per id (max_by sample_key) before re-ranking: a redelivered id in a
+    DIFFERENT batch (distinct batch_id, so the marker cannot no-op it)
+    would otherwise sit in the store AND the batch top-k with the same
+    hash-derived key, survive ``limit(k)`` twice, and evict a
+    legitimate k-th distinct member.
 
     Store schema: (id, weight, sample_key). Returns the started
     StreamingQuery.
@@ -472,9 +477,28 @@ def _weighted_sample_apply_batch(
         if prev is None:
             return top
         # keys are per-row facts: the union's top-k IS the history's
-        # top-k (no re-draw, no re-keying of survivors)
+        # top-k (no re-draw, no re-keying of survivors). At-least-once
+        # delivery can land an id in BOTH the stored sample and the
+        # batch top-k with the identical hash-derived key — without a
+        # per-id dedup both copies could survive limit(k) and evict a
+        # legitimate k-th distinct item, so the merge keeps ONE row per
+        # id (max_by sample_key: deterministic, and if a redelivery
+        # changed the weight the higher-keyed row wins — the same rule
+        # a from-scratch top-k over the deduped history would apply).
+        merged = prev.select(*cols).unionByName(top)
         return (
-            prev.select(*cols).unionByName(top)
+            merged.groupBy(id_col)
+            .agg(
+                F.expr(
+                    f"max_by(named_struct('w', {weight_col},"
+                    " 'k', sample_key), sample_key)"
+                ).alias("_best")
+            )
+            .select(
+                F.col(id_col),
+                F.col("_best.w").alias(weight_col),
+                F.col("_best.k").alias("sample_key"),
+            )
             .orderBy(F.col("sample_key").desc(), F.col(id_col))
             .limit(int(k))
         )

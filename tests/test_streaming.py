@@ -537,6 +537,36 @@ def test_streaming_weighted_sample_replay_idempotent(spark, tmp_path):
     assert first == again
 
 
+def test_streaming_weighted_sample_cross_batch_redelivery(spark, tmp_path):
+    """VERDICT r7 #3: a redelivered id arriving in a DIFFERENT batch
+    (distinct batch_id — the _applied marker cannot no-op it) sits in
+    both the stored sample and the batch top-k with the identical
+    hash-derived key; without a per-id dedup both copies survive
+    limit(k) and evict a legitimate k-th distinct member. Applying the
+    same rows under a new batch_id must leave the store exactly as
+    after the first apply: k DISTINCT ids, unchanged membership."""
+    from obsplus_spark.streaming.incremental import (
+        _weighted_sample_apply_batch,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, float(i % 3 + 1)) for i in range(20)], "doc_id long, w double"
+    )
+    _weighted_sample_apply_batch(df, 0, "w", 5, store, "doc_id", "")
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{store}/current").collect())
+    )
+    # same data, NEW batch id: at-least-once redelivery across batches
+    _weighted_sample_apply_batch(df, 1, "w", 5, store, "doc_id", "")
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{store}/current").collect())
+    )
+    assert again == first
+    ids = [t[0] for t in again]
+    assert len(ids) == len(set(ids)) == 5
+
+
 def test_gen_swap_replay_sweeps_stranded_old_dirs(spark, tmp_path):
     """Crash AFTER the swap but before cleanup strands _old_<id>; the
     replay (marker already in current) must sweep it instead of leaking
