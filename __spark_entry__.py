@@ -7445,7 +7445,17 @@ def q_hits_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
         "concat('c', o_custkey) AS src", "concat('s', l_suppkey) AS dst"
     )
-    return hits_scores(edges, iterations=2, k=20)
+    # the authority side of this bipartite graph is the SUPPLIER node
+    # set — dimension-bounded (≪ orders), so whenever orders itself is
+    # broadcastable the per-round auth vectors certainly are: the
+    # dst-joins become map-side and a full HITS round costs one
+    # map-combined exchange (see hits_scores scale-shape note). At
+    # 100 TB the same gate flips the operator back to co-partitioned
+    # shuffle joins.
+    return hits_scores(
+        edges, iterations=2, k=20,
+        broadcast_auth=_orders_dim_small(sf_dir),
+    )
 
 
 _SQL_HITS = """
@@ -7500,7 +7510,13 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = o.selectExpr(
         "o_custkey % 4001 AS src", "(o_orderkey * 7 + 3) % 4001 AS dst"
     )
-    return k_core_peel(edges, k=3, rounds=4)
+    # node space is folded to 4001 buckets BY CONSTRUCTION (any sf), so
+    # the surviving-node set is provably broadcast-safe: each peel round
+    # becomes one map-combined degree aggregate + two map-side
+    # semi-joins — zero edge shuffles/sorts (the window form pays an
+    # explode-width exchange + sort per round). On an unbounded node
+    # space leave the gate off.
+    return k_core_peel(edges, k=3, rounds=4, broadcast_degrees=True)
 
 
 def _k_core_oracle_sql(k: int = 3, rounds: int = 4) -> str:

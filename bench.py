@@ -88,6 +88,8 @@ def main() -> None:
         "semantic_dedup",
         "bfs_hops",
         "hits_auth",
+        "pagerank",  # r8: out-degree-weighted edge frame persisted
+        "k_core",  # r8: per-round peeled edge frames persisted
         "bigram_lp",
         "cascade_delete",
         "image_phash",

@@ -496,10 +496,17 @@ def hamming_distance(a, b) -> F.Column:
 _SHINGLE_CACHES: dict[int, list] = {}
 
 
-def _register_shingle_cache(arr: DataFrame) -> None:
+def _register_shingle_cache(arr: DataFrame, ring_max: int = 2) -> None:
+    """Bounded FIFO of operator-internal persists. ``ring_max`` is the
+    capacity AS OF THIS registration: an operator persisting a chain of
+    N interdependent frames (e.g. k_core_peel's per-round edge sets,
+    where executing the final frame reads every predecessor's cache)
+    passes N+1 so its own registrations don't evict frames the pending
+    query still needs; later default-capacity registrations then shrink
+    the ring back — exactly the after-my-query lifecycle wanted."""
     ring = _SHINGLE_CACHES.setdefault(id(arr.sparkSession), [])
     ring.append(arr)
-    while len(ring) > 2:
+    while len(ring) > max(int(ring_max), 1):
         try:
             ring.pop(0).unpersist()
         except Exception:

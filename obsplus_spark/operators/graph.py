@@ -135,30 +135,51 @@ def pagerank(
 
     Output: (node, rank) — ≤ k rows, rank rounded to 6 dp.
     """
-    from obsplus_spark.util import ensure_parallelism, sql_over
+    from obsplus_spark.util import sql_over
 
     d = float(damping)
     its = int(iterations)
     if its < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from obsplus_spark.operators.dedup import _register_shingle_cache
+
+    # Hoist dedup + out-degree weighting OUT of the statement and
+    # persist the weighted edge frame hash-partitioned by src (same
+    # move as hits_scores, measured 4.2× → ~1× DuckDB at sf1): as an
+    # inlined CTE the lineitem-scale DISTINCT re-derived per reference
+    # (ew twice + nodes + the per-round distinct-src probe). hash(src)
+    # satisfies the distinct (subset rule), the out-degree window
+    # (PARTITION BY src — sort-only, no exchange), the per-round
+    # distinct-src probe, AND the per-round `e.src = r.node` join,
+    # whose r-side inherits hash(src) from its own aggregate — so the
+    # ONLY per-round exchange is the map-combined `GROUP BY dst`.
+    spark = edges.sparkSession
+    try:
+        _shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" under some AQE deployments
+        _shuf = 0
+    npart = max(spark.sparkContext.defaultParallelism, _shuf)
+    ew = (
+        edges
+        .selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
+        .where("src IS NOT NULL AND dst IS NOT NULL")
+        .repartition(npart, "src")
+        .distinct()
+        .selectExpr(
+            "src", "dst", "1.0D / count(1) OVER (PARTITION BY src) AS w"
+        )
+        .persist()
+    )
+    _register_shingle_cache(ew)
     base = f"{1.0 - d!r}D + {d!r}D * coalesce(c.contrib, 0.0D)"
     parts = [
-        f"""
-        edges AS (
-          SELECT DISTINCT {src_col} AS src, {dst_col} AS dst FROM {{e}}
-        ),
-        ew AS (
-          SELECT src, dst,
-                 1.0D / count(1) OVER (PARTITION BY src) AS w
-          FROM edges
-        ),
+        """
+        ew AS (SELECT src, dst, w FROM {e}),
         nodes AS (
-          -- one scan + explode, not a two-scan UNION: each reference of
-          -- the distinct-edge subtree re-derives lineitem-scale work, so
-          -- fewer references beats the prettier formulation (~20%
-          -- measured; ReuseExchange only dedupes some of them)
+          -- one scan + explode, not a two-scan UNION (fewer references
+          -- of the cached frame beats the prettier formulation)
           SELECT DISTINCT node FROM (
-            SELECT explode(array(src, dst)) AS node FROM edges)
+            SELECT explode(array(src, dst)) AS node FROM ew)
         ),
         c1 AS (SELECT dst, sum(w) AS contrib FROM ew GROUP BY dst)"""
     ]
@@ -167,7 +188,7 @@ def pagerank(
             f"""
         r{i} AS (
           SELECT s.src AS node, {base} AS rank
-          FROM (SELECT DISTINCT src FROM edges) s
+          FROM (SELECT DISTINCT src FROM ew) s
           LEFT JOIN c{i} c ON s.src = c.dst
         ),
         c{i + 1} AS (
@@ -178,7 +199,7 @@ def pagerank(
         )
     body = ",".join(parts)
     return sql_over(
-        {"e": ensure_parallelism(edges)},
+        {"e": ew},
         f"""
         WITH {body}
         SELECT n.node, round({base}, 6) AS rank
@@ -195,6 +216,7 @@ def hits_scores(
     k: int = 20,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_auth: bool = False,
 ) -> DataFrame:
     """Fixed-iteration HITS (hubs & authorities) over a directed edge
     frame, returning the top-``k`` authorities — the complementary
@@ -218,16 +240,24 @@ def hits_scores(
     abort); deeper HITS belongs to a float variant with per-round
     normalization.
 
-    Scale shape: per half-round ONE keyed equi-join (edge frame probed
-    by the current score vector) + one map-combined hash aggregate; the
-    shuffle carries ≤ |nodes| partial sums. No windows, no driver
-    actions, no collect. The deduplicated edge frame is persisted
-    INSIDE the operator (bounded ring releases it): the unrolled
-    statement references it 2·iterations+2 times and Spark inlines a
-    CTE per reference, so an in-statement DISTINCT would re-aggregate
-    the raw edges at every reference (measured 6.5× DuckDB at the
-    synthetic sf1 before the hoist; the persisted form scans the
-    deduped frame instead).
+    Scale shape: the deduplicated edge frame is persisted INSIDE the
+    operator **hash-partitioned by src** (bounded ring releases it):
+    the unrolled statement references it 2·iterations+2 times and
+    Spark inlines a CTE per reference, so an in-statement DISTINCT
+    would re-aggregate the raw edges at every reference (measured 6.5×
+    DuckDB at the synthetic sf1 before the hoist). The src
+    partitioning is the load-bearing choice: every a-round join
+    (``e.src = h.node``) sees BOTH sides already hashed on the key —
+    the hub vector inherits hash(src) from its own groupBy — and every
+    h-round ``GROUP BY e.src`` is satisfied by the cached
+    partitioning, so neither ever re-exchanges the edge frame. With
+    ``broadcast_auth=True`` (caller-gated: correct ONLY when the
+    authority side is dimension-bounded, e.g. a bipartite
+    customer→supplier graph — at 100 TB with node-scale authorities
+    leave it off) the dst-joins become map-side broadcast joins, and a
+    full round costs exactly ONE map-combined exchange (the a-round's
+    ``GROUP BY dst``) instead of five. No windows, no driver actions,
+    no collect.
 
     Output: (node, auth, hub) — ≤ k rows, BIGINT scores, ordered
     auth DESC, hub DESC, node ASC.
@@ -257,17 +287,35 @@ def hits_scores(
         )
     from obsplus_spark.operators.dedup import _register_shingle_cache
 
+    # hash(src) BEFORE the distinct: HashPartitioning(src) satisfies the
+    # distinct's ClusteredDistribution(src, dst) (subset rule), so the
+    # dedup aggregate runs in-place and the CACHED frame carries the
+    # src partitioning every downstream round reuses. Partition count =
+    # full core count, NOT spark.sql.shuffle.partitions: the dedup is
+    # the operator's one full-data pass and a small-SF-tuned shuffle
+    # conf would serialize it onto a few cores (A/B at sf1: 3.8 s →
+    # 1.7 s). This one explicit exchange also replaces
+    # ensure_parallelism — stacking both paid a wasted RoundRobin
+    # pass over the raw edges.
+    spark = edges.sparkSession
+    try:
+        _shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" under some AQE deployments
+        _shuf = 0
+    npart = max(spark.sparkContext.defaultParallelism, _shuf)
     dedup = (
-        ensure_parallelism(edges)
+        edges
         .selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
         .where("src IS NOT NULL AND dst IS NOT NULL")
+        .repartition(npart, "src")
         .distinct()
         .persist()
     )
     _register_shingle_cache(dedup)
+    bhint = "/*+ BROADCAST(a) */ " if broadcast_auth else ""
     parts = [
-        """
-        edges AS (SELECT src, dst FROM {e}),
+        f"""
+        edges AS (SELECT src, dst FROM {{e}}),
         nodes AS (
           SELECT DISTINCT node FROM (
             SELECT explode(array(src, dst)) AS node FROM edges)
@@ -278,7 +326,7 @@ def hits_scores(
           FROM edges GROUP BY dst
         ),
         h1 AS (
-          SELECT e.src AS node, sum(a.auth) AS hub
+          SELECT {bhint}e.src AS node, sum(a.auth) AS hub
           FROM edges e JOIN a1 a ON e.dst = a.node
           GROUP BY e.src
         )"""
@@ -292,7 +340,7 @@ def hits_scores(
           GROUP BY e.dst
         ),
         h{i} AS (
-          SELECT e.src AS node, sum(a.auth) AS hub
+          SELECT {bhint}e.src AS node, sum(a.auth) AS hub
           FROM edges e JOIN a{i} a ON e.dst = a.node
           GROUP BY e.src
         )"""
@@ -320,6 +368,7 @@ def k_core_peel(
     rounds: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_degrees: bool = False,
 ) -> DataFrame:
     """Bounded k-core peeling over an undirected edge frame: ``rounds``
     iterations of "drop every node whose CURRENT degree is below ``k``,
@@ -348,6 +397,17 @@ def k_core_peel(
     plan depth, no driver actions (checkpoint past ~8 rounds like the
     other iterative operators).
 
+    ``broadcast_degrees=True`` (caller-gated: correct ONLY when the
+    node set is provably bounded — e.g. a hash-folded bucket space —
+    never node-scale data) switches to per-round persisted edge frames
+    with the surviving-node set BROADCAST into two map-side semi-joins:
+    a round costs one map-combined degree aggregate (output =
+    |nodes| rows) and ZERO edge exchanges or sorts (the window form
+    pays an explode-width exchange + sort per round). The per-round
+    persist bounds the double reference of each edge set (degree pass
+    + semi-joins) that would otherwise re-derive the upstream 2^rounds
+    times.
+
     Output: (node, degree) for survivors of the final round, with the
     degree AFTER that round's edge pruning.
     """
@@ -358,14 +418,79 @@ def k_core_peel(
         raise ValueError(f"k must be >= 1, got {k}")
     if rr < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    # Explicit parallelism floor for the per-round window exchanges:
+    # EnsureRequirements would size them at spark.sql.shuffle.partitions,
+    # and a small-SF-tuned conf serializes the 2·|E| window sorts onto a
+    # few cores. A REPARTITION(n, node) hint on the window's INPUT
+    # subquery replaces (not stacks on) the implicit exchange — the
+    # hinted partitioning satisfies the window's required distribution.
+    spark = edges.sparkSession
+    try:
+        _shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" under some AQE deployments
+        _shuf = 0
+    npart = max(spark.sparkContext.defaultParallelism, _shuf)
+    if broadcast_degrees:
+        from pyspark.sql import functions as F
+
+        from obsplus_spark.operators.dedup import _register_shingle_cache
+
+        e = (
+            edges
+            .selectExpr(
+                f"least({src_col}, {dst_col}) AS a",
+                f"greatest({src_col}, {dst_col}) AS b",
+            )
+            .where(
+                f"{src_col} IS NOT NULL AND {dst_col} IS NOT NULL"
+                f" AND {src_col} <> {dst_col}"
+            )
+            .repartition(npart, "a")
+            .distinct()
+            .persist()
+        )
+        # rr+2 capacity: executing the final round's frame reads EVERY
+        # predecessor's cache (each round references its parent twice —
+        # degree pass + semi-joins — so an evicted prefix would
+        # recompute 2^depth times)
+        _register_shingle_cache(e, ring_max=rr + 2)
+        for _ in range(rr):
+            ok = (
+                e.select(F.explode(F.array("a", "b")).alias("node"))
+                .groupBy("node")
+                .count()
+                .where(F.col("count") >= kk)
+                .select("node")
+            )
+            # both semi-joins map-side: the surviving-node set is the
+            # caller-guaranteed bounded broadcast
+            e_next = (
+                e.join(F.broadcast(ok), e.a == ok.node, "leftsemi")
+                .join(F.broadcast(ok), F.col("b") == ok.node, "leftsemi")
+                .persist()
+            )
+            _register_shingle_cache(e_next, ring_max=rr + 2)
+            e = e_next
+        return (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
     parts = [
         f"""
         e0 AS (
-          SELECT DISTINCT least({src_col}, {dst_col}) AS a,
-                          greatest({src_col}, {dst_col}) AS b
-          FROM {{e}}
-          WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
-            AND {src_col} <> {dst_col}
+          -- nested REPARTITION(a): hash(a) satisfies the outer
+          -- DISTINCT's (a, b) clustering (subset rule), so the dedup
+          -- runs in-place at the explicit width instead of on the
+          -- session's shuffle-partition count
+          SELECT DISTINCT a, b FROM (
+            SELECT /*+ REPARTITION({npart}, a) */
+                   least({src_col}, {dst_col}) AS a,
+                   greatest({src_col}, {dst_col}) AS b
+            FROM {{e}}
+            WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+              AND {src_col} <> {dst_col}
+          )
         )"""
     ]
     for i in range(rr):
@@ -373,7 +498,8 @@ def k_core_peel(
             f"""
         w{i} AS (
           SELECT a, b, count(1) OVER (PARTITION BY node) AS deg
-          FROM (SELECT a, b, explode(array(a, b)) AS node FROM e{i})
+          FROM (SELECT /*+ REPARTITION({npart}, node) */
+                       a, b, explode(array(a, b)) AS node FROM e{i})
         ),
         e{i + 1} AS (
           SELECT a, b FROM w{i} GROUP BY a, b HAVING min(deg) >= {kk}

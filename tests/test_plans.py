@@ -581,11 +581,35 @@ def test_audio_frames_single_exchange(plans):
     assert not any(m in p for m in _JOIN_MARKERS)
 
 
-def test_k_core_has_no_join_operator(plans):
-    """k-core peeling: the single-reference explode/window formulation
-    compiles to NO join at all — a join node here means the rewrite
-    regressed to the degree-table form whose plan grows 3^rounds."""
+def test_k_core_broadcast_peel_shape(plans):
+    """k-core peeling (broadcast_degrees form, r8): every per-round
+    degree filter must be a map-side BroadcastHashJoin LeftSemi — a
+    SortMergeJoin or ShuffledHashJoin here means a round started
+    shuffling the edge frame (the degree-table regression the old
+    window form guarded against), and a WindowExec means the rewrite
+    silently fell back to the sort-based form."""
     p = plans["k_core"][0]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, (
+        "k_core round shuffles the edge frame"
+    )
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "Window" not in p  # degree via aggregate, not sort-window
+
+
+def test_k_core_window_form_has_no_join_operator(spark):
+    """The default (unbounded-node-space) k-core path keeps the
+    single-reference explode/window formulation with NO join — a join
+    node means the rewrite regressed to the inlined degree-table form
+    whose plan grows 3^rounds."""
+    from obsplus_spark.operators.graph import k_core_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    p = (
+        k_core_peel(edges, k=2, rounds=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert not any(m in p for m in _JOIN_MARKERS), "k_core grew a join"
 
 
