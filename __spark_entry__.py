@@ -7361,24 +7361,23 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (keyed shuffle join at 100 TB)
     if _orders_dim_small(sf_dir):
         orders = F.broadcast(orders)
-    # distinct BEFORE the frontier expansion (pagerank's convention):
-    # a (supplier, customer) pair repeats per lineitem, and duplicate
-    # edges multiply every frontier join's fan-out ~4× for identical
-    # min-layering output
-    ship = (
+    # bidirectional doubling via ONE in-row explode, not a UNION of two
+    # references of the join (a twice-referenced lineage derives the
+    # lineitem join twice at materialization); dedup + src-partitioned
+    # persist now live INSIDE bfs_distances — the r8 hoist that stops
+    # each hop re-exchanging the edge frame (the distinct also
+    # collapses the ~4× per-lineitem duplicate pairs there)
+    edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .selectExpr(
-            "concat('s', l_suppkey) AS src", "concat('c', o_custkey) AS dst"
+            "explode(array("
+            "  named_struct('src', concat('s', l_suppkey),"
+            "               'dst', concat('c', o_custkey)),"
+            "  named_struct('src', concat('c', o_custkey),"
+            "               'dst', concat('s', l_suppkey)))) AS e"
         )
-        .distinct()
+        .select("e.src", "e.dst")
     )
-    # the unrolled BFS references the edge view once per round and the
-    # view inlines at every reference — persist so the join+distinct
-    # derivation runs once, not per round (bounded ring releases it)
-    edges = ship.union(ship.selectExpr("dst AS src", "src AS dst")).persist()
-    from obsplus_spark.operators.dedup import _register_shingle_cache
-
-    _register_shingle_cache(edges)
     return bfs_distances(edges, ["s1", "s2"], max_hops=3)
 
 

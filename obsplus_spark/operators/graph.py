@@ -542,10 +542,17 @@ def bfs_distances(
     and ``dedup_clusters``' lazy mode — ONE SQL statement, per round
     one dist-keyed join + one dst-keyed map-combined min-aggregate;
     the shuffle carries ≤ |reached nodes| rows, never |edges| (the
-    min folds map-side). Plan depth grows with ``max_hops`` (bounded;
-    checkpoint past ~8 like the cluster resolver if you need deep
-    radii). Sources are plan-time literals (seed sets are small by
-    nature — a large seed FRAME would instead union into round 0).
+    min folds map-side). Like :func:`hits_scores` / :func:`pagerank`,
+    the edge frame is deduped and persisted INSIDE the operator
+    **hash-partitioned by the src column** (bounded ring releases it):
+    every frontier join probes on ``e.src``, so the cached
+    partitioning satisfies each round's edge side and only the
+    (small) frontier is ever exchanged — an unpartitioned edge frame
+    paid a full edge exchange per hop. Plan depth grows with
+    ``max_hops`` (bounded; checkpoint past ~8 like the cluster
+    resolver if you need deep radii). Sources are plan-time literals
+    (seed sets are small by nature — a large seed FRAME would instead
+    union into round 0).
 
     Output: (node, dist) for every node within ``max_hops`` of a
     source, including the sources at dist 0.
@@ -556,6 +563,23 @@ def bfs_distances(
         raise ValueError("sources must be non-empty")
     if int(max_hops) < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    from obsplus_spark.operators.dedup import _register_shingle_cache
+
+    spark = edges.sparkSession
+    try:
+        _shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" under some AQE deployments
+        _shuf = 0
+    npart = max(spark.sparkContext.defaultParallelism, _shuf)
+    edges = (
+        edges
+        .selectExpr(f"{src_col} AS {src_col}", f"{dst_col} AS {dst_col}")
+        .where(f"{src_col} IS NOT NULL AND {dst_col} IS NOT NULL")
+        .repartition(npart, src_col)
+        .distinct()
+        .persist()
+    )
+    _register_shingle_cache(edges)
 
     def _lit(v) -> str:
         if isinstance(v, str):
