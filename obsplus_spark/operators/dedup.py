@@ -746,49 +746,64 @@ def dedup_clusters(
             )
         return "WITH " + ",\n".join(ctes) + f"\nSELECT id, cluster_id FROM l{n}"
 
+    def guard_tail(n: int) -> str:
+        """Guarded extra round appended to a rounds chain: min over
+        in-neighbors (= the next label) plus the node's OWN current
+        label read off its self-loop rows — one join+agg, the label
+        table referenced once, zero build-time actions. A
+        still-improving label means the bound truncated a component:
+        ``raise_error`` at RUNTIME instead of emitting silently split
+        clusters; at a fixed point the CASE re-emits the labels
+        unchanged. Fused into the SAME statement as the rounds (one
+        Catalyst analysis, not two — plan-build cost is on the bench's
+        rebuild path)."""
+        return f"""
+        , g AS (
+          SELECT e._dst AS id,
+                 min(l.cluster_id) AS _new,
+                 min(CASE WHEN e._src = e._dst
+                          THEN l.cluster_id END) AS _own
+          FROM {{e}} e JOIN l{n} l ON l.id = e._src
+          GROUP BY e._dst
+        )
+        SELECT id,
+               CASE WHEN _new < _own THEN raise_error(concat(
+                   'dedup_clusters: not converged within',
+                   ' max_iterations={int(max_iterations)} rounds',
+                   ' (component containing node ',
+                   CAST(id AS STRING),
+                   ' is deeper than the bound); raise',
+                   ' max_iterations, pass check_convergence=True,',
+                   ' or opt in with on_nonconverged=''ignore'''))
+               ELSE _new END AS cluster_id
+        FROM g
+        """
+
+    def with_guard(sql: str, n: int) -> str:
+        # swap the chain's final SELECT for the guard round
+        return sql[: sql.rindex("\nSELECT id, cluster_id FROM")] + guard_tail(n)
+
     if not check_convergence:
         # chunk the rounds at checkpoint_every: within a chunk everything
         # is one SQL statement; between chunks a localCheckpoint bounds
         # lineage (and analysis cost) for deep diameter bounds
         every = checkpoint_every or max_iterations
         done = min(every, max_iterations)
-        lbl = sql_over({"e": edges}, rounds_sql(done, seeded=False))
+        guard = on_nonconverged == "error"
+        first = rounds_sql(done, seeded=False)
+        if guard and done == max_iterations:
+            return sql_over({"e": edges}, with_guard(first, done))
+        lbl = sql_over({"e": edges}, first)
         while done < max_iterations:
             lbl = lbl.localCheckpoint()
             n = min(every, max_iterations - done)
-            lbl = sql_over({"e": edges, "l": lbl}, rounds_sql(n, seeded=True))
+            chunk = rounds_sql(n, seeded=True)
             done += n
-        if on_nonconverged == "error":
-            # guarded extra round: min over in-neighbors (= next label)
-            # plus the node's OWN current label read off its self-loop
-            # rows — one join+agg, label table referenced once, zero
-            # build-time actions. A still-improving label means the
-            # bound truncated a component: raise at runtime instead of
-            # emitting silently split clusters. At a fixed point the
-            # CASE re-emits the unchanged label.
-            lbl = sql_over(
-                {"e": edges, "l": lbl},
-                f"""
-                SELECT id,
-                       CASE WHEN _new < _own THEN raise_error(concat(
-                           'dedup_clusters: not converged within',
-                           ' max_iterations={int(max_iterations)} rounds',
-                           ' (component containing node ',
-                           CAST(id AS STRING),
-                           ' is deeper than the bound); raise',
-                           ' max_iterations, pass check_convergence=True,',
-                           ' or opt in with on_nonconverged=''ignore'''))
-                       ELSE _new END AS cluster_id
-                FROM (
-                  SELECT e._dst AS id,
-                         min(l.cluster_id) AS _new,
-                         min(CASE WHEN e._src = e._dst
-                                  THEN l.cluster_id END) AS _own
-                  FROM {{e}} e JOIN {{l}} l ON l.id = e._src
-                  GROUP BY e._dst
+            if guard and done == max_iterations:
+                return sql_over(
+                    {"e": edges, "l": lbl}, with_guard(chunk, n)
                 )
-                """,
-            )
+            lbl = sql_over({"e": edges, "l": lbl}, chunk)
         return lbl
 
     labels = sql_over({"e": edges}, rounds_sql(0, seeded=False))

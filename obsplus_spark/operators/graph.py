@@ -431,29 +431,40 @@ def k_core_peel(
         _shuf = 0
     npart = max(spark.sparkContext.defaultParallelism, _shuf)
     if broadcast_degrees:
-        from pyspark.sql import functions as F
-
         from obsplus_spark.operators.dedup import _register_shingle_cache
 
-        e = (
-            edges
-            .selectExpr(
-                f"least({src_col}, {dst_col}) AS a",
-                f"greatest({src_col}, {dst_col}) AS b",
+        # one sql_over per stage — a chained-DataFrame round paid ~8
+        # eager Catalyst analyses of the deepening tree (plan-build is
+        # on the bench's rebuild path)
+        e = sql_over(
+            {"p": edges},
+            f"""
+            SELECT DISTINCT a, b FROM (
+              SELECT /*+ REPARTITION({npart}, a) */
+                     least({src_col}, {dst_col}) AS a,
+                     greatest({src_col}, {dst_col}) AS b
+              FROM {{p}}
+              WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+                AND {src_col} <> {dst_col}
             )
-            .where(
-                f"{src_col} IS NOT NULL AND {dst_col} IS NOT NULL"
-                f" AND {src_col} <> {dst_col}"
-            )
-            .repartition(npart, "a")
-            .distinct()
-            .persist()
-        )
+            """,
+        ).persist()
         # rr+2 capacity: executing the final round's frame reads EVERY
         # predecessor's cache (each round references its parent twice —
         # degree pass + semi-joins — so an evicted prefix would
         # recompute 2^depth times)
         _register_shingle_cache(e, ring_max=rr + 2)
+        # Rounds stay on the DataFrame API, NOT per-round sql_over
+        # statements: a temp-view reference re-analyzes the whole
+        # nested prior-round tree at every sql() call (~3^rounds
+        # analysis growth — measured 2.5 s construction for 4 rounds),
+        # while DataFrame references share the already-analyzed plan
+        # object (~0.4 s). Also not a `WITH ok` CTE: nesting
+        # per-statement CTE ids (each numbered from 0) inside a
+        # persisted plan crashes the optimizer's CTE pruning rule
+        # ("key not found: 0").
+        from pyspark.sql import functions as F
+
         for _ in range(rr):
             ok = (
                 e.select(F.explode(F.array("a", "b")).alias("node"))
@@ -463,7 +474,8 @@ def k_core_peel(
                 .select("node")
             )
             # both semi-joins map-side: the surviving-node set is the
-            # caller-guaranteed bounded broadcast
+            # caller-guaranteed bounded broadcast (ReuseExchange dedups
+            # the identical broadcast pair)
             e_next = (
                 e.join(F.broadcast(ok), e.a == ok.node, "leftsemi")
                 .join(F.broadcast(ok), F.col("b") == ok.node, "leftsemi")
