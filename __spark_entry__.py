@@ -7709,6 +7709,10 @@ def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     roots = cust.where("c_custkey % 97 = 0").select("c_custkey")
+    # banned-key frames here are ≤ 1/97 of customer keys and their
+    # order keys — broadcast-sized whenever orders itself is (the
+    # shared gate); under the bench's AQE-off session this stops every
+    # level sort-merging the full fact table
     return cascade_delete(
         roots,
         [
@@ -7716,6 +7720,7 @@ def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orders", orders, "o_custkey", "o_orderkey"),
             ("lineitem", li, "l_orderkey", None),
         ],
+        broadcast_keys=_orders_dim_small(sf_dir),
     )
 
 

@@ -354,6 +354,7 @@ def bulk_request_join(
 def cascade_delete(
     roots: DataFrame,
     chain: "list[tuple[str, DataFrame, str, str | None]]",
+    broadcast_keys: bool = False,
 ) -> DataFrame:
     """Referential purge propagation ("right to be forgotten"): given a
     frame of banned root keys, walk a foreign-key chain and report, per
@@ -373,7 +374,13 @@ def cascade_delete(
     count, and a bounded per-session ring releases it) plus one
     semi-joined count aggregate; the per-table totals are map-combined
     ``count(1)`` scans. Banned-key frames are key-sized, never
-    row-sized; AQE broadcasts them when small. The stats output is
+    row-sized; AQE broadcasts them when small — but under an AQE-off
+    session every semi join sort-merges, exchanging the FULL fact
+    table per level. ``broadcast_keys=True`` (caller-gated: correct
+    only while every banned-key set stays broadcast-sized — fine for
+    tombstone-cohort purges, wrong when a root fans out to billions
+    of child PKs) pins the banned side as a broadcast so the fact
+    tables are never exchanged. The stats output is
     chain-sized. NB: the release ring keeps TWO entries, so on chains
     of ≥ 3 levels the earliest banned frames are unpersisted before
     the output executes — still correct (Spark recomputes an
@@ -404,8 +411,9 @@ def cascade_delete(
     _register_shingle_cache(banned)
     stats = []
     for name, df, fk_col, pk_col in chain:
+        bside = F.broadcast(banned) if broadcast_keys else banned
         purged_rows = df.join(
-            banned, df[fk_col] == banned["_k"], "left_semi"
+            bside, df[fk_col] == bside["_k"], "left_semi"
         )
         n_purged = purged_rows.agg(F.count(F.lit(1)).alias("n_purged"))
         n_total = df.agg(F.count(F.lit(1)).alias("n_total"))
