@@ -4483,6 +4483,119 @@ _SQL_CHUNK = r"""
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy + type-token ratio (the
+    information-density quality score) — operators/text.py
+    token_entropy: MAP-ONLY, the (token → count) pairs come from the
+    shared in-row run-length aggregation and the entropy identity
+    ``log2(n) − Σ c·log2(c)/n`` folds over that array without any
+    explode leaving the row."""
+    from obsplus_spark.operators.text import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+_SQL_TOKEN_ENTROPY = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             round(count(*) / CAST(sum(c) AS DOUBLE), 6)
+               AS type_token_ratio,
+             round(log2(CAST(sum(c) AS DOUBLE))
+                   - sum(c * log2(CAST(c AS DOUBLE)))
+                     / CAST(sum(c) AS DOUBLE), 6) AS entropy_bits
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.n_types, 0) AS n_types,
+           s.type_token_ratio,
+           s.entropy_bits
+    FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram diversity (distinct-gram ratio + top-gram
+    share) — the synthetic-collapse / template-recycling detector;
+    operators/text.py ngram_diversity: in-row gram formation, one
+    (source, gram)-keyed map-combinable aggregate, one source rollup."""
+    from obsplus_spark.operators.text import ngram_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_diversity(docs, n=3)
+
+
+_SQL_NGRAM_DIVERSITY = r"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT source, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    c AS (
+      SELECT source, gram, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY source, gram
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_ngrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+    FROM c GROUP BY source
+"""
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion per-source train/val/test assignment —
+    operators/dedup.py stratified_split: rank-within-stratum over the
+    shared md5 key, floor-quantized boundaries; one stratum-keyed
+    window exchange (vs hash_split's shuffle-free but
+    only-in-expectation buckets)."""
+    from obsplus_spark.operators.dedup import stratified_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_split(docs, id_col="doc_id", stratum_col="source")
+
+
+_SQL_STRATIFIED_SPLIT = """
+    WITH k AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM k
+    )
+    SELECT doc_id, source,
+           CASE WHEN rk <= CAST(floor(n * 90 / 100.0) AS BIGINT)
+                  THEN 'train'
+                WHEN rk <= CAST(floor(n * 95 / 100.0) AS BIGINT)
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+"""
+
+
 def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-200 by occurrence count, with document
     frequencies — tokenizer-training / idf input. Per-doc counts come
@@ -8475,20 +8588,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "forecast_revenue": q_forecast_revenue,
         "top_supplier": q_top_supplier,
+        # (a+) new in r8: information-density, collapse detection,
+        # exact stratified splits
+        "token_entropy": q_token_entropy,
+        "ngram_diversity": q_ngram_diversity,
+        "stratified_split": q_stratified_split,
         # (a000) new in the r6 fourth wave: graph centrality/peeling,
         # robust stats, bigram LM, boolean retrieval, compliance
         # cascade, image/audio multimodal analysis, substring runs,
         # correlations, and four more TPC-H shapes
         "hits_auth": q_hits_auth,
         "k_core": q_k_core,
-        "trend_lines": q_trend_lines,
         "bigram_lp": q_bigram_lp,
-        "bool_search": q_bool_search,
         "cascade_delete": q_cascade_delete,
         "image_phash": q_image_phash,
         "audio_segments": q_audio_segments,
         "dup_spans": q_dup_spans,
-        "column_corr": q_column_corr,
         "mad_outliers": q_mad_outliers,
         # (a00) r6 third wave (minus the four held-over TPC-H shapes)
         "semantic_dedup": q_semantic_dedup,
@@ -8529,6 +8644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver cap (50) ---
         # r7-green single-agg shapes rotated out to make room for the
         # six never-driver-tested entries now leading the registry
+        "trend_lines": q_trend_lines,
+        "bool_search": q_bool_search,
+        "column_corr": q_column_corr,
         "nation_trade": q_nation_trade,
         "small_qty_revenue": q_small_qty_revenue,
         "brand_revenue": q_brand_revenue,
@@ -8727,6 +8845,9 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _SQL_HARDNEG,
         "chunk_text": _SQL_CHUNK,
         "vocab_top": _SQL_VOCAB,
+        "token_entropy": _SQL_TOKEN_ENTROPY,
+        "ngram_diversity": _SQL_NGRAM_DIVERSITY,
+        "stratified_split": _SQL_STRATIFIED_SPLIT,
         "pii_scrub": _SQL_PII,
         "pack_plan": _SQL_PACK,
         "decontaminate": _SQL_DECONTAM,

@@ -878,6 +878,65 @@ def hash_split(
     ).drop("_bucket")
 
 
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    weights: dict | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-proportion deterministic split WITHIN each stratum.
+
+    :func:`hash_split` assigns every row independently, so proportions
+    hold only in expectation — a small stratum (a rare language, a
+    niche source) can land with an empty validation set, silently
+    un-evaluable. This variant ranks each stratum's rows by the same
+    content-free ``md5(id || salt)`` key and cuts at
+    ``floor(cum_frac · n_stratum)`` boundaries: per-stratum counts are
+    exactly floor-quantized to the weights, still fully deterministic
+    and rerun-stable. The tradeoff (documented, deliberate): NOT
+    subset-consistent — adding rows to a stratum shifts ranks near the
+    boundaries, unlike hash_split's per-row buckets. Use hash_split
+    for incremental 100 TB corpora; use this when exact per-stratum
+    quotas matter more (eval carve-outs, per-language floors).
+
+    Scale shape: ONE stratum-keyed window exchange (rank + stratum
+    count share it); the sort key is a uniform hash so no salting is
+    needed, but a single giant stratum still sorts within one
+    reducer's partitions — the hash_split caveat in reverse.
+
+    ``weights`` defaults to ``{"train": 90, "val": 5, "test": 5}``
+    (percent, summing to 100, insertion order = boundary order).
+    Output: the input columns plus ``split``.
+    """
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    key = _md5_u32_sql(id_col, salt)
+    case, names, lo = "CASE", list(weights.items()), 0
+    for name, w in names[:-1]:
+        lo += w
+        # floor-quantized boundary: rank is 1-based, so split 1 is
+        # ranks [1, floor(n*f1)], split 2 is (floor(n*f1),
+        # floor(n*(f1+f2))], ...; the LAST split takes the remainder
+        case += (
+            f" WHEN _rk <= CAST(floor(_n * {lo} / 100.0) AS BIGINT)"
+            f" THEN '{name}'"
+        )
+    case += f" ELSE '{names[-1][0]}' END"
+    return (
+        df.selectExpr("*", f"{key} AS _key")
+        .selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {stratum_col}"
+            f" ORDER BY _key, {id_col}) AS _rk",
+            f"count(1) OVER (PARTITION BY {stratum_col}) AS _n",
+        )
+        .selectExpr("*", f"{case} AS split")
+        .drop("_key", "_rk", "_n")
+    )
+
+
 def hash_downsample_per_group(
     df: DataFrame,
     group_cols: list,

@@ -1431,3 +1431,115 @@ def conjunctive_search(
         LIMIT {kk}
         """,
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-distribution statistics: Shannon entropy in
+    bits, type/token counts, and type-token ratio — the
+    information-density quality signal. Keyword-stuffed, templated, or
+    looping documents carry LOW entropy for their length (few types,
+    skewed counts); natural prose sits near the corpus mode. Used next
+    to the Gopher rules (:func:`quality_filter`) as a continuous score
+    a curation pipeline can threshold per-source.
+
+    Scale shape: MAP-ONLY — the per-doc (token → count) pairs come
+    from the shared in-row run-length aggregation
+    (``_TOKEN_PAIRS_SQL``), and entropy folds over that array in-row:
+    ``H = log2(n) − Σ c·log2(c) / n`` (exactly the −Σ p·log2 p
+    identity, but with one division at the end — better conditioned
+    and cheaper). No shuffle, no explode leaves the row; the operator
+    runs at scan speed on any corpus size.
+
+    Output: (id, n_tokens, n_types, type_token_ratio, entropy_bits) —
+    blank/NULL docs keep their row with zero counts and NULL ratios.
+    """
+    # coalesce: NULL text must behave like blank (zero counts, NULL
+    # ratios), not propagate NULL counts past the oracle's LEFT JOIN
+    toks = f"coalesce({_lower_tokens_sql(text_col)}, array())"
+    return (
+        df.selectExpr(id_col, f"{toks} AS _toks")
+        .selectExpr(id_col, f"{_TOKEN_PAIRS_SQL} AS _p")
+        .selectExpr(
+            id_col,
+            "CAST(aggregate(_p, 0L, (a, x) -> a + x.n) AS BIGINT)"
+            " AS n_tokens",
+            "CAST(size(_p) AS BIGINT) AS n_types",
+            "_p",
+        )
+        .selectExpr(
+            id_col,
+            "n_tokens",
+            "n_types",
+            "CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE round(n_types / CAST(n_tokens AS DOUBLE), 6)"
+            " END AS type_token_ratio",
+            "CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE round(log2(CAST(n_tokens AS DOUBLE))"
+            "   - aggregate(_p, 0.0D, (a, x) ->"
+            "       a + x.n * log2(CAST(x.n AS DOUBLE)))"
+            "     / CAST(n_tokens AS DOUBLE), 6)"
+            " END AS entropy_bits",
+        )
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus-level n-gram diversity: how much of a source's
+    n-gram mass is unique vs recycled — the collapse/self-repetition
+    detector for synthetic or scraped sources (a source whose
+    distinct-trigram ratio craters is emitting the same templates over
+    and over; its top-gram share names the offender's weight).
+
+    Scale shape: n-grams form IN-ROW (a ``transform`` over the token
+    index sequence — the explode emits one row per gram instance, no
+    per-gram join), then ONE (source, gram)-keyed map-combinable
+    aggregate and one source-keyed rollup. Both exchanges carry
+    combined partials, never raw text.
+
+    Output: (source, n_ngrams, n_distinct, distinct_ratio, top_share),
+    one row per source with at least one n-gram.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    nn = int(n)
+    if nn < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = _lower_tokens_sql(text_col)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH g AS (
+          SELECT {source_col} AS source, gram
+          FROM (
+            SELECT {source_col},
+                   CASE WHEN size(_toks) < {nn} THEN array()
+                        ELSE transform(sequence(0, size(_toks) - {nn}),
+                             i -> concat_ws(' ',
+                                  slice(_toks, i + 1, {nn})))
+                   END AS _grams
+            FROM (SELECT {source_col}, {toks} AS _toks FROM {{d}})
+          )
+          LATERAL VIEW explode(_grams) _e AS gram
+        ),
+        c AS (
+          SELECT source, gram, CAST(count(1) AS BIGINT) AS c
+          FROM g GROUP BY source, gram
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_ngrams,
+               CAST(count(1) AS BIGINT) AS n_distinct,
+               round(count(1) / CAST(sum(c) AS DOUBLE), 6)
+                 AS distinct_ratio,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+        FROM c GROUP BY source
+        """,
+    )

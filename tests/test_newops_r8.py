@@ -1,0 +1,116 @@
+"""Round-8 operator wave: token entropy (information-density quality),
+per-source n-gram diversity (collapse detection), and exact-proportion
+stratified splits."""
+
+import math
+
+import pytest
+
+
+def test_token_entropy_hand_values(spark):
+    from obsplus_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),          # H of (2/3, 1/3) = 0.918296 bits
+            (2, "x"),              # single token: H = 0
+            (3, "  "),             # blank: zero counts, NULL ratios
+            (4, "p q r s"),        # uniform over 4: H = 2 bits
+            (5, None),             # NULL text behaves like blank
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.type_token_ratio,
+                   r.entropy_bits)
+        for r in token_entropy(docs).collect()
+    }
+    assert got[1][:2] == (3, 2)
+    assert got[1][2] == pytest.approx(2 / 3, abs=1e-6)
+    h = math.log2(3) - (2 * math.log2(2)) / 3
+    assert got[1][3] == pytest.approx(h, abs=1e-6)
+    assert got[2] == (1, 1, 1.0, 0.0)
+    assert got[3] == (0, 0, None, None)
+    assert got[4][3] == pytest.approx(2.0, abs=1e-6)
+    assert got[5] == (0, 0, None, None)
+
+
+def test_token_entropy_is_map_only(spark):
+    """The entropy fold happens in-row over the run-length pairs — the
+    plan must carry NO exchange at all (scan-speed at any corpus
+    size)."""
+    from obsplus_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b a")], "doc_id long, text string"
+    )
+    p = (
+        token_entropy(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p, "token_entropy grew a shuffle"
+
+
+def test_ngram_diversity_hand_values(spark):
+    from obsplus_spark.operators.text import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c", "A"),  # grams: abc, bca, cab, abc
+            (2, "x y", "B"),          # < n tokens: contributes nothing
+            (3, "u v w", "B"),        # exactly one gram
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: (r.n_ngrams, r.n_distinct, r.distinct_ratio,
+                   r.top_share)
+        for r in ngram_diversity(docs, n=3).collect()
+    }
+    assert got["A"] == (4, 3, 0.75, 0.5)
+    assert got["B"] == (1, 1, 1.0, 1.0)
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_diversity(docs, n=0)
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Per-stratum counts are exactly floor-quantized to the weights —
+    the property hash_split only delivers in expectation."""
+    from obsplus_spark.operators.dedup import stratified_split
+
+    rows = [(i, "big") for i in range(40)] + [
+        (100 + i, "small") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(
+        df, weights={"train": 50, "val": 25, "test": 25}
+    ).collect()
+    counts: dict = {}
+    for r in out:
+        counts.setdefault(r.source, {}).setdefault(r.split, 0)
+        counts[r.source][r.split] += 1
+    assert counts["big"] == {"train": 20, "val": 10, "test": 10}
+    # 3 rows at 50/25/25: floor(1.5)=1 train, floor(2.25)-1=1 val, 1 test
+    assert counts["small"] == {"train": 1, "val": 1, "test": 1}
+    # deterministic: identical assignment on a second build
+    again = stratified_split(
+        df, weights={"train": 50, "val": 25, "test": 25}
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match="sum to 100"):
+        stratified_split(df, weights={"train": 60, "val": 20})
+
+
+def test_stratified_split_small_stratum_quantization(spark):
+    """90/5/5 over a 3-row stratum: floor boundaries give train 2,
+    val 0, test 1 — quantized but never an accidental empty LAST
+    split, and all rows assigned."""
+    from obsplus_spark.operators.dedup import stratified_split
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(3)], "doc_id long, source string"
+    )
+    out = stratified_split(df).collect()
+    splits = sorted(r.split for r in out)
+    assert len(out) == 3 and splits.count("train") == 2
+    assert splits.count("test") == 1 and splits.count("val") == 0
