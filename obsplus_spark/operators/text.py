@@ -1314,15 +1314,20 @@ def bigram_logprob(
     toks = _lower_tokens_sql(text_col)
     # bigrams materialize as SINGLE "w1 w2" strings (tokens are
     # whitespace-split, so the space-joined form is bijective with the
-    # pair): zip_with(slice, slice, concat) measured 2.6× faster than
-    # a transform building named_structs (both are interpreted
-    # higher-order functions, but the struct path allocates per
-    # element and doubles the shuffle key width), and the probe join
-    # carries one string key instead of two. The slice length is
-    # clamped to ≥ 0 (greatest) so the expression is TOTAL on empty
-    # token arrays: InferFiltersFromGenerate + predicate reordering
-    # can evaluate it BEFORE the size >= 2 filter, and a raw
-    # size(_toks) - 1 throws INVALID_PARAMETER_VALUE there.
+    # pair), and the explode carries the token INDEX sequence with the
+    # bigram string concatenated AFTER the explode (r8; previously a
+    # zip_with built every bigram string in-row as the explode input).
+    # Rationale: InferFiltersFromGenerate derives `size(<explode
+    # input>) > 0` and predicate pushdown drags it through the
+    # parallelizing exchange onto the few-partition cached scan — the
+    # entire explode-input expression then runs TWICE, once serialized
+    # at the scan (the ngram_diversity finding, 4.8 s → 1.6 s there).
+    # A sequence input costs the scan a split+size; the string builds
+    # happen once, post-explode, at full width. Short docs guard via
+    # CASE, not greatest(): Spark's sequence(1, 0) helpfully COUNTS
+    # DOWN ([1, 0]), so a clamped bound would emit two bogus indices
+    # where predicate reordering evaluates the expression before the
+    # size >= 2 docs filter.
     tf = sql_over(
         {"d": ensure_parallelism(df)},
         f"""
@@ -1332,14 +1337,11 @@ def bigram_logprob(
           WHERE size(_toks) >= 2
         ),
         occ AS (
-          SELECT {id_col}, bg
-          FROM (
-            SELECT {id_col},
-                   zip_with(slice(_toks, 1, greatest(size(_toks) - 1, 0)),
-                            slice(_toks, 2, greatest(size(_toks) - 1, 0)),
-                            (a, b) -> concat(a, ' ', b)) AS _bgs
-            FROM docs)
-          LATERAL VIEW explode(_bgs) _e AS bg
+          SELECT {id_col}, concat(_toks[i - 1], ' ', _toks[i]) AS bg
+          FROM docs
+          LATERAL VIEW explode(
+            CASE WHEN size(_toks) < 2 THEN array()
+                 ELSE sequence(1, size(_toks) - 1) END) _e AS i
         )
         SELECT {id_col}, bg, CAST(count(1) AS BIGINT) AS tf
         FROM occ GROUP BY {id_col}, bg
@@ -1499,11 +1501,18 @@ def ngram_diversity(
     distinct-trigram ratio craters is emitting the same templates over
     and over; its top-gram share names the offender's weight).
 
-    Scale shape: n-grams form IN-ROW (a ``transform`` over the token
-    index sequence — the explode emits one row per gram instance, no
-    per-gram join), then ONE (source, gram)-keyed map-combinable
-    aggregate and one source-keyed rollup. Both exchanges carry
-    combined partials, never raw text.
+    Scale shape: the explode carries the token INDEX sequence, and the
+    gram string concatenates AFTER the explode — deliberately not a
+    ``transform`` building all gram strings in-row:
+    ``InferFiltersFromGenerate`` derives ``size(<explode input>) > 0``
+    and predicate pushdown drags that expression through the
+    parallelizing exchange onto the (few-partition) scan, so whatever
+    the explode input computes runs TWICE, once serialized on the scan
+    partitions (measured 4.8 s → 1.6 s at sf0.1 for the in-row-grams
+    form; the index sequence costs a split+size there instead of
+    millions of string builds). Then ONE (source, gram)-keyed
+    map-combinable aggregate and one source rollup — the exchanges
+    carry combined partials, never raw text.
 
     Output: (source, n_ngrams, n_distinct, distinct_ratio, top_share),
     one row per source with at least one n-gram.
@@ -1518,17 +1527,12 @@ def ngram_diversity(
         {"d": ensure_parallelism(df)},
         f"""
         WITH g AS (
-          SELECT {source_col} AS source, gram
-          FROM (
-            SELECT {source_col},
-                   CASE WHEN size(_toks) < {nn} THEN array()
-                        ELSE transform(sequence(0, size(_toks) - {nn}),
-                             i -> concat_ws(' ',
-                                  slice(_toks, i + 1, {nn})))
-                   END AS _grams
-            FROM (SELECT {source_col}, {toks} AS _toks FROM {{d}})
-          )
-          LATERAL VIEW explode(_grams) _e AS gram
+          SELECT {source_col} AS source,
+                 concat_ws(' ', slice(_toks, i + 1, {nn})) AS gram
+          FROM (SELECT {source_col}, {toks} AS _toks FROM {{d}})
+          LATERAL VIEW explode(
+            CASE WHEN size(_toks) < {nn} THEN array()
+                 ELSE sequence(0, size(_toks) - {nn}) END) _e AS i
         ),
         c AS (
           SELECT source, gram, CAST(count(1) AS BIGINT) AS c
