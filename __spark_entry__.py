@@ -4463,7 +4463,8 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CHUNK = r"""
     WITH t AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0
+                  THEN []::VARCHAR[]
                   ELSE string_split_regex(trim(text), '\s+') END AS toks
       FROM documents
     ),
@@ -4477,8 +4478,10 @@ _SQL_CHUNK = r"""
     SELECT doc_id,
            st // 24 AS chunk_idx,
            CAST(least(len(toks) - st, 32) AS BIGINT) AS n_chunk_tokens,
-           array_to_string(list_slice(toks, st + 1, st + 32), ' ')
-             AS chunk_text
+           -- coalesce: DuckDB array_to_string([]) is NULL where
+           -- Spark concat_ws is '' (empty chunk of a blank doc)
+           coalesce(array_to_string(list_slice(toks, st + 1, st + 32),
+                                    ' '), '') AS chunk_text
     FROM s
 """
 

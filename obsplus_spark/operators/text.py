@@ -163,8 +163,12 @@ def language_id_heuristic(
         " 'lang', '" + sql_str_lit(lang) + "')"
         for lang in sorted(profiles)
     )
+    # coalesce: NULL text must score zero hits ('unknown', 0) like a
+    # blank doc — split(NULL) is NULL and would propagate NULL
+    # marker_hits (caught by the r8 degenerate-text oracle sweep)
     staged = df.selectExpr(
-        id_col, rf"split(trim({text_col}), '\\s+') AS _toks"
+        id_col,
+        rf"coalesce(split(trim({text_col}), '\\s+'), array()) AS _toks",
     ).selectExpr(id_col, f"array_min(array({scored})) AS _best")
     return staged.selectExpr(
         id_col,
@@ -412,9 +416,14 @@ def chunk_text(
     ct = int(chunk_tokens)
     from obsplus_spark.util import ensure_parallelism
 
+    # coalesce: NULL text must chunk like a blank doc (one empty
+    # chunk), not ride NULL through size()/least() into a phantom
+    # full-width chunk (r8 degenerate-text sweep finding — both
+    # engines emitted a 32-token chunk of nothing and then disagreed
+    # on '' vs NULL for its text)
     toks = (
-        rf"CASE WHEN length(trim({text_col})) = 0 THEN array()"
-        rf" ELSE split(trim({text_col}), '\\s+') END"
+        rf"coalesce(CASE WHEN length(trim({text_col})) = 0 THEN array()"
+        rf" ELSE split(trim({text_col}), '\\s+') END, array())"
     )
     # chunk starts: 0, stride, 2·stride … while start < n (and at least
     # one chunk); slice() is 1-indexed
