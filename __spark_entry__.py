@@ -724,9 +724,16 @@ def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", _ts_ns().alias("t_ns"), "event_type"
     )
     # event_id tie-break: same-µs events for one user would otherwise
-    # make both engines pick nondeterministically (r6 review)
+    # make both engines pick nondeterministically (r6 review).
+    # asc_nulls_last: a NULL-timestamp event must not win "first" —
+    # Spark's bare ASC is NULLS FIRST while DuckDB's is NULLS LAST
+    # (r8 degenerate-events sweep); NULLS LAST is also the sensible
+    # semantics (unknown time loses to any known time).
     return topk_per_group(
-        ev, ["user_id"], [F.col("t_ns").asc(), F.col("event_id").asc()], k=1
+        ev,
+        ["user_id"],
+        [F.col("t_ns").asc_nulls_last(), F.col("event_id").asc()],
+        k=1,
     )
 
 
@@ -5140,7 +5147,9 @@ _SQL_TRIGRAMS = """
     WITH seq AS (
       SELECT user_id,
              list(event_type ORDER BY epoch_ns(ts), event_id) AS types
-      FROM events GROUP BY user_id
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
     ),
     g AS (
       SELECT unnest(CASE WHEN len(types) >= 3 THEN
@@ -5229,7 +5238,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SESSIONS = """
-    WITH e AS (SELECT user_id, epoch_ns(ts) AS t_ns FROM events),
+    WITH e AS (SELECT user_id, epoch_ns(ts) AS t_ns FROM events
+               WHERE ts IS NOT NULL),
     o AS (
       SELECT user_id, t_ns,
              CASE WHEN lag(t_ns) OVER w IS NULL

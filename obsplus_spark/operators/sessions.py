@@ -43,7 +43,11 @@ def user_sessions(
                  CASE WHEN lag({ts_col}) OVER w IS NULL
                         OR {ts_col} - lag({ts_col}) OVER w > {int(gap_ns)}
                       THEN 1 ELSE 0 END AS _brk
-          FROM {{e}}
+          -- NULL-timestamp events cannot sessionize (no position on
+          -- the time axis) and engines disagree on their window sort
+          -- side (Spark NULLS FIRST vs DuckDB NULLS LAST — r8
+          -- degenerate-events sweep); dropped by contract
+          FROM {{e}} WHERE {ts_col} IS NOT NULL
           WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col})
         ),
         s AS (
@@ -292,7 +296,13 @@ def action_ngrams(
                  transform(array_sort(collect_list(named_struct(
                    't', {ts_col}, 'tb', {tb}, 'ty', {type_col}))),
                    s -> s.ty) AS _types
-          FROM {{e}} GROUP BY {user_col}
+          -- events with no timestamp or no action cannot take a
+          -- position in the journey (struct-sort NULL placement is
+          -- engine-dependent, and a NULL action would silently shrink
+          -- a joined n-gram) — dropped by contract (r8 sweep)
+          FROM {{e}}
+          WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
+          GROUP BY {user_col}
         ),
         g AS (
           SELECT gram FROM (
