@@ -4138,6 +4138,102 @@ _SQL_DECONTAM = r"""
 """
 
 
+def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded contamination fraction (share of a doc's distinct
+    4-grams found in the eval cohort, C4/FLAN decision rule) —
+    operators/dedup.py contamination_fraction: gram-hash table built
+    once (persisted), Bloom-pre-pruned broadcast semi join + in-row
+    denominator, one id-keyed assembly join."""
+    from obsplus_spark.operators.dedup import contamination_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_fraction(corpus, benchmark, n=4, threshold=0.05)
+
+
+_SQL_CONTAM_FRAC = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 4 THEN
+               list_transform(range(1, len(w) - 2),
+                 i -> array_to_string(list_slice(w, i, i + 3), ' '))
+             ELSE [] END) AS g
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT u.s FROM grams, unnest(g) AS u(s)
+      WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, u.s FROM grams, unnest(g) AS u(s)
+      WHERE doc_id % 97 <> 0
+    ),
+    corpus_g AS (
+      SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams
+      FROM grams WHERE doc_id % 97 <> 0 AND len(g) > 0
+    ),
+    shared AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM corpus c JOIN bench b ON b.s = c.s
+      GROUP BY c.doc_id
+    )
+    SELECT g.doc_id, g.n_grams,
+           coalesce(s.n_shared, 0) AS n_shared,
+           round(coalesce(s.n_shared, 0) / CAST(g.n_grams AS DOUBLE), 6)
+             AS contamination_frac,
+           coalesce(s.n_shared, 0) / CAST(g.n_grams AS DOUBLE) >= 0.05
+             AS contaminated
+    FROM corpus_g g LEFT JOIN shared s USING (doc_id)
+"""
+
+
+def q_action_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user action
+    streams (counts + P(next | current)) — operators/sessions.py
+    action_transitions: one user-keyed exchange, in-row journey fold
+    with index-sequence explode, vocabulary-sized pair aggregate,
+    conditional normalizer windowed over the count frame."""
+    from obsplus_spark.operators.sessions import action_transitions
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", _ts_ns().alias("t_ns")
+    )
+    return action_transitions(ev, k=50, tiebreak_col="event_id")
+
+
+_SQL_TRANSITIONS = """
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY epoch_ns(ts), event_id) AS types
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    t AS (
+      SELECT types[i] AS cur, types[i + 1] AS nxt
+      FROM seq, UNNEST(range(1, len(types))) AS r(i)
+      WHERE len(types) >= 2
+    ),
+    c AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY cur, nxt
+    )
+    SELECT cur AS cur_action, nxt AS next_action, n AS n_transitions,
+           round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6)
+             AS p_next
+    FROM c
+    ORDER BY n DESC, cur, nxt
+    LIMIT 50
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering keys over the customer synthetic
     coordinates: uniform 16-bit binning per dimension + bit interleave —
@@ -8606,17 +8702,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "ngram_diversity": q_ngram_diversity,
         "stratified_split": q_stratified_split,
+        "contamination_frac": q_contamination_frac,
+        "action_transitions": q_action_transitions,
         # (a000) new in the r6 fourth wave: graph centrality/peeling,
         # robust stats, bigram LM, boolean retrieval, compliance
         # cascade, image/audio multimodal analysis, substring runs,
         # correlations, and four more TPC-H shapes
         "hits_auth": q_hits_auth,
         "k_core": q_k_core,
-        "bigram_lp": q_bigram_lp,
         "cascade_delete": q_cascade_delete,
-        "image_phash": q_image_phash,
+        "bigram_lp": q_bigram_lp,
         "audio_segments": q_audio_segments,
-        "dup_spans": q_dup_spans,
         "mad_outliers": q_mad_outliers,
         # (a00) r6 third wave (minus the four held-over TPC-H shapes)
         "semantic_dedup": q_semantic_dedup,
@@ -8657,6 +8753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver cap (50) ---
         # r7-green single-agg shapes rotated out to make room for the
         # six never-driver-tested entries now leading the registry
+        "image_phash": q_image_phash,
+        "dup_spans": q_dup_spans,
         "trend_lines": q_trend_lines,
         "bool_search": q_bool_search,
         "column_corr": q_column_corr,
@@ -8861,6 +8959,8 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": _SQL_TOKEN_ENTROPY,
         "ngram_diversity": _SQL_NGRAM_DIVERSITY,
         "stratified_split": _SQL_STRATIFIED_SPLIT,
+        "contamination_frac": _SQL_CONTAM_FRAC,
+        "action_transitions": _SQL_TRANSITIONS,
         "pii_scrub": _SQL_PII,
         "pack_plan": _SQL_PACK,
         "decontaminate": _SQL_DECONTAM,

@@ -1101,6 +1101,54 @@ def contamination_check(
     )
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.05,
+    bloom_bits: int = 1 << 16,
+) -> DataFrame:
+    """Thresholded contamination FRACTION per corpus document — the
+    C4/FLAN-style decision rule on top of :func:`contamination_check`:
+    any-hit flagging (n_shared ≥ 1) over-drops long documents that
+    merely quote a benchmark phrase, so production hygiene thresholds
+    on the SHARE of a document's distinct n-grams found in the eval
+    set (``n_shared / n_grams >= threshold``).
+
+    Scale shape: the per-doc distinct gram-hash table builds ONCE
+    (persisted inside, bounded ring releases it) and feeds both the
+    Bloom-pre-pruned broadcast semi join of contamination_check and
+    the denominator (an in-row ``size``); the final assembly is one
+    id-keyed left join of two doc-keyed frames. Corpus rows never
+    shuffle on the gram axis.
+
+    Output: (id, n_grams, n_shared, contamination_frac, contaminated)
+    for every corpus doc with at least one n-gram.
+    """
+    if not 0.0 <= float(threshold) <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    c_sh = gram_hash_array(corpus, id_col, text_col, n).persist()
+    _register_shingle_cache(c_sh)
+    hits = contamination_check(
+        corpus, benchmark, id_col, text_col, n,
+        corpus_grams_df=c_sh, bloom_bits=bloom_bits,
+    )
+    denom = c_sh.selectExpr(
+        id_col, "CAST(size(grams) AS BIGINT) AS n_grams"
+    ).where("n_grams > 0")
+    return denom.join(hits, id_col, "left").selectExpr(
+        id_col,
+        "n_grams",
+        "CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared",
+        "round(coalesce(n_shared, 0) / CAST(n_grams AS DOUBLE), 6)"
+        " AS contamination_frac",
+        f"coalesce(n_shared, 0) / CAST(n_grams AS DOUBLE)"
+        f" >= {float(threshold)!r}D AS contaminated",
+    )
+
+
 def boilerplate_ngram_stats(
     df: DataFrame,
     n: int = 3,

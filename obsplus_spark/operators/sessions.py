@@ -726,3 +726,70 @@ def mad_outliers(
         GROUP BY {key_col}
         """,
     )
+
+
+def action_transitions(
+    events: DataFrame,
+    k: int = 50,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "t_ns",
+    tiebreak_col: "str | None" = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user action
+    streams: for every consecutive (current → next) action pair, the
+    transition count and the conditional probability
+    ``P(next | current)`` — the behavioral model behind journey
+    anomaly detection, next-action prediction baselines, and funnel
+    design (:func:`action_ngrams` surfaces the frequent MOTIFS; this
+    normalizes them into a usable conditional distribution).
+
+    Same contracts as action_ngrams (r8): events with no timestamp or
+    no action are dropped (no position / no state), and ordering ties
+    break on ``tiebreak_col``. Scale shape: ONE user-keyed exchange —
+    each user's ordered type sequence folds in-row and the explode
+    carries the INDEX sequence (the cheap-explode-input convention:
+    the inferred `size > 0` predicate pushed to the scan then costs a
+    size, not the pair materialization); the pair counts are a
+    map-combinable vocabulary aggregate, and the conditional
+    normalizer is a window over the vocabulary²-sized count frame —
+    never over events.
+
+    Output: (cur_action, next_action, n_transitions, p_next), top-``k``
+    by count (ties by action pair).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    tb = tiebreak_col if tiebreak_col is not None else ts_col
+    return sql_over(
+        {"e": ensure_parallelism(events)},
+        f"""
+        WITH seq AS (
+          SELECT {user_col},
+                 transform(array_sort(collect_list(named_struct(
+                   't', {ts_col}, 'tb', {tb}, 'ty', {type_col}))),
+                   s -> s.ty) AS _types
+          FROM {{e}}
+          WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
+          GROUP BY {user_col}
+        ),
+        t AS (
+          SELECT _types[i - 1] AS cur, _types[i] AS nxt
+          FROM seq
+          LATERAL VIEW explode(
+            CASE WHEN size(_types) < 2 THEN array()
+                 ELSE sequence(1, size(_types) - 1) END) _e AS i
+        ),
+        c AS (
+          SELECT cur, nxt, CAST(count(1) AS BIGINT) AS n
+          FROM t GROUP BY cur, nxt
+        )
+        SELECT cur AS cur_action, nxt AS next_action,
+               n AS n_transitions,
+               round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE),
+                     6) AS p_next
+        FROM c
+        ORDER BY n DESC, cur, nxt
+        LIMIT {int(k)}
+        """,
+    )

@@ -32,6 +32,7 @@ SESSIONS_QUERIES = [
     "time_chunks",
     "json_props",
     "rank_transform",
+    "action_transitions",
 ]
 
 TABLES = [

@@ -30,6 +30,7 @@ TEXT_QUERIES = [
     "chunk_text",
     "exact_dedup",
     "bool_search",
+    "contamination_frac",
 ]
 
 TABLES = [

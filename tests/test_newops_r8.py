@@ -114,3 +114,64 @@ def test_stratified_split_small_stratum_quantization(spark):
     splits = sorted(r.split for r in out)
     assert len(out) == 3 and splits.count("train") == 2
     assert splits.count("test") == 1 and splits.count("val") == 0
+
+
+def test_contamination_fraction_hand_values(spark):
+    """Doc sharing half its distinct grams with the benchmark gets
+    frac 0.5; a clean doc gets 0.0 with contaminated=False; gramless
+    docs are absent; threshold validated."""
+    from obsplus_spark.operators.dedup import contamination_fraction
+
+    # n=2 grams; corpus doc 1: grams {a b, b c, c d} — 'a b' and 'b c'
+    # appear in the benchmark doc → 2/3 shared
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "x y z"),       # grams {x y, y z}: clean
+            (3, "solo"),        # one token: no 2-grams, absent
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_shared,
+                   r.contamination_frac, r.contaminated)
+        for r in contamination_fraction(
+            corpus, bench, n=2, threshold=0.5
+        ).collect()
+    }
+    assert got[1] == (3, 2, round(2 / 3, 6), True)
+    assert got[2] == (2, 0, 0.0, False)
+    assert 3 not in got
+    with pytest.raises(ValueError, match="threshold"):
+        contamination_fraction(corpus, bench, threshold=1.5)
+
+
+def test_action_transitions_hand_values(spark):
+    """Markov matrix: counts and P(next|cur) over per-user ordered
+    streams; NULL-ts and NULL-type events dropped by contract."""
+    from obsplus_spark.operators.sessions import action_transitions
+
+    rows = [
+        # user 1: a -> b -> a -> b
+        (1, "a", 10, 100), (1, "b", 11, 200), (1, "a", 12, 300),
+        (1, "b", 13, 400),
+        # user 2: a -> c
+        (2, "a", 20, 100), (2, "c", 21, 200),
+        # degenerate: no ts / no type — must not create transitions
+        (1, "z", 14, None), (2, None, 22, 300),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, t_ns long"
+    )
+    got = {
+        (r.cur_action, r.next_action): (r.n_transitions, r.p_next)
+        for r in action_transitions(ev, k=10,
+                                    tiebreak_col="event_id").collect()
+    }
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3  # no z- or NULL-derived transitions
