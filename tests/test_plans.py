@@ -735,3 +735,61 @@ def test_top_supplier_rank_over_dim_sized_table(plans):
     p, _ = plans["top_supplier"]
     assert "BroadcastHashJoin" in p
     assert p.count("HashAggregate") <= 4  # one agg (partial+final) x2 listings
+
+
+def _executed_plan_no_aqe(spark, name):
+    """Executed-plan string under AQE OFF — the same planning mode the
+    bench harness runs (tools/bench_compare disables AQE), and the only
+    mode where exchange counts are stable plan properties (AQE wraps
+    every stage in AdaptiveSparkPlan and prints not-yet-optimized
+    initial plans, inflating marker counts nondeterministically)."""
+    import __spark_entry__ as em
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return (
+            em.queries()[name](spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_hits_auth_partition_aligned_rounds(spark):
+    """r8 graph-constant work: the HITS plan must keep (a) the
+    src-partitioned cached edge frame satisfying every groupBy-src and
+    a-round join (no new ENSURE_REQUIREMENTS exchange per half-round
+    beyond the dst-keyed aggregates), and (b) the caller-gated
+    broadcast of the dim-bounded authority vectors. Removing either
+    silently re-exchanges the edge frame per half-round — the measured
+    10.5 s → 2.7 s sf1 improvement in reverse. Bounds are the measured
+    executed-plan shape with one exchange of slack."""
+    p = _executed_plan_no_aqe(spark, "hits_auth")
+    ens = p.count("ENSURE_REQUIREMENTS")
+    assert ens <= 6, f"hits_auth grew exchanges: {ens}"
+    assert p.count("SortMergeJoin") <= 3, "a dst-join lost its broadcast"
+    assert "BroadcastHashJoin" in p
+
+
+def test_pagerank_partition_aligned_rounds(spark):
+    """r8: pagerank's hoisted src-partitioned weighted edge frame —
+    the per-round `e.src = r.node` joins co-partition with the rank
+    vector's own aggregate output, so only the dst-keyed contribution
+    aggregates exchange. A reappearing in-statement DISTINCT or a lost
+    repartition inflates the exchange count immediately."""
+    p = _executed_plan_no_aqe(spark, "pagerank")
+    ens = p.count("ENSURE_REQUIREMENTS")
+    assert ens <= 5, f"pagerank grew exchanges: {ens}"
+    assert p.count("SortMergeJoin") <= 3
+
+
+def test_bfs_hops_bounded_exchanges(spark):
+    """r8: bfs_distances dedups + persists its edge frame hash(src)
+    inside the operator; each hop joins the (small) frontier against
+    the cached partitioning, so the per-hop exchanges carry frontier
+    and offer rows, never the edge frame. Bound set from the measured
+    3-hop executed plan with slack."""
+    p = _executed_plan_no_aqe(spark, "bfs_hops")
+    ens = p.count("ENSURE_REQUIREMENTS")
+    assert ens <= 11, f"bfs_hops grew exchanges: {ens}"
