@@ -1118,9 +1118,12 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_KNN = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < 5
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND vec_id < 5
     ),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
     s AS (
       SELECT query_id, vec_id,
              coalesce(list_dot_product(ev, qv)
@@ -2731,9 +2734,12 @@ def q_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_IVF = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND vec_id >= 5 AND vec_id < 10
     ),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
     s AS (
       SELECT query_id, vec_id,
              coalesce(list_dot_product(ev, qv)
@@ -2769,6 +2775,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_EMBED_ND = """
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     p AS (
       SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -3006,6 +3013,7 @@ def _lsh_sql() -> str:
           SELECT vec_id, embedding::DOUBLE[] AS ev,
                  {bucket('embedding::DOUBLE[]')} AS bucket
           FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
         ),
         q AS (
           SELECT vec_id AS query_id, ev AS qv, bucket
@@ -4301,7 +4309,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_ANN_RECALL = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
     cents AS (
       -- seeds by RANK (the 4 smallest ids), matching the Spark side's
       -- ORDER BY id LIMIT k — not by id VALUE, which would silently
@@ -4442,6 +4451,7 @@ _SQL_QUANTIZE = """
                x -> abs(CAST(x AS DOUBLE)))) AS amax,
              embedding
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     c AS (
       SELECT vec_id, amax,
@@ -4975,10 +4985,13 @@ _SQL_HARDNEG = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
              label AS qlabel
-      FROM embeddings WHERE vec_id < 5
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND vec_id < 5
     ),
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     s AS (
       SELECT query_id, vec_id, v.label,
@@ -5462,7 +5475,8 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_KMEANS = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
     cents AS (
       -- seeds by RANK (the 4 smallest ids), matching the Spark side's
       -- ORDER BY id LIMIT k — not by id VALUE, which would silently
@@ -6335,7 +6349,8 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_PQ = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
     seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ev AS cv
       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)
@@ -6657,7 +6672,8 @@ def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_IVF_PQ = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
              sqrt(list_dot_product(ev, ev)) AS nrm
@@ -7184,6 +7200,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SEMANTIC_DEDUP = """
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     cents AS (
       -- seeds by RANK (the 4 smallest ids), matching the Spark side's

@@ -58,6 +58,18 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows whose ``vec_col`` is a usable vector: non-NULL AND
+    non-empty. The CONTRACT of every similarity operator (r8): a NULL
+    or empty embedding is a malformed row (failed encoder, bad join),
+    EXCLUDED up front — DuckDB's ``list_dot_product`` hard-errors on
+    NULL lists, so one such row would otherwise crash the oracle gate;
+    and a 0-dim "vector" has no geometry to rank. A ZERO-NORM vector
+    is a VALID vector and stays: it is defined as similarity 0 to
+    everything (see :func:`cosine`)."""
+    return df.where(f"{vec_col} IS NOT NULL AND size({vec_col}) > 0")
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -80,7 +92,10 @@ def cosine_topk(
     # chained Column-object formulation cost ~0.2 s of driver time per
     # plan build
     return sql_over(
-        {"v": vectors, "q": queries},
+        {
+            "v": valid_vectors(vectors, vec_col),
+            "q": valid_vectors(queries, query_vec_col),
+        },
         f"""
         SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY {query_id_col}
@@ -141,7 +156,7 @@ def ivf_assign(
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
-    vectors = ensure_parallelism(vectors)
+    vectors = ensure_parallelism(valid_vectors(vectors, vec_col))
     # seeds = the n_clusters smallest-id vectors (deterministic, no RNG);
     # ORDER BY + LIMIT is distributed TakeOrdered, never a global window.
     # The seed set is ≤ n_clusters rows, so folding it into ONE array row
@@ -279,7 +294,11 @@ def ivf_topk(
 
     carr = _fold_centroids(centroids, cluster_col="cluster")
     return sql_over(
-        {"a": assignments, "c": carr, "q": queries},
+        {
+            "a": assignments,
+            "c": carr,
+            "q": valid_vectors(queries, query_vec_col),
+        },
         f"""
         SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY {query_id_col}
@@ -330,6 +349,7 @@ def embedding_near_dup(
     - ``exact``: pure zip_with/aggregate join math — JVM-side, no Python,
       right for small candidate sets.
     """
+    vectors = valid_vectors(vectors, vec_col)
     if method == "exact":
         a = vectors.select(
             F.col(block_col).alias("_blk"),
@@ -408,7 +428,7 @@ def hyperplane_lsh_buckets(
     expression string — the Column-object formulation cost hundreds of
     py4j round-trips (b × dim literal calls) per plan build.
     """
-    return vectors.withColumn(
+    return valid_vectors(vectors, vec_col).withColumn(
         bucket_col, F.expr(_bucket_sql(hyperplanes, vec_col))
     )
 
@@ -446,7 +466,10 @@ def cosine_topk_lsh(
     bucket = _bucket_sql(hyperplanes, vec_col)
     qbucket = _bucket_sql(hyperplanes, query_vec_col)
     return sql_over(
-        {"v": vectors, "q": queries},
+        {
+            "v": valid_vectors(vectors, vec_col),
+            "q": valid_vectors(queries, query_vec_col),
+        },
         f"""
         SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY {query_id_col}
@@ -478,6 +501,7 @@ def quantize_int8(
     Output: (id, codes array<int>, scale double). Zero vectors carry
     scale 0 and all-zero codes.
     """
+    vectors = valid_vectors(vectors, vec_col)
     amax = (
         f"aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
         " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
@@ -565,6 +589,8 @@ def kmeans_refine_stats(
     """
     from obsplus_spark.util import sql_over
 
+    vectors = valid_vectors(vectors, vec_col)
+
     assignments, _ = ivf_assign(
         vectors,
         n_clusters=n_clusters,
@@ -612,7 +638,10 @@ def hard_negatives(
     from obsplus_spark.util import sql_over
 
     return sql_over(
-        {"v": vectors, "q": queries},
+        {
+            "v": valid_vectors(vectors, vec_col),
+            "q": valid_vectors(queries, query_vec_col),
+        },
         f"""
         SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY {query_id_col}
@@ -710,7 +739,7 @@ def pq_encode(
         raise ValueError(
             f"m and n_codes must be >= 1, got m={m}, n_codes={n_codes}"
         )
-    vectors = ensure_parallelism(vectors)
+    vectors = ensure_parallelism(valid_vectors(vectors, vec_col))
     codes = _pq_codebook(vectors, n_codes, id_col, vec_col)
     return sql_over(
         {"v": vectors, "c": codes},
@@ -770,6 +799,9 @@ def ivf_pq_topk(
 
     if int(rerank) < int(k):
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    vectors = valid_vectors(vectors, vec_col)
+    if queries is not None:
+        queries = valid_vectors(queries, query_vec_col)
     assignments, carr = ivf_assign(
         vectors,
         n_clusters=n_clusters,

@@ -28,6 +28,8 @@ COSINE_QUERIES = [
     "ivf_pq",
     "semantic_dedup",
     "hard_negatives",
+    "embed_quantize",
+    "pq_codes",
 ]
 
 TABLES = [
@@ -56,9 +58,11 @@ def _normalize(rows, cols):
 
 @pytest.fixture(scope="module")
 def zero_norm_sf_dir(tmp_path_factory):
-    """sf0.001 with one extra ZERO-NORM embedding row (fresh max id —
-    outside the query sets, so expected ranks are unchanged unless a
-    twin crashes or NULL-ranks the new row differently)."""
+    """sf0.001 with three degenerate embedding rows appended (fresh max
+    ids, outside the query sets so expected ranks are unchanged unless
+    a twin crashes or NULL-ranks a new row differently): a ZERO-NORM
+    vector (a padding row), a NULL embedding and an EMPTY embedding
+    (failed-encoder rows — both defined as similarity 0)."""
     import duckdb
 
     d = tmp_path_factory.mktemp("sf_zero_norm")
@@ -79,6 +83,10 @@ def zero_norm_sf_dir(tmp_path_factory):
           UNION ALL
           SELECT {int(maxid) + 1} AS vec_id, {zeros} AS embedding,
                  0 AS label
+          UNION ALL
+          SELECT {int(maxid) + 2}, NULL::FLOAT[], 0
+          UNION ALL
+          SELECT {int(maxid) + 3}, []::FLOAT[], 0
         ) TO '{d / "embeddings.parquet"}' (FORMAT PARQUET)
         """
     )
