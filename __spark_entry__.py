@@ -4242,6 +4242,74 @@ _SQL_TRANSITIONS = """
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (vowel-group syllables,
+    sentence floor 1) — operators/text.py readability_scores: MAP-ONLY,
+    three regexp counts + arithmetic per row."""
+    from obsplus_spark.operators.text import readability_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability_scores(docs)
+
+
+_SQL_READABILITY = r"""
+    SELECT doc_id,
+           n_words, n_sentences, n_syllables,
+           CASE WHEN n_words = 0 THEN NULL
+                ELSE round(206.835
+                  - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 6)
+           END AS flesch
+    FROM (
+      SELECT doc_id,
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN 0
+                       ELSE len(string_split_regex(trim(lower(text)),
+                                                   '\s+')) END
+                  AS BIGINT) AS n_words,
+             CAST(greatest(coalesce(len(regexp_extract_all(
+                    coalesce(text, ''), '[.!?]+')), 0), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(coalesce(len(regexp_extract_all(
+                    lower(coalesce(text, '')), '[aeiouy]+')), 0)
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+"""
+
+
+def q_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate leakage matrix (mirror-site /
+    cross-crawl forensics) — operators/dedup.py cross_source_leakage:
+    one digest-keyed aggregate with in-row source-set fold and pair
+    expansion; nothing quadratic in documents."""
+    from obsplus_spark.operators.dedup import cross_source_leakage
+
+    docs = _t(spark, sf_dir, "documents")
+    # prefix fingerprint: the synthetic corpus (like real crawls) has
+    # head-duplicated near-exact copies, not byte-identical cross-source
+    # texts — full-text digests find nothing at gate scale
+    return cross_source_leakage(docs, prefix_tokens=16)
+
+
+_SQL_DUP_LEAKAGE = r"""
+    WITH d AS (
+      SELECT DISTINCT
+             md5(array_to_string(
+                   string_split_regex(trim(lower(text)), '\s+')[1:16],
+                   ' ')) AS dig,
+             source
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+        AND source IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_digests
+    FROM d a JOIN d b ON a.dig = b.dig AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering keys over the customer synthetic
     coordinates: uniform 16-bit binning per dimension + bit interleave —
@@ -8721,15 +8789,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "contamination_frac": q_contamination_frac,
         "action_transitions": q_action_transitions,
+        "readability": q_readability,
+        "dup_leakage": q_dup_leakage,
         # (a000) new in the r6 fourth wave: graph centrality/peeling,
         # robust stats, bigram LM, boolean retrieval, compliance
         # cascade, image/audio multimodal analysis, substring runs,
         # correlations, and four more TPC-H shapes
         "hits_auth": q_hits_auth,
         "k_core": q_k_core,
-        "cascade_delete": q_cascade_delete,
         "bigram_lp": q_bigram_lp,
-        "audio_segments": q_audio_segments,
         "mad_outliers": q_mad_outliers,
         # (a00) r6 third wave (minus the four held-over TPC-H shapes)
         "semantic_dedup": q_semantic_dedup,
@@ -8749,7 +8817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "jaccard_join": q_jaccard_join,
         "pq_codes": q_pq_codes,
-        "winsorize": q_winsorize,
+        "cascade_delete": q_cascade_delete,
         "local_supplier_volume": q_local_supplier_volume,
         "rolling_metrics": q_rolling_metrics,
         "skew_join": q_skew_join,
@@ -8771,6 +8839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7-green single-agg shapes rotated out to make room for the
         # six never-driver-tested entries now leading the registry
         "image_phash": q_image_phash,
+        "audio_segments": q_audio_segments,
+        "winsorize": q_winsorize,
         "dup_spans": q_dup_spans,
         "trend_lines": q_trend_lines,
         "bool_search": q_bool_search,
@@ -8978,6 +9048,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_split": _SQL_STRATIFIED_SPLIT,
         "contamination_frac": _SQL_CONTAM_FRAC,
         "action_transitions": _SQL_TRANSITIONS,
+        "readability": _SQL_READABILITY,
+        "dup_leakage": _SQL_DUP_LEAKAGE,
         "pii_scrub": _SQL_PII,
         "pack_plan": _SQL_PACK,
         "decontaminate": _SQL_DECONTAM,

@@ -1787,3 +1787,80 @@ def duplicated_spans(
         GROUP BY {id_col}
         """,
     )
+
+
+def cross_source_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    prefix_tokens: "int | None" = None,
+) -> DataFrame:
+    """Exact-duplicate LEAKAGE MATRIX across sources: for every source
+    pair, how many distinct normalized-text digests occur in BOTH —
+    the corpus-forensics read-out that surfaces mirror sites,
+    cross-crawl replication, and benchmark text republished under a
+    second source before any of them contaminate a mixture plan
+    (per-source dedup rates miss leakage entirely; it lives on the
+    pairs).
+
+    Digest = ``md5`` of whitespace-collapsed lowercased text (the
+    exact-dedup normalization) — or, with ``prefix_tokens=K``, of the
+    first K tokens only: the PREFIX FINGERPRINT mirrors/republications
+    call for in practice (shared heads, differing footers, navigation
+    chrome, attribution lines make full-text digests under-count
+    leakage; short docs digest all their tokens — ``slice`` clamps on
+    both engines). Scale shape: ONE digest-keyed
+    aggregate folds each digest's DISTINCT source set in-row
+    (``collect_set`` — bounded by the source DIMENSION, never by doc
+    count), pairs expand in-row from the sorted set, and the final
+    (source_a, source_b) count is a vocabulary²-sized map-combined
+    aggregate. No self-join of the doc table, nothing quadratic in
+    documents.
+
+    Output: (source_a < source_b, n_shared_digests), one row per
+    source pair sharing at least one digest.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    if prefix_tokens is None:
+        fp = f"regexp_replace(trim(lower({text_col})), '\\\\s+', ' ')"
+    else:
+        kk = int(prefix_tokens)
+        if kk < 1:
+            raise ValueError(f"prefix_tokens must be >= 1, got {kk}")
+        fp = (
+            f"concat_ws(' ', slice(split(trim(lower({text_col})),"
+            f" '\\\\s+'), 1, {kk}))"
+        )
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH d AS (
+          SELECT md5({fp}) AS dig,
+                 {source_col} AS source
+          FROM {{d}}
+          WHERE {text_col} IS NOT NULL
+            AND length(trim({text_col})) > 0
+            AND {source_col} IS NOT NULL
+        ),
+        g AS (
+          SELECT dig, array_sort(collect_set(source)) AS srcs
+          FROM d GROUP BY dig
+        ),
+        p AS (
+          SELECT pr.a AS source_a, pr.b AS source_b
+          FROM (
+            SELECT flatten(transform(sequence(0, size(srcs) - 2),
+                     i -> transform(sequence(i + 1, size(srcs) - 1),
+                       j -> named_struct('a', srcs[i], 'b', srcs[j]))))
+                   AS _prs
+            FROM g WHERE size(srcs) >= 2
+          )
+          LATERAL VIEW explode(_prs) _e AS pr
+        )
+        SELECT source_a, source_b,
+               CAST(count(1) AS BIGINT) AS n_shared_digests
+        FROM p GROUP BY source_a, source_b
+        """,
+    )

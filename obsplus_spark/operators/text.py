@@ -1556,3 +1556,50 @@ def ngram_diversity(
         FROM c GROUP BY source
         """,
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document (public formula:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``) —
+    the readability leg of the quality stack: pretraining curation
+    drops both gibberish (very low scores) and trivially-templated
+    text (implausibly high), and per-source score distributions flag
+    OCR damage or boilerplate.
+
+    Syllables use the standard vowel-GROUP heuristic counted over the
+    whole lowercased text in one regexp pass (``[aeiouy]+`` — a
+    whitespace boundary always breaks a group, so the per-text count
+    equals the sum of per-word counts without tokenizing twice);
+    sentences count ``[.!?]+`` runs, floored at 1 for fragment-style
+    rows so the formula stays total. MAP-ONLY — three regexp counts
+    and arithmetic per row, no shuffle at any corpus size.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch) — blank
+    and NULL docs keep their row with zero counts and NULL score.
+    """
+    toks = f"coalesce({_lower_tokens_sql(text_col)}, array())"
+    return (
+        df.selectExpr(
+            id_col,
+            f"CAST(size({toks}) AS BIGINT) AS n_words",
+            f"CAST(greatest(coalesce(regexp_count({text_col},"
+            " '[.!?]+'), 0), 1) AS BIGINT) AS n_sentences",
+            f"CAST(coalesce(regexp_count(lower({text_col}),"
+            " '[aeiouy]+'), 0) AS BIGINT) AS n_syllables",
+        )
+        .selectExpr(
+            id_col,
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            "CASE WHEN n_words = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE round(206.835"
+            "   - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))"
+            "   - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 6)"
+            " END AS flesch",
+        )
+    )

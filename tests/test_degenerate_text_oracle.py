@@ -31,6 +31,8 @@ TEXT_QUERIES = [
     "exact_dedup",
     "bool_search",
     "contamination_frac",
+    "readability",
+    "dup_leakage",
 ]
 
 TABLES = [

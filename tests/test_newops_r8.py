@@ -175,3 +175,71 @@ def test_action_transitions_hand_values(spark):
     assert got[("a", "c")] == (1, round(1 / 3, 6))
     assert got[("b", "a")] == (1, 1.0)
     assert len(got) == 3  # no z- or NULL-derived transitions
+
+
+def test_readability_hand_values(spark):
+    """Flesch on hand-checkable rows: syllable = vowel group, sentence
+    floor 1; blank/NULL rows keep zero counts and NULL score."""
+    from obsplus_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat."),     # 3 words, 1 sentence, 3 syllables
+            (2, "no punctuation"),   # sentence floor 1
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch)
+        for r in readability_scores(docs).collect()
+    }
+    w, s_, syl = 3, 1, 3
+    want = round(206.835 - 1.015 * (w / s_) - 84.6 * (syl / w), 6)
+    assert got[1] == (3, 1, 3, want)
+    # "no punctuation": vowel groups o, u, ua, io -> 1 + 3 = 4
+    assert got[2][:3] == (2, 1, 4)
+    assert got[3] == (0, 1, 0, None)
+    assert got[4] == (0, 1, 0, None)
+
+
+def test_cross_source_leakage_hand_values(spark):
+    """Leakage matrix: identical normalized text across sources counts
+    its digest once per source pair; same-source dups don't leak;
+    prefix mode digests only the head."""
+    from obsplus_spark.operators.dedup import cross_source_leakage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared   text here", "A"),
+            (2, "shared text HERE", "B"),      # same after normalize
+            (3, "shared text here", "C"),
+            (4, "unique text", "A"),
+            (5, "unique text", "A"),           # same-source dup: no pair
+            (6, None, "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_shared_digests
+        for r in cross_source_leakage(docs).collect()
+    }
+    assert got == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}
+    # prefix mode: docs sharing only the first tokens now pair up
+    docs2 = spark.createDataFrame(
+        [
+            (1, "same head tail one", "A"),
+            (2, "same head tail two", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    assert cross_source_leakage(docs2).count() == 0
+    got2 = {
+        (r.source_a, r.source_b): r.n_shared_digests
+        for r in cross_source_leakage(docs2, prefix_tokens=3).collect()
+    }
+    assert got2 == {("A", "B"): 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="prefix_tokens"):
+        cross_source_leakage(docs, prefix_tokens=0)
