@@ -4264,8 +4264,10 @@ _SQL_READABILITY = r"""
       SELECT doc_id,
              CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0
                        THEN 0
-                       ELSE len(string_split_regex(trim(lower(text)),
-                                                   '\s+')) END
+                       ELSE len(list_filter(
+                              string_split_regex(trim(lower(text)),
+                                                 '\s+'),
+                              t -> t != '')) END
                   AS BIGINT) AS n_words,
              CAST(greatest(coalesce(len(regexp_extract_all(
                     coalesce(text, ''), '[.!?]+')), 0), 1) AS BIGINT)
@@ -4296,7 +4298,9 @@ _SQL_DUP_LEAKAGE = r"""
     WITH d AS (
       SELECT DISTINCT
              md5(array_to_string(
-                   string_split_regex(trim(lower(text)), '\s+')[1:16],
+                   list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t != '')[1:16],
                    ' ')) AS dig,
              source
       FROM documents
@@ -4683,7 +4687,9 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKEN_ENTROPY = r"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               t -> t != '')) AS token
       FROM documents WHERE length(trim(text)) > 0
     ),
     c AS (

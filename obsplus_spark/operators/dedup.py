@@ -513,6 +513,30 @@ def _register_shingle_cache(arr: DataFrame, ring_max: int = 2) -> None:
             pass  # session torn down; nothing to release
 
 
+#: operator-PRIVATE persist chains, keyed (session, group): invisible to
+#: the shared ring above, so another operator's default-capacity
+#: registration can never evict a multi-frame chain a pending lazy query
+#: still needs (each chain frame is referenced twice by its successor —
+#: eviction means 2^depth recompute, a silent perf cliff, not an error).
+_PRIVATE_CHAINS: dict[tuple, list] = {}
+
+
+def _register_private_chain(session, group: str, frames: list) -> None:
+    """Replace (and lazily unpersist) the previous chain registered
+    under ``group`` for this session with ``frames``. Lifecycle: a
+    chain lives until the SAME operator builds its next chain or the
+    session ends — bounded at one chain per operator group, and immune
+    to interleaved calls of other ring-registering operators."""
+    key = (id(session), group)
+    old = _PRIVATE_CHAINS.get(key, [])
+    _PRIVATE_CHAINS[key] = list(frames)
+    for f in old:
+        try:
+            f.unpersist()
+        except Exception:
+            pass  # session torn down; nothing to release
+
+
 def near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -912,6 +936,11 @@ def stratified_split(
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError("split weights must sum to 100")
+    if len(weights) == 1:
+        # a CASE with no WHEN arm is a Spark ParseException; a single
+        # 100%-weight split is just a constant label
+        (only,) = weights
+        return df.selectExpr("*", f"'{only}' AS split")
     key = _md5_u32_sql(id_col, salt)
     case, names, lo = "CASE", list(weights.items()), 0
     for name, w in names[:-1]:
@@ -1829,9 +1858,14 @@ def cross_source_leakage(
         kk = int(prefix_tokens)
         if kk < 1:
             raise ValueError(f"prefix_tokens must be >= 1, got {kk}")
+        # filter out phantom '' tokens BEFORE slicing the prefix:
+        # trim strips spaces only, so leading/trailing tabs/newlines
+        # would otherwise inject '' into the K-token window and make
+        # whitespace-equivalent mirrors fail to pair (the same guard
+        # gram_hash_array applies for n-gram shingles)
         fp = (
-            f"concat_ws(' ', slice(split(trim(lower({text_col})),"
-            f" '\\\\s+'), 1, {kk}))"
+            f"concat_ws(' ', slice(filter(split(trim(lower({text_col})),"
+            f" '\\\\s+'), t -> t != ''), 1, {kk}))"
         )
     return sql_over(
         {"d": ensure_parallelism(df)},

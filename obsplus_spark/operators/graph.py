@@ -431,7 +431,7 @@ def k_core_peel(
         _shuf = 0
     npart = max(spark.sparkContext.defaultParallelism, _shuf)
     if broadcast_degrees:
-        from obsplus_spark.operators.dedup import _register_shingle_cache
+        from obsplus_spark.operators.dedup import _register_private_chain
 
         # one sql_over per stage — a chained-DataFrame round paid ~8
         # eager Catalyst analyses of the deepening tree (plan-build is
@@ -449,11 +449,16 @@ def k_core_peel(
             )
             """,
         ).persist()
-        # rr+2 capacity: executing the final round's frame reads EVERY
-        # predecessor's cache (each round references its parent twice —
-        # degree pass + semi-joins — so an evicted prefix would
-        # recompute 2^depth times)
-        _register_shingle_cache(e, ring_max=rr + 2)
+        # executing the final round's frame reads EVERY predecessor's
+        # cache (each round references its parent twice — degree pass +
+        # semi-joins — so an evicted prefix would recompute 2^depth
+        # times). The chain therefore lives in an operator-PRIVATE
+        # registry, NOT the shared ring: an interleaved call of any
+        # other ring-registering operator (default capacity 2) would
+        # shrink the shared ring and unpersist the chain before the
+        # caller executes the returned lazy frame (ADVICE r8). The
+        # chain is released when the next k_core_peel call replaces it.
+        chain = [e]
         # Rounds stay on the DataFrame API, NOT per-round sql_over
         # statements: a temp-view reference re-analyzes the whole
         # nested prior-round tree at every sql() call (~3^rounds
@@ -481,8 +486,9 @@ def k_core_peel(
                 .join(F.broadcast(ok), F.col("b") == ok.node, "leftsemi")
                 .persist()
             )
-            _register_shingle_cache(e_next, ring_max=rr + 2)
+            chain.append(e_next)
             e = e_next
+        _register_private_chain(spark, "k_core_peel", chain)
         return (
             e.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")

@@ -458,6 +458,19 @@ def _lower_tokens_sql(text_col: str) -> str:
     )
 
 
+def _clean_tokens_sql(text_col: str) -> str:
+    """Like :func:`_lower_tokens_sql` but with phantom ``''`` tokens
+    filtered out: ``trim`` strips SPACES only, so text with leading or
+    trailing tabs/newlines would otherwise contribute empty tokens that
+    inflate token counts and skew per-doc metrics (entropy, TTR,
+    Flesch). The metric operators use this form; the vocabulary/LM
+    family keeps the unfiltered shared tokenization for oracle parity
+    (their '' tokens group harmlessly into one vocabulary row)."""
+    return (
+        rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    )
+
+
 #: SQL expr over a ``_toks`` array column: (token, in-doc count) struct
 #: pairs via sorted run-length — in-row aggregation, so a downstream
 #: explode emits one row per DISTINCT token per doc, not per occurrence.
@@ -1469,8 +1482,10 @@ def token_entropy(
     blank/NULL docs keep their row with zero counts and NULL ratios.
     """
     # coalesce: NULL text must behave like blank (zero counts, NULL
-    # ratios), not propagate NULL counts past the oracle's LEFT JOIN
-    toks = f"coalesce({_lower_tokens_sql(text_col)}, array())"
+    # ratios), not propagate NULL counts past the oracle's LEFT JOIN;
+    # filtered tokenization: tabs/newlines at the text edges must not
+    # add phantom '' tokens to the counts (ADVICE r8)
+    toks = f"coalesce({_clean_tokens_sql(text_col)}, array())"
     return (
         df.selectExpr(id_col, f"{toks} AS _toks")
         .selectExpr(id_col, f"{_TOKEN_PAIRS_SQL} AS _p")
@@ -1581,7 +1596,9 @@ def readability_scores(
     Output: (id, n_words, n_sentences, n_syllables, flesch) — blank
     and NULL docs keep their row with zero counts and NULL score.
     """
-    toks = f"coalesce({_lower_tokens_sql(text_col)}, array())"
+    # filtered tokenization: edge tabs/newlines must not add phantom
+    # '' words to the Flesch word count (ADVICE r8)
+    toks = f"coalesce({_clean_tokens_sql(text_col)}, array())"
     return (
         df.selectExpr(
             id_col,
