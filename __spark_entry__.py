@@ -5510,8 +5510,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PAGERANK = """
     WITH edges AS (
+      -- NULL endpoints excluded by the engine's documented edge
+      -- contract (unresolved ids are not nodes)
       SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey IS NOT NULL AND o_custkey IS NOT NULL
     ),
     ew AS (
       SELECT src, dst, 1.0 / count(*) OVER (PARTITION BY src) AS w
@@ -7696,9 +7699,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BFS = """
     WITH ship AS (
+      -- NULL endpoints excluded per the engine's edge contract
       SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
              'c' || CAST(o_custkey AS VARCHAR) AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey IS NOT NULL AND o_custkey IS NOT NULL
     ),
     e AS (
       SELECT src, dst FROM ship
@@ -7772,9 +7777,11 @@ def q_hits_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_HITS = """
     WITH edges AS (
+      -- NULL endpoints excluded per the engine's edge contract
       SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
              's' || CAST(l_suppkey AS VARCHAR) AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
     ),
     nodes AS (
       SELECT DISTINCT node FROM (
