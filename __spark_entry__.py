@@ -77,23 +77,32 @@ def _evict_dead_sessions() -> None:
         _TABLE_CACHE.pop(key, None)
 
 
+_CONFIGURED_SESSIONS: set[int] = set()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
-    # defensive session conf: the driver may build its own SparkSession.
-    # nanosAsLong keeps old TIMESTAMP(NANOS) testdata readable as int64;
-    # UTC pins timestamp-literal parsing to match the DuckDB oracle.
-    # Both are runtime-settable; idempotent.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        # plan-build cost: PySpark's origin capture does a
-        # getActiveSession + JVM setter round trip per API call; its
-        # gate caches the FIRST read of this conf, so set it before any
-        # DataFrame op in sessions the driver built itself
-        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
-    except Exception:
-        pass
+    if id(spark) not in _CONFIGURED_SESSIONS:
+        # defensive session conf, ONCE per session (three conf.set py4j
+        # round trips per _t call dominated otherwise — ~1000 across a
+        # full registry build): the driver may build its own
+        # SparkSession. nanosAsLong keeps old TIMESTAMP(NANOS) testdata
+        # readable as int64; UTC pins timestamp-literal parsing to
+        # match the DuckDB oracle. Both are runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            # plan-build cost: PySpark's origin capture does a
+            # getActiveSession + JVM setter round trip per API call; its
+            # gate caches the FIRST read of this conf, so set it before
+            # any DataFrame op in sessions the driver built itself
+            spark.conf.set(
+                "spark.python.sql.dataFrameDebugging.enabled", "false"
+            )
+        except Exception:
+            pass
+        _CONFIGURED_SESSIONS.add(id(spark))
     path = f"{sf_dir}/{name}.parquet"
     if os.environ.get("SPARK_GRAFT_CACHE", "1") == "0":
         return _norm_ts(spark.read.parquet(path))
@@ -8775,99 +8784,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
-    # only the FIRST 50 entries. Rotation policy (NOTES.md): every
-    # query with NO driver row yet comes first. Round 8: the SIX
-    # queries that have never had a driver row (the wave-3 TPC-H
-    # shapes held past the cap through r6/r7 — all locally verified at
-    # sf0.01 AND sf0.1 by full tools/check.py runs) lead; after them
-    # the r7-green wave queries, with the entries whose implementation
-    # or oracle changed in r8 (canonical_docs guard; semantic_dedup /
-    # ivf_pq / pq_codes zero-norm-guarded oracle twins) kept inside
-    # the cap for a fresh driver row. The six r7-green rows pushed
-    # past the cap to make room (nation_trade, small_qty_revenue,
-    # brand_revenue, promo_share, market_share, idle_customers) are
-    # single-agg TPC-H shapes with r7 driver rows and local re-checks.
+    # only the FIRST 50 entries. Rotation policy (NOTES.md): changed
+    # code first, then the entries with the OLDEST most-recent driver
+    # row. Round 9 executes VERDICT r8 finding #2 ("53 stale r2/r4
+    # rows"): the 8 entries whose engine or oracle changed this round
+    # lead, then 42 of the 53 stale rows fill the cap; the remaining
+    # 11 sit directly after it for the r10 rotation. Union across
+    # r1-r9 keeps every registered query with a green driver row.
     return {
-        # (a) never driver-tested — MUST be inside the first 50 in r8
-        "cheapest_supplier": q_cheapest_supplier,
-        "priority_returns": q_priority_returns,
-        "order_count_dist": q_order_count_dist,
-        "large_orders": q_large_orders,
-        "forecast_revenue": q_forecast_revenue,
-        "top_supplier": q_top_supplier,
-        # (a+) new in r8: information-density, collapse detection,
-        # exact stratified splits
+        # --- r9 rotation, first 50 = the driver correctness window ---
+        # (a) queries whose implementation or oracle CHANGED this round
+        # (advice fixes: filtered tokenization, prefix-leakage guard,
+        # single-split case; graph-oracle NULL-endpoint filters; k_core
+        # private persist chain) — changed code gets a fresh driver row
         "token_entropy": q_token_entropy,
-        "ngram_diversity": q_ngram_diversity,
-        "stratified_split": q_stratified_split,
-        "contamination_frac": q_contamination_frac,
-        "action_transitions": q_action_transitions,
         "readability": q_readability,
         "dup_leakage": q_dup_leakage,
-        # (a000) new in the r6 fourth wave: graph centrality/peeling,
-        # robust stats, bigram LM, boolean retrieval, compliance
-        # cascade, image/audio multimodal analysis, substring runs,
-        # correlations, and four more TPC-H shapes
+        "stratified_split": q_stratified_split,
+        "pagerank": q_pagerank,
         "hits_auth": q_hits_auth,
-        "k_core": q_k_core,
-        "bigram_lp": q_bigram_lp,
-        "mad_outliers": q_mad_outliers,
-        # (a00) r6 third wave (minus the four held-over TPC-H shapes)
-        "semantic_dedup": q_semantic_dedup,
-        "bm25": q_bm25,
-        "join_size_est": q_join_size_est,
-        "weighted_sample": q_weighted_sample,
-        "audio_frames": q_audio_frames,
-        "bpe_encode": q_bpe_encode,
-        "image_patches": q_image_patches,
         "bfs_hops": q_bfs_hops,
-        "sole_supplier_returns": q_sole_supplier_returns,
-        "linear_quality": q_linear_quality,
-        "dsir_weights": q_dsir_weights,
-        # (a0) new in the r6 second wave (this session)
-        "triangle_count": q_triangle_count,
-        "heavy_hitters": q_heavy_hitters,
-        "span_dedup": q_span_dedup,
-        "jaccard_join": q_jaccard_join,
-        "pq_codes": q_pq_codes,
-        "cascade_delete": q_cascade_delete,
-        "local_supplier_volume": q_local_supplier_volume,
-        "rolling_metrics": q_rolling_metrics,
-        "skew_join": q_skew_join,
-        "pmi_pairs": q_pmi_pairs,
-        "rank_transform": q_rank_transform,
-        "source_divergence": q_source_divergence,
-        "ivf_pq": q_ivf_pq,
-        "incremental_dedup": q_incremental_dedup,
-        # (a) new in r6 + implementation-changed in r6
-        "events_wide": q_events_wide,
-        "picks_full": q_picks_full,
-        "amplitudes_flat": q_amplitudes_flat,
-        "arrivals_flat": q_arrivals_flat,
-        "station_mags_flat": q_station_mags_flat,
-        "focal_preferred": q_focal_preferred,
-        "stations_from_stream": q_stations_from_stream,
-        "canonical_docs": q_canonical_docs,
-        # --- driver cap (50) ---
-        # r7-green single-agg shapes rotated out to make room for the
-        # six never-driver-tested entries now leading the registry
-        "image_phash": q_image_phash,
-        "audio_segments": q_audio_segments,
-        "winsorize": q_winsorize,
-        "dup_spans": q_dup_spans,
-        "trend_lines": q_trend_lines,
-        "bool_search": q_bool_search,
-        "column_corr": q_column_corr,
-        "nation_trade": q_nation_trade,
-        "small_qty_revenue": q_small_qty_revenue,
-        "brand_revenue": q_brand_revenue,
-        "promo_share": q_promo_share,
-        "market_share": q_market_share,
-        "idle_customers": q_idle_customers,
+        "k_core": q_k_core,
+        # (b) 41 of the 53 entries whose most recent driver row was
+        # r2/r4 (VERDICT r8 "stale rows" finding): all pass the full
+        # local oracle run, but the r5-r8 persist/cache/parallelism
+        # rework had never been driver-checked on them
         "json_round_trip": q_json_round_trip,
-        "quakeml_rt": q_quakeml_rt,
         "attach_origin": q_attach_origin,
-        # (b) driver rows last recorded r1/r2 (judge-green r4)
         "prune_orphans": q_prune_orphans,
         "merge_picks": q_merge_picks,
         "ci_glob": q_ci_glob,
@@ -8878,7 +8821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preferred_fallback": q_preferred_fallback,
         "strip_bump": q_strip_bump,
         "p_outliers": q_p_outliers,
-        # (c) rows last driver-verified in r4
+        "quakeml_rt": q_quakeml_rt,
         "segments": q_segments,
         "gaps": q_gaps,
         "uptime": q_uptime,
@@ -8907,19 +8850,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_roundtrip": q_ppm_roundtrip,
         "fdsn_event_query": q_fdsn_event_query,
         "glob_filter": q_glob_filter,
+        # (b+) the flagship interval join, also getting sf1 evidence
+        # this round
+        "event_window_join": q_event_window_join,
+        # --- driver cap (50) ---
+        # (c) the 11 remaining stale rows — rotate into the cap in r10
         "json_props": q_json_props,
         "availability": q_availability,
         "origin_quality": q_origin_quality,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "event_window_join": q_event_window_join,
         "asof_join": q_asof_join,
         "first_event_per_user": q_first_event_per_user,
         "topk_by_value": q_topk_by_value,
         "radius_search": q_radius_search,
         "spatial_knn": q_spatial_knn,
         "dateline_box": q_dateline_box,
-        # driver-green in CORRECTNESS_r05, unchanged in r6
+        # (d) driver-green r5-r8, unchanged
+        "cheapest_supplier": q_cheapest_supplier,
+        "priority_returns": q_priority_returns,
+        "order_count_dist": q_order_count_dist,
+        "large_orders": q_large_orders,
+        "forecast_revenue": q_forecast_revenue,
+        "top_supplier": q_top_supplier,
+        "ngram_diversity": q_ngram_diversity,
+        "contamination_frac": q_contamination_frac,
+        "action_transitions": q_action_transitions,
+        "bigram_lp": q_bigram_lp,
+        "mad_outliers": q_mad_outliers,
+        "semantic_dedup": q_semantic_dedup,
+        "bm25": q_bm25,
+        "join_size_est": q_join_size_est,
+        "weighted_sample": q_weighted_sample,
+        "audio_frames": q_audio_frames,
+        "bpe_encode": q_bpe_encode,
+        "image_patches": q_image_patches,
+        "sole_supplier_returns": q_sole_supplier_returns,
+        "linear_quality": q_linear_quality,
+        "dsir_weights": q_dsir_weights,
+        "triangle_count": q_triangle_count,
+        "heavy_hitters": q_heavy_hitters,
+        "span_dedup": q_span_dedup,
+        "jaccard_join": q_jaccard_join,
+        "pq_codes": q_pq_codes,
+        "cascade_delete": q_cascade_delete,
+        "local_supplier_volume": q_local_supplier_volume,
+        "rolling_metrics": q_rolling_metrics,
+        "skew_join": q_skew_join,
+        "pmi_pairs": q_pmi_pairs,
+        "rank_transform": q_rank_transform,
+        "source_divergence": q_source_divergence,
+        "ivf_pq": q_ivf_pq,
+        "incremental_dedup": q_incremental_dedup,
+        "events_wide": q_events_wide,
+        "picks_full": q_picks_full,
+        "amplitudes_flat": q_amplitudes_flat,
+        "arrivals_flat": q_arrivals_flat,
+        "station_mags_flat": q_station_mags_flat,
+        "focal_preferred": q_focal_preferred,
+        "stations_from_stream": q_stations_from_stream,
+        "canonical_docs": q_canonical_docs,
+        "image_phash": q_image_phash,
+        "audio_segments": q_audio_segments,
+        "winsorize": q_winsorize,
+        "dup_spans": q_dup_spans,
+        "trend_lines": q_trend_lines,
+        "bool_search": q_bool_search,
+        "column_corr": q_column_corr,
+        "nation_trade": q_nation_trade,
+        "small_qty_revenue": q_small_qty_revenue,
+        "brand_revenue": q_brand_revenue,
+        "promo_share": q_promo_share,
+        "market_share": q_market_share,
+        "idle_customers": q_idle_customers,
         "value_histogram": q_value_histogram,
         "table_profile": q_table_profile,
         "corpus_diff": q_corpus_diff,
@@ -8931,7 +8934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_zscores": q_rate_zscores,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
-        "pagerank": q_pagerank,
         "kmeans_step": q_kmeans_step,
         "bpe_pairs": q_bpe_pairs,
         "posting_lists": q_posting_lists,

@@ -130,22 +130,48 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "total wall seconds for all engine queries (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "plan_build_sec": round(sum(builds.values()), 4),
+        # per-query construction cost. NB: queries that run
+        # driver actions during construction (dedup_clusters'
+        # convergence loop) count that execution here, not in
+        # `queries` — their timed reps rebuild, so the headline
+        # still pays it via rebuild_each_rep.
+        "builds": builds,
+        "sf": sf,
+    }
+    # Full per-query detail goes to a FILE: the driver records only the
+    # last ~2000 chars of stdout, and a 166-query map is ~4-9 KB — the
+    # r1-r8 snapshots truncated mid-map and recorded "parsed": null.
+    # stdout gets ONE compact line (aggregate fields + the slowest
+    # queries, sized to survive the driver's capture window intact).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the headline
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+    )
     print(
         json.dumps(
             {
-                "metric": "total wall seconds for all engine queries (noop sink)",
+                "metric": full["metric"],
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "plan_build_sec": round(sum(builds.values()), 4),
-                # per-query construction cost. NB: queries that run
-                # driver actions during construction (dedup_clusters'
-                # convergence loop) count that execution here, not in
-                # `queries` — their timed reps rebuild, so the headline
-                # still pays it via rebuild_each_rep.
-                "builds": builds,
+                "n_queries": len(timings),
+                "plan_build_sec": full["plan_build_sec"],
+                "queries": {k: round(v, 3) for k, v in slowest.items()},
+                "queries_note": "30 slowest of %d; full map in BENCH_FULL.json"
+                % len(timings),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

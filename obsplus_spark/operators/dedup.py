@@ -506,11 +506,25 @@ def _register_shingle_cache(arr: DataFrame, ring_max: int = 2) -> None:
     the ring back — exactly the after-my-query lifecycle wanted."""
     ring = _SHINGLE_CACHES.setdefault(id(arr.sparkSession), [])
     ring.append(arr)
+    evicted = False
     while len(ring) > max(int(ring_max), 1):
         try:
             ring.pop(0).unpersist()
+            evicted = True
         except Exception:
             pass  # session torn down; nothing to release
+    if evicted:
+        # CacheManager keys entries by CANONICAL PLAN, not DataFrame
+        # object: when a rebuilt pipeline re-registers a plan-identical
+        # frame, its .persist() reused the old entry ("already cached")
+        # and the eviction above just removed that SHARED entry — the
+        # new frame would silently execute uncached (2^refs recompute
+        # for doubly-referenced parents). Re-persisting restores a
+        # fresh, unmaterialized entry; a no-op when plans are distinct.
+        try:
+            arr.persist()
+        except Exception:
+            pass
 
 
 #: operator-PRIVATE persist chains, keyed (session, group): invisible to
@@ -535,6 +549,17 @@ def _register_private_chain(session, group: str, frames: list) -> None:
             f.unpersist()
         except Exception:
             pass  # session torn down; nothing to release
+    if old:
+        # same shared-canonical-plan hazard as the ring (see
+        # _register_shingle_cache): a rebuilt chain's persist() calls
+        # may have adopted the OLD chain's entries, which the loop
+        # above just removed — re-persist so the new chain executes
+        # cached (fresh entries, materialized on first read).
+        for f in frames:
+            try:
+                f.persist()
+            except Exception:
+                pass
 
 
 def near_duplicates(

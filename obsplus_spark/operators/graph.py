@@ -470,7 +470,7 @@ def k_core_peel(
         # ("key not found: 0").
         from pyspark.sql import functions as F
 
-        for _ in range(rr):
+        for rnd in range(rr):
             ok = (
                 e.select(F.explode(F.array("a", "b")).alias("node"))
                 .groupBy("node")
@@ -481,12 +481,18 @@ def k_core_peel(
             # both semi-joins map-side: the surviving-node set is the
             # caller-guaranteed bounded broadcast (ReuseExchange dedups
             # the identical broadcast pair)
-            e_next = (
-                e.join(F.broadcast(ok), e.a == ok.node, "leftsemi")
-                .join(F.broadcast(ok), F.col("b") == ok.node, "leftsemi")
-                .persist()
-            )
-            chain.append(e_next)
+            e_next = e.join(
+                F.broadcast(ok), e.a == ok.node, "leftsemi"
+            ).join(F.broadcast(ok), F.col("b") == ok.node, "leftsemi")
+            if rnd < rr - 1:
+                # intermediate rounds are read TWICE (next round's
+                # degree pass + semi-join chain) — persist bounds the
+                # 2^depth re-derivation. The FINAL round feeds exactly
+                # one aggregate: persisting it would only add cache
+                # churn (one extra CacheManager walk per build +
+                # eviction later) for a frame read once.
+                e_next = e_next.persist()
+                chain.append(e_next)
             e = e_next
         _register_private_chain(spark, "k_core_peel", chain)
         return (

@@ -86,7 +86,7 @@ def test_k_core_chain_survives_interleaved_ring_use(spark):
     )
     out = k_core_peel(edges, k=3, rounds=3, broadcast_degrees=True)
     chain = dedup._PRIVATE_CHAINS[(id(spark), "k_core_peel")]
-    assert len(chain) == 4  # e0 + one per round
+    assert len(chain) == 3  # e0 + one per twice-read intermediate round
     # interleave default-capacity ring registrations (any other operator)
     for _ in range(3):
         dedup._register_shingle_cache(
@@ -97,6 +97,12 @@ def test_k_core_chain_survives_interleaved_ring_use(spark):
     rows = out.collect()
     assert len(rows) == 6
     assert {r.degree for r in rows} == {5}
-    # the NEXT k_core_peel call replaces (and releases) the chain
-    k_core_peel(edges, k=3, rounds=2, broadcast_degrees=True)
+    # the NEXT k_core_peel call replaces (and releases) the chain —
+    # on a DIFFERENT edge frame, so no canonical plan is shared with
+    # (and re-adopted by) the new chain
+    edges2 = spark.createDataFrame(
+        [(a + 100, b + 100) for a in range(5) for b in range(5) if a < b],
+        "src long, dst long",
+    )
+    k_core_peel(edges2, k=3, rounds=2, broadcast_degrees=True)
     assert all(not f.is_cached for f in chain)

@@ -1,0 +1,135 @@
+"""Honest scaling evidence for the image-phash near-dup PLAN.
+
+The q_image_phash bench fixture derives pixel streams from
+``(per-user event count, user_id % 5)`` — a SMALL image space, so the
+key-shifted synthetic sf1 multiplies every identical-image group 10×
+and the TRUE-pair count grows quadratically (VERDICT r8: a data-shape
+artifact both engines pay, not a plan property). This harness measures
+the plan itself — band LSH → bucket pairs → popcount verify
+(``dedup.phash_near_dup``) — on a corpus whose pair structure scales
+LINEARLY, the shape real image corpora have: hashes are ~unique per
+image except a planted 3% near-dup fraction (partner = ≤3 bit flips,
+inside the pigeonhole-exhaustive band radius).
+
+Both engines run the identical banding + verify rule in the same
+process window (ratios are only meaningful back-to-back on a shared
+host). Usage::
+
+    python tools/bench_phash_scale.py [n_small] [factor] [reps]
+
+defaults: 35_000 images (the sf0.1 user count), factor 10, reps 2.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _mk_rows(n: int) -> "tuple[list, int]":
+    """Deterministic (id, h_lo, h_hi) rows: splitmix-style mixed hashes
+    (unique with overwhelming probability), with every 33rd image a
+    planted near-dup of its predecessor (3 bit flips spread across
+    words → hamming 3, within every band radius)."""
+    rows = []
+    planted = 0
+    mask = (1 << 32) - 1
+    for i in range(n):
+        if i % 33 == 32:
+            lo, hi = rows[-1][1], rows[-1][2]
+            lo ^= 1 << (i % 31)
+            hi ^= (1 << ((i // 7) % 31)) | (1 << ((i // 11) % 31))
+            planted += 1
+        else:
+            z = (i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+            z ^= z >> 31
+            z = (z * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+            z ^= z >> 29
+            lo, hi = z & mask, (z >> 32) & mask
+        rows.append((i, lo, hi))
+    return rows, planted
+
+
+def _engine(spark, rows, reps):
+    from obsplus_spark.operators.dedup import phash_near_dup
+
+    df = spark.createDataFrame(rows, "id long, h_lo long, h_hi long")
+    df = df.repartition(32).persist()
+    df.count()
+    best, n_pairs = float("inf"), -1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_pairs = phash_near_dup(df, max_hamming=3).count()
+        best = min(best, time.perf_counter() - t0)
+    df.unpersist()
+    return best, n_pairs
+
+
+def _duckdb(con, rows, reps):
+    con.execute("DROP TABLE IF EXISTS h")
+    con.execute("CREATE TABLE h (id BIGINT, h_lo BIGINT, h_hi BIGINT)")
+    con.executemany("INSERT INTO h VALUES (?, ?, ?)", rows)
+    sql = """
+    WITH banded AS (
+      SELECT id, 0 AS band, h_lo & 65535 AS band_hash FROM h
+      UNION ALL SELECT id, 1, (h_lo >> 16) & 65535 FROM h
+      UNION ALL SELECT id, 2, h_hi & 65535 FROM h
+      UNION ALL SELECT id, 3, (h_hi >> 16) & 65535 FROM h
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.id < b.id
+    )
+    SELECT count(*) FROM cand c
+    JOIN h x ON c.id1 = x.id JOIN h y ON c.id2 = y.id
+    WHERE bit_count(xor(x.h_lo, y.h_lo)) + bit_count(xor(x.h_hi, y.h_hi)) <= 3
+    """
+    best, n_pairs = float("inf"), -1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (n_pairs,) = con.execute(sql).fetchone()
+        best = min(best, time.perf_counter() - t0)
+    return best, n_pairs
+
+
+def main() -> int:
+    import duckdb
+
+    from obsplus_spark import get_spark
+
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 35_000
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    spark = get_spark(
+        "phash_scale",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    con = duckdb.connect()
+    out = []
+    for n in (n_small, n_small * factor):
+        rows, planted = _mk_rows(n)
+        et, ep = _engine(spark, rows, reps)
+        dt, dp = _duckdb(con, rows, reps)
+        assert ep == dp, (ep, dp)
+        out.append((n, planted, ep, et, dt))
+        print(
+            f"n={n:9d} planted={planted:6d} found_pairs={ep:6d}  "
+            f"engine {et:7.3f}s  duckdb {dt:7.3f}s  ratio {et / dt:.2f}x",
+            flush=True,
+        )
+    (n1, _, p1, e1, d1), (n2, _, p2, e2, d2) = out
+    print(
+        f"pair growth {p2 / p1:.1f}x at {n2 / n1:.0f}x data (linear corpus); "
+        f"engine scaling {e2 / e1:.1f}x, duckdb scaling {d2 / d1:.1f}x"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
