@@ -1714,6 +1714,16 @@ def phash_near_dup(
     Verify: ``bit_count(lo⊕lo') + bit_count(hi⊕hi') ≤ max_hamming``,
     integer-exact.
 
+    Corpus-size bound (measured, ``tools/bench_phash_scale.py``): with
+    16-bit bands the bucket space is 2¹⁶ per band, so once the corpus
+    grows well past ~65k images RANDOM hashes birthday-collide and the
+    candidate set grows ~n²/2¹⁶ even with zero true duplicates — a
+    property of 64-bit aHash banding itself (any engine pays it; the
+    same-rule DuckDB twin degrades 6× faster at n=3.5M). At that scale
+    use a longer perceptual hash with wider bands (e.g. 4×64 of a
+    256-bit pHash) or shard the corpus by a coarse content prefix
+    before banding.
+
     Scale shape: one banding explode (4 small rows per image), one
     band-keyed groupBy with in-row pair expansion (the shared
     ``_bucket_pairs`` one-shuffle formulation), then two keyed joins

@@ -28,34 +28,45 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def _mk_rows(n: int) -> "tuple[list, int]":
-    """Deterministic (id, h_lo, h_hi) rows: splitmix-style mixed hashes
-    (unique with overwhelming probability), with every 33rd image a
-    planted near-dup of its predecessor (3 bit flips spread across
-    words → hamming 3, within every band radius)."""
-    rows = []
-    planted = 0
-    mask = (1 << 32) - 1
-    for i in range(n):
-        if i % 33 == 32:
-            lo, hi = rows[-1][1], rows[-1][2]
-            lo ^= 1 << (i % 31)
-            hi ^= (1 << ((i // 7) % 31)) | (1 << ((i // 11) % 31))
-            planted += 1
-        else:
-            z = (i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
-            z ^= z >> 31
-            z = (z * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
-            z ^= z >> 29
-            lo, hi = z & mask, (z >> 32) & mask
-        rows.append((i, lo, hi))
-    return rows, planted
+def _mk_rows(n: int):
+    """Deterministic (id, h_lo, h_hi) pandas frame: splitmix-style mixed
+    hashes (unique with overwhelming probability), with every 33rd image
+    a planted near-dup of its predecessor (3 bit flips spread across
+    words → hamming 3, within every band radius). Vectorized so the
+    fixture build stays off the measured path even at millions of
+    rows; Arrow carries it into both engines."""
+    import numpy as np
+    import pandas as pd
+
+    i = np.arange(n, dtype=np.uint64)
+    z = i * np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(31)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(29)
+    lo = (z & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    hi = (z >> np.uint64(32)).astype(np.int64)
+    dup = (i % 33) == 32
+    planted = int(dup.sum())
+    src = np.where(dup, i - 1, i).astype(np.int64)
+    lo = lo[src]
+    hi = hi[src]
+    ii = i.astype(np.int64)
+    lo = np.where(dup, lo ^ (1 << (ii % 31)), lo)
+    hi = np.where(
+        dup,
+        hi ^ ((1 << ((ii // 7) % 31)) | (1 << ((ii // 11) % 31))),
+        hi,
+    )
+    return (
+        pd.DataFrame({"id": ii, "h_lo": lo, "h_hi": hi}),
+        planted,
+    )
 
 
-def _engine(spark, rows, reps):
+def _engine(spark, pdf, reps):
     from obsplus_spark.operators.dedup import phash_near_dup
 
-    df = spark.createDataFrame(rows, "id long, h_lo long, h_hi long")
+    df = spark.createDataFrame(pdf)
     df = df.repartition(32).persist()
     df.count()
     best, n_pairs = float("inf"), -1
@@ -67,10 +78,11 @@ def _engine(spark, rows, reps):
     return best, n_pairs
 
 
-def _duckdb(con, rows, reps):
+def _duckdb(con, pdf, reps):
     con.execute("DROP TABLE IF EXISTS h")
-    con.execute("CREATE TABLE h (id BIGINT, h_lo BIGINT, h_hi BIGINT)")
-    con.executemany("INSERT INTO h VALUES (?, ?, ?)", rows)
+    con.register("pdf_h", pdf)
+    con.execute("CREATE TABLE h AS SELECT * FROM pdf_h")
+    con.unregister("pdf_h")
     sql = """
     WITH banded AS (
       SELECT id, 0 AS band, h_lo & 65535 AS band_hash FROM h
@@ -105,17 +117,23 @@ def main() -> int:
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
+    # shuffle partitions sized to the LARGEST point, per the engine's
+    # data-sized rule (~250k hash rows per partition ≈ tens of MB of
+    # exploded band rows): the bench-tuned constant 4 serializes the
+    # bucket groupBy at millions of rows (observed: 1 GB page-alloc
+    # retries + single-task tail at n=3.5M)
+    shuf = max(4, (n_small * factor) // 250_000)
     spark = get_spark(
         "phash_scale",
-        shuffle_partitions=4,
+        shuffle_partitions=shuf,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     con = duckdb.connect()
     out = []
     for n in (n_small, n_small * factor):
-        rows, planted = _mk_rows(n)
-        et, ep = _engine(spark, rows, reps)
-        dt, dp = _duckdb(con, rows, reps)
+        pdf, planted = _mk_rows(n)
+        et, ep = _engine(spark, pdf, reps)
+        dt, dp = _duckdb(con, pdf, reps)
         assert ep == dp, (ep, dp)
         out.append((n, planted, ep, et, dt))
         print(
