@@ -4155,6 +4155,106 @@ _SQL_DECONTAM = r"""
 """
 
 
+def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: corpus docs that are document-level
+    near-duplicates (MinHash-LSH candidates + exact-Jaccard verify,
+    best match per doc) of the eval cohort (doc_id % 7 == 0) —
+    operators/dedup.py fuzzy_decontaminate. Complements decontaminate's
+    exact gram membership with the rewrapped-eval-item case; benchmark
+    band rows and digest arrays broadcast, corpus never shuffles."""
+    from obsplus_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return fuzzy_decontaminate(corpus, benchmark, threshold=0.2)
+
+
+def _fuzzy_decontam_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of q_fuzzy_decontam: identical 38-char-extended-md5
+    lane family and banding as _minhash_sql, with the corpus×benchmark
+    split predicate and the per-doc best-match window."""
+    rows_per_band = n_hashes // bands
+    mh_cols = ",\n           ".join(
+        f"min(('0x' || substr(h, {2 * j + 1}, 8))::BIGINT) AS mh_{j}"
+        for j in range(n_hashes)
+    )
+    band_rows = ",\n      ".join(
+        "({b}, md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{j}"
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+           {mh_cols}
+      FROM (SELECT doc_id, h || substr(h, 1, 6) AS h
+            FROM (SELECT doc_id, md5(shingle) AS h FROM sh)) hx
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, b.band_hash
+      FROM sig, (VALUES
+      {band_rows}
+      ) AS b(band, band_hash)
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+      FROM banded c JOIN banded b
+        ON c.band = b.band AND c.band_hash = b.band_hash
+       AND c.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_id, p.bench_id, count(*) AS n_inter
+      FROM cand p
+      JOIN sh s1 ON s1.doc_id = p.doc_id
+      JOIN sh s2 ON s2.doc_id = p.bench_id AND s2.shingle = s1.shingle
+      GROUP BY p.doc_id, p.bench_id
+    ),
+    s AS (
+      SELECT p.doc_id, p.bench_id,
+             coalesce(i.n_inter, 0) AS n_inter,
+             z1.n AS n_corpus, z2.n AS n_bench,
+             coalesce(i.n_inter, 0)
+               / CAST(z1.n + z2.n - coalesce(i.n_inter, 0) AS DOUBLE)
+               AS _jac
+      FROM cand p
+      LEFT JOIN inter i ON i.doc_id = p.doc_id AND i.bench_id = p.bench_id
+      JOIN sizes z1 ON z1.doc_id = p.doc_id
+      JOIN sizes z2 ON z2.doc_id = p.bench_id
+      WHERE coalesce(i.n_inter, 0)
+            / CAST(z1.n + z2.n - coalesce(i.n_inter, 0) AS DOUBLE) >= 0.2
+    )
+    SELECT doc_id, bench_id,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_corpus AS BIGINT) AS n_corpus,
+           CAST(n_bench AS BIGINT) AS n_bench,
+           round(_jac, 8) AS jaccard
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY _jac DESC, bench_id
+      ) AS _rk FROM s
+    ) WHERE _rk = 1
+"""
+
+
 def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded contamination fraction (share of a doc's distinct
     4-grams found in the eval cohort, C4/FLAN decision rule) —
@@ -8793,6 +8893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1-r9 keeps every registered query with a green driver row.
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
+        # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination
+        "fuzzy_decontam": q_fuzzy_decontam,
         # (a) queries whose implementation or oracle CHANGED this round
         # (advice fixes: filtered tokenization, prefix-leakage guard,
         # single-split case; graph-oracle NULL-endpoint filters; k_core
@@ -8849,12 +8951,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetcher_windows": q_fetcher_windows,
         "ppm_roundtrip": q_ppm_roundtrip,
         "fdsn_event_query": q_fdsn_event_query,
-        "glob_filter": q_glob_filter,
         # (b+) the flagship interval join, also getting sf1 evidence
         # this round
         "event_window_join": q_event_window_join,
         # --- driver cap (50) ---
-        # (c) the 11 remaining stale rows — rotate into the cap in r10
+        # (c) the 12 remaining stale rows — rotate into the cap in r10
+        # (glob_filter displaced past the cap by the new fuzzy_decontam)
+        "glob_filter": q_glob_filter,
         "json_props": q_json_props,
         "availability": q_availability,
         "origin_quality": q_origin_quality,
@@ -9097,6 +9200,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _SQL_TEXT_STATS,
         "doc_fingerprint": _SQL_FP,
         "minhash_near_dup": _minhash_sql(),
+        "fuzzy_decontam": _fuzzy_decontam_sql(),
         "knn_cosine": _SQL_KNN,
         "lang_id": _SQL_LANG,
         "median_per_group": _SQL_MEDIAN,

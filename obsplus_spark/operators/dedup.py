@@ -1643,6 +1643,112 @@ def incremental_candidate_pairs(
     return new_new.unionByName(new_old).distinct()
 
 
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus documents whose shingle
+    sets are near-duplicates of an eval/benchmark document — MinHash-LSH
+    candidates cross-joined corpus×benchmark, then exact-Jaccard
+    verified. The complement of :func:`contamination_check` (exact
+    n-gram membership): that catches verbatim leakage of any single
+    gram; this catches REWRAPPED eval items — light paraphrase, shuffled
+    boilerplate, truncated copies — that share most but not all
+    shingles, the case published pipelines handle with document-level
+    fuzzy matching rather than gram lookups.
+
+    Scale shape: both sides are signed ONCE off persisted shingle-digest
+    tables (shared by the banding and the verify); the benchmark is
+    dimension-sized by construction (eval sets are small), so with
+    ``broadcast_benchmark`` its band rows AND its digest arrays ship
+    map-side — the corpus is never shuffled, and the only exchanges are
+    candidate-sized (the distinct + the per-doc best-match window).
+    LSH recall follows the standard band trade (bands=4 of 4 lanes →
+    ~50% per-band collision at J=0.84; candidates only gate the exact
+    verify, which decides membership).
+
+    Output: one row per contaminated corpus doc — its BEST benchmark
+    match ``(doc_id, bench_id, n_inter, n_corpus, n_bench, jaccard)``,
+    jaccard ≥ ``threshold`` (compared unrounded; reported at 8 dp),
+    ties broken toward the smallest bench_id. Caller contract: corpus
+    and benchmark ids disjoint (same as contamination_check).
+    """
+    from obsplus_spark.util import sql_over
+
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    csh = shingle_digest_array(
+        corpus, id_col, text_col, n=shingle_size, drop_empty=True
+    ).persist()
+    _register_shingle_cache(csh)
+    bsh = shingle_digest_array(
+        benchmark, id_col, text_col, n=shingle_size, drop_empty=True
+    ).persist()
+    _register_shingle_cache(bsh)
+    cb = lsh_band_index(
+        corpus, id_col, text_col,
+        n_hashes=n_hashes, bands=bands, shingle_size=shingle_size,
+        digest_arrays_df=csh,
+    ).alias("c")
+    bb = lsh_band_index(
+        benchmark, id_col, text_col,
+        n_hashes=n_hashes, bands=bands, shingle_size=shingle_size,
+        digest_arrays_df=bsh,
+    ).alias("b")
+    bb_side = F.broadcast(bb) if broadcast_benchmark else bb
+    cand = (
+        cb.join(
+            bb_side,
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("_cid"),
+            F.col(f"b.{id_col}").alias("_bid"),
+        )
+        .distinct()
+    )
+    bver = F.broadcast(bsh) if broadcast_benchmark else bsh
+    jac = "n_inter / CAST(n_corpus + n_bench - n_inter AS DOUBLE)"
+    return sql_over(
+        {"cand": cand, "cs": csh, "bs": bver},
+        f"""
+        WITH j AS (
+          SELECT cand._cid AS {id_col}, cand._bid AS bench_id,
+                 size(array_intersect(cs.shingles, bs.shingles))
+                   AS n_inter,
+                 size(cs.shingles) AS n_corpus,
+                 size(bs.shingles) AS n_bench
+          FROM {{cand}} cand
+          JOIN {{cs}} cs ON cs.{id_col} = cand._cid
+          JOIN {{bs}} bs ON bs.{id_col} = cand._bid
+        ),
+        s AS (
+          SELECT *, {jac} AS _jac FROM j WHERE {jac} >= {t!r}D
+        )
+        SELECT {id_col}, bench_id,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_corpus AS BIGINT) AS n_corpus,
+               CAST(n_bench AS BIGINT) AS n_bench,
+               round(_jac, 8) AS jaccard
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY {id_col} ORDER BY _jac DESC, bench_id
+          ) AS _rk
+          FROM s
+        ) WHERE _rk = 1
+        """,
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -72,8 +72,16 @@ def test_shingle_cache_ring_bounded(docs):
         frames.extend(f for f in ring if f not in frames)
     ring = _SHINGLE_CACHES[id(docs.sparkSession)]
     assert len(ring) == 2
-    live = [f for f in frames if f.storageLevel.useMemory]
-    assert set(map(id, live)) <= set(map(id, ring))
+    # CacheManager keys entries by CANONICAL PLAN: an evicted frame
+    # that is plan-identical to a current ring member legitimately
+    # reports cached (the entry belongs to the ring member, which
+    # re-persisted after eviction — the r9 adoption fix), so bound the
+    # LIVE CACHE ENTRIES by plan identity, not Python object identity
+    def _tok(f):
+        return f._jdf.queryExecution().analyzed().semanticHash()
+
+    live = {_tok(f) for f in frames if f.storageLevel.useMemory}
+    assert live <= {_tok(f) for f in ring}
 
 
 def test_jaccard_values(docs):
