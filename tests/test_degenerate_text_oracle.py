@@ -33,6 +33,9 @@ TEXT_QUERIES = [
     "contamination_frac",
     "readability",
     "dup_leakage",
+    "fuzzy_decontam",
+    "minhash_near_dup",
+    "decontaminate",
 ]
 
 TABLES = [
