@@ -5064,6 +5064,51 @@ _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
 _MIX_TARGET = 50_000
 
 
+_TOKEN_BUDGETS = {
+    "src0": 800, "src1": 500, "src2": 250, "src5": 60, "src19": 0,
+}
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture REALIZATION: per source, greedy prefix fill
+    in deterministic md5-hash order until the source's token budget is
+    reached — operators/text.py token_budget_sample, the execution step
+    behind mixture_plan (pretraining mixes are specified in tokens, not
+    docs). One source-keyed window exchange."""
+    from obsplus_spark.operators.text import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(docs, _TOKEN_BUDGETS)
+
+
+def _token_budget_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST({b} AS BIGINT)"
+        for s, b in _TOKEN_BUDGETS.items()
+    )
+    return rf"""
+    WITH d AS (
+      SELECT *,
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT
+               AS _key,
+             CASE source {arms} ELSE CAST(0 AS BIGINT) END AS _budget
+      FROM documents
+    ),
+    c AS (
+      SELECT *, CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY _key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT * EXCLUDE (_key, _budget) FROM c WHERE cum_tokens <= _budget
+"""
+
+
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-mixture sampling plan: per-source token inventory + the
     deterministic sampling rate hitting each source's weight share of a
@@ -8893,8 +8938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1-r9 keeps every registered query with a green driver row.
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
-        # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination
+        # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination +
+        # token-budget mixture realization
         "fuzzy_decontam": q_fuzzy_decontam,
+        "token_budget": q_token_budget,
         # (a) queries whose implementation or oracle CHANGED this round
         # (advice fixes: filtered tokenization, prefix-leakage guard,
         # single-split case; graph-oracle NULL-endpoint filters; k_core
@@ -8950,13 +8997,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_proc": q_stream_proc,
         "fetcher_windows": q_fetcher_windows,
         "ppm_roundtrip": q_ppm_roundtrip,
-        "fdsn_event_query": q_fdsn_event_query,
         # (b+) the flagship interval join, also getting sf1 evidence
         # this round
         "event_window_join": q_event_window_join,
         # --- driver cap (50) ---
-        # (c) the 12 remaining stale rows — rotate into the cap in r10
-        # (glob_filter displaced past the cap by the new fuzzy_decontam)
+        # (c) the 13 remaining stale rows — rotate into the cap in r10
+        # (glob_filter / fdsn_event_query displaced past the cap by the
+        # two new r9 queries)
+        "fdsn_event_query": q_fdsn_event_query,
         "glob_filter": q_glob_filter,
         "json_props": q_json_props,
         "availability": q_availability,
@@ -9201,6 +9249,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_FP,
         "minhash_near_dup": _minhash_sql(),
         "fuzzy_decontam": _fuzzy_decontam_sql(),
+        "token_budget": _token_budget_sql(),
         "knn_cosine": _SQL_KNN,
         "lang_id": _SQL_LANG,
         "median_per_group": _SQL_MEDIAN,

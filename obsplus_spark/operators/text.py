@@ -774,6 +774,81 @@ def mixture_plan(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: "dict[str, int]",
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """REALIZE a token-budget mixture: per source, take documents in the
+    deterministic ``md5(id || salt)`` hash order until the source's
+    token budget is filled — the execution step behind
+    :func:`mixture_plan` (which computes per-source budgets from mixture
+    weights). Pretraining mixes are specified in TOKENS, not documents:
+    per-document sampling rates hit a token share only in expectation,
+    while the greedy prefix fill is exact to within one document.
+
+    Rule (deterministic, engine-portable): order each source's docs by
+    the content-free hash key, keep a doc iff the cumulative token
+    count THROUGH it is ≤ the budget. A doc that would cross the budget
+    is excluded and the scan stops — no knapsack backfill with later
+    smaller docs (order-dependent and not worth the complexity; the
+    under-fill is at most one document's tokens). Sources absent from
+    ``budgets`` contribute nothing. Token count is the whitespace count
+    shared with :func:`mixture_plan`; NULL/blank docs count 0 tokens
+    (free riders early in hash order are kept — they cost no budget —
+    including under a ZERO budget, which excludes every token-bearing
+    doc but passes zero-token docs ahead of the first token-bearing
+    one; filter empties upstream if that matters).
+
+    Scale shape: ONE source-keyed window exchange (the hash-order
+    cumulative sum), filter in-place — same single-exchange shape (and
+    same giant-source caveat) as :func:`obsplus_spark.operators.dedup.
+    stratified_split`. Subset-stability: like stratified_split and
+    unlike hash_split, adding docs to a source shifts hash ranks and
+    can change the selection near the boundary — re-plan per corpus
+    snapshot.
+
+    Output: the input columns + ``n_tokens`` + ``cum_tokens``
+    (BIGINT, cumulative through the row, for audit).
+    """
+    from obsplus_spark.operators.dedup import _md5_u32_sql
+    from obsplus_spark.util import ensure_parallelism, sql_over, sql_str_lit
+
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    arms = " ".join(
+        f"WHEN '{sql_str_lit(s)}' THEN CAST({int(b)} AS BIGINT)"
+        for s, b in budgets.items()
+    )
+    b_sql = f"CASE {source_col} {arms} ELSE CAST(0 AS BIGINT) END"
+    ntok = (
+        f"CASE WHEN {text_col} IS NULL OR length(trim({text_col})) = 0"
+        f" THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(size(split(trim({text_col}), '\\\\s+')) AS BIGINT) END"
+    )
+    key = _md5_u32_sql(id_col, salt)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        SELECT * EXCEPT (_key, _budget)
+        FROM (
+          SELECT *, CAST(sum(n_tokens) OVER (
+                   PARTITION BY {source_col}
+                   ORDER BY _key, {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_tokens
+          FROM (SELECT *, {ntok} AS n_tokens, {key} AS _key,
+                       {b_sql} AS _budget
+                FROM {{d}})
+        )
+        WHERE cum_tokens <= _budget
+        """,
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     k: int = 50,

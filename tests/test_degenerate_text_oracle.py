@@ -36,6 +36,7 @@ TEXT_QUERIES = [
     "fuzzy_decontam",
     "minhash_near_dup",
     "decontaminate",
+    "token_budget",
 ]
 
 TABLES = [

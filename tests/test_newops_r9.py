@@ -66,3 +66,58 @@ def test_fuzzy_decontaminate_threshold_and_validation(spark):
     assert fuzzy_decontaminate(docs, bench, threshold=0.71).count() == 0
     with pytest.raises(ValueError, match="threshold"):
         fuzzy_decontaminate(docs, bench, threshold=0.0)
+
+
+def test_token_budget_sample_hand_values(spark):
+    """Greedy prefix fill in md5-hash order: kept iff cumulative tokens
+    through the doc fit the source budget; crossing doc excluded (no
+    backfill); zero-token docs ride free only BEFORE the crossing
+    point; unlisted sources contribute nothing."""
+    from obsplus_spark.operators.text import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s"),        # 3 tokens
+            (2, "d e", "s"),          # 2
+            (3, "f g h i", "s"),      # 4
+            (4, "", "s"),             # 0 tokens (free if early enough)
+            (5, None, "s"),           # 0 tokens
+            (6, "x y z", "other"),    # source not budgeted
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = token_budget_sample(docs, {"s": 5}).collect()
+    by_id = {r.doc_id: r for r in out}
+    # derive the expected prefix from the SAME hash order the engine
+    # uses (content-free md5 key), then apply the rule by hand
+    import hashlib
+
+    def key(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    order = sorted([1, 2, 3, 4, 5], key=lambda i: (key(i), i))
+    ntok = {1: 3, 2: 2, 3: 4, 4: 0, 5: 0}
+    cum, expect = 0, {}
+    for i in order:
+        cum += ntok[i]
+        if cum <= 5:
+            expect[i] = cum
+    assert set(by_id) == set(expect)
+    for i, c in expect.items():
+        assert by_id[i].cum_tokens == c
+        assert by_id[i].n_tokens == ntok[i]
+    assert all(r.source == "s" for r in out)
+    # zero budget: no TOKEN-bearing doc survives; zero-token docs ahead
+    # of the first token-bearing doc still pass (cum 0 <= 0 — they cost
+    # nothing, per the documented prefix rule)
+    zero = token_budget_sample(docs, {"s": 0}).collect()
+    assert all(r.n_tokens == 0 and r.cum_tokens == 0 for r in zero)
+    cum, expect0 = 0, set()
+    for i in order:
+        cum += ntok[i]
+        if cum <= 0:
+            expect0.add(i)
+    assert {r.doc_id for r in zero} == expect0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budgets"):
+        token_budget_sample(docs, {})
