@@ -4255,6 +4255,54 @@ def _fuzzy_decontam_sql(n_hashes: int = 16, bands: int = 4) -> str:
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy source-overlap matrix: per source pair, the MinHash
+    matching-lane estimate of shingle-set Jaccard — operators/dedup.py
+    source_minhash_overlap. Lane minima are associative, so the source
+    signature folds in ONE map-combinable aggregate (mergeable sketch);
+    the pair matrix is dimension-sized. Complements dup_leakage's exact
+    digest matrix with distribution-level overlap."""
+    from obsplus_spark.operators.dedup import source_minhash_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_minhash_overlap(docs)
+
+
+def _source_overlap_sql(n_hashes: int = 16) -> str:
+    mh_cols = ",\n           ".join(
+        f"min(('0x' || substr(h, {2 * j + 1}, 8))::BIGINT) AS mh_{j}"
+        for j in range(n_hashes)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(n_hashes)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toks AS (SELECT source, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT source,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    sig AS (
+      SELECT source,
+           {mh_cols}
+      FROM (SELECT source, h || substr(h, 1, 6) AS h
+            FROM (SELECT source, md5(shingle) AS h FROM sh)) hx
+      GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({match_sum} AS BIGINT) AS n_lanes_match,
+           round(({match_sum}) / {float(n_hashes)!r}, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
 def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded contamination fraction (share of a doc's distinct
     4-grams found in the eval cohort, C4/FLAN decision rule) —
@@ -8942,6 +8990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget mixture realization
         "fuzzy_decontam": q_fuzzy_decontam,
         "token_budget": q_token_budget,
+        "source_overlap": q_source_overlap,
         # (a) queries whose implementation or oracle CHANGED this round
         # (advice fixes: filtered tokenization, prefix-leakage guard,
         # single-split case; graph-oracle NULL-endpoint filters; k_core
@@ -8996,14 +9045,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_seed": q_normalize_seed,
         "stream_proc": q_stream_proc,
         "fetcher_windows": q_fetcher_windows,
-        "ppm_roundtrip": q_ppm_roundtrip,
         # (b+) the flagship interval join, also getting sf1 evidence
         # this round
         "event_window_join": q_event_window_join,
         # --- driver cap (50) ---
-        # (c) the 13 remaining stale rows — rotate into the cap in r10
-        # (glob_filter / fdsn_event_query displaced past the cap by the
-        # two new r9 queries)
+        # (c) the 14 remaining stale rows — rotate into the cap in r10
+        # (glob_filter / fdsn_event_query / ppm_roundtrip displaced past
+        # the cap by the three new r9 queries)
+        "ppm_roundtrip": q_ppm_roundtrip,
         "fdsn_event_query": q_fdsn_event_query,
         "glob_filter": q_glob_filter,
         "json_props": q_json_props,
@@ -9250,6 +9299,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_sql(),
         "fuzzy_decontam": _fuzzy_decontam_sql(),
         "token_budget": _token_budget_sql(),
+        "source_overlap": _source_overlap_sql(),
         "knn_cosine": _SQL_KNN,
         "lang_id": _SQL_LANG,
         "median_per_group": _SQL_MEDIAN,

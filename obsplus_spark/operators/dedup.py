@@ -1749,6 +1749,72 @@ def fuzzy_decontaminate(
     )
 
 
+def source_minhash_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """FUZZY source-overlap matrix: per source pair, the MinHash
+    estimate of the Jaccard similarity between the sources' (unioned,
+    distinct) shingle sets — the sketch-level complement of
+    :func:`cross_source_leakage`'s exact digest matrix. Exact pairing
+    finds verbatim mirrors; this surfaces sources whose CONTENT
+    DISTRIBUTIONS overlap (same crawl re-chunked, same upstream feed
+    lightly rewrapped) even when no single document digest matches.
+
+    The estimator leans on MinHash's mergeability: lane minima are
+    associative, so a SOURCE's signature is the per-lane ``min`` over
+    its documents' lane values — ONE map-combinable aggregate keyed by
+    source folds any corpus size into |sources| signature rows, and the
+    pair matrix is a dimension-sized self-join. The estimate is the
+    matching-lane fraction (the standard unbiased MinHash estimator,
+    ±1/√n_hashes); both engines replay the identical deterministic lane
+    family, so the output is exact-comparable despite being an
+    estimate. Corpus-sized work: the shingle/lane scan, nothing else.
+
+    Output: (source_a < source_b, n_lanes_match, est_jaccard), one row
+    per unordered pair of sources that have at least one shingle.
+    """
+    from obsplus_spark.util import sql_over
+
+    _check_lanes(n_hashes)
+    # shingle_digest_array carries exactly one passthrough column — hand
+    # it the SOURCE column (the doc id is irrelevant to a source-level
+    # sketch)
+    sh = shingle_digest_array(
+        df, source_col, text_col, n=shingle_size, drop_empty=True
+    ).select(F.col(source_col).alias("source"), "shingles")
+    # source lane = min over docs of the per-doc lane minimum (the same
+    # stride-2 digest-window family as _lane_exprs, with the outer
+    # aggregate fused)
+    lanes = ", ".join(
+        f"min(array_min(transform(shingles, h -> CAST(conv("
+        f"substring(h, {2 * j + 1}, 8), 16, 10) AS BIGINT)))) AS mh_{j}"
+        for j in range(n_hashes)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(n_hashes)
+    )
+    return sql_over(
+        {"d": sh},
+        f"""
+        WITH sig AS (
+          SELECT source, {lanes}
+          FROM {{d}} GROUP BY source
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST({match_sum} AS BIGINT) AS n_lanes_match,
+               round(({match_sum}) / {float(n_hashes)!r}D, 6)
+                 AS est_jaccard
+        FROM sig a JOIN sig b ON a.source < b.source
+        """,
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -121,3 +121,41 @@ def test_token_budget_sample_hand_values(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="budgets"):
         token_budget_sample(docs, {})
+
+
+def test_source_minhash_overlap_hand_values(spark):
+    """Identical-content sources match on every lane (est 1.0);
+    disjoint-content sources on few/none; the signature is the
+    per-lane min over docs (mergeable), so doc layout within a source
+    cannot change it."""
+    from obsplus_spark.operators.dedup import source_minhash_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "A"),
+            (2, "zeta eta theta iota kappa", "A"),
+            # B holds the SAME content as A, chunked differently
+            (3, "alpha beta gamma delta epsilon", "B"),
+            (4, "zeta eta theta iota kappa", "B"),
+            # C is disjoint
+            (5, "one two three four five six", "C"),
+            (6, "   ", "C"),      # blank doc: no shingles, no effect
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_minhash_overlap(docs).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert ab.n_lanes_match == 16 and ab.est_jaccard == 1.0
+    # disjoint sets: lanes can only collide by md5 accident — with 6
+    # distinct shingles a side, expect far below full agreement
+    assert got[("A", "C")].n_lanes_match < 16
+    # A and B hold identical shingle sets → identical signatures →
+    # identical overlap with C (mergeability makes this exact)
+    assert (
+        got[("A", "C")].n_lanes_match == got[("B", "C")].n_lanes_match
+    )
+    assert got[("A", "C")].est_jaccard == got[("B", "C")].est_jaccard
