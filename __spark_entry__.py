@@ -3959,6 +3959,58 @@ def _canonical_sql() -> str:
 """
 
 
+def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup components (MinHash
+    pairs → min-label clusters) share one hash key, so a rewrapped copy
+    can never straddle train/eval — operators/dedup.py
+    leakage_safe_split. One pairs-sized left join on top of the bounded
+    cluster rounds; assignment stays a per-row hash expression."""
+    from obsplus_spark.operators.dedup import (
+        leakage_safe_split,
+        near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
+    ).select("id1", "id2")
+    return leakage_safe_split(
+        docs.select("doc_id"), pairs, max_iterations=4
+    )
+
+
+def _leak_safe_split_sql() -> str:
+    return f"""
+    WITH RECURSIVE p AS ({_minhash_sql(8, 2)}),
+    e AS (
+      SELECT id1 AS a, id2 AS b FROM p
+      UNION ALL
+      SELECT id2, id1 FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+      WHERE r.lbl < e.b
+    ),
+    labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    k AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT *, ('0x' || substr(md5(CAST(split_key AS VARCHAR) || ''),
+                                1, 8))::BIGINT % 100 AS b
+      FROM k
+    )
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5 bucket — stable
     across runs, engines, and data subsets (the property rand() splits
@@ -8991,6 +9043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontam": q_fuzzy_decontam,
         "token_budget": q_token_budget,
         "source_overlap": q_source_overlap,
+        "leak_safe_split": q_leak_safe_split,
         # (a) queries whose implementation or oracle CHANGED this round
         # (advice fixes: filtered tokenization, prefix-leakage guard,
         # single-split case; graph-oracle NULL-endpoint filters; k_core
@@ -9044,14 +9097,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stationxml_rt": q_stationxml_rt,
         "normalize_seed": q_normalize_seed,
         "stream_proc": q_stream_proc,
-        "fetcher_windows": q_fetcher_windows,
         # (b+) the flagship interval join, also getting sf1 evidence
         # this round
         "event_window_join": q_event_window_join,
         # --- driver cap (50) ---
-        # (c) the 14 remaining stale rows — rotate into the cap in r10
-        # (glob_filter / fdsn_event_query / ppm_roundtrip displaced past
-        # the cap by the three new r9 queries)
+        # (c) the 15 remaining stale rows — rotate into the cap in r10
+        # (glob_filter / fdsn_event_query / ppm_roundtrip /
+        # fetcher_windows displaced past the cap by the four new r9
+        # queries)
+        "fetcher_windows": q_fetcher_windows,
         "ppm_roundtrip": q_ppm_roundtrip,
         "fdsn_event_query": q_fdsn_event_query,
         "glob_filter": q_glob_filter,
@@ -9300,6 +9354,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decontam": _fuzzy_decontam_sql(),
         "token_budget": _token_budget_sql(),
         "source_overlap": _source_overlap_sql(),
+        "leak_safe_split": _leak_safe_split_sql(),
         "knn_cosine": _SQL_KNN,
         "lang_id": _SQL_LANG,
         "median_per_group": _SQL_MEDIAN,

@@ -927,6 +927,64 @@ def hash_split(
     ).drop("_bucket")
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict | None = None,
+    salt: str = "",
+    max_iterations: int = 6,
+) -> DataFrame:
+    """Train/val/test split that CANNOT leak through near-duplicates:
+    every member of a near-dup component lands on the SAME side. A plain
+    :func:`hash_split` assigns rewrapped copies of one document
+    independently — with a 5% eval share and pair multiplicity m, a
+    near-dup family straddles train/eval with probability
+    ``1 − 0.95^m − …``, and eval quietly measures memorization. Here
+    the split key is the component's ``cluster_id`` (min reachable id
+    via :func:`dedup_clusters`), so the whole family moves together;
+    singletons key by their own id (identical to hash_split for them).
+
+    Scale shape: component resolution is the bounded min-label
+    propagation (one map-combinable groupBy per round, non-convergence
+    raises by default); the split itself adds ONE left join of the
+    corpus against the member→cluster table (pairs-sized, ≪ corpus) —
+    broadcastable whenever the pair set is, and the assignment stays a
+    pure per-row hash expression. Deterministic and subset-consistent
+    EXCEPT where the pair set itself changes a component's min id (new
+    near-dups merging two clusters re-key both — the price of the
+    leakage guarantee; re-split per dedup snapshot).
+
+    Output: the input columns + ``split_key`` (the component/cluster id
+    the hash keyed on, for audit) + ``split``.
+    """
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    clusters = dedup_clusters(
+        pairs, max_iterations=max_iterations
+    ).selectExpr(f"id AS _mid", "cluster_id AS _cluster")
+    joined = df.join(
+        clusters, df[id_col] == clusters._mid, "left"
+    ).drop("_mid")
+    bucket = f"{_md5_u32_sql('split_key', salt)} % 100"
+    case, lo = "CASE", 0
+    for name, w in weights.items():
+        hi = lo + w
+        case += f" WHEN _bucket < {hi} THEN '{name}'"
+        lo = hi
+    case += " END"
+    return (
+        joined.selectExpr(
+            "*", f"coalesce(_cluster, {id_col}) AS split_key"
+        )
+        .drop("_cluster")
+        .selectExpr("*", f"{bucket} AS _bucket")
+        .selectExpr("*", f"{case} AS split")
+        .drop("_bucket")
+    )
+
+
 def stratified_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -159,3 +159,41 @@ def test_source_minhash_overlap_hand_values(spark):
         got[("A", "C")].n_lanes_match == got[("B", "C")].n_lanes_match
     )
     assert got[("A", "C")].est_jaccard == got[("B", "C")].est_jaccard
+
+
+def test_leakage_safe_split_invariants(spark):
+    """The leakage guarantee: every near-dup component lands on ONE
+    side; singletons get exactly the hash_split assignment (same key
+    recipe); weights validated."""
+    from obsplus_spark.operators.dedup import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 41)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id1 long, id2 long",
+    )
+    out = leakage_safe_split(
+        docs, pairs, weights={"train": 50, "eval": 50}
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 40
+    # components stay together, keyed by their min id
+    for comp in ([1, 2, 3, 4], [10, 11], [20, 21]):
+        assert {by_id[i].split_key for i in comp} == {comp[0]}
+        assert len({by_id[i].split for i in comp}) == 1
+    # singletons: identical assignment to plain hash_split
+    clustered = {1, 2, 3, 4, 10, 11, 20, 21}
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs, weights={"train": 50, "eval": 50}
+        ).collect()
+    }
+    for i in set(by_id) - clustered:
+        assert by_id[i].split_key == i
+        assert by_id[i].split == plain[i]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum to 100"):
+        leakage_safe_split(docs, pairs, weights={"train": 60})
