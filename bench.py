@@ -93,6 +93,10 @@ def main() -> None:
         "bigram_lp",
         "cascade_delete",
         "image_phash",
+        # r9: fuzzy decontamination persists both sides' digest tables;
+        # leak_safe_split persists shingles + cluster labels
+        "fuzzy_decontam",
+        "leak_safe_split",
     }
 
     # best-of-4 per query: the host is shared, single runs show ±5×

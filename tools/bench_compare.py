@@ -49,7 +49,9 @@ def main() -> int:
     rebuild = {"minhash_near_dup", "prune_orphans", "common_coverage",
                "dedup_clusters", "canonical_docs", "jaccard_join",
                "incremental_dedup", "semantic_dedup", "bfs_hops",
-               "hits_auth", "pagerank", "k_core", "bigram_lp", "cascade_delete", "image_phash"}
+               "hits_auth", "pagerank", "k_core", "bigram_lp",
+               "cascade_delete", "image_phash", "fuzzy_decontam",
+               "leak_safe_split"}
     eng: dict[str, float] = {}
     for name, fn in qs.items():
         df = None if name in rebuild else fn(spark, sf_dir)
