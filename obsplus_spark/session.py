@@ -46,7 +46,17 @@ def get_spark(
         # wrapped API call — ~25% of plan-build time across the query
         # suite); the only loss is the "call site" line in error messages
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs executors inside the driver JVM, so this IS the
+        # executor heap: at 8g the cache-heavy suites ran near the
+        # unified-memory ceiling (observed: 1 GB page-allocation retries
+        # in wide aggregates at 10x scale, GC-inflated py4j latency).
+        # 24g leaves the 128 GiB hosts plenty of headroom for the
+        # in-process DuckDB oracle side. On a real cluster this conf is
+        # per-node and set by the deployment, not here.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
