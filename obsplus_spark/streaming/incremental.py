@@ -161,6 +161,65 @@ def streaming_exact_dedup(
     return wm.dropDuplicates(["fingerprint"])
 
 
+def streaming_contamination_candidates(
+    docs: DataFrame,
+    benchmark_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Streaming FUZZY decontamination candidates: each arriving
+    document is MinHash-banded with the batch pipeline's narrow per-row
+    expressions and joined against a STATIC benchmark LSH index
+    (:func:`obsplus_spark.operators.dedup.lsh_band_index` written at
+    eval-set curation time) — ingest flags likely eval near-duplicates
+    the moment they land, instead of waiting for the next corpus-wide
+    decontamination sweep.
+
+    Scale shape: the banding is stateless per-row expressions (any
+    stream rate), and a stream-STATIC inner equi-join needs no
+    watermark and no state store — Spark broadcasts or rescans the
+    dimension-sized benchmark side per micro-batch. Output is
+    candidates only; the exact-Jaccard verdict is the batch
+    :func:`~obsplus_spark.operators.dedup.fuzzy_decontaminate` verify
+    stage over the flagged ids (LSH recall trade documented there).
+
+    Output stream: (doc_id, bench_id, band, band_hash) — one row per
+    colliding band; distinct downstream.
+    """
+    from pyspark.sql import functions as F
+
+    from obsplus_spark.operators.dedup import (
+        _band_structs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(
+        docs, id_col, text_col, n_hashes, shingle_size=shingle_size
+    )
+    banded = sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"explode(array({_band_structs(n_hashes, bands)}))"
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    bench = benchmark_index.select(
+        F.col(id_col).alias("bench_id"),
+        F.col("band").alias("b_band"),
+        F.col("band_hash").alias("b_hash"),
+    )
+    return (
+        banded.join(
+            bench,
+            (banded.band == bench.b_band)
+            & (banded.band_hash == bench.b_hash),
+        )
+        .select("doc_id", "bench_id", "band", "band_hash")
+    )
+
+
 def streaming_rate_alerts(
     events: DataFrame,
     baseline: DataFrame,

@@ -662,3 +662,48 @@ def test_streaming_hll_replay_is_idempotent(spark, tmp_path):
         F.expr("CAST(hll_sketch_estimate(hll) AS BIGINT)").alias("n")
     ).collect()
     assert [r.n for r in first] == [r.n for r in again] == [8]
+
+
+def test_streaming_contamination_candidates(spark, tmp_path):
+    """Arriving near-copies of benchmark docs are flagged against the
+    STATIC eval LSH index (stream-static join, no state store); clean
+    docs pass unflagged."""
+    from obsplus_spark.operators.dedup import lsh_band_index
+    from obsplus_spark.streaming.incremental import (
+        streaming_contamination_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame([(1000, base)], schema)
+    index = lsh_band_index(bench)  # written at eval-curation time
+
+    src = str(tmp_path / "stream_docs")
+    spark.createDataFrame(
+        [(1, base)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, "entirely unrelated text about completely other topics")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "flags_out")
+    q = (
+        streaming_contamination_candidates(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index,
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "flags_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert {(r.doc_id, r.bench_id) for r in got} == {(1, 1000)}
+    # the exact copy collides on EVERY band (16 lanes / 4 bands)
+    assert len({r.band for r in got}) == 4
