@@ -1827,7 +1827,9 @@ def source_minhash_overlap(
     associative, so a SOURCE's signature is the per-lane ``min`` over
     its documents' lane values — ONE map-combinable aggregate keyed by
     source folds any corpus size into |sources| signature rows, and the
-    pair matrix is a dimension-sized self-join. The estimate is the
+    pair matrix is a dimension-sized self-join (inequality-only, so it
+    compiles to a broadcast nested loop — safe because BOTH sides are
+    |sources|-bounded by construction; plan-audited). The estimate is the
     matching-lane fraction (the standard unbiased MinHash estimator,
     ±1/√n_hashes); both engines replay the identical deterministic lane
     family, so the output is exact-comparable despite being an
@@ -1864,7 +1866,8 @@ def source_minhash_overlap(
           SELECT source, {lanes}
           FROM {{d}} GROUP BY source
         )
-        SELECT a.source AS source_a, b.source AS source_b,
+        SELECT /*+ BROADCAST(b) */
+               a.source AS source_a, b.source AS source_b,
                CAST({match_sum} AS BIGINT) AS n_lanes_match,
                round(({match_sum}) / {float(n_hashes)!r}D, 6)
                  AS est_jaccard

@@ -197,3 +197,43 @@ def test_leakage_safe_split_invariants(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sum to 100"):
         leakage_safe_split(docs, pairs, weights={"train": 60})
+
+
+def test_r9_plan_shapes(spark):
+    """Scale-shape audits for the r9 wave: source_overlap folds the
+    corpus in ONE source-keyed aggregate exchange (plus the
+    dimension-sized signature self-join); token_budget carries exactly
+    ONE window exchange; neither grows a cartesian or nested-loop
+    join."""
+    from obsplus_spark.operators.dedup import source_minhash_overlap
+    from obsplus_spark.operators.text import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "b c d e", "s2")],
+        "doc_id long, text string, source string",
+    )
+    p = (
+        source_minhash_overlap(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the inequality self-join of the |sources|-sized signature frame
+    # must BROADCAST (both sides dimension-bounded BY CONSTRUCTION),
+    # never shuffle a CartesianProduct
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" in p
+    # corpus-sized exchanges: the one hash-aggregate keyed by source
+    assert "HashAggregate" in p
+
+    p2 = (
+        token_budget_sample(docs, {"s1": 10, "s2": 10})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one window over the source-keyed exchange; no join at all
+    assert p2.count("Window") >= 1
+    assert "Join" not in p2
+    import re as _re
+    # exchanges: the ensure_parallelism round robin (local small-input
+    # artifact, no-op on real tables) + the single source-keyed hash
+    # partitioning for the window
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning", p2)
+    assert len(hash_exchanges) == 1, p2
