@@ -37,6 +37,8 @@ TEXT_QUERIES = [
     "minhash_near_dup",
     "decontaminate",
     "token_budget",
+    "source_overlap",
+    "leak_safe_split",
 ]
 
 TABLES = [
