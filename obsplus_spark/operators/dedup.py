@@ -1723,11 +1723,16 @@ def fuzzy_decontaminate(
     fuzzy matching rather than gram lookups.
 
     Scale shape: both sides are signed ONCE off persisted shingle-digest
-    tables (shared by the banding and the verify); the benchmark is
-    dimension-sized by construction (eval sets are small), so with
-    ``broadcast_benchmark`` its band rows AND its digest arrays ship
-    map-side — the corpus is never shuffled, and the only exchanges are
-    candidate-sized (the distinct + the per-doc best-match window).
+    tables (shared by the banding and the verify); with
+    ``broadcast_benchmark`` the benchmark's band rows (4 narrow rows
+    per doc) ship map-side, so the corpus-side banding never shuffles.
+    The verify stage is CANDIDATE-driven: the small pair list
+    broadcasts into both digest joins, and the digest tables are never
+    broadcast (a doc's digest array is ~40× its compressed text — a
+    corpus-fraction benchmark would OOM the driver; measured at 20×
+    bench scale). Remaining exchanges are candidate-sized (the
+    distinct + the per-doc best-match window) plus one keyed pass over
+    the benchmark digest table.
     LSH recall follows the standard band trade (bands=4 of 4 lanes →
     ~50% per-band collision at J=0.84; candidates only gate the exact
     verify, which decides membership).
@@ -1774,13 +1779,22 @@ def fuzzy_decontaminate(
         )
         .distinct()
     )
-    bver = F.broadcast(bsh) if broadcast_benchmark else bsh
+    # verify stage is CANDIDATE-driven: broadcast the (small by
+    # construction) pair list into both digest joins — the digest
+    # tables themselves are NEVER broadcast. A broadcast of the
+    # benchmark DIGEST ARRAYS looks dimension-sized but is not: each
+    # doc's array is ~40× its compressed text (one 38-char digest per
+    # shingle), and a benchmark that is a corpus fraction (as in the
+    # bench fixture) blows past the driver at 20× scale (observed:
+    # broadcast-build OOM at sf2). Band rows stay broadcastable — they
+    # are 4 narrow rows per benchmark doc.
     jac = "n_inter / CAST(n_corpus + n_bench - n_inter AS DOUBLE)"
     return sql_over(
-        {"cand": cand, "cs": csh, "bs": bver},
+        {"cand": cand, "cs": csh, "bs": bsh},
         f"""
         WITH j AS (
-          SELECT cand._cid AS {id_col}, cand._bid AS bench_id,
+          SELECT /*+ BROADCAST(cand) */
+                 cand._cid AS {id_col}, cand._bid AS bench_id,
                  size(array_intersect(cs.shingles, bs.shingles))
                    AS n_inter,
                  size(cs.shingles) AS n_corpus,
