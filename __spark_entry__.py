@@ -4959,6 +4959,177 @@ _SQL_NGRAM_DIVERSITY = r"""
 """
 
 
+def q_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix template clusters — operators/text.py
+    prefix_template_clusters: md5 of each doc's first-8-token prefix,
+    ONE digest-keyed map-combined aggregate + TakeOrdered; the
+    boilerplate-injection detector that catches template recycling
+    ACROSS sources where per-doc dedup misses diverging bodies."""
+    from obsplus_spark.operators.text import prefix_template_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_template_clusters(docs, k=8, min_docs=2, top=100)
+
+
+_SQL_PREFIX_TEMPLATES = r"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t != '') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, text,
+             array_to_string(list_slice(toks, 1, 8), ' ') AS prefix
+      FROM d WHERE len(toks) >= 8
+    ),
+    g AS (
+      SELECT md5(prefix) AS prefix_hash, min(prefix) AS prefix,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             min(doc_id) AS example_doc
+      FROM p GROUP BY md5(prefix)
+    )
+    SELECT * FROM g WHERE n_docs >= 2
+    ORDER BY n_docs DESC, prefix_hash
+    LIMIT 100
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency fit — operators/text.py
+    zipf_slope: (source, token) count aggregate, rank window, closed-
+    form OLS over the top-100 ranks; natural shards sit near slope −1,
+    collapsed or synthetic shards drift flat/cliffed."""
+    from obsplus_spark.operators.text import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, top_ranks=100)
+
+
+_SQL_ZIPF = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               t -> t != '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+      FROM tok GROUP BY source, tok
+    ),
+    r AS (
+      SELECT source,
+             ln(row_number() OVER (PARTITION BY source
+                 ORDER BY freq DESC, tok)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM c
+    ),
+    t AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM (
+        SELECT * FROM (
+          SELECT source, x, y,
+                 row_number() OVER (PARTITION BY source ORDER BY x)
+                   AS rk
+          FROM r
+        ) WHERE rk <= 100
+      ) GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE round((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx), 6) END AS slope,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE round((sy - sx * (n * sxy - sx * sy)
+                           / (n * sxx - sx * sx)) / n, 6)
+                END AS intercept,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                     OR n * syy - sy * sy = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                END AS r2
+    FROM t
+"""
+
+
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition (entropy + dominant share) —
+    operators/text.py source_language_mix: two map-combined
+    aggregates, NULL tags folded into 'und' by contract."""
+    from obsplus_spark.operators.text import source_language_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_language_mix(docs)
+
+
+_SQL_LANG_MIX = """
+    WITH c AS (
+      SELECT source, coalesce(lang, 'und') AS lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS chars
+      FROM documents GROUP BY source, coalesce(lang, 'und')
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           first(lang ORDER BY n DESC, lang) AS top_lang,
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_share,
+           round(log2(CAST(sum(n) AS DOUBLE))
+                 - sum(n * log2(CAST(n AS DOUBLE)))
+                   / CAST(sum(n) AS DOUBLE), 6) AS lang_entropy_bits
+    FROM c GROUP BY source
+"""
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outlier screen — operators/similarity.py
+    embedding_outliers: (label, dim)-keyed map-combined centroid
+    aggregate (the explode collapses before the exchange), broadcast
+    centroids, map-only cosine scoring; centroids 6-dp rounded before
+    the dot so the flag is engine-portable."""
+    from obsplus_spark.operators.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, threshold=0.2)
+
+
+_SQL_EMBED_OUTLIERS = """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    ex AS (
+      SELECT label, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x
+      FROM v
+    ),
+    cent AS (
+      SELECT label, pos, round(avg(x), 6) AS m
+      FROM ex GROUP BY label, pos
+    ),
+    cvec AS (
+      SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label
+    )
+    SELECT vec_id, label, cos_centroid, cos_centroid < 0.2 AS is_outlier
+    FROM (
+      SELECT v.vec_id, v.label,
+             round(coalesce(list_dot_product(ev, c)
+               / nullif(sqrt(list_dot_product(ev, ev))
+                        * sqrt(list_dot_product(c, c)), 0), 0), 6)
+               AS cos_centroid
+      FROM v JOIN cvec USING (label)
+    )
+"""
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-proportion per-source train/val/test assignment —
     operators/dedup.py stratified_split: rank-within-stratum over the
@@ -7430,6 +7601,289 @@ _SQL_IDLE_CUSTOMERS = """
 """
 
 
+def q_supplier_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    profit measure folds part cost against discounted revenue per
+    lineitem, rolled up by supplier nation and order year. The testdata
+    has no ``partsupp``, so cost is a retail-price fraction — the JOIN
+    GRAPH is the point: part (name-filtered) and supplier/nation are
+    broadcast dims pruning the fact scan; orders joins on the order key
+    (the one fact-sized shuffle); the rollup is map-side combined.
+    Profit accumulates in DECIMAL so the sum is exact and the rounded
+    output engine-portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = o.withColumn("o_orderdate", _tcol(o, "o_orderdate"))
+    # revenue minus a 20% retail-cost proxy; every term enters DECIMAL
+    # before the subtraction (double revenue*discount products round
+    # differently across engines once summed)
+    profit = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(28,10)"
+        )
+        - (
+            F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.2)
+        ).cast("decimal(28,10)")
+    )
+    red = p.filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_SQL_SUPPLIER_PROFIT = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+             - CAST(p_retailprice * l_quantity * 0.2 AS DECIMAL(28,10))
+           ) AS DOUBLE), 4) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+"""
+
+
+def q_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important-stock HAVING vs a global scalar):
+    per-nation supplied value, keeping nations whose share exceeds a
+    fixed fraction of the global total. The global total rides a
+    broadcast single-row cross join (never a driver collect); the
+    HAVING compares exact DECIMAL sums scaled by the integer fraction
+    denominator, so the cut is bit-portable. Supplier/nation broadcast;
+    the fact table shuffles once into its nation rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    per_nation = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(val).alias("_val"))
+    )
+    total = per_nation.agg(F.sum("_val").alias("_tot"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        # share > 1/20 of the global total, compared in exact DECIMAL
+        .filter(F.col("_val") * 20 > F.col("_tot"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("_val").cast("double"), 4).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "nation")
+    )
+
+
+_SQL_NATION_VALUE_SHARE = """
+    WITH per_nation AS (
+      SELECT n_name,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,10))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name AS nation, round(CAST(val AS DOUBLE), 4) AS value
+    FROM per_nation
+    WHERE val * 20 > (SELECT sum(val) FROM per_nation)
+    ORDER BY value DESC, nation
+"""
+
+
+def q_ship_delay_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (two conditional counts per category): lineitems
+    bucketed by order-to-ship delay (30-day bands, capped), counting
+    high-priority vs other orders per band in ONE pass — the classic
+    dual ``count_if`` aggregate. The testdata has no ``l_shipmode``, so
+    the delay band plays the mode's role; the join ships the two date
+    columns only and shuffles on the order key once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li = li.withColumn("l_shipdate", _tcol(li, "l_shipdate"))
+    o = o.withColumn("o_orderdate", _tcol(o, "o_orderdate"))
+    j = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    # clamped to [-1, 3]: the synthetic dates are independent, so a
+    # lineitem can "ship" before its order date — all early shipments
+    # fold into one band instead of an open-ended negative tail
+    band = F.greatest(
+        F.least(
+            F.floor(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                / 30
+            ),
+            F.lit(3),
+        ),
+        F.lit(-1),
+    ).cast("long")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(band.alias("delay_band"))
+        .agg(
+            F.count_if(hi).alias("high_line_count"),
+            F.count_if(~hi).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+_SQL_SHIP_DELAY_DIST = """
+    SELECT greatest(least(
+             CAST(floor(date_diff('day', o_orderdate, l_shipdate)
+                        / 30.0) AS BIGINT), 3), -1) AS delay_band,
+           CAST(count(*) FILTER (o_orderpriority IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+           CAST(count(*) FILTER (o_orderpriority NOT IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    ORDER BY delay_band
+"""
+
+
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count per part attribute, with a
+    NOT-IN exclusion): distinct suppliers able to supply each
+    (brand, size-band) bucket, excluding "complaint" suppliers
+    (negative balance — the testdata's stand-in for the comment
+    filter). Supply relationships derive from observed lineitem
+    (part, supplier) pairs (no ``partsupp`` table): ONE pair rollup on
+    the fact table, a broadcast ANTI join for the exclusion, a
+    broadcast part join, then a count-distinct whose Expand runs over
+    the already-deduplicated pair rollup, never the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    complaints = s.filter("s_acctbal < 0").select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(complaints),
+            pairs.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            (F.col("p_size") - (F.col("p_size") % 10))
+            .cast("long")
+            .alias("size_band"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "size_band"
+        )
+    )
+
+
+_SQL_SUPPLIER_CNT = """
+    SELECT p_brand,
+           CAST(p_size - (p_size % 10) AS BIGINT) AS size_band,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size - (p_size % 10)
+    ORDER BY supplier_cnt DESC, p_brand, size_band
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (correlated half-sum threshold → two-level
+    aggregate): suppliers who shipped MORE THAN HALF of some
+    multi-supplier part's total 1996 volume — Q20's "excess stock"
+    predicate re-expressed over shipped quantities (no ``partsupp`` in
+    the testdata). The correlated subquery decorrelates into a
+    (part, supplier) rollup joined to its own per-part rollup on the
+    part key — both aggregates map-side combined, the join key the
+    rollup's own grouping prefix (no re-shuffle of the bigger side).
+    Quantities are integral doubles, so the half-sum compare
+    (``2·sqty > tqty``) is exact and portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = li.withColumn("l_shipdate", _tcol(li, "l_shipdate"))
+    yr = li.filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01'"
+    )
+    pair = yr.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_sqty")
+    )
+    per_part = pair.groupBy("l_partkey").agg(
+        F.sum("_sqty").alias("_tqty"),
+        F.count(F.lit(1)).alias("_nsupp"),
+    )
+    dom = (
+        pair.join(per_part, "l_partkey")
+        .filter("_nsupp > 1 AND _sqty * 2 > _tqty")
+        .select("l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+    return (
+        dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_dominant_parts",
+        )
+        .orderBy(F.col("n_dominant_parts").desc(), "s_name")
+    )
+
+
+_SQL_DOMINANT_SUPPLIERS = """
+    WITH pair AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS sqty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+      SELECT l_partkey, sum(sqty) AS tqty, count(*) AS nsupp
+      FROM pair GROUP BY l_partkey
+    ),
+    dom AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dominant_parts
+      FROM pair JOIN per_part USING (l_partkey)
+      WHERE nsupp > 1 AND sqty * 2 > tqty
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name AS nation, n_dominant_parts
+    FROM dom
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY n_dominant_parts DESC, s_name
+"""
+
+
 def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed bag-of-words linear quality classifier over documents —
     fastText-style scoring as a pure map (see
@@ -9038,6 +9492,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1-r9 keeps every registered query with a green driver row.
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
+        # (a00) NEW in r9 session 4: the remaining classic TPC-H query
+        # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
+        "supplier_profit": q_supplier_profit,
+        "nation_value_share": q_nation_value_share,
+        "ship_delay_dist": q_ship_delay_dist,
+        "supplier_cnt": q_supplier_cnt,
+        "dominant_suppliers": q_dominant_suppliers,
+        # (a01) NEW in r9 session 4: corpus-health + label-noise
+        # diagnostics (template detection, Zipf fit, language mix,
+        # per-class embedding outliers)
+        "prefix_templates": q_prefix_templates,
+        "zipf_fit": q_zipf_fit,
+        "lang_mix": q_lang_mix,
+        "embed_outliers": q_embed_outliers,
         # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination +
         # token-budget mixture realization
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -9231,6 +9699,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "supplier_profit": _SQL_SUPPLIER_PROFIT,
+        "nation_value_share": _SQL_NATION_VALUE_SHARE,
+        "ship_delay_dist": _SQL_SHIP_DELAY_DIST,
+        "supplier_cnt": _SQL_SUPPLIER_CNT,
+        "dominant_suppliers": _SQL_DOMINANT_SUPPLIERS,
+        "prefix_templates": _SQL_PREFIX_TEMPLATES,
+        "zipf_fit": _SQL_ZIPF,
+        "lang_mix": _SQL_LANG_MIX,
+        "embed_outliers": _SQL_EMBED_OUTLIERS,
         "hits_auth": _SQL_HITS,
         "k_core": _k_core_oracle_sql(3, 4),
         "trend_lines": _SQL_TRENDS,

@@ -974,3 +974,70 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-class embedding outlier screen: cosine of every vector to
+    its class centroid, flagging rows below ``threshold``. The standard
+    label-noise / encoder-failure detector over an embedded corpus — a
+    vector far from its own class centroid is a mislabel, an empty or
+    garbage input, or a drifted encoder shard; curation pipelines drop
+    or re-queue the flagged tail before training contrastive heads.
+
+    Scale shape: the centroid is a (label, dim)-keyed MAP-COMBINED
+    aggregate over the position-exploded vectors (the partial
+    aggregates collapse each partition to ≤ |labels|·dim cells before
+    the exchange — the explode never crosses the wire), reassembled
+    per label by one sort over dim cells, then broadcast back; the
+    scoring pass is map-only. One exchange of |labels|·dim rows plus a
+    broadcast join, at any corpus size.
+
+    Engine stability: centroid components are cross-row float means —
+    6-dp rounded BEFORE the cosine (house kmeans convention) so the
+    downstream in-row fold is deterministic across engines and
+    partitionings; the flag compares the ROUNDED cosine.
+
+    Malformed (NULL/empty) embeddings are excluded by the shared
+    :func:`valid_vectors` contract; zero-norm vectors are valid and
+    score cosine 0 (→ outliers under any positive threshold).
+
+    Output: (id, label, cos_centroid, is_outlier).
+    """
+    from obsplus_spark.util import sql_over
+
+    v = valid_vectors(df, vec_col)
+    thr = float(threshold)
+    return sql_over(
+        {"v": v},
+        f"""
+        WITH ex AS (
+          SELECT {label_col} AS _lbl, pos, CAST(x AS DOUBLE) AS x
+          FROM {{v}} LATERAL VIEW posexplode({vec_col}) AS pos, x
+        ),
+        cent AS (
+          SELECT _lbl, pos, round(avg(x), 6) AS m
+          FROM ex GROUP BY _lbl, pos
+        ),
+        cvec AS (
+          SELECT _lbl,
+                 transform(array_sort(collect_list(struct(pos, m))),
+                           s -> s.m) AS c
+          FROM cent GROUP BY _lbl
+        )
+        SELECT {id_col}, {label_col},
+               cos_centroid,
+               cos_centroid < {thr!r}D AS is_outlier
+        FROM (
+          SELECT /*+ BROADCAST(cv) */ e.{id_col}, e.{label_col},
+                 round({_cosine_sql(f"e.{vec_col}", "cv.c")}, 6)
+                   AS cos_centroid
+          FROM {{v}} e JOIN cvec cv ON e.{label_col} = cv._lbl
+        )
+        """,
+    )

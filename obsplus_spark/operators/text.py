@@ -1695,3 +1695,198 @@ def readability_scores(
             " END AS flesch",
         )
     )
+
+
+def prefix_template_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 8,
+    min_docs: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Shared-prefix template detection: cluster documents on the md5
+    digest of their first ``k`` tokens and report clusters that recur.
+    Boilerplate injection (cookie banners, scraper wrappers, generation
+    prompts leaking into output) shows up as one prefix digest carried
+    by many documents — often across SEVERAL sources, which
+    per-document dedup misses when the bodies diverge after the
+    template. The digest keyed on a fixed token count (not bytes) makes
+    whitespace-formatting variants of the same template collide.
+
+    Scale shape: one map pass builds the digest in-row (tokenize →
+    slice → md5; docs shorter than ``k`` tokens drop — a short doc IS
+    its own prefix and would cluster with every same-prefix long doc),
+    ONE digest-keyed map-combined aggregate, and a distributed
+    TakeOrdered for the top clusters. Nothing quadratic, no join; the
+    shuffle carries ≤ one row per distinct prefix per partition.
+
+    Output: (prefix_hash, prefix, n_docs, n_sources, total_chars,
+    example_doc) for the ``top`` clusters with ``n_docs >=
+    min_docs``, ordered by cluster size.
+    """
+    from obsplus_spark.util import sql_over
+
+    toks = _clean_tokens_sql(text_col)
+    return sql_over(
+        {"d": df},
+        f"""
+        SELECT * FROM (
+          SELECT prefix_hash,
+                 min(prefix) AS prefix,
+                 CAST(count(1) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT {source_col}) AS BIGINT)
+                   AS n_sources,
+                 CAST(sum(length({text_col})) AS BIGINT) AS total_chars,
+                 min({id_col}) AS example_doc
+          FROM (
+            SELECT {id_col}, {source_col}, {text_col},
+                   concat_ws(' ', slice(_toks, 1, {int(k)})) AS prefix,
+                   md5(concat_ws(' ', slice(_toks, 1, {int(k)})))
+                     AS prefix_hash
+            FROM (SELECT {id_col}, {source_col}, {text_col},
+                         {toks} AS _toks FROM {{d}})
+            WHERE size(_toks) >= {int(k)}
+          )
+          GROUP BY prefix_hash
+        )
+        WHERE n_docs >= {int(min_docs)}
+        ORDER BY n_docs DESC, prefix_hash
+        LIMIT {int(top)}
+        """,
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_ranks: int = 100,
+) -> DataFrame:
+    """Per-source Zipf-law fit: OLS of ``ln(frequency)`` on
+    ``ln(rank)`` over the source's ``top_ranks`` most frequent tokens.
+    Natural language sits near slope −1 with high r²; synthetic or
+    template-collapsed sources drift flat (over-uniform vocabularies)
+    or cliff (a few tokens dominating), and a LOW r² flags mixed or
+    corrupted shards. A standard corpus-health diagnostic next to
+    :func:`ngram_diversity` (which scores gram recycling, not the
+    rank-frequency shape).
+
+    Scale shape: one (source, token) map-combined count aggregate, one
+    source-keyed window for the frequency ranks (rank ties broken by
+    token for engine determinism), then the closed-form OLS folds in
+    ONE more map-combined aggregate over ≤ ``top_ranks`` rows per
+    source. Two keyed exchanges total; nothing driver-side.
+
+    Output: (source, n_ranks, slope, intercept, r2), 6-dp rounded;
+    sources with under two ranked tokens return NULL fit columns.
+    """
+    from obsplus_spark.util import sql_over
+
+    toks = _clean_tokens_sql(text_col)
+    return sql_over(
+        {"d": df},
+        f"""
+        WITH tok AS (
+          SELECT {source_col} AS source, tok
+          FROM (SELECT {source_col}, explode({toks}) AS tok FROM {{d}})
+        ),
+        c AS (
+          SELECT source, tok, CAST(count(1) AS BIGINT) AS freq
+          FROM tok GROUP BY source, tok
+        ),
+        r AS (
+          SELECT source,
+                 ln(row_number() OVER (PARTITION BY source
+                     ORDER BY freq DESC, tok)) AS x,
+                 ln(CAST(freq AS DOUBLE)) AS y
+          FROM c
+        ),
+        t AS (
+          SELECT source,
+                 CAST(count(1) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy,
+                 sum(y * y) AS syy
+          FROM (
+            SELECT * FROM (
+              SELECT source, x, y, row_number() OVER (
+                PARTITION BY source ORDER BY x) AS rk
+              FROM r
+            ) WHERE rk <= {int(top_ranks)}
+          ) GROUP BY source
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_ranks,
+               CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE round((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx), 6) END AS slope,
+               CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE round((sy - sx * (n * sxy - sx * sy)
+                               / (n * sxx - sx * sx)) / n, 6)
+                    END AS intercept,
+               CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                         OR n * syy - sy * sy = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                         6) END AS r2
+        FROM t
+        """,
+    )
+
+
+def source_language_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source language composition: document counts, language
+    entropy, and the dominant language's share — the mixture
+    diagnostic a multilingual curation pipeline reads before weighting
+    sources (a shard whose declared language histogram is flat, or
+    whose dominant share slips, is mislabeled or contaminated).
+
+    NULL language tags fold into the ``'und'`` (undetermined) class —
+    a missing tag is itself signal and must not silently vanish from
+    the distribution (COUNT(DISTINCT) and grouped NULLs behave
+    differently across engines; the fold makes the contract explicit).
+
+    Scale shape: two map-combined aggregates — (source, lang) counts,
+    then the per-source fold computing entropy via the
+    ``log2(n) − Σ c·log2(c)/n`` identity and the dominant class via
+    ``min_by`` on (−count, lang) (deterministic under count ties).
+    No window, no join; shuffle volume is |sources × langs|.
+
+    Output: (source, n_docs, total_chars, n_langs, top_lang,
+    top_share, lang_entropy_bits), shares/entropy 6-dp rounded.
+    """
+    from obsplus_spark.util import sql_over
+
+    return sql_over(
+        {"d": df},
+        f"""
+        WITH c AS (
+          SELECT {source_col} AS source,
+                 coalesce({lang_col}, 'und') AS lang,
+                 CAST(count(1) AS BIGINT) AS n,
+                 CAST(sum(length(coalesce({text_col}, ''))) AS BIGINT)
+                   AS chars
+          FROM {{d}} GROUP BY {source_col}, coalesce({lang_col}, 'und')
+        )
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS total_chars,
+               CAST(count(1) AS BIGINT) AS n_langs,
+               min_by(lang, struct(-n, lang)) AS top_lang,
+               round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_share,
+               round(log2(CAST(sum(n) AS DOUBLE))
+                     - sum(n * log2(CAST(n AS DOUBLE)))
+                       / CAST(sum(n) AS DOUBLE), 6)
+                 AS lang_entropy_bits
+        FROM c GROUP BY source
+        """,
+    )

@@ -1,0 +1,221 @@
+"""Round-9 session-4 operator wave: corpus-health diagnostics
+(prefix-template clusters, Zipf fit, language mix, per-class embedding
+outliers) and the remaining classic TPC-H query shapes. Oracle parity
+runs through tools/check.py; these tests pin the operator semantics on
+hand-built frames where the expected values are derivable by hand (or
+numpy for the OLS fit)."""
+
+import math
+
+import pytest
+
+
+# ---------------------------------------------------------------- text
+
+
+def test_prefix_templates_cluster_and_filters(spark):
+    from obsplus_spark.operators.text import prefix_template_clusters
+
+    tpl = "cookie banner accept terms privacy policy click here"
+    docs = spark.createDataFrame(
+        [
+            (1, tpl + " body one", "A"),
+            (2, tpl + " a totally different body", "B"),
+            (3, "\t" + tpl + " whitespace variant\n", "A"),
+            (4, "unique prefix nothing shared with anything else at all",
+             "A"),
+            (5, "short doc", "A"),  # < k tokens: dropped
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = prefix_template_clusters(docs, k=8, min_docs=2).collect()
+    # only the template cluster survives min_docs (the unique-prefix doc
+    # is a singleton)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 3
+    assert r.n_sources == 2
+    assert r.example_doc == 1
+    assert r.prefix == tpl
+
+
+def test_prefix_templates_k_bound_and_order(spark):
+    from obsplus_spark.operators.text import prefix_template_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (i, "a b c d e f g h tail%d" % i, "S") for i in range(3)
+        ] + [
+            (10 + i, "z y x w v u t s tail%d" % i, "S") for i in range(2)
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = prefix_template_clusters(docs, k=8, min_docs=2).collect()
+    assert [r.n_docs for r in rows] == [3, 2]
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark):
+    np = pytest.importorskip("numpy")
+    from obsplus_spark.operators.text import zipf_slope
+
+    # one source, token k repeated freq[k] times; ranks deterministic
+    freqs = {"the": 40, "of": 20, "and": 13, "to": 10, "a": 8, "in": 6}
+    text = " ".join(t for t, n in freqs.items() for _ in range(n))
+    docs = spark.createDataFrame(
+        [(1, text, "S")], "doc_id long, text string, source string"
+    )
+    row = zipf_slope(docs, top_ranks=100).collect()[0]
+    y = np.log(sorted(freqs.values(), reverse=True))
+    x = np.log(np.arange(1, len(freqs) + 1))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_ranks == len(freqs)
+    assert row.slope == pytest.approx(slope, abs=1e-5)
+    assert row.intercept == pytest.approx(intercept, abs=1e-5)
+    # a clean Zipf-ish series fits tightly
+    assert row.r2 > 0.98
+
+
+def test_zipf_slope_degenerate_source_nulls(spark):
+    from obsplus_spark.operators.text import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(1, "lonely", "ONE"), (2, "two two", "TIES")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in zipf_slope(docs).collect()}
+    # single-token vocabulary: no fit
+    assert got["ONE"].n_ranks == 1
+    assert got["ONE"].slope is None and got["ONE"].r2 is None
+    assert got["TIES"].n_ranks == 1
+
+
+def test_source_language_mix_entropy_and_und(spark):
+    from obsplus_spark.operators.text import source_language_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa", "en", "S"),
+            (2, "bbb", "en", "S"),
+            (3, "c", "de", "S"),
+            (4, "dd", None, "S"),  # NULL lang -> 'und'
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    row = source_language_mix(docs).collect()[0]
+    assert (row.n_docs, row.n_langs, row.total_chars) == (4, 3, 8)
+    assert row.top_lang == "en"
+    assert row.top_share == pytest.approx(0.5)
+    # H = log2(4) - (2*1 + 1*0 + 1*0)/4 = 2 - 0.5 = 1.5
+    assert row.lang_entropy_bits == pytest.approx(1.5)
+
+
+def test_source_language_mix_top_lang_tie_breaks_low(spark):
+    from obsplus_spark.operators.text import source_language_mix
+
+    docs = spark.createDataFrame(
+        [(1, "x", "fr", "S"), (2, "y", "de", "S")],
+        "doc_id long, text string, lang string, source string",
+    )
+    row = source_language_mix(docs).collect()[0]
+    assert row.top_lang == "de"  # count tie -> lexicographically first
+    assert row.lang_entropy_bits == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------- similarity
+
+
+def test_embedding_outliers_flags_far_vectors(spark):
+    from obsplus_spark.operators.similarity import embedding_outliers
+
+    rows = [
+        # label 0: three aligned vectors + one opposed
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.1], 0),
+        (3, [1.0, -0.1], 0),
+        (4, [-1.0, 0.0], 0),
+        # label 1: two aligned
+        (5, [0.0, 1.0], 1),
+        (6, [0.0, 2.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = {r.vec_id: r for r in embedding_outliers(df, threshold=0.5)
+           .collect()}
+    assert len(got) == 6
+    assert not got[1].is_outlier
+    assert got[4].is_outlier
+    # centroid of label 0 is (0.5, 0) -> vec 4 cosine = -1
+    assert got[4].cos_centroid == pytest.approx(-1.0)
+    assert got[5].cos_centroid == pytest.approx(1.0)
+    assert not got[6].is_outlier
+
+
+def test_embedding_outliers_contract_null_empty_zero(spark):
+    from obsplus_spark.operators.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, None, 0),        # malformed: excluded
+            (4, [], 0),          # malformed: excluded
+            (5, [0.0, 0.0], 0),  # zero-norm: VALID, cosine 0
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    got = {r.vec_id: r for r in embedding_outliers(df, threshold=0.5)
+           .collect()}
+    assert set(got) == {1, 2, 5}
+    assert got[5].cos_centroid == 0.0
+    assert got[5].is_outlier
+
+
+# --------------------------------------------------------------- tpch
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_ship_delay_dist_bands_bounded(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_ship_delay_dist(spark, sf_dir).collect()
+    bands = [r.delay_band for r in rows]
+    assert bands == sorted(bands)
+    assert all(-1 <= b <= 3 for b in bands)
+    assert all(r.high_line_count >= 0 and r.low_line_count >= 0
+               for r in rows)
+
+
+def test_nation_value_share_cut(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_nation_value_share(spark, sf_dir).collect()
+    # every surviving nation holds > 1/20 of the total -> at most 19
+    assert 0 < len(rows) <= 19
+    vals = [r.value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_dominant_suppliers_threshold(spark, sf_dir):
+    """Dominance is >50% of a multi-supplier part's volume, so a part
+    contributes at most ONE dominant supplier."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    dom = entry.q_dominant_suppliers(spark, sf_dir)
+    total = dom.agg(F.sum("n_dominant_parts")).collect()[0][0] or 0
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_parts = (
+        li.filter(
+            "l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+        )
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert total <= n_parts
