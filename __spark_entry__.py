@@ -5130,6 +5130,98 @@ _SQL_EMBED_OUTLIERS = """
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter-chain attrition report — operators/text.py
+    curation_funnel: cumulative stage flags in ONE map pass, one
+    global map-combined aggregate, stage rows unpivoted from the
+    single aggregate row (no keyed shuffle at any corpus size)."""
+    from obsplus_spark.operators.text import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(
+        docs,
+        [
+            ("nonblank", "text IS NOT NULL AND length(trim(text)) > 0"),
+            (
+                "min_tokens",
+                r"size(filter(split(trim(lower(text)), '\\s+'),"
+                " t -> t != '')) >= 10",
+            ),
+            ("known_lang", "lang IS NOT NULL"),
+            ("max_chars", "n_chars <= 400"),
+        ],
+    )
+
+
+_SQL_CURATION_FUNNEL = r"""
+    WITH c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(*) FILTER (
+               text IS NOT NULL AND length(trim(text)) > 0
+             ) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (
+               text IS NOT NULL AND length(trim(text)) > 0
+               AND len(list_filter(string_split_regex(
+                     trim(lower(text)), '\s+'), t -> t != '')) >= 10
+             ) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (
+               text IS NOT NULL AND length(trim(text)) > 0
+               AND len(list_filter(string_split_regex(
+                     trim(lower(text)), '\s+'), t -> t != '')) >= 10
+               AND lang IS NOT NULL
+             ) AS BIGINT) AS n2,
+             CAST(count(*) FILTER (
+               text IS NOT NULL AND length(trim(text)) > 0
+               AND len(list_filter(string_split_regex(
+                     trim(lower(text)), '\s+'), t -> t != '')) >= 10
+               AND lang IS NOT NULL
+               AND n_chars <= 400
+             ) AS BIGINT) AS n3
+      FROM documents
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'nonblank' AS stage,
+           n_total AS n_in, n0 AS n_kept, n_total - n0 AS n_dropped
+    FROM c
+    UNION ALL SELECT 1, 'min_tokens', n0, n1, n0 - n1 FROM c
+    UNION ALL SELECT 2, 'known_lang', n1, n2, n1 - n2 FROM c
+    UNION ALL SELECT 3, 'max_chars', n2, n3, n2 - n3 FROM c
+"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate exposure — operators/dedup.py
+    duplicate_rate_by_source: digest-keyed window for corpus-wide
+    counts (no self-join), source-keyed rollup; predicts exactly what
+    exact_dedup would remove, per source."""
+    from obsplus_spark.operators.dedup import duplicate_rate_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_rate_by_source(docs)
+
+
+_SQL_DUP_RATE_BY_SOURCE = r"""
+    WITH d AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS dg
+      FROM documents
+    ),
+    w AS (
+      SELECT source, dg, count(*) OVER (PARTITION BY dg) AS cnt FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (dg IS NOT NULL AND cnt > 1)
+                AS BIGINT) AS n_dup_docs,
+           CAST(count(DISTINCT dg) AS BIGINT) AS n_unique_texts,
+           CAST(count(*) FILTER (dg IS NOT NULL)
+                - count(DISTINCT dg) AS BIGINT) AS n_excess,
+           round(count(*) FILTER (dg IS NOT NULL AND cnt > 1)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM w GROUP BY source
+"""
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-proportion per-source train/val/test assignment —
     operators/dedup.py stratified_split: rank-within-stratum over the
@@ -9486,10 +9578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the FIRST 50 entries. Rotation policy (NOTES.md): changed
     # code first, then the entries with the OLDEST most-recent driver
     # row. Round 9 executes VERDICT r8 finding #2 ("53 stale r2/r4
-    # rows"): the 8 entries whose engine or oracle changed this round
-    # lead, then 42 of the 53 stale rows fill the cap; the remaining
-    # 11 sit directly after it for the r10 rotation. Union across
-    # r1-r9 keeps every registered query with a green driver row.
+    # rows"): new-this-round queries lead (never had ANY driver row),
+    # then the 8 changed entries, then 29 of the 53 stale rows fill
+    # the cap; the 24 remaining stale rows sit directly after it for
+    # the r10 rotation (bloom_semi .. dateline_box plus the 9 displaced
+    # by the session-4 additions). Union across r1-r9 keeps every
+    # registered query with a green driver row.
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
@@ -9506,6 +9600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "lang_mix": q_lang_mix,
         "embed_outliers": q_embed_outliers,
+        "curation_funnel": q_curation_funnel,
+        "dup_rate_by_source": q_dup_rate_by_source,
         # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination +
         # token-budget mixture realization
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -9708,6 +9804,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _SQL_ZIPF,
         "lang_mix": _SQL_LANG_MIX,
         "embed_outliers": _SQL_EMBED_OUTLIERS,
+        "curation_funnel": _SQL_CURATION_FUNNEL,
+        "dup_rate_by_source": _SQL_DUP_RATE_BY_SOURCE,
         "hits_auth": _SQL_HITS,
         "k_core": _k_core_oracle_sql(3, 4),
         "trend_lines": _SQL_TRENDS,

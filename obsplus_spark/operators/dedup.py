@@ -2180,3 +2180,62 @@ def cross_source_leakage(
         FROM p GROUP BY source_a, source_b
         """,
     )
+
+
+def duplicate_rate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplicate exposure report: for each source, how
+    many of its documents carry content duplicated ANYWHERE in the
+    corpus, and how much within-source redundancy it ships — the
+    planning metric read before scheduling a dedup pass (a source with
+    2% exposure is not worth a corpus-wide job; one at 40% is mirroring
+    another shard). Digests use the house exact-dedup normalization
+    (:func:`normalize_text` → md5), so the numbers predict exactly what
+    :func:`exact_dedup` would remove.
+
+    Contract: NULL-text rows count in ``n_docs`` but are never flagged
+    duplicated (no content to match); blank-after-normalization texts
+    all share the empty digest and DO count (identical empty content
+    is real duplication).
+
+    Scale shape: one digest-keyed window exchange for the corpus-wide
+    counts (no self-join back onto the corpus), then one source-keyed
+    map-combined rollup; the per-source distinct-digest count expands
+    over already-hashed 32-char digests. Two keyed exchanges, nothing
+    quadratic.
+
+    Output: (source, n_docs, n_dup_docs, n_unique_texts, n_excess,
+    dup_rate) — ``n_dup_docs`` counts corpus-wide-duplicated docs,
+    ``n_excess`` the within-source redundant copies
+    (``non-NULL docs − distinct digests``), ``dup_rate`` =
+    n_dup_docs / n_docs, 6-dp rounded.
+    """
+    from obsplus_spark.util import sql_over
+
+    d = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(normalize_text(text_col)).alias("_dg"),
+    )
+    return sql_over(
+        {"d": d},
+        """
+        SELECT source,
+               CAST(count(1) AS BIGINT) AS n_docs,
+               count_if(_dg IS NOT NULL AND _cnt > 1) AS n_dup_docs,
+               CAST(count(DISTINCT _dg) AS BIGINT) AS n_unique_texts,
+               count_if(_dg IS NOT NULL) - count(DISTINCT _dg)
+                 AS n_excess,
+               round(count_if(_dg IS NOT NULL AND _cnt > 1)
+                     / CAST(count(1) AS DOUBLE), 6) AS dup_rate
+        FROM (
+          SELECT source, _dg,
+                 count(1) OVER (PARTITION BY _dg) AS _cnt
+          FROM {d}
+        )
+        GROUP BY source
+        """,
+    )

@@ -1890,3 +1890,63 @@ def source_language_mix(
         FROM c GROUP BY source
         """,
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    stages: list,
+) -> DataFrame:
+    """Per-stage attrition report for a curation filter chain: apply
+    the ordered ``stages`` (``(name, sql_predicate)`` pairs, each
+    predicate a Spark-SQL boolean over the input columns) CUMULATIVELY
+    and report how many rows each stage receives, keeps, and drops —
+    the funnel accounting every production curation pipeline publishes
+    next to its output corpus (a stage that suddenly drops 40% is a
+    broken filter or an upstream drift, and per-stage numbers localize
+    it; end-to-end keep-rate alone cannot).
+
+    Scale shape: ONE map pass computes every cumulative stage flag
+    in-row, ONE global map-combined aggregate folds them into per-stage
+    ``count_if`` cells, and the stage rows unpivot from that single
+    row — no shuffle beyond the scalar aggregate's final fold, at any
+    corpus size. NULL predicate results count as drops (SQL
+    three-valued logic: a NULL flag is not kept).
+
+    Output: (stage_idx, stage, n_in, n_kept, n_dropped), one row per
+    stage in chain order; ``n_in`` of stage i+1 == ``n_kept`` of
+    stage i.
+    """
+    from obsplus_spark.util import sql_over
+
+    if not stages:
+        raise ValueError("curation_funnel needs at least one stage")
+    names = [str(n) for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    cums, acc = [], None
+    for _, pred in stages:
+        acc = f"({acc}) AND ({pred})" if acc else f"({pred})"
+        cums.append(acc)
+    counts = ", ".join(
+        f"count_if({c}) AS n{i}" for i, c in enumerate(cums)
+    )
+    stack_args, prev = [], "n_total"
+    for i, name in enumerate(names):
+        lit = name.replace("'", "''")
+        stack_args += [str(i), f"'{lit}'", prev, f"n{i}"]
+        prev = f"n{i}"
+    stack = (
+        f"stack({len(names)}, {', '.join(stack_args)})"
+        " AS (stage_idx, stage, n_in, n_kept)"
+    )
+    return sql_over(
+        {"d": df},
+        f"""
+        SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+               n_in, n_kept, n_in - n_kept AS n_dropped
+        FROM (
+          SELECT {stack}
+          FROM (SELECT count(1) AS n_total, {counts} FROM {{d}})
+        )
+        """,
+    )

@@ -39,6 +39,11 @@ TEXT_QUERIES = [
     "token_budget",
     "source_overlap",
     "leak_safe_split",
+    "prefix_templates",
+    "zipf_fit",
+    "lang_mix",
+    "curation_funnel",
+    "dup_rate_by_source",
 ]
 
 TABLES = [
@@ -67,8 +72,9 @@ def _normalize(rows, cols):
 
 @pytest.fixture(scope="module")
 def degenerate_docs_sf_dir(tmp_path_factory):
-    """sf0.001 with four degenerate document rows appended (fresh max
-    ids): empty text, whitespace-only, NULL text, single token."""
+    """sf0.001 with five degenerate document rows appended (fresh max
+    ids): empty text, whitespace-only, NULL text, single token, and a
+    NULL language tag (the lang_mix 'und' fold)."""
     import duckdb
 
     d = tmp_path_factory.mktemp("sf_degen_text")
@@ -89,6 +95,8 @@ def degenerate_docs_sf_dir(tmp_path_factory):
           UNION ALL SELECT {base + 2}, '   ', 'en', 'src1', 3
           UNION ALL SELECT {base + 3}, NULL, 'en', 'src2', 0
           UNION ALL SELECT {base + 4}, 'hello', 'en', 'src3', 5
+          UNION ALL SELECT {base + 5}, 'tag herr schmidt', NULL,
+                           'src4', 16
         ) TO '{d / "documents.parquet"}' (FORMAT PARQUET)
         """
     )

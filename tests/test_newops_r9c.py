@@ -121,6 +121,74 @@ def test_source_language_mix_top_lang_tie_breaks_low(spark):
     assert row.lang_entropy_bits == pytest.approx(1.0)
 
 
+def test_curation_funnel_cumulative_counts(spark):
+    from obsplus_spark.operators.text import curation_funnel
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good long doc here", "en"),
+            (2, "", "en"),            # drops at nonblank
+            (3, "only two", "en"),    # drops at min_tokens
+            (4, "nice four token doc", None),  # drops at known_lang
+            (5, None, "en"),          # NULL text: drops at nonblank
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = curation_funnel(
+        docs,
+        [
+            ("nonblank", "text IS NOT NULL AND length(trim(text)) > 0"),
+            (
+                "min_tokens",
+                r"size(filter(split(trim(lower(text)), '\\s+'),"
+                " t -> t != '')) >= 3",
+            ),
+            ("known_lang", "lang IS NOT NULL"),
+        ],
+    ).collect()
+    got = [(r.stage, r.n_in, r.n_kept, r.n_dropped) for r in rows]
+    assert got == [
+        ("nonblank", 5, 3, 2),
+        ("min_tokens", 3, 2, 1),
+        ("known_lang", 2, 1, 1),
+    ]
+
+
+def test_curation_funnel_validation(spark):
+    from obsplus_spark.operators.text import curation_funnel
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="at least one"):
+        curation_funnel(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        curation_funnel(df, [("a", "id > 0"), ("a", "id > 1")])
+
+
+def test_dup_rate_by_source_contract(spark):
+    from obsplus_spark.operators.dedup import duplicate_rate_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Same   Content", "A"),   # dup of 2 (normalized)
+            (2, "same content", "B"),     # dup of 1 (cross-source)
+            (3, "same content", "B"),     # within-source copy
+            (4, "unique text b", "B"),
+            (5, None, "A"),               # NULL: counted, never dup
+            (6, "", "A"),                 # blank digest, singleton here
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in duplicate_rate_by_source(docs).collect()}
+    a, b = got["A"], got["B"]
+    assert (a.n_docs, a.n_dup_docs) == (3, 1)       # doc 1 only
+    assert a.n_unique_texts == 2                    # content + ''
+    assert a.n_excess == 0
+    assert (b.n_docs, b.n_dup_docs) == (3, 2)       # docs 2, 3
+    assert b.n_unique_texts == 2
+    assert b.n_excess == 1                          # doc 3
+    assert b.dup_rate == pytest.approx(2 / 3, abs=1e-6)
+
+
 # ---------------------------------------------------------- similarity
 
 

@@ -30,6 +30,7 @@ COSINE_QUERIES = [
     "hard_negatives",
     "embed_quantize",
     "pq_codes",
+    "embed_outliers",
 ]
 
 TABLES = [
