@@ -5130,6 +5130,202 @@ _SQL_EMBED_OUTLIERS = """
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding evaluation vs exact PPJoin ground truth —
+    operators/dedup.py lsh_recall_eval: recall + candidate precision of
+    the (16-lane, 4-band) config at Jaccard ≥ 0.5; truth and candidates
+    each run their documented keyed plans, the comparison is one
+    pair-keyed join + single-row aggregates (never collected)."""
+    from obsplus_spark.operators.dedup import lsh_recall_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_recall_eval(docs, threshold=0.5, n_hashes=16, bands=4)
+
+
+def _lsh_recall_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of q_lsh_recall: the minhash banding CTEs (lockstep
+    with _minhash_sql) + the PPJoin truth CTEs (lockstep with
+    _SQL_SETSIM) + the count comparison."""
+    rows_per_band = n_hashes // bands
+    mh_cols = ",\n           ".join(
+        f"min(('0x' || substr(h, {2 * j + 1}, 8))::BIGINT) AS mh_{j}"
+        for j in range(n_hashes)
+    )
+    band_rows = ",\n      ".join(
+        "({b}, md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{j}"
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+           {mh_cols}
+      FROM (SELECT doc_id, h || substr(h, 1, 6) AS h
+            FROM (SELECT doc_id, md5(shingle) AS h FROM sh)) hx
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, b.band_hash
+      FROM sig, (VALUES
+      {band_rows}
+      ) AS b(band, band_hash)
+    ),
+    lshp AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+      SELECT s.doc_id, s.shingle,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df, s.shingle) AS rn,
+             count(*) OVER (PARTITION BY s.doc_id) AS sz
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+    ),
+    pref AS (
+      SELECT doc_id, shingle, rn, sz FROM ranked
+      WHERE rn <= sz - CAST(ceil(0.5 * sz - 1e-9) AS INT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM pref a JOIN pref b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       AND b.sz >= ceil(0.5 * a.sz - 1e-9)
+       AND a.sz >= ceil(0.5 * b.sz - 1e-9)
+       AND least(a.sz - a.rn, b.sz - b.rn) + 1
+           >= ceil(0.3333333333333333 * (a.sz + b.sz) - 1e-9)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, count(*) AS ni
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.id1
+      JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+      GROUP BY c.id1, c.id2
+    ),
+    truth AS (
+      SELECT i.id1, i.id2
+      FROM inter i
+      JOIN sizes z1 ON z1.doc_id = i.id1
+      JOIN sizes z2 ON z2.doc_id = i.id2
+      WHERE i.ni / CAST(z1.n + z2.n - i.ni AS DOUBLE) >= 0.5
+    ),
+    hit AS (
+      SELECT count(*) AS n_true_pairs, count(l.id1) AS n_hit
+      FROM truth t
+      LEFT JOIN lshp l ON t.id1 = l.id1 AND t.id2 = l.id2
+    ),
+    nc AS (SELECT count(*) AS n_candidates FROM lshp)
+    SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_true_pairs = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(n_hit / CAST(n_true_pairs AS DOUBLE), 6)
+           END AS recall,
+           CASE WHEN n_candidates = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(n_hit / CAST(n_candidates AS DOUBLE), 6)
+           END AS candidate_precision
+    FROM hit CROSS JOIN nc
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — plans/layout.py compaction_plan:
+    contiguous cumsum bin packing per directory on ONE dir-keyed
+    exchange (the (dir, bin) totals reuse it via the subset rule), no
+    driver-side manifest. The file manifest is fabricated
+    deterministically from orders (path per order, size = price cents,
+    directory = priority) so both engines pack the identical input."""
+    from obsplus_spark.plans.layout import compaction_plan
+
+    o = _t(spark, sf_dir, "orders")
+    files = o.selectExpr(
+        "concat('pri=', o_orderpriority) AS dir",
+        "concat('part-', CAST(o_orderkey AS STRING)) AS path",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS size_bytes",
+    )
+    return compaction_plan(files, target_bytes=128 * 1024 * 1024)
+
+
+_SQL_COMPACTION_PLAN = """
+    WITH f AS (
+      SELECT 'pri=' || o_orderpriority AS dir,
+             'part-' || CAST(o_orderkey AS VARCHAR) AS path,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS size_bytes
+      FROM orders
+    ),
+    b AS (
+      SELECT dir, path, size_bytes,
+             CAST((sum(size_bytes) OVER (
+                    PARTITION BY dir
+                    ORDER BY size_bytes DESC, path
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - size_bytes) // 134217728 AS BIGINT) AS bin
+      FROM f
+    )
+    SELECT dir, path, size_bytes, bin,
+           CAST(sum(size_bytes) OVER (PARTITION BY dir, bin)
+                AS BIGINT) AS bin_bytes,
+           CAST(count(*) OVER (PARTITION BY dir, bin)
+                AS BIGINT) AS n_bin_files
+    FROM b
+"""
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — plans/layout.py key_skew_report: one
+    key-keyed map-combined count (the only corpus-sized exchange); the
+    rank filter rewrites to a distributed TakeOrdered (LocalLimit per
+    partition, plan-audited), and the cumulative-share window runs over
+    the ≤ top-k survivors; the pre-salting report for a 100-TB join."""
+    from obsplus_spark.plans.layout import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top=20)
+
+
+_SQL_KEY_SKEW = """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n_rows) AS n_total FROM c),
+    r AS (
+      SELECT * FROM (
+        SELECT key, n_rows,
+               row_number() OVER (ORDER BY n_rows DESC,
+                                  key ASC NULLS LAST) AS rank
+        FROM c
+      ) WHERE rank <= 20
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, key,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows / CAST(n_total AS DOUBLE), 6) AS share,
+           round(sum(n_rows) OVER (ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(n_total AS DOUBLE), 6) AS cum_share
+    FROM r CROSS JOIN tot
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation filter-chain attrition report — operators/text.py
     curation_funnel: cumulative stage flags in ONE map pass, one
@@ -9602,6 +9798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_outliers": q_embed_outliers,
         "curation_funnel": q_curation_funnel,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "lsh_recall": q_lsh_recall,
+        "compaction_plan": q_compaction_plan,
+        "key_skew": q_key_skew,
         # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination +
         # token-budget mixture realization
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -9806,6 +10005,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_outliers": _SQL_EMBED_OUTLIERS,
         "curation_funnel": _SQL_CURATION_FUNNEL,
         "dup_rate_by_source": _SQL_DUP_RATE_BY_SOURCE,
+        "lsh_recall": _lsh_recall_sql(),
+        "compaction_plan": _SQL_COMPACTION_PLAN,
+        "key_skew": _SQL_KEY_SKEW,
         "hits_auth": _SQL_HITS,
         "k_core": _k_core_oracle_sql(3, 4),
         "trend_lines": _SQL_TRENDS,

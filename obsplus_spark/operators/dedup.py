@@ -2239,3 +2239,79 @@ def duplicate_rate_by_source(
         GROUP BY source
         """,
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Measure an LSH banding configuration against EXACT ground truth:
+    recall (what share of the true Jaccard-≥-t pairs the bands propose)
+    and candidate precision (what share of proposals are true) — the
+    evaluation a pipeline runs BEFORE trusting a (n_hashes, bands)
+    choice at corpus scale, since banding recall is a steep s-curve in
+    the threshold (r rows/band ⇒ P(candidate) = 1 − (1 − J^r)^b) and a
+    mis-tuned band count silently drops true near-dups.
+
+    Ground truth comes from :func:`set_similarity_join` (PPJoin — exact,
+    no false negatives), candidates from :func:`lsh_candidate_pairs`
+    over the same shingle definition; both emit sorted (id1 < id2)
+    pairs, so the hit count is one equi-join.
+
+    Scale shape: truth and candidates are each their documented
+    one/two-exchange plans; the comparison adds one pair-keyed
+    left join and three single-row aggregates folded by cross join
+    (never collected). The candidate frame is persisted (referenced by
+    the join AND its own count); truth is consumed once.
+
+    Output: ONE row — (n_true_pairs, n_candidates, n_hit, recall,
+    candidate_precision), 6-dp rounded; NULL recall/precision when the
+    respective denominator is empty.
+    """
+    from obsplus_spark.util import sql_over
+
+    truth = set_similarity_join(
+        df,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_size=shingle_size,
+    ).select("id1", "id2")
+    sig = minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        shingle_size=shingle_size,
+    )
+    cand = lsh_candidate_pairs(
+        sig, id_col=id_col, n_hashes=n_hashes, bands=bands
+    ).persist()
+    _register_shingle_cache(cand)
+    return sql_over(
+        {"t": truth, "c": cand},
+        """
+        WITH hit AS (
+          SELECT count(1) AS n_true_pairs, count(c._m) AS n_hit
+          FROM {t} t
+          LEFT JOIN (SELECT id1, id2, 1 AS _m FROM {c}) c
+            ON t.id1 = c.id1 AND t.id2 = c.id2
+        ),
+        nc AS (SELECT count(1) AS n_candidates FROM {c})
+        SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CASE WHEN n_true_pairs = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE round(n_hit / CAST(n_true_pairs AS DOUBLE), 6)
+               END AS recall,
+               CASE WHEN n_candidates = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE round(n_hit / CAST(n_candidates AS DOUBLE), 6)
+               END AS candidate_precision
+        FROM hit CROSS JOIN nc
+        """,
+    )

@@ -212,3 +212,118 @@ def colocated_join(spark, left_table: str, right_table: str, on: list[str],
     merges. Exists mostly to carry the documented invariant — any
     equi-join of ``spark.table(...)`` frames gets the same plan."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int = 128 * 1024 * 1024,
+    dir_col: str = "dir",
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/bin-packing step of a
+    lakehouse maintenance job): assign every file to an output bin of
+    ~``target_bytes`` within its directory, deterministically, without
+    collecting the manifest to the driver. Small-file proliferation is
+    the classic death of a streaming-ingest table (one file per
+    micro-batch per partition), and the compactor's first step is
+    exactly this plan: which files merge into which output.
+
+    Packing rule: within a directory, files order by (size desc, path)
+    and bin = ⌊cumulative-bytes-before / target⌋ — contiguous cumsum
+    packing. Every bin except the last holds ≥ target·(1 − its first
+    file's overshoot); a file ≥ target lands alone or leading a bin
+    (an exact first-fit-decreasing is inherently sequential — the
+    cumsum rule is the standard distributed surrogate and within one
+    file of FFD's bin count per directory).
+
+    Scale shape: ONE dir-keyed exchange; the bin totals reuse it (the
+    (dir, bin) window's ClusteredDistribution is satisfied by the dir
+    hash partitioning — subset rule). No driver-side manifest, no
+    collect; works on a billion-file manifest.
+
+    Output: (dir, path, size_bytes, bin, bin_bytes, n_bin_files).
+    """
+    from obsplus_spark.util import sql_over
+
+    tb = int(target_bytes)
+    if tb <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    return sql_over(
+        {"f": files},
+        f"""
+        WITH b AS (
+          SELECT {dir_col} AS dir, {path_col} AS path,
+                 CAST({size_col} AS BIGINT) AS size_bytes,
+                 CAST((sum({size_col}) OVER (
+                        PARTITION BY {dir_col}
+                        ORDER BY {size_col} DESC, {path_col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - {size_col}) div {tb} AS BIGINT) AS bin
+          FROM {{f}}
+        )
+        SELECT dir, path, size_bytes, bin,
+               CAST(sum(size_bytes) OVER (PARTITION BY dir, bin)
+                    AS BIGINT) AS bin_bytes,
+               CAST(count(1) OVER (PARTITION BY dir, bin)
+                    AS BIGINT) AS n_bin_files
+        FROM b
+        """,
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the top heavy keys with
+    their row share and cumulative share — what a pipeline reads BEFORE
+    deciding to salt a join or enable AQE skew handling (a key carrying
+    5% of a 100 TB fact table straggles one reducer for hours; this
+    report names it and quantifies how much salting would help).
+
+    NULL keys are reported as their own row (they cluster into one
+    partition in a shuffle exactly like a real value — the most common
+    skew culprit in practice).
+
+    Scale shape: one key-keyed map-combined count aggregate (the only
+    corpus-sized exchange); Catalyst rewrites the rank-≤-k filter over
+    the global row_number into a distributed TakeOrdered (LocalLimit k
+    per partition + global merge — asserted in tests), so the full
+    key-cardinality frame is never sorted on one partition; the
+    cumulative-share window then runs over the ≤ ``top`` survivors.
+
+    Output: (rank, key [as string], n_rows, share, cum_share), 6-dp
+    rounded, heaviest first.
+    """
+    from obsplus_spark.util import sql_over
+
+    k = int(top)
+    if k < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    return sql_over(
+        {"d": df},
+        f"""
+        WITH c AS (
+          SELECT CAST({key_col} AS STRING) AS key, count(1) AS n_rows
+          FROM {{d}} GROUP BY {key_col}
+        ),
+        tot AS (SELECT sum(n_rows) AS n_total FROM c),
+        r AS (
+          SELECT * FROM (
+            SELECT key, n_rows,
+                   row_number() OVER (ORDER BY n_rows DESC,
+                                      key ASC NULLS LAST) AS rank
+            FROM c
+          ) WHERE rank <= {k}
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, key,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               round(n_rows / CAST(n_total AS DOUBLE), 6) AS share,
+               round(sum(n_rows) OVER (ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(n_total AS DOUBLE), 6) AS cum_share
+        FROM r CROSS JOIN tot
+        """,
+    )

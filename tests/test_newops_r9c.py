@@ -287,3 +287,88 @@ def test_dominant_suppliers_threshold(spark, sf_dir):
         .count()
     )
     assert total <= n_parts
+
+
+# ------------------------------------------------------- layout / eval
+
+
+def test_compaction_plan_packing_rule(spark):
+    from obsplus_spark.plans.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [
+            ("a", "f1", 60), ("a", "f2", 50), ("a", "f3", 40),
+            ("a", "f4", 30), ("a", "huge", 250),
+            ("b", "g1", 10),
+        ],
+        "dir string, path string, size_bytes long",
+    )
+    rows = compaction_plan(files, target_bytes=100).collect()
+    got = {(r.dir, r.path): r for r in rows}
+    # dir a orders: huge(250) f1(60) f2(50) f3(40) f4(30); cum-before:
+    # 0, 250, 310, 360, 400 -> bins 0, 2, 3, 3, 4
+    assert got[("a", "huge")].bin == 0
+    assert got[("a", "f1")].bin == 2
+    assert got[("a", "f2")].bin == 3
+    assert got[("a", "f3")].bin == 3
+    assert got[("a", "f4")].bin == 4
+    assert got[("a", "f2")].bin_bytes == 90
+    assert got[("a", "f2")].n_bin_files == 2
+    assert got[("b", "g1")].bin == 0
+    with pytest.raises(ValueError, match="positive"):
+        compaction_plan(files, target_bytes=0)
+
+
+def test_key_skew_report_shares_and_nulls(spark):
+    from obsplus_spark.plans.layout import key_skew_report
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + [None] * 2 + ["c"]],
+        "k string",
+    )
+    rows = key_skew_report(df, "k", top=3).collect()
+    assert [(r.rank, r.key, r.n_rows) for r in rows] == [
+        (1, "a", 5), (2, "b", 3), (3, None, 2),
+    ]
+    assert rows[0].share == pytest.approx(5 / 11, abs=1e-6)
+    assert rows[2].cum_share == pytest.approx(10 / 11, abs=1e-6)
+    with pytest.raises(ValueError, match=">= 1"):
+        key_skew_report(df, "k", top=0)
+
+
+def test_key_skew_top_k_is_distributed(spark):
+    """The rank filter must rewrite to LocalLimit-per-partition (a
+    distributed TakeOrdered), never a full single-partition sort of the
+    key-cardinality frame."""
+    from obsplus_spark.plans.layout import key_skew_report
+
+    df = spark.range(1000).selectExpr("CAST(id % 97 AS STRING) AS k")
+    plan = key_skew_report(df, "k", top=5)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "LocalLimit 5" in plan
+
+
+def test_lsh_recall_eval_mid_similarity_miss(spark):
+    """Pairs well below the banding s-curve midpoint should be missed
+    by 4x4 banding while PPJoin truth keeps them -> recall < 1; the
+    near-identical pair is always found."""
+    from obsplus_spark.operators.dedup import lsh_recall_eval
+
+    base = " ".join(f"w{i}" for i in range(40))
+    mid = " ".join(f"w{i}" for i in range(22)) + " " + " ".join(
+        f"x{i}" for i in range(18)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base), (2, base + " tail"),  # J ~ 0.95
+            (3, mid),                        # J vs 1 ~ 0.35
+            (4, "completely different text with nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    r = lsh_recall_eval(docs, threshold=0.3, n_hashes=16, bands=4
+                        ).collect()[0]
+    assert r.n_true_pairs >= 2          # (1,2) and (1,3) at least
+    assert 1 <= r.n_hit <= r.n_true_pairs
+    assert r.recall is not None and 0 < r.recall <= 1.0
+    assert r.n_hit <= r.n_candidates
