@@ -9774,12 +9774,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the FIRST 50 entries. Rotation policy (NOTES.md): changed
     # code first, then the entries with the OLDEST most-recent driver
     # row. Round 9 executes VERDICT r8 finding #2 ("53 stale r2/r4
-    # rows"): new-this-round queries lead (never had ANY driver row),
-    # then the 8 changed entries, then 29 of the 53 stale rows fill
-    # the cap; the 24 remaining stale rows sit directly after it for
-    # the r10 rotation (bloom_semi .. dateline_box plus the 9 displaced
-    # by the session-4 additions). Union across r1-r9 keeps every
-    # registered query with a green driver row.
+    # rows"): new-this-round queries lead (never had ANY driver row —
+    # 14 session-4 + 4 earlier-r9), then the 8 changed entries, then
+    # 24 of the 53 stale rows fill the cap; the 29 remaining stale
+    # rows sit directly after it for the r10 rotation (zorder_keys ..
+    # dateline_box). Union across r1-r9 keeps every registered query
+    # with a green driver row.
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
@@ -9847,6 +9847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "exact_dedup": q_exact_dedup,
         "pack_plan": q_pack_plan,
+        # --- driver cap (50): the 14 session-4 queries above displaced
+        # zorder_keys .. event_window_join from the window; they (and
+        # the 15 below the old cap) rotate in r10 ---
         "zorder_keys": q_zorder_keys,
         "amp_violations": q_amp_violations,
         "orphan_arrivals": q_orphan_arrivals,
@@ -9863,9 +9866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b+) the flagship interval join, also getting sf1 evidence
         # this round
         "event_window_join": q_event_window_join,
-        # --- driver cap (50) ---
-        # (c) the 15 remaining stale rows — rotate into the cap in r10
-        # (glob_filter / fdsn_event_query / ppm_roundtrip /
+        # (c) the 15 pre-session-4 stale rows — rotate into the cap in
+        # r10 (glob_filter / fdsn_event_query / ppm_roundtrip /
         # fetcher_windows displaced past the cap by the four new r9
         # queries)
         "fetcher_windows": q_fetcher_windows,

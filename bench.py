@@ -97,6 +97,10 @@ def main() -> None:
         # leak_safe_split persists shingles + cluster labels
         "fuzzy_decontam",
         "leak_safe_split",
+        # r9 session 4: lsh_recall persists the candidate-pair frame
+        # (referenced by the hit join AND its own count), and its truth
+        # side persists shingles via set_similarity_join
+        "lsh_recall",
     }
 
     # best-of-4 per query: the host is shared, single runs show ±5×
