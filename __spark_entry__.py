@@ -5130,6 +5130,56 @@ _SQL_EMBED_OUTLIERS = """
 """
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid linear resampling of per-user event values —
+    operators/sessions.py resample_linear: one user-keyed lead()
+    window, grid points exploded in-row from an integer sequence
+    (cheap explode input per the r8 convention), arithmetic
+    interpolation on the exploded row. Grid = global 6-hour epoch
+    multiples so resampled keys align across the corpus."""
+    from obsplus_spark.operators.sessions import resample_linear
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_linear(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        step=21_600_000_000_000,
+    )
+
+
+_SQL_RESAMPLE = """
+    WITH pts AS (
+      SELECT user_id AS key, epoch_ns(ts) AS t,
+             CAST(value AS DOUBLE) AS v,
+             lead(epoch_ns(ts)) OVER w AS t2,
+             lead(CAST(value AS DOUBLE)) OVER w AS v2
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+    ),
+    seg AS (
+      SELECT key, t, v, t2, v2,
+             CASE WHEN t2 IS NULL THEN
+                    CASE WHEN t % 21600000000000 = 0
+                         THEN [t // 21600000000000] ELSE [] END
+                  WHEN ((t + 21600000000000 - 1) // 21600000000000)
+                       * 21600000000000 >= t2 THEN []
+                  ELSE range((t + 21600000000000 - 1) // 21600000000000,
+                             (t2 - 1) // 21600000000000 + 1)
+             END AS gidx
+      FROM pts
+    )
+    SELECT key, grid_ts,
+           round(CASE WHEN t2 IS NULL OR grid_ts = t THEN v
+                      ELSE v + (v2 - v) * (grid_ts - t)
+                           / CAST(t2 - t AS DOUBLE)
+                 END, 6) AS value
+    FROM (
+      SELECT key, t, v, t2, v2, unnest(gidx) * 21600000000000 AS grid_ts
+      FROM seg
+    )
+"""
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding evaluation vs exact PPJoin ground truth —
     operators/dedup.py lsh_recall_eval: recall + candidate precision of
@@ -9801,6 +9851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "compaction_plan": q_compaction_plan,
         "key_skew": q_key_skew,
+        "resample": q_resample,
         # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination +
         # token-budget mixture realization
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -10010,6 +10061,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall": _lsh_recall_sql(),
         "compaction_plan": _SQL_COMPACTION_PLAN,
         "key_skew": _SQL_KEY_SKEW,
+        "resample": _SQL_RESAMPLE,
         "hits_auth": _SQL_HITS,
         "k_core": _k_core_oracle_sql(3, 4),
         "trend_lines": _SQL_TRENDS,

@@ -793,3 +793,82 @@ def action_transitions(
         LIMIT {int(k)}
         """,
     )
+
+
+def resample_linear(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Resample an irregular per-key time series onto a regular
+    ``step``-spaced grid with linear interpolation between bracketing
+    samples — the gap-fill/rate-normalization step before any
+    fixed-rate computation (spectral features, aligned cross-key
+    correlation, model windows); the reference's trace resampling plays
+    the same role for waveforms (obsplus passes streams to obspy's
+    resample — here the grid is derived with window + in-row sequence).
+
+    Grid contract: points are multiples of ``step`` (a global epoch
+    grid, so resampled keys ALIGN across the corpus — a per-key grid
+    anchored at each key's first sample would not be joinable). Each
+    consecutive sample pair (t_i, t_{i+1}) emits the grid points
+    t_i ≤ g < t_{i+1} (the final sample emits its own point only if
+    exactly on-grid); keys need ≥ 2 samples to interpolate, and NULL
+    ts/value rows are dropped by contract (an unknown time or level
+    cannot anchor an interpolation).
+
+    Scale shape: ONE key-keyed exchange (the lead() window), then the
+    grid points explode IN-ROW from a bounded sequence — the explode
+    input is the cheap integer sequence, never a pre-built struct (the
+    r8 InferFiltersFromGenerate convention); interpolation is
+    arithmetic on the exploded row. Dense-gap blowup is bounded by
+    ``(t_max − t_min) / step`` rows per key — the output's own size.
+
+    Output: (key, grid_ts, value) with ``value`` 6-dp rounded.
+    """
+    from obsplus_spark.util import sql_over
+
+    s = int(step)
+    if s <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+    return sql_over(
+        {"d": df},
+        f"""
+        WITH pts AS (
+          SELECT {key_col} AS key,
+                 CAST({ts_col} AS BIGINT) AS t,
+                 CAST({value_col} AS DOUBLE) AS v,
+                 lead(CAST({ts_col} AS BIGINT)) OVER w AS t2,
+                 lead(CAST({value_col} AS DOUBLE)) OVER w AS v2
+          FROM {{d}}
+          WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+          WINDOW w AS (PARTITION BY {key_col}
+                       ORDER BY CAST({ts_col} AS BIGINT))
+        ),
+        seg AS (
+          SELECT key, t, v, t2, v2,
+                 -- first on-grid point at or after t; last grid point
+                 -- strictly before t2 (the next segment owns t2)
+                 CASE WHEN t2 IS NULL THEN
+                        CASE WHEN t % {s} = 0 THEN array(t div {s})
+                             ELSE array() END
+                      WHEN ((t + {s} - 1) div {s}) * {s} >= t2
+                        THEN array()
+                      ELSE sequence((t + {s} - 1) div {s},
+                                    (t2 - 1) div {s})
+                 END AS gidx
+          FROM pts
+        )
+        SELECT key, grid_ts,
+               round(CASE WHEN t2 IS NULL OR grid_ts = t THEN v
+                          ELSE v + (v2 - v) * (grid_ts - t)
+                               / CAST(t2 - t AS DOUBLE)
+                     END, 6) AS value
+        FROM (
+          SELECT key, t, v, t2, v2, g * {s} AS grid_ts
+          FROM seg LATERAL VIEW explode(gidx) AS g
+        )
+        """,
+    )

@@ -33,6 +33,7 @@ SESSIONS_QUERIES = [
     "json_props",
     "rank_transform",
     "action_transitions",
+    "resample",
 ]
 
 TABLES = [

@@ -372,3 +372,42 @@ def test_lsh_recall_eval_mid_similarity_miss(spark):
     assert 1 <= r.n_hit <= r.n_true_pairs
     assert r.recall is not None and 0 < r.recall <= 1.0
     assert r.n_hit <= r.n_candidates
+
+
+# ------------------------------------------------------------ resample
+
+
+def test_resample_linear_hand_values(spark):
+    from obsplus_spark.operators.sessions import resample_linear
+
+    # step 10: key A samples at t=5 (v=0) and t=25 (v=20):
+    # grid 10 -> 5, 20 -> 15; final sample t=25 not on-grid -> no row.
+    # key B single sample at t=30 (on-grid) -> its own point only.
+    df = spark.createDataFrame(
+        [("A", 5, 0.0), ("A", 25, 20.0), ("B", 30, 7.0),
+         ("C", None, 1.0), ("C", 40, None)],
+        "k string, t long, v double",
+    )
+    rows = resample_linear(df, key_col="k", ts_col="t",
+                           value_col="v", step=10).collect()
+    got = sorted((r.key, r.grid_ts, r.value) for r in rows)
+    assert got == [("A", 10, 5.0), ("A", 20, 15.0), ("B", 30, 7.0)]
+    with pytest.raises(ValueError, match="positive"):
+        resample_linear(df, step=0)
+
+
+def test_resample_on_grid_sample_is_exact(spark):
+    from obsplus_spark.operators.sessions import resample_linear
+
+    # sample exactly on-grid anchors its own point with the raw value
+    df = spark.createDataFrame(
+        [("A", 10, 3.0), ("A", 40, 9.0)], "k string, t long, v double"
+    )
+    got = sorted(
+        (r.grid_ts, r.value)
+        for r in resample_linear(df, key_col="k", ts_col="t",
+                                 value_col="v", step=10).collect()
+    )
+    # grid 10 (== t1, exact), 20, 30; 40 owned by the (absent) next seg
+    # but emitted by the final sample since it is on-grid
+    assert got == [(10, 3.0), (20, 5.0), (30, 7.0), (40, 9.0)]
