@@ -5354,25 +5354,29 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_KEY_SKEW = """
     WITH c AS (
-      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
-      FROM events GROUP BY user_id
+      SELECT CAST(grouping(user_id) AS INT) AS _g,
+             CAST(user_id AS VARCHAR) AS key,
+             count(*) AS n_rows
+      FROM events GROUP BY ROLLUP(user_id)
     ),
-    tot AS (SELECT sum(n_rows) AS n_total FROM c),
     r AS (
       SELECT * FROM (
-        SELECT key, n_rows,
-               row_number() OVER (ORDER BY n_rows DESC,
-                                  key ASC NULLS LAST) AS rank
+        SELECT _g, key, n_rows,
+               row_number() OVER (ORDER BY _g DESC, n_rows DESC,
+                                  key ASC NULLS LAST) AS _rn
         FROM c
-      ) WHERE rank <= 20
+      ) WHERE _rn <= 21
     )
-    SELECT CAST(rank AS BIGINT) AS rank, key,
+    SELECT CAST(_rn - 1 AS BIGINT) AS rank, key,
            CAST(n_rows AS BIGINT) AS n_rows,
-           round(n_rows / CAST(n_total AS DOUBLE), 6) AS share,
-           round(sum(n_rows) OVER (ORDER BY rank
+           round(n_rows / CAST(_tot AS DOUBLE), 6) AS share,
+           round(sum(n_rows) OVER (ORDER BY _rn
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 / CAST(n_total AS DOUBLE), 6) AS cum_share
-    FROM r CROSS JOIN tot
+                 / CAST(_tot AS DOUBLE), 6) AS cum_share
+    FROM (SELECT *, max(CASE WHEN _g = 1 THEN n_rows END)
+                      OVER () AS _tot
+          FROM r)
+    WHERE _g = 0
 """
 
 

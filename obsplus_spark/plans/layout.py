@@ -287,12 +287,13 @@ def key_skew_report(
     partition in a shuffle exactly like a real value — the most common
     skew culprit in practice).
 
-    Scale shape: one key-keyed map-combined count aggregate (the only
-    corpus-sized exchange); Catalyst rewrites the rank-≤-k filter over
-    the global row_number into a distributed TakeOrdered (LocalLimit k
-    per partition + global merge — asserted in tests), so the full
-    key-cardinality frame is never sorted on one partition; the
-    cumulative-share window then runs over the ≤ ``top`` survivors.
+    Scale shape: per-key counts AND the global total come from ONE
+    rollup aggregate (map-combined; the Expand doubles the map-side
+    stream, strictly cheaper than the two corpus aggregates a
+    twice-referenced count CTE inlines to) — the grand-total row sorts
+    to rank 1 by construction (``_g DESC`` leads the order), so the
+    rank-≤-k+1 filter rewrites to a distributed TakeOrdered (asserted
+    in tests) and every later window runs over ≤ ``top``+1 rows.
 
     Output: (rank, key [as string], n_rows, share, cum_share), 6-dp
     rounded, heaviest first.
@@ -306,24 +307,31 @@ def key_skew_report(
         {"d": df},
         f"""
         WITH c AS (
-          SELECT CAST({key_col} AS STRING) AS key, count(1) AS n_rows
-          FROM {{d}} GROUP BY {key_col}
+          SELECT CAST(grouping({key_col}) AS INT) AS _g,
+                 CAST({key_col} AS STRING) AS key,
+                 count(1) AS n_rows
+          FROM {{d}} GROUP BY ROLLUP({key_col})
         ),
-        tot AS (SELECT sum(n_rows) AS n_total FROM c),
         r AS (
           SELECT * FROM (
-            SELECT key, n_rows,
-                   row_number() OVER (ORDER BY n_rows DESC,
-                                      key ASC NULLS LAST) AS rank
+            SELECT _g, key, n_rows,
+                   row_number() OVER (ORDER BY _g DESC, n_rows DESC,
+                                      key ASC NULLS LAST) AS _rn
             FROM c
-          ) WHERE rank <= {k}
+          ) WHERE _rn <= {k + 1}
         )
-        SELECT CAST(rank AS BIGINT) AS rank, key,
+        SELECT CAST(_rn - 1 AS BIGINT) AS rank, key,
                CAST(n_rows AS BIGINT) AS n_rows,
-               round(n_rows / CAST(n_total AS DOUBLE), 6) AS share,
-               round(sum(n_rows) OVER (ORDER BY rank
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     / CAST(n_total AS DOUBLE), 6) AS cum_share
-        FROM r CROSS JOIN tot
+               round(n_rows / CAST(_tot AS DOUBLE), 6) AS share,
+               -- WHERE runs before window functions in this SELECT, so
+               -- the running sum sees only the _g=0 key rows (the
+               -- rank-0 total row is already gone)
+               round(sum(n_rows) OVER (ORDER BY _rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) / CAST(_tot AS DOUBLE), 6) AS cum_share
+        FROM (SELECT *, max(CASE WHEN _g = 1 THEN n_rows END)
+                          OVER () AS _tot
+              FROM r)
+        WHERE _g = 0
         """,
     )

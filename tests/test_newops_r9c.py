@@ -344,8 +344,9 @@ def test_key_skew_top_k_is_distributed(spark):
 
     df = spark.range(1000).selectExpr("CAST(id % 97 AS STRING) AS k")
     plan = key_skew_report(df, "k", top=5)._jdf.queryExecution(
-    ).optimizedPlan().toString()
-    assert "LocalLimit 5" in plan
+    ).executedPlan().toString()
+    # top-5 + the rollup grand-total row pinned at rank 1 = limit 6
+    assert "TakeOrderedAndProject(limit=6" in plan
 
 
 def test_lsh_recall_eval_mid_similarity_miss(spark):

@@ -793,3 +793,49 @@ def test_bfs_hops_bounded_exchanges(spark):
     p = _executed_plan_no_aqe(spark, "bfs_hops")
     ens = p.count("ENSURE_REQUIREMENTS")
     assert ens <= 11, f"bfs_hops grew exchanges: {ens}"
+
+
+def test_curation_funnel_no_keyed_shuffle(plans):
+    """The funnel is one map pass + one global aggregate: no hash
+    exchange, no join, no window anywhere in the plan."""
+    p, simple = plans["curation_funnel"]
+    assert simple.count("Exchange hashpartitioning") == 0
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_compaction_plan_one_dir_exchange(plans):
+    """Bin assignment and the (dir, bin) totals must share ONE
+    dir-keyed exchange (ClusteredDistribution subset rule) — a second
+    hash exchange means the window partitioning regressed."""
+    _, simple = plans["compaction_plan"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in simple
+
+
+def test_key_skew_distributed_topk(plans):
+    """The global rank filter must rewrite to a distributed
+    TakeOrdered over the key-count frame (per-partition heap + small
+    merge) — a bare single-partition Window over all distinct keys is
+    the failure mode."""
+    p, simple = plans["key_skew"]
+    assert "TakeOrderedAndProject" in simple
+    assert simple.count("Exchange hashpartitioning") == 1  # key counts
+
+
+def test_resample_one_keyed_exchange(plans):
+    """Resampling = one user-keyed window + in-row grid explode: a
+    single hash exchange, no join; the explode input must be the
+    integer sequence (no struct-building before Generate)."""
+    p, simple = plans["resample"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
+    assert "Generate" in p and "explode" in p
+
+
+def test_embed_outliers_broadcast_centroids(plans):
+    """Centroids must BROADCAST back to the corpus (the corpus never
+    re-shuffles on label), and the centroid aggregate is the only
+    corpus-sized hash exchange."""
+    p, _ = plans["embed_outliers"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
