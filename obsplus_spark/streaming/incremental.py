@@ -626,3 +626,69 @@ def _hll_apply_batch(
         )
 
     _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
+
+
+def _funnel_apply_batch(
+    batch_df: DataFrame, batch_id: int, stages, store_dir: str
+) -> None:
+    """One idempotent funnel-store transition: the batch's per-stage
+    attrition counts merge ADDITIVELY into the maintained table (funnel
+    counts are mergeable by construction — each stage's n_in/n_kept are
+    plain sums over rows, so batch-wise sums equal the whole-history
+    funnel). Extracted from the sink for direct replay tests."""
+    from pyspark.sql import functions as F
+
+    from obsplus_spark.operators.text import curation_funnel
+
+    b = curation_funnel(batch_df, stages)
+
+    def fold(prev):
+        if prev is None:
+            return b
+        return (
+            prev.unionByName(b)
+            .groupBy("stage_idx", "stage")
+            .agg(
+                F.sum("n_in").alias("n_in"),
+                F.sum("n_kept").alias("n_kept"),
+                F.sum("n_dropped").alias("n_dropped"),
+            )
+        )
+
+    _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
+
+
+def stream_curation_funnel(
+    stream: DataFrame,
+    stages,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch maintenance of the curation-funnel attrition table
+    (:func:`operators.text.curation_funnel`) over a document stream:
+    after every micro-batch the store equals the funnel computed over
+    EVERYTHING ingested so far — the live ingest-health dashboard a
+    production curation pipeline watches (a filter that suddenly starts
+    dropping everything shows up within one micro-batch, not at the
+    next full-corpus audit).
+
+    Per-batch work is the funnel's own map pass + one global aggregate
+    over the BATCH (never a rescan of history), then a stage-count-
+    sized additive merge under the shared generation-swap protocol
+    (:func:`_gen_swap_apply`: replay-idempotent via the in-generation
+    ``_applied`` marker, half-swap recovering, ``_old_*`` sweeping).
+
+    Returns the started StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _funnel_apply_batch(batch_df, batch_id, stages, store_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -707,3 +707,72 @@ def test_streaming_contamination_candidates(spark, tmp_path):
     assert {(r.doc_id, r.bench_id) for r in got} == {(1, 1000)}
     # the exact copy collides on EVERY band (16 lanes / 4 bands)
     assert len({r.band for r in got}) == 4
+
+
+def test_streaming_curation_funnel_equals_batch(spark, tmp_path):
+    """The maintained funnel table equals curation_funnel over the full
+    ingested stream after any number of micro-batches (additive
+    mergeability end to end through foreachBatch + generation swap)."""
+    from obsplus_spark.operators.text import curation_funnel
+    from obsplus_spark.streaming.incremental import stream_curation_funnel
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "funnel_store")
+    schema = "doc_id long, text string"
+    stages = [
+        ("nonblank", "text IS NOT NULL AND length(trim(text)) > 0"),
+        ("min_tok", r"size(split(trim(text), '\\s+')) >= 2"),
+    ]
+
+    rows1 = [(1, "two tokens"), (2, ""), (3, "one")]
+    rows2 = [(4, "more good text"), (5, None), (6, "also fine here")]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_curation_funnel(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            stages,
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write_batch(rows1)
+    run()
+    write_batch(rows2)
+    run()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{store}/current").collect())
+    )
+    whole = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(map(tuple, curation_funnel(whole, stages).collect()))
+    assert got == want
+
+
+def test_streaming_curation_funnel_replay_idempotent(spark, tmp_path):
+    """Replaying an already-committed batch_id must not double-count."""
+    import os
+
+    from obsplus_spark.streaming.incremental import _funnel_apply_batch
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    stages = [("nonblank", "text IS NOT NULL")]
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(5)], "doc_id long, text string"
+    )
+    _funnel_apply_batch(df, 0, stages, store)
+    once = sorted(map(tuple,
+                      spark.read.parquet(f"{store}/current").collect()))
+    _funnel_apply_batch(df, 0, stages, store)  # replay
+    again = sorted(map(tuple,
+                       spark.read.parquet(f"{store}/current").collect()))
+    assert once == again
+    assert once[0][2] == 5  # n_in counted exactly once
