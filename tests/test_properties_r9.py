@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -156,3 +158,47 @@ def test_fuzzy_decontam_jaccard_matches_set_model(spark, a, b):
     else:
         # LSH may miss low-similarity pairs — but never a FULL match
         assert jac < 1.0
+
+
+samples_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),   # t
+        st.integers(min_value=-50, max_value=50),  # v (integral doubles)
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda s: s[0],
+)
+
+
+@given(samples=samples_strategy, step=st.sampled_from([7, 10, 16]))
+@settings(**SETTINGS)
+def test_resample_linear_matches_numpy_interp(spark, samples, step):
+    """resample_linear == numpy.interp on every emitted grid point, and
+    the emitted grid is exactly the multiples of ``step`` in
+    [ceil(t_min/step)*step, t_max] minus an off-grid t_max."""
+    import numpy as np
+
+    from obsplus_spark.operators.sessions import resample_linear
+
+    df = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in samples],
+        "key string, t long, v double",
+    )
+    got = {
+        r.grid_ts: r.value
+        for r in resample_linear(
+            df, key_col="key", ts_col="t", value_col="v", step=step
+        ).collect()
+    }
+    ts = sorted(t for t, _ in samples)
+    vs = [dict(samples)[t] for t in ts]
+    lo = -(-ts[0] // step) * step  # ceil to grid
+    expect = {
+        g: float(np.interp(g, ts, vs))
+        for g in range(lo, ts[-1] + 1, step)
+        if g < ts[-1] or ts[-1] % step == 0
+    }
+    assert set(got) == set(expect)
+    for g, v in expect.items():
+        assert got[g] == pytest.approx(v, abs=1e-6), (g, samples, step)
