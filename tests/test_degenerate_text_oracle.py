@@ -44,6 +44,7 @@ TEXT_QUERIES = [
     "lang_mix",
     "curation_funnel",
     "dup_rate_by_source",
+    "lsh_recall",
 ]
 
 TABLES = [
