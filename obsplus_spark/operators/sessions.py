@@ -817,7 +817,11 @@ def resample_linear(
     t_i ≤ g < t_{i+1} (the final sample emits its own point only if
     exactly on-grid); keys need ≥ 2 samples to interpolate, and NULL
     ts/value rows are dropped by contract (an unknown time or level
-    cannot anchor an interpolation).
+    cannot anchor an interpolation). Timestamps must be NON-NEGATIVE
+    (epoch ns in practice): the grid arithmetic uses integer division,
+    whose truncating (Spark ``div``) and flooring (DuckDB ``//``)
+    conventions diverge below zero — the house ns-epoch rule, same as
+    ``segments_df``.
 
     Scale shape: ONE key-keyed exchange (the lead() window), then the
     grid points explode IN-ROW from a bounded sequence — the explode

@@ -1005,7 +1005,11 @@ def embedding_outliers(
 
     Malformed (NULL/empty) embeddings are excluded by the shared
     :func:`valid_vectors` contract; zero-norm vectors are valid and
-    score cosine 0 (→ outliers under any positive threshold).
+    score cosine 0 (→ outliers under any positive threshold). Rows
+    with a NULL label are likewise excluded (no class, no centroid —
+    the equi-join's NULL≠NULL drops them in both engines by the same
+    rule; screen unlabeled rows with :func:`cosine_topk` against
+    explicit probes instead).
 
     Output: (id, label, cos_centroid, is_outlier).
     """

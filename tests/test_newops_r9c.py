@@ -412,3 +412,17 @@ def test_resample_on_grid_sample_is_exact(spark):
     # grid 10 (== t1, exact), 20, 30; 40 owned by the (absent) next seg
     # but emitted by the final sample since it is on-grid
     assert got == [(10, 3.0), (20, 5.0), (30, 7.0), (40, 9.0)]
+
+
+def test_embedding_outliers_null_label_excluded(spark):
+    """NULL-label rows have no class centroid: excluded by the equi
+    join in BOTH engines (NULL never equals NULL) — pinned here so a
+    refactor to a null-safe join would fail loudly."""
+    from obsplus_spark.operators.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.1], 0), (3, [0.5, 0.5], None)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r.vec_id for r in embedding_outliers(df).collect()}
+    assert got == {1, 2}
