@@ -5186,6 +5186,53 @@ _SQL_RESAMPLE = """
 """
 
 
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/eval split with a 7-day embargo band —
+    operators/dedup.py temporal_split: pure per-row expression (no
+    shuffle), NULL timestamps land in the embargo class by contract."""
+    from obsplus_spark.operators.dedup import temporal_split
+
+    ev = _t(spark, sf_dir, "events")
+    out = temporal_split(
+        ev,
+        train_end_ns=1_709_251_200_000_000_000,  # 2024-03-01 UTC
+        embargo_ns=7 * 86_400_000_000_000,
+    )
+    return out.select("event_id", "user_id", "split")
+
+
+_SQL_TEMPORAL_SPLIT = """
+    SELECT event_id, user_id,
+           CASE WHEN ts IS NULL THEN 'embargo'
+                WHEN epoch_ns(ts) < 1709251200000000000 THEN 'train'
+                WHEN epoch_ns(ts) < 1709251200000000000
+                     + 7 * 86400000000000 THEN 'embargo'
+                ELSE 'eval' END AS split
+    FROM events
+"""
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (every row of a user in one
+    fold) — operators/dedup.py group_kfold: the shared md5-uint32
+    recipe over the GROUP key mod k; map-only, subset-consistent."""
+    from obsplus_spark.operators.dedup import group_kfold
+
+    ev = _t(spark, sf_dir, "events")
+    return group_kfold(ev, "user_id", k=5).select(
+        "event_id", "user_id", "fold"
+    )
+
+
+_SQL_GROUP_KFOLD = """
+    SELECT event_id, user_id,
+           CASE WHEN user_id IS NULL THEN CAST(NULL AS BIGINT)
+                ELSE ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ''),
+                      1, 8))::BIGINT % 5 END AS fold
+    FROM events
+"""
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding evaluation vs exact PPJoin ground truth —
     operators/dedup.py lsh_recall_eval: recall + candidate precision of
@@ -9862,6 +9909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "key_skew": q_key_skew,
         "resample": q_resample,
+        "temporal_split": q_temporal_split,
+        "group_kfold": q_group_kfold,
         # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination +
         # token-budget mixture realization
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -10072,6 +10121,8 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _SQL_COMPACTION_PLAN,
         "key_skew": _SQL_KEY_SKEW,
         "resample": _SQL_RESAMPLE,
+        "temporal_split": _SQL_TEMPORAL_SPLIT,
+        "group_kfold": _SQL_GROUP_KFOLD,
         "hits_auth": _SQL_HITS,
         "k_core": _k_core_oracle_sql(3, 4),
         "trend_lines": _SQL_TRENDS,

@@ -2315,3 +2315,73 @@ def lsh_recall_eval(
         FROM hit CROSS JOIN nc
         """,
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    train_end_ns: int,
+    embargo_ns: int = 0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-based train/eval split with an embargo gap — the temporal
+    complement of :func:`hash_split` (content leakage) and
+    :func:`leakage_safe_split` (near-dup leakage): backtesting and
+    forecasting evaluations leak through TIME when training examples
+    border the evaluation window (labels, rolling features, and session
+    context straddle the boundary), so the standard protocol discards
+    an embargo band of width ``embargo_ns`` between the two sides.
+
+    Assignment: ``train`` for ts < train_end, ``embargo`` for
+    [train_end, train_end + embargo), ``eval`` at or after the embargo
+    end. NULL timestamps land in ``embargo`` by contract — an
+    unplaceable row must never reach EITHER side (dropping it silently
+    would hide ingest damage; the embargo band is already the
+    "excluded from both" class).
+
+    Pure per-row expression — no shuffle, subset-consistent,
+    deterministic at any scale.
+
+    Output: input columns + ``split``.
+    """
+    t0 = int(train_end_ns)
+    t1 = t0 + int(embargo_ns)
+    if int(embargo_ns) < 0:
+        raise ValueError(f"embargo_ns must be >= 0, got {embargo_ns}")
+    return df.selectExpr(
+        "*",
+        f"CASE WHEN {ts_col} IS NULL THEN 'embargo'"
+        f" WHEN CAST({ts_col} AS BIGINT) < {t0} THEN 'train'"
+        f" WHEN CAST({ts_col} AS BIGINT) < {t1} THEN 'embargo'"
+        f" ELSE 'eval' END AS split",
+    )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic group-aware k-fold assignment: every row of a
+    group lands in the SAME fold (cross-validation where a user's —
+    or document family's — rows in both train and validation folds
+    would leak memorized context). Fold = the shared md5-uint32 recipe
+    (:func:`_md5_u32_sql`, lockstep with :func:`hash_split`) over the
+    GROUP key, mod ``k`` — subset-consistent and engine-portable; NULL
+    groups get fold NULL (an unknown group cannot be placed, and
+    silently folding NULLs together would put every orphan row in one
+    fold).
+
+    Pure per-row expression — no shuffle at any scale.
+
+    Output: input columns + ``fold`` (BIGINT in [0, k), NULL for NULL
+    groups).
+    """
+    kk = int(k)
+    if kk < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.selectExpr(
+        "*",
+        f"CASE WHEN {group_col} IS NULL THEN CAST(NULL AS BIGINT)"
+        f" ELSE {_md5_u32_sql(group_col, salt)} % {kk} END AS fold",
+    )

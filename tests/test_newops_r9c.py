@@ -426,3 +426,57 @@ def test_embedding_outliers_null_label_excluded(spark):
     )
     got = {r.vec_id for r in embedding_outliers(df).collect()}
     assert got == {1, 2}
+
+
+# --------------------------------------------------------------- splits
+
+
+def test_temporal_split_embargo_band(spark):
+    from obsplus_spark.operators.dedup import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 100), (3, 150), (4, 200), (5, None)],
+        "id long, ts long",
+    )
+    got = {r.id: r.split
+           for r in temporal_split(df, train_end_ns=100,
+                                   embargo_ns=100).collect()}
+    assert got == {1: "train", 2: "embargo", 3: "embargo",
+                   4: "eval", 5: "embargo"}
+    with pytest.raises(ValueError, match=">= 0"):
+        temporal_split(df, train_end_ns=100, embargo_ns=-1)
+
+
+def test_temporal_split_zero_embargo(spark):
+    from obsplus_spark.operators.dedup import temporal_split
+
+    df = spark.createDataFrame([(1, 99), (2, 100)], "id long, ts long")
+    got = {r.id: r.split
+           for r in temporal_split(df, train_end_ns=100).collect()}
+    assert got == {1: "train", 2: "eval"}
+
+
+def test_group_kfold_cohesion_and_consistency(spark):
+    from obsplus_spark.operators.dedup import group_kfold, hash_split
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)] + [(999, None)],
+        "id long, g int",
+    )
+    rows = group_kfold(df, "g", k=5).collect()
+    by_group = {}
+    for r in rows:
+        if r.g is None:
+            assert r.fold is None
+        else:
+            by_group.setdefault(r.g, set()).add(r.fold)
+    # cohesion: every group in exactly one fold, folds in range
+    assert all(len(f) == 1 for f in by_group.values())
+    assert all(0 <= next(iter(f)) < 5 for f in by_group.values())
+    # subset consistency: same fold on a subset of the data
+    sub = group_kfold(df.filter("id < 50"), "g", k=5).collect()
+    for r in sub:
+        if r.g is not None:
+            assert {r.fold} == by_group[r.g]
+    with pytest.raises(ValueError, match=">= 2"):
+        group_kfold(df, "g", k=1)
