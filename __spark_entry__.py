@@ -9882,9 +9882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code first, then the entries with the OLDEST most-recent driver
     # row. Round 9 executes VERDICT r8 finding #2 ("53 stale r2/r4
     # rows"): new-this-round queries lead (never had ANY driver row —
-    # 14 session-4 + 4 earlier-r9), then the 8 changed entries, then
-    # 24 of the 53 stale rows fill the cap; the 29 remaining stale
-    # rows sit directly after it for the r10 rotation (zorder_keys ..
+    # 17 session-4 + 4 earlier-r9), then the 8 changed entries, then
+    # 21 of the 53 stale rows fill the cap; the 32 remaining stale
+    # rows sit directly after it for the r10 rotation (hash_split ..
     # dateline_box). Union across r1-r9 keeps every registered query
     # with a green driver row.
     return {
@@ -9954,12 +9954,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embed_near_dup": q_embed_near_dup,
         "embed_quantize": q_embed_quantize,
+        # --- driver cap (50): the 17 session-4 queries above displaced
+        # hash_split .. event_window_join from the window; they (and
+        # the 15 below the old cap) rotate in r10 ---
         "hash_split": q_hash_split,
         "exact_dedup": q_exact_dedup,
         "pack_plan": q_pack_plan,
-        # --- driver cap (50): the 14 session-4 queries above displaced
-        # zorder_keys .. event_window_join from the window; they (and
-        # the 15 below the old cap) rotate in r10 ---
         "zorder_keys": q_zorder_keys,
         "amp_violations": q_amp_violations,
         "orphan_arrivals": q_orphan_arrivals,
