@@ -5021,24 +5021,20 @@ _SQL_ZIPF = r"""
       FROM tok GROUP BY source, tok
     ),
     r AS (
-      SELECT source,
-             ln(row_number() OVER (PARTITION BY source
-                 ORDER BY freq DESC, tok)) AS x,
-             ln(CAST(freq AS DOUBLE)) AS y
-      FROM c
+      SELECT * FROM (
+        SELECT source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY freq DESC, tok) AS rk,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM c
+      ) WHERE rk <= 100
     ),
     t AS (
       SELECT source, CAST(count(*) AS DOUBLE) AS n,
-             sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
-      FROM (
-        SELECT * FROM (
-          SELECT source, x, y,
-                 row_number() OVER (PARTITION BY source ORDER BY x)
-                   AS rk
-          FROM r
-        ) WHERE rk <= 100
-      ) GROUP BY source
+             sum(ln(rk)) AS sx, sum(y) AS sy,
+             sum(ln(rk) * ln(rk)) AS sxx, sum(ln(rk) * y) AS sxy,
+             sum(y * y) AS syy
+      FROM r GROUP BY source
     )
     SELECT source, CAST(n AS BIGINT) AS n_ranks,
            CASE WHEN n < 2 OR n * sxx - sx * sx = 0
@@ -5154,7 +5150,8 @@ _SQL_RESAMPLE = """
              lead(CAST(value AS DOUBLE)) OVER w AS v2
       FROM events
       WHERE ts IS NOT NULL AND value IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts), CAST(value AS DOUBLE))
     ),
     seg AS (
       SELECT key, t, v, t2, v2,

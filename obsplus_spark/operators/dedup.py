@@ -2184,7 +2184,6 @@ def cross_source_leakage(
 
 def duplicate_rate_by_source(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
 ) -> DataFrame:
@@ -2338,11 +2337,28 @@ def temporal_split(
     would hide ingest damage; the embargo band is already the
     "excluded from both" class).
 
+    ``ts_col`` must be an INTEGER epoch (int64 ns by house
+    convention, matching the thresholds' unit) — a raw
+    TimestampType column is REJECTED, because ``CAST(timestamp AS
+    BIGINT)`` yields epoch SECONDS in Spark and every row would
+    silently land in 'train' against an ns threshold; convert with
+    ``functions.timeutils.ts_to_ns`` first.
+
     Pure per-row expression — no shuffle, subset-consistent,
     deterministic at any scale.
 
     Output: input columns + ``split``.
     """
+    from pyspark.sql import types as T
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        raise TypeError(
+            f"temporal_split needs an integer epoch column (ns); "
+            f"{ts_col} is {dt.simpleString()} — CAST to BIGINT would "
+            "yield seconds and misclassify every row; convert via "
+            "ts_to_ns first"
+        )
     t0 = int(train_end_ns)
     t1 = t0 + int(embargo_ns)
     if int(embargo_ns) < 0:

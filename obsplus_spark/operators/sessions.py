@@ -821,7 +821,11 @@ def resample_linear(
     (epoch ns in practice): the grid arithmetic uses integer division,
     whose truncating (Spark ``div``) and flooring (DuckDB ``//``)
     conventions diverge below zero — the house ns-epoch rule, same as
-    ``segments_df``.
+    ``segments_df``. DUPLICATE timestamps within a key order by value
+    (the window's explicit tiebreaker, mirrored in the oracle) so the
+    result is deterministic: the tied rows form a zero-length segment
+    that emits nothing, and the higher-valued row anchors the next
+    interpolation.
 
     Scale shape: ONE key-keyed exchange (the lead() window), then the
     grid points explode IN-ROW from a bounded sequence — the explode
@@ -849,7 +853,8 @@ def resample_linear(
           FROM {{d}}
           WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
           WINDOW w AS (PARTITION BY {key_col}
-                       ORDER BY CAST({ts_col} AS BIGINT))
+                       ORDER BY CAST({ts_col} AS BIGINT),
+                                CAST({value_col} AS DOUBLE))
         ),
         seg AS (
           SELECT key, t, v, t2, v2,

@@ -1797,25 +1797,21 @@ def zipf_slope(
           FROM tok GROUP BY source, tok
         ),
         r AS (
-          SELECT source,
-                 ln(row_number() OVER (PARTITION BY source
-                     ORDER BY freq DESC, tok)) AS x,
-                 ln(CAST(freq AS DOUBLE)) AS y
-          FROM c
+          SELECT * FROM (
+            SELECT source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY freq DESC, tok) AS rk,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM c
+          ) WHERE rk <= {int(top_ranks)}
         ),
         t AS (
           SELECT source,
                  CAST(count(1) AS DOUBLE) AS n,
-                 sum(x) AS sx, sum(y) AS sy,
-                 sum(x * x) AS sxx, sum(x * y) AS sxy,
+                 sum(ln(rk)) AS sx, sum(y) AS sy,
+                 sum(ln(rk) * ln(rk)) AS sxx, sum(ln(rk) * y) AS sxy,
                  sum(y * y) AS syy
-          FROM (
-            SELECT * FROM (
-              SELECT source, x, y, row_number() OVER (
-                PARTITION BY source ORDER BY x) AS rk
-              FROM r
-            ) WHERE rk <= {int(top_ranks)}
-          ) GROUP BY source
+          FROM r GROUP BY source
         )
         SELECT source, CAST(n AS BIGINT) AS n_ranks,
                CASE WHEN n < 2 OR n * sxx - sx * sx = 0

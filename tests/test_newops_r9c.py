@@ -480,3 +480,37 @@ def test_group_kfold_cohesion_and_consistency(spark):
             assert {r.fold} == by_group[r.g]
     with pytest.raises(ValueError, match=">= 2"):
         group_kfold(df, "g", k=1)
+
+
+def test_resample_duplicate_timestamps_deterministic(spark):
+    """Tied timestamps order by value (explicit window tiebreaker,
+    mirrored in the oracle): the tied pair forms a zero-length segment
+    emitting nothing, and the higher value anchors the interpolation."""
+    from obsplus_spark.operators.sessions import resample_linear
+
+    df = spark.createDataFrame(
+        [("A", 0, 0.0), ("A", 0, 100.0), ("A", 20, 0.0)],
+        "k string, t long, v double",
+    )
+    got = sorted(
+        (r.grid_ts, r.value)
+        for r in resample_linear(df, key_col="k", ts_col="t",
+                                 value_col="v", step=10).collect()
+    )
+    # ordered (t, v): (0,0.0) -> (0,100.0) zero-length, nothing;
+    # (0,100.0) -> (20,0.0): grid 0 -> 100, grid 10 -> 50;
+    # final sample t=20 on-grid -> 0.0
+    assert got == [(0, 100.0), (10, 50.0), (20, 0.0)]
+
+
+def test_temporal_split_rejects_timestamp_column(spark):
+    """CAST(timestamp AS BIGINT) is SECONDS in Spark — a raw timestamp
+    column against an ns threshold must be a loud TypeError, never a
+    silent all-train split."""
+    from obsplus_spark.operators.dedup import temporal_split
+
+    df = spark.createDataFrame(
+        [(1,)], "id long"
+    ).selectExpr("id", "TIMESTAMP '2024-03-05 00:00:00' AS ts")
+    with pytest.raises(TypeError, match="seconds"):
+        temporal_split(df, train_end_ns=1_709_251_200_000_000_000)
