@@ -839,3 +839,12 @@ def test_embed_outliers_broadcast_centroids(plans):
     p, _ = plans["embed_outliers"]
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_splits_are_exchange_free(plans):
+    """temporal_split and group_kfold are pure per-row expressions —
+    any Exchange means the subset-consistency story broke."""
+    for name in ("temporal_split", "group_kfold"):
+        p = plans[name][0]
+        assert "Exchange" not in p, name
+        assert not any(m in p for m in _JOIN_MARKERS), name
