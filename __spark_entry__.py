@@ -9868,6 +9868,109 @@ _SQL_Q15 = """
 """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level chunk dedup with document reconstruction —
+    operators/dedup.py chunk_dedup: C4-style "drop every span seen
+    earlier in the corpus" as a TRANSFORM (duplicate_span_mass only
+    measures). Chunks form in-row; one chunk-digest window elects the
+    first (doc_id, pos) occurrence; one doc-keyed aggregate rebuilds
+    the surviving text."""
+    from obsplus_spark.operators.dedup import chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dedup(docs, chunk_tokens=8)
+
+
+_SQL_CHUNK_DEDUP = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(list_slice(w, CAST(u.i * 8 + 1 AS BIGINT),
+                                        CAST(u.i * 8 + 8 AS BIGINT)),
+                             ' ') AS chunk
+      FROM t, unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS u(i)
+    ),
+    win AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY lower(chunk)
+                                ORDER BY doc_id, pos) = 1 AS keep
+      FROM ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN keep THEN chunk END,
+                                 ' ' ORDER BY pos), '') AS clean_text
+      FROM win GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-chunk trim — operators/text.py
+    within_doc_dedup: keep the first occurrence of each distinct
+    2-token chunk INSIDE each document and rebuild the text (2-token
+    chunks so the synthetic fixture's word streams actually repeat
+    within a document; real crawls use the 8-token default). Plan is
+    map-only (in-row chunking + one higher-order aggregate walk) —
+    zero exchanges at any corpus size."""
+    from obsplus_spark.operators.text import within_doc_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return within_doc_dedup(docs, chunk_tokens=2)
+
+
+_SQL_WITHIN_DOC_DEDUP = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(list_slice(w, CAST(u.i * 2 + 1 AS BIGINT),
+                                        CAST(u.i * 2 + 2 AS BIGINT)),
+                             ' ') AS chunk
+      FROM t, unnest(range(CAST(ceil(len(w) / 2.0) AS BIGINT))) AS u(i)
+    ),
+    win AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY doc_id, lower(chunk)
+                                ORDER BY pos) = 1 AS keep
+      FROM ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN keep THEN chunk END,
+                                 ' ' ORDER BY pos), '') AS clean_text
+      FROM win GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -9886,6 +9989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with a green driver row.
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
+        # (a000) NEW in r9 session 5: chunk-granular dedup transforms
+        "chunk_dedup": q_chunk_dedup,
+        "within_doc_dedup": q_within_doc_dedup,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10103,6 +10209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "chunk_dedup": _SQL_CHUNK_DEDUP,
+        "within_doc_dedup": _SQL_WITHIN_DOC_DEDUP,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

@@ -2401,3 +2401,89 @@ def group_kfold(
         f"CASE WHEN {group_col} IS NULL THEN CAST(NULL AS BIGINT)"
         f" ELSE {_md5_u32_sql(group_col, salt)} % {kk} END AS fold",
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-level CHUNK dedup with document reconstruction — the
+    transform counterpart of :func:`duplicate_span_mass` (which only
+    measures): split every document into consecutive ``chunk_tokens``-
+    token chunks, keep exactly the FIRST corpus occurrence of each
+    distinct chunk (ordered by ``(id, position)``), and rebuild each
+    document's text from its surviving chunks. This is the C4 /
+    RefinedWeb "remove any span seen elsewhere in the corpus" dedup
+    step (Raffel et al. 2020, public), expressed as a transform whose
+    output feeds training directly.
+
+    Scale shape: chunks form IN-ROW (token array → ``transform`` over a
+    chunk-index ``sequence`` — no token explode), then exactly two
+    keyed exchanges: the chunk-digest window that elects the first
+    occurrence, and the doc-keyed rebuild aggregate. Empty/NULL
+    documents keep a doc-unique digest (``xxhash64('__empty__', id)``)
+    so a 100 TB corpus's millions of empty rows never converge on one
+    skewed window partition. Matching is by ``xxhash64`` of the
+    lowercased chunk (the repo's accepted 64-bit digest argument; the
+    DuckDB oracle groups the chunk STRING — identical modulo 2⁻⁶⁴
+    collisions). Tokens use the shared phantom-token-filtered
+    convention (split on ``\\s+``, drop ``''``).
+
+    Output: ``(id, n_chunks, n_kept, clean_text)`` — one row per input
+    document, ``clean_text = ''`` when every chunk was a duplicate (or
+    the document was empty).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    w = int(chunk_tokens)
+    if w < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        rf"""
+        WITH t AS (
+          SELECT {id_col},
+                 filter(split(trim({text_col}), '\\s+'), x -> x != '')
+                   AS _toks
+          FROM {{d}}
+        ),
+        c AS (
+          SELECT {id_col},
+                 CAST(ceil(size(_toks) / {w}.0) AS INT) AS _nch, _toks
+          FROM t
+        ),
+        ch AS (
+          SELECT {id_col}, pos, chunk
+          FROM (
+            SELECT {id_col},
+                   CASE WHEN _nch IS NULL OR _nch <= 0
+                        THEN CAST(array() AS ARRAY<STRING>)
+                        ELSE transform(sequence(0, _nch - 1),
+                             i -> array_join(
+                                 slice(_toks, i * {w} + 1, {w}), ' '))
+                   END AS _chunks
+            FROM c
+          ) LATERAL VIEW OUTER posexplode(_chunks) AS pos, chunk
+        ),
+        win AS (
+          SELECT {id_col}, pos, chunk,
+                 (chunk IS NOT NULL AND row_number() OVER (
+                     PARTITION BY CASE WHEN chunk IS NULL
+                         THEN xxhash64('__empty__',
+                                       CAST({id_col} AS STRING))
+                         ELSE xxhash64(lower(chunk)) END
+                     ORDER BY {id_col}, pos) = 1) AS _keep
+          FROM ch
+        )
+        SELECT {id_col},
+               CAST(count(chunk) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN _keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               array_join(transform(array_sort(collect_list(
+                   CASE WHEN _keep THEN struct(pos, chunk) END)),
+                   s -> s.chunk), ' ') AS clean_text
+        FROM win GROUP BY {id_col}
+        """,
+    )

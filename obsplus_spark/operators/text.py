@@ -1946,3 +1946,77 @@ def curation_funnel(
         )
         """,
     )
+
+
+def within_doc_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """WITHIN-document repeated-chunk removal — the intra-document
+    counterpart of ``dedup.chunk_dedup``: split a document into
+    consecutive ``chunk_tokens``-token chunks and keep only the FIRST
+    occurrence of each distinct chunk inside that document, rebuilding
+    the cleaned text. This is the "trim repeated boilerplate /
+    navigation blocks inside one page" step of crawl curation
+    (repetition beyond this is measured, not removed, by
+    ``repetition_stats``).
+
+    Scale shape: ENTIRELY map-only — the chunk array forms in-row and a
+    single higher-order ``aggregate`` walks it with a seen-digest
+    accumulator (O(chunks²) per row on 64-bit digests, bounded by
+    document length), so the plan has ZERO exchanges at any corpus
+    size. Matching is by ``xxhash64`` of the lowercased chunk (accepted
+    digest argument; the oracle matches chunk strings). Tokens use the
+    shared phantom-token-filtered convention.
+
+    Output: ``(id, n_chunks, n_kept, clean_text)`` — one row per input
+    document, empty/NULL text folding to ``(0, 0, '')``.
+    """
+    from obsplus_spark.util import ensure_parallelism
+
+    w = int(chunk_tokens)
+    if w < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = rf"filter(split(trim({text_col}), '\\s+'), x -> x != '')"
+    return (
+        ensure_parallelism(df)
+        .selectExpr(id_col, f"{toks} AS _toks")
+        .selectExpr(
+            id_col,
+            f"CAST(ceil(size(_toks) / {w}.0) AS INT) AS _nch",
+            "_toks",
+        )
+        .selectExpr(
+            id_col,
+            f"""CASE WHEN _nch IS NULL OR _nch <= 0
+                     THEN CAST(array() AS ARRAY<STRING>)
+                     ELSE transform(sequence(0, _nch - 1),
+                          i -> array_join(
+                              slice(_toks, i * {w} + 1, {w}), ' '))
+                END AS _chunks""",
+        )
+        .selectExpr(
+            id_col,
+            "CAST(size(_chunks) AS BIGINT) AS n_chunks",
+            """aggregate(_chunks,
+                 named_struct(
+                     'seen', CAST(array() AS ARRAY<BIGINT>),
+                     'kept', CAST(array() AS ARRAY<STRING>)),
+                 (acc, c) -> CASE
+                     WHEN array_contains(acc.seen, xxhash64(lower(c)))
+                     THEN acc
+                     ELSE named_struct(
+                         'seen', array_append(acc.seen,
+                                              xxhash64(lower(c))),
+                         'kept', array_append(acc.kept, c)) END
+               ) AS _r""",
+        )
+        .selectExpr(
+            id_col,
+            "n_chunks",
+            "CAST(size(_r.kept) AS BIGINT) AS n_kept",
+            "array_join(_r.kept, ' ') AS clean_text",
+        )
+    )

@@ -45,6 +45,8 @@ TEXT_QUERIES = [
     "curation_funnel",
     "dup_rate_by_source",
     "lsh_recall",
+    "chunk_dedup",
+    "within_doc_dedup",
 ]
 
 TABLES = [

@@ -1,0 +1,165 @@
+"""Hand-value unit tests for the round-9 session-5 operator wave:
+chunk-granular dedup transforms (corpus-level chunk_dedup and map-only
+within_doc_dedup)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+class TestChunkDedup:
+    def test_first_corpus_occurrence_wins(self, spark):
+        from obsplus_spark.operators.dedup import chunk_dedup
+
+        # W=2 chunks; doc 2 repeats doc 1's first chunk ("a b") and adds
+        # a fresh one; doc 3 is an exact duplicate of doc 1.
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),
+                (2, "a b x y"),
+                (3, "a b c d"),
+            ],
+            "doc_id long, text string",
+        )
+        out = _rows(chunk_dedup(df, chunk_tokens=2))
+        assert out[1] == {
+            "doc_id": 1, "n_chunks": 2, "n_kept": 2, "clean_text": "a b c d"
+        }
+        assert out[2] == {
+            "doc_id": 2, "n_chunks": 2, "n_kept": 1, "clean_text": "x y"
+        }
+        assert out[3] == {
+            "doc_id": 3, "n_chunks": 2, "n_kept": 0, "clean_text": ""
+        }
+
+    def test_case_insensitive_match_keeps_original_case(self, spark):
+        from obsplus_spark.operators.dedup import chunk_dedup
+
+        df = spark.createDataFrame(
+            [(1, "A B"), (2, "a b")], "doc_id long, text string"
+        )
+        out = _rows(chunk_dedup(df, chunk_tokens=2))
+        # doc 1 wins (lower doc_id) and keeps ITS original casing
+        assert out[1]["clean_text"] == "A B"
+        assert out[2] == {
+            "doc_id": 2, "n_chunks": 1, "n_kept": 0, "clean_text": ""
+        }
+
+    def test_partial_final_chunk_and_position_order(self, spark):
+        from obsplus_spark.operators.dedup import chunk_dedup
+
+        # 5 tokens at W=2 -> chunks "p q","r s","t" (partial final)
+        df = spark.createDataFrame(
+            [(7, "p q r s t")], "doc_id long, text string"
+        )
+        out = _rows(chunk_dedup(df, chunk_tokens=2))
+        assert out[7] == {
+            "doc_id": 7, "n_chunks": 3, "n_kept": 3,
+            "clean_text": "p q r s t",
+        }
+
+    def test_degenerate_docs_fold_to_empty(self, spark):
+        from obsplus_spark.operators.dedup import chunk_dedup
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, None), (4, "\tz\n")],
+            "doc_id long, text string",
+        )
+        out = _rows(chunk_dedup(df, chunk_tokens=2))
+        for i in (1, 2, 3):
+            assert out[i] == {
+                "doc_id": i, "n_chunks": 0, "n_kept": 0, "clean_text": ""
+            }
+        # phantom-token convention: tab/newline edges never make '' tokens
+        assert out[4] == {
+            "doc_id": 4, "n_chunks": 1, "n_kept": 1, "clean_text": "z"
+        }
+
+    def test_duplicate_chunk_within_one_doc_also_collapses(self, spark):
+        from obsplus_spark.operators.dedup import chunk_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b a b")], "doc_id long, text string"
+        )
+        out = _rows(chunk_dedup(df, chunk_tokens=2))
+        assert out[1] == {
+            "doc_id": 1, "n_chunks": 2, "n_kept": 1, "clean_text": "a b"
+        }
+
+    def test_rejects_bad_width(self, spark):
+        from obsplus_spark.operators.dedup import chunk_dedup
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            chunk_dedup(df, chunk_tokens=0)
+
+
+class TestWithinDocDedup:
+    def test_keeps_first_occurrence_per_doc_only(self, spark):
+        from obsplus_spark.operators.text import within_doc_dedup
+
+        # same chunk in TWO docs survives in both (scope is per-doc)
+        df = spark.createDataFrame(
+            [(1, "a b c d a b"), (2, "a b")],
+            "doc_id long, text string",
+        )
+        out = _rows(within_doc_dedup(df, chunk_tokens=2))
+        assert out[1] == {
+            "doc_id": 1, "n_chunks": 3, "n_kept": 2, "clean_text": "a b c d"
+        }
+        assert out[2] == {
+            "doc_id": 2, "n_chunks": 1, "n_kept": 1, "clean_text": "a b"
+        }
+
+    def test_case_insensitive_first_kept(self, spark):
+        from obsplus_spark.operators.text import within_doc_dedup
+
+        df = spark.createDataFrame(
+            [(1, "X y x Y")], "doc_id long, text string"
+        )
+        out = _rows(within_doc_dedup(df, chunk_tokens=2))
+        assert out[1] == {
+            "doc_id": 1, "n_chunks": 2, "n_kept": 1, "clean_text": "X y"
+        }
+
+    def test_degenerate_docs(self, spark):
+        from obsplus_spark.operators.text import within_doc_dedup
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, " \t "), (4, "solo")],
+            "doc_id long, text string",
+        )
+        out = _rows(within_doc_dedup(df, chunk_tokens=2))
+        for i in (1, 2, 3):
+            assert out[i] == {
+                "doc_id": i, "n_chunks": 0, "n_kept": 0, "clean_text": ""
+            }
+        assert out[4] == {
+            "doc_id": 4, "n_chunks": 1, "n_kept": 1, "clean_text": "solo"
+        }
+
+    def test_map_only_plan(self, spark):
+        """The within-doc plan must stay free of KEYED exchanges (pure
+        map; the only allowed Exchange is ensure_parallelism's
+        round-robin floor on tiny local inputs)."""
+        from obsplus_spark.operators.text import within_doc_dedup
+
+        df = spark.range(10).selectExpr(
+            "id AS doc_id", "'a b a b' AS text"
+        )
+        plan = within_doc_dedup(df, chunk_tokens=2)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_rejects_bad_width(self, spark):
+        from obsplus_spark.operators.text import within_doc_dedup
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            within_doc_dedup(df, chunk_tokens=0)

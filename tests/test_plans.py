@@ -848,3 +848,23 @@ def test_splits_are_exchange_free(plans):
         p = plans[name][0]
         assert "Exchange" not in p, name
         assert not any(m in p for m in _JOIN_MARKERS), name
+
+
+def test_chunk_dedup_two_keyed_exchanges(plans):
+    """Corpus chunk dedup is exactly TWO keyed exchanges — the
+    chunk-digest first-occurrence window and the doc-keyed rebuild
+    aggregate; chunks form in-row (no token explode crosses a wire),
+    and there are no joins."""
+    p, simple = plans["chunk_dedup"]
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_within_doc_dedup_map_only(plans):
+    """Within-doc chunk trim is a pure per-row expression: no keyed
+    exchange of any kind in the plan."""
+    p, simple = plans["within_doc_dedup"]
+    assert "Exchange hashpartitioning" not in simple
+    assert "Exchange rangepartitioning" not in simple
+    assert "Exchange SinglePartition" not in simple
+    assert not any(m in p for m in _JOIN_MARKERS)
