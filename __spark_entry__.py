@@ -9971,6 +9971,94 @@ _SQL_WITHIN_DOC_DEDUP = r"""
 """
 
 
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tie-aware ROC-AUC — operators/evaluation.py
+    score_auc: Mann-Whitney rank-sum with mid-ranks for ties, over a
+    value-keyed map-combined aggregate (the cumulative pass runs on
+    DISTINCT scores, never rows). Fixture: does document length
+    predict the English label?"""
+    from obsplus_spark.operators.evaluation import score_auc
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "n_chars AS s", "(lang = 'en') AS is_pos"
+    )
+    return score_auc(docs, "s", "is_pos")
+
+
+_SQL_SCORE_AUC = """
+    WITH g AS (
+      SELECT n_chars AS s,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY n_chars
+    ),
+    r AS (
+      SELECT n, np,
+             sum(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n AS cb
+      FROM g
+    )
+    SELECT CASE WHEN sum(np) > 0 AND sum(n - np) > 0 THEN
+             round((sum(np * (cb + (n + 1) / 2.0))
+                    - sum(np) * (sum(np) + 1) / 2.0)
+                   / (CAST(sum(np) AS DOUBLE) * sum(n - np)), 9)
+           END AS auc,
+           CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+           CAST(coalesce(sum(n - np), 0) AS BIGINT) AS n_neg
+    FROM r
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic —
+    operators/evaluation.py ks_statistic: max ECDF gap between the
+    value distributions of click vs view events, over a value-keyed
+    map-combined aggregate + a distinct-value cumulative window."""
+    from obsplus_spark.operators.evaluation import ks_statistic
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "value",
+        "CASE WHEN event_type = 'click' THEN true"
+        "     WHEN event_type = 'view' THEN false END AS grp",
+    )
+    return ks_statistic(ev, "value", "grp")
+
+
+_SQL_KS_DRIFT = """
+    WITH g AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+      GROUP BY value
+    ),
+    c AS (
+      SELECT
+        sum(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        sum(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        sum(ca) OVER () AS na,
+        sum(cb) OVER () AS nb
+      FROM g
+    )
+    SELECT CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+             round(max(abs(cca / CAST(nullif(na, 0) AS DOUBLE)
+                           - ccb / CAST(nullif(nb, 0) AS DOUBLE))), 9)
+           END AS ks,
+           CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+           CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b
+    FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -9990,8 +10078,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
         # (a000) NEW in r9 session 5: chunk-granular dedup transforms
+        # + score/drift evaluation metrics
         "chunk_dedup": q_chunk_dedup,
         "within_doc_dedup": q_within_doc_dedup,
+        "score_auc": q_score_auc,
+        "ks_drift": q_ks_drift,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10211,6 +10302,8 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "chunk_dedup": _SQL_CHUNK_DEDUP,
         "within_doc_dedup": _SQL_WITHIN_DOC_DEDUP,
+        "score_auc": _SQL_SCORE_AUC,
+        "ks_drift": _SQL_KS_DRIFT,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

@@ -1,0 +1,137 @@
+"""Model- and distribution-evaluation metrics over scored corpora.
+
+A curation pipeline that trains quality classifiers (``text.
+linear_quality_score``), importance weights (``text.dsir_importance``)
+or embedding screens (``similarity.embedding_outliers``) needs
+distributed evaluation of those scores before trusting them at 100 TB:
+ROC-AUC against a labeled slice, and distribution-drift tests between
+corpus segments or snapshots. Both operators here reduce the corpus
+with a map-combined value-keyed aggregate FIRST, so the serial
+cumulative pass runs over distinct values, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def score_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Distributed ROC-AUC of a numeric score against a boolean label,
+    via the tie-aware Mann-Whitney rank-sum identity:
+    ``AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)`` with AVERAGE ranks
+    for ties (the standard mid-rank convention — plain ``rank()`` or
+    ``row_number()`` biases AUC on heavily-tied scores).
+
+    Scale shape: one value-keyed MAP-COMBINED aggregate collapses the
+    corpus to ``(score, n, n_pos)`` cells — the only full-data
+    exchange; the cumulative-rank window then runs over DISTINCT
+    scores only (bounded by score cardinality, not corpus size —
+    quantize continuous scores to fixed precision upstream to bound
+    it), and a single-row aggregate folds the identity. Because every
+    average rank is an exact half-integer and every partial sum stays
+    below 2⁵³ at any realistic corpus size, the engine and the DuckDB
+    oracle produce bit-identical doubles.
+
+    Rows with a NULL score or NULL label are excluded (no rank, no
+    class). AUC is NULL when either class is empty.
+
+    Output: single row ``(auc, n_pos, n_neg)``.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH g AS (
+          SELECT {score_col} AS s,
+                 CAST(count(1) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN {label_col} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS np
+          FROM {{d}}
+          WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+          GROUP BY {score_col}
+        ),
+        r AS (
+          SELECT n, np,
+                 sum(n) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n AS cb
+          FROM g
+        )
+        SELECT CASE WHEN sum(np) > 0 AND sum(n - np) > 0 THEN
+                 round((sum(np * (cb + (n + 1) / 2.0))
+                        - sum(np) * (sum(np) + 1) / 2.0)
+                       / (CAST(sum(np) AS DOUBLE) * sum(n - np)), 9)
+               END AS auc,
+               CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+               CAST(coalesce(sum(n - np), 0) AS BIGINT) AS n_neg
+        FROM r
+        """,
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two corpus segments: ``KS = max |F_A(v) − F_B(v)|``
+    over the empirical CDFs — the standard drift test between a corpus
+    snapshot and its successor, or between two sources, before a
+    retrain. ``flag_col`` is boolean: true → sample A, false → sample
+    B, NULL → excluded (rows outside either segment).
+
+    Scale shape: identical to :func:`score_auc` — one value-keyed
+    map-combined aggregate to ``(value, count_a, count_b)`` cells, a
+    cumulative window over DISTINCT values (quantize continuous values
+    upstream to bound its cardinality), one single-row max. The
+    integer cumulative counts make both CDF divisions exact IEEE
+    operations, so the engine and the oracle agree bit-for-bit.
+
+    Output: single row ``(ks, n_a, n_b)`` — ``ks`` NULL when either
+    sample is empty.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH g AS (
+          SELECT {value_col} AS v,
+                 CAST(sum(CASE WHEN {flag_col} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN NOT {flag_col} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM {{d}}
+          WHERE {value_col} IS NOT NULL AND {flag_col} IS NOT NULL
+          GROUP BY {value_col}
+        ),
+        c AS (
+          SELECT
+            sum(ca) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cca,
+            sum(cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS ccb,
+            sum(ca) OVER () AS na,
+            sum(cb) OVER () AS nb
+          FROM g
+        )
+        SELECT CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+                 -- nullif: the ECDF ratios sit INSIDE the max()
+                 -- aggregate, so they evaluate before the emptiness
+                 -- guard can short-circuit (ANSI divide-by-zero)
+                 round(max(abs(cca / CAST(nullif(na, 0) AS DOUBLE)
+                               - ccb / CAST(nullif(nb, 0) AS DOUBLE))), 9)
+               END AS ks,
+               CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+               CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b
+        FROM c
+        """,
+    )

@@ -34,6 +34,7 @@ SESSIONS_QUERIES = [
     "rank_transform",
     "action_transitions",
     "resample",
+    "ks_drift",
 ]
 
 TABLES = [

@@ -47,6 +47,7 @@ TEXT_QUERIES = [
     "lsh_recall",
     "chunk_dedup",
     "within_doc_dedup",
+    "score_auc",
 ]
 
 TABLES = [

@@ -163,3 +163,102 @@ class TestWithinDocDedup:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="chunk_tokens"):
             within_doc_dedup(df, chunk_tokens=0)
+
+
+class TestScoreAuc:
+    def test_hand_value_with_ties(self, spark):
+        from obsplus_spark.operators.evaluation import score_auc
+
+        # scores [1,2,2,3], labels [F,T,F,T] -> mid-rank AUC = 0.875
+        df = spark.createDataFrame(
+            [(1.0, False), (2.0, True), (2.0, False), (3.0, True)],
+            "s double, y boolean",
+        )
+        row = score_auc(df, "s", "y").collect()[0]
+        assert row["auc"] == pytest.approx(0.875)
+        assert (row["n_pos"], row["n_neg"]) == (2, 2)
+
+    def test_null_rows_excluded_and_empty_class_null(self, spark):
+        from obsplus_spark.operators.evaluation import score_auc
+
+        df = spark.createDataFrame(
+            [(1.0, True), (None, True), (2.0, None)],
+            "s double, y boolean",
+        )
+        row = score_auc(df, "s", "y").collect()[0]
+        assert row["auc"] is None
+        assert (row["n_pos"], row["n_neg"]) == (1, 0)
+
+    def test_matches_brute_force_pair_counting(self, spark):
+        import numpy as np
+
+        from obsplus_spark.operators.evaluation import score_auc
+
+        rng = np.random.default_rng(7)
+        s = rng.integers(0, 20, 200).astype(float)  # heavy ties
+        y = rng.random(200) < 0.4
+        df = spark.createDataFrame(
+            [(float(a), bool(b)) for a, b in zip(s, y)],
+            "s double, y boolean",
+        )
+        got = score_auc(df, "s", "y").collect()[0]["auc"]
+        pos, neg = s[y], s[~y]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert got == pytest.approx(want, abs=1e-9)
+
+
+class TestKsStatistic:
+    def test_hand_value(self, spark):
+        from obsplus_spark.operators.evaluation import ks_statistic
+
+        # A=[1,2], B=[2,3] -> max ECDF gap = 0.5
+        df = spark.createDataFrame(
+            [(1.0, True), (2.0, True), (2.0, False), (3.0, False)],
+            "v double, g boolean",
+        )
+        row = ks_statistic(df, "v", "g").collect()[0]
+        assert row["ks"] == pytest.approx(0.5)
+        assert (row["n_a"], row["n_b"]) == (2, 2)
+
+    def test_identical_samples_zero(self, spark):
+        from obsplus_spark.operators.evaluation import ks_statistic
+
+        df = spark.createDataFrame(
+            [(v, g) for v in (1.0, 2.0, 5.0) for g in (True, False)],
+            "v double, g boolean",
+        )
+        row = ks_statistic(df, "v", "g").collect()[0]
+        assert row["ks"] == pytest.approx(0.0)
+
+    def test_empty_side_null_and_null_flag_excluded(self, spark):
+        from obsplus_spark.operators.evaluation import ks_statistic
+
+        df = spark.createDataFrame(
+            [(1.0, True), (2.0, None)], "v double, g boolean"
+        )
+        row = ks_statistic(df, "v", "g").collect()[0]
+        assert row["ks"] is None
+        assert (row["n_a"], row["n_b"]) == (1, 0)
+
+    def test_matches_brute_force_ecdf(self, spark):
+        import numpy as np
+
+        from obsplus_spark.operators.evaluation import ks_statistic
+
+        rng = np.random.default_rng(11)
+        va = rng.integers(0, 30, 150).astype(float)
+        vb = (rng.integers(0, 30, 120) + rng.integers(0, 3, 120)).astype(
+            float
+        )
+        rows = [(float(v), True) for v in va] + [
+            (float(v), False) for v in vb
+        ]
+        df = spark.createDataFrame(rows, "v double, g boolean")
+        got = ks_statistic(df, "v", "g").collect()[0]["ks"]
+        grid = np.unique(np.concatenate([va, vb]))
+        fa = (va[:, None] <= grid[None, :]).mean(axis=0)
+        fb = (vb[:, None] <= grid[None, :]).mean(axis=0)
+        want = np.abs(fa - fb).max()
+        assert got == pytest.approx(want, abs=1e-9)

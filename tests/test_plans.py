@@ -868,3 +868,15 @@ def test_within_doc_dedup_map_only(plans):
     assert "Exchange rangepartitioning" not in simple
     assert "Exchange SinglePartition" not in simple
     assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_auc_and_ks_single_corpus_exchange(plans):
+    """AUC and KS meet the corpus in ONE map-combined value-keyed
+    exchange; the cumulative pass runs over distinct values (the
+    documented single-partition stage) and never re-shuffles rows."""
+    for name in ("score_auc", "ks_drift"):
+        p, simple = plans[name]
+        assert simple.count("Exchange hashpartitioning") == 1, name
+        assert not any(m in p for m in _JOIN_MARKERS), name
+        # partial aggregation (map-side combine) before the exchange
+        assert "partial_" in p.lower() or "HashAggregate" in p, name
