@@ -10059,6 +10059,127 @@ _SQL_KS_DRIFT = """
 """
 
 
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots —
+    operators/similarity.py centroid_drift: (label, dim) map-combined
+    centroid folds + |labels|-row broadcast joins; snapshots = even vs
+    odd vec_id halves of the embeddings table."""
+    from obsplus_spark.operators.similarity import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    )
+
+
+_SQL_CENTROID_DRIFT = """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND label IS NOT NULL
+    ),
+    ca AS (
+      SELECT label, list(m ORDER BY pos) AS c FROM (
+        SELECT label, pos, round(avg(x), 6) AS m FROM (
+          SELECT label, generate_subscripts(ev, 1) AS pos,
+                 unnest(ev) AS x
+          FROM v WHERE vec_id % 2 = 0
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    cb AS (
+      SELECT label, list(m ORDER BY pos) AS c FROM (
+        SELECT label, pos, round(avg(x), 6) AS m FROM (
+          SELECT label, generate_subscripts(ev, 1) AS pos,
+                 unnest(ev) AS x
+          FROM v WHERE vec_id % 2 = 1
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    na AS (SELECT label, CAST(count(1) AS BIGINT) AS n_a
+           FROM v WHERE vec_id % 2 = 0 GROUP BY label),
+    nb AS (SELECT label, CAST(count(1) AS BIGINT) AS n_b
+           FROM v WHERE vec_id % 2 = 1 GROUP BY label)
+    SELECT ca.label,
+           round(coalesce(list_dot_product(ca.c, cb.c)
+             / nullif(sqrt(list_dot_product(ca.c, ca.c))
+                      * sqrt(list_dot_product(cb.c, cb.c)), 0), 0), 6)
+             AS cos_drift,
+           na.n_a, nb.n_b
+    FROM ca JOIN cb USING (label)
+            JOIN na USING (label) JOIN nb USING (label)
+"""
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of lexical + semantic retrieval —
+    operators/similarity.py rrf_fusion over a BM25 top-50 (query
+    {spark, merge, vector}) and a cosine top-50 (probe = vec_id 0):
+    per-list single-partition ranks on candidate cuts, full-outer
+    fuse, TakeOrdered top-20."""
+    from obsplus_spark.operators.similarity import cosine_topk, rrf_fusion
+    from obsplus_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    la = bm25_scores(docs, ["spark", "merge", "vector"], k=50).selectExpr(
+        "doc_id", "score AS s"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    lb = cosine_topk(emb, probe, k=50).selectExpr(
+        "vec_id AS doc_id", "cosine_sim AS s"
+    )
+    return rrf_fusion(la, lb, id_col="doc_id", score_col="s", topk=20)
+
+
+def _rrf_sql(k: int = 60, topk: int = 20, n: int = 50) -> str:
+    """DuckDB twin of q_rrf_fusion: the BM25 CTE (lockstep with
+    _bm25_sql at k=50) + a one-probe cosine top-50 + the rank fuse."""
+    bm25 = _bm25_sql(["spark", "merge", "vector"], k=n)
+    return f"""
+    WITH la AS ({bm25}),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+    lb AS (
+      SELECT vec_id AS doc_id, s FROM (
+        SELECT vec_id, s,
+               row_number() OVER (ORDER BY s DESC, vec_id) AS rn
+        FROM (
+          SELECT v.vec_id,
+                 coalesce(list_dot_product(ev, qv)
+                   / nullif(sqrt(list_dot_product(ev, ev))
+                            * sqrt(list_dot_product(qv, qv)), 0), 0)
+                   AS s
+          FROM v CROSS JOIN q
+        )
+      ) WHERE rn <= {n}
+    ),
+    ra AS (
+      SELECT doc_id AS _id,
+             CAST(row_number() OVER (ORDER BY round(score, 6) DESC,
+                                     doc_id) AS BIGINT) AS rank_a
+      FROM la WHERE doc_id IS NOT NULL AND score IS NOT NULL
+    ),
+    rb AS (
+      SELECT doc_id AS _id,
+             CAST(row_number() OVER (ORDER BY round(s, 6) DESC,
+                                     doc_id) AS BIGINT) AS rank_b
+      FROM lb WHERE doc_id IS NOT NULL AND s IS NOT NULL
+    )
+    SELECT coalesce(ra._id, rb._id) AS doc_id, rank_a, rank_b,
+           round(coalesce(1.0 / ({k} + rank_a), 0)
+                 + coalesce(1.0 / ({k} + rank_b), 0), 9) AS rrf_score
+    FROM ra FULL OUTER JOIN rb ON ra._id = rb._id
+    ORDER BY rrf_score DESC, coalesce(ra._id, rb._id)
+    LIMIT {topk}
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10083,6 +10204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_doc_dedup": q_within_doc_dedup,
         "score_auc": q_score_auc,
         "ks_drift": q_ks_drift,
+        "centroid_drift": q_centroid_drift,
+        "rrf_fusion": q_rrf_fusion,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10304,6 +10427,8 @@ def oracle_sql() -> dict[str, str]:
         "within_doc_dedup": _SQL_WITHIN_DOC_DEDUP,
         "score_auc": _SQL_SCORE_AUC,
         "ks_drift": _SQL_KS_DRIFT,
+        "centroid_drift": _SQL_CENTROID_DRIFT,
+        "rrf_fusion": _rrf_sql(),
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

@@ -1045,3 +1045,137 @@ def embedding_outliers(
         )
         """,
     )
+
+
+def centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding-centroid drift between two corpus snapshots:
+    cosine between each label's mean vector in snapshot A and in
+    snapshot B — the encoder/distribution drift monitor a pipeline
+    runs before reusing cached embeddings or retraining a classifier
+    head (a centroid that moved is a re-embed trigger; one that
+    collapsed toward zero is an encoder failure).
+
+    Scale shape: each snapshot folds to ``|labels| × dim`` cells via
+    the shared (label, dim)-keyed MAP-COMBINED explode aggregate (the
+    embedding_outliers pattern — partial aggregates collapse every
+    partition before the exchange), counts fold map-combined on the
+    un-exploded rows, and all remaining joins are |labels|-row
+    broadcasts. Nothing quadratic, nothing driver-side, at any corpus
+    size.
+
+    Conventions: malformed vectors excluded by :func:`valid_vectors`;
+    NULL labels excluded (no class, no centroid); centroid components
+    are 6-dp rounded BEFORE the cosine (house kmeans convention, makes
+    the fold engine-portable); drift cosine is 6-dp rounded with the
+    zero-norm → 0 rule. Labels present in only one snapshot are
+    dropped (drift is undefined without both endpoints — screen those
+    with a plain count diff).
+
+    Output: ``(label, cos_drift, n_a, n_b)``.
+    """
+    from obsplus_spark.util import sql_over
+
+    va = valid_vectors(df_a, vec_col).where(f"{label_col} IS NOT NULL")
+    vb = valid_vectors(df_b, vec_col).where(f"{label_col} IS NOT NULL")
+    cent = """
+        SELECT _lbl, transform(array_sort(collect_list(struct(pos, m))),
+                               s -> s.m) AS c
+        FROM (
+          SELECT _lbl, pos, round(avg(x), 6) AS m
+          FROM (
+            SELECT {label_col} AS _lbl, pos, CAST(x AS DOUBLE) AS x
+            FROM {src} LATERAL VIEW posexplode({vec_col}) AS pos, x
+          ) GROUP BY _lbl, pos
+        ) GROUP BY _lbl
+    """
+    return sql_over(
+        {"a": va, "b": vb},
+        f"""
+        WITH ca AS ({cent.format(label_col=label_col, vec_col=vec_col,
+                                 src='{a}')}),
+        cb AS ({cent.format(label_col=label_col, vec_col=vec_col,
+                            src='{b}')}),
+        na AS (
+          SELECT {label_col} AS _lbl, CAST(count(1) AS BIGINT) AS n_a
+          FROM {{a}} GROUP BY {label_col}
+        ),
+        nb AS (
+          SELECT {label_col} AS _lbl, CAST(count(1) AS BIGINT) AS n_b
+          FROM {{b}} GROUP BY {label_col}
+        )
+        SELECT /*+ BROADCAST(cb, na, nb) */
+               ca._lbl AS {label_col},
+               round({_cosine_sql('ca.c', 'cb.c')}, 6) AS cos_drift,
+               na.n_a, nb.n_b
+        FROM ca JOIN cb ON ca._lbl = cb._lbl
+                JOIN na ON ca._lbl = na._lbl
+                JOIN nb ON ca._lbl = nb._lbl
+        """,
+    )
+
+
+def rrf_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k_rrf: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two CANDIDATE lists (Cormack &
+    Clarke's RRF, public): rank each list by its own score, then score
+    every candidate ``Σ 1/(k + rank)`` over the lists it appears in —
+    the standard way to merge lexical (BM25) and semantic (cosine)
+    retrieval without calibrating their incomparable score scales.
+
+    CONTRACT: the inputs are top-N candidate lists (each the output of
+    a retrieval operator's own distributed top-k cut), NOT corpora —
+    the per-list rank is a single-partition window, bounded by the
+    candidate cut, never by corpus size. Ranks order by the 6-dp
+    ROUNDED score (desc, id asc): both engines compute scores from
+    identical fp fold orders, but ``ln``-based scores can differ in
+    the last ulp across math libraries, and an ulp must never swap a
+    rank. Rows with a NULL id or score are excluded.
+
+    Output: top ``topk`` rows of ``(id, rank_a, rank_b, rrf_score)``
+    by (rrf_score desc, id asc); a candidate missing from one list has
+    a NULL rank there and contributes 0 for it.
+    """
+    from obsplus_spark.util import sql_over
+
+    kk, tk = int(k_rrf), int(topk)
+    if kk < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    if tk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    rank = (
+        f"CAST(row_number() OVER (ORDER BY round({score_col}, 6) DESC,"
+        f" {id_col} ASC) AS BIGINT)"
+    )
+    keep = f"{id_col} IS NOT NULL AND {score_col} IS NOT NULL"
+    return sql_over(
+        {"a": ranked_a, "b": ranked_b},
+        f"""
+        WITH ra AS (
+          SELECT {id_col} AS _id, {rank} AS rank_a
+          FROM {{a}} WHERE {keep}
+        ),
+        rb AS (
+          SELECT {id_col} AS _id, {rank} AS rank_b
+          FROM {{b}} WHERE {keep}
+        )
+        SELECT coalesce(ra._id, rb._id) AS {id_col},
+               rank_a, rank_b,
+               round(coalesce(1.0D / ({kk} + rank_a), 0.0D)
+                     + coalesce(1.0D / ({kk} + rank_b), 0.0D), 9)
+                 AS rrf_score
+        FROM ra FULL OUTER JOIN rb ON ra._id = rb._id
+        ORDER BY rrf_score DESC, coalesce(ra._id, rb._id) ASC
+        LIMIT {tk}
+        """,
+    )

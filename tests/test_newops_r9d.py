@@ -262,3 +262,133 @@ class TestKsStatistic:
         fb = (vb[:, None] <= grid[None, :]).mean(axis=0)
         want = np.abs(fa - fb).max()
         assert got == pytest.approx(want, abs=1e-9)
+
+
+class TestCentroidDrift:
+    def test_identical_snapshots_drift_one(self, spark):
+        from obsplus_spark.operators.similarity import centroid_drift
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [2.0, 0.0], 1)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        out = {
+            r["label"]: r.asDict()
+            for r in centroid_drift(df, df, label_col="label").collect()
+        }
+        assert out[0]["cos_drift"] == pytest.approx(1.0)
+        assert (out[0]["n_a"], out[0]["n_b"]) == (2, 2)
+        assert out[1]["cos_drift"] == pytest.approx(1.0)
+
+    def test_orthogonal_centroids_drift_zero(self, spark):
+        from obsplus_spark.operators.similarity import centroid_drift
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        b = spark.createDataFrame(
+            [(2, [0.0, 1.0], 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        row = centroid_drift(a, b).collect()[0]
+        assert row["cos_drift"] == pytest.approx(0.0)
+        assert (row["n_a"], row["n_b"]) == (1, 1)
+
+    def test_zero_norm_centroid_drift_zero_by_convention(self, spark):
+        from obsplus_spark.operators.similarity import centroid_drift
+
+        # snapshot A's centroid is the zero vector -> cosine 0
+        a = spark.createDataFrame(
+            [(1, [1.0, -1.0], 0), (2, [-1.0, 1.0], 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        b = spark.createDataFrame(
+            [(3, [1.0, 1.0], 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        row = centroid_drift(a, b).collect()[0]
+        assert row["cos_drift"] == pytest.approx(0.0)
+
+    def test_one_sided_labels_and_malformed_rows_excluded(self, spark):
+        from obsplus_spark.operators.similarity import centroid_drift
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 7), (3, None, 0),
+             (4, [1.0, 0.0], None)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        b = spark.createDataFrame(
+            [(5, [1.0, 0.0], 0), (6, [], 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        rows = centroid_drift(a, b).collect()
+        assert len(rows) == 1  # label 7 one-sided; NULL label dropped
+        assert rows[0]["label"] == 0
+        assert (rows[0]["n_a"], rows[0]["n_b"]) == (1, 1)
+
+
+class TestRrfFusion:
+    def _lists(self, spark):
+        a = spark.createDataFrame(
+            [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, s double"
+        )
+        b = spark.createDataFrame(
+            [(3, 0.9), (1, 0.5), (4, 0.1)], "doc_id long, s double"
+        )
+        return a, b
+
+    def test_hand_values(self, spark):
+        from obsplus_spark.operators.similarity import rrf_fusion
+
+        a, b = self._lists(spark)
+        rows = {
+            r["doc_id"]: r.asDict()
+            for r in rrf_fusion(a, b, score_col="s", k_rrf=60).collect()
+        }
+        # doc 1: rank_a=1, rank_b=2 -> 1/61 + 1/62
+        assert rows[1]["rrf_score"] == pytest.approx(
+            round(1 / 61 + 1 / 62, 9)
+        )
+        assert (rows[1]["rank_a"], rows[1]["rank_b"]) == (1, 2)
+        # doc 4 only in list b at rank 3
+        assert rows[4]["rank_a"] is None
+        assert rows[4]["rrf_score"] == pytest.approx(round(1 / 63, 9))
+
+    def test_topk_cut_and_order(self, spark):
+        from obsplus_spark.operators.similarity import rrf_fusion
+
+        a, b = self._lists(spark)
+        rows = rrf_fusion(a, b, score_col="s", topk=2).collect()
+        assert len(rows) == 2
+        # doc 1 (1/61+1/62) beats doc 3 (1/63+1/61)
+        assert [r["doc_id"] for r in rows] == [1, 3]
+
+    def test_tie_breaks_on_rounded_score_then_id(self, spark):
+        from obsplus_spark.operators.similarity import rrf_fusion
+
+        # scores equal at 6 dp -> rank by id; 1e-9 apart is a tie
+        a = spark.createDataFrame(
+            [(5, 1.0000000001), (2, 1.0)], "doc_id long, s double"
+        )
+        b = spark.createDataFrame([(9, 1.0)], "doc_id long, s double")
+        rows = {
+            r["doc_id"]: r
+            for r in rrf_fusion(a, b, score_col="s").collect()
+        }
+        assert rows[2]["rank_a"] == 1 and rows[5]["rank_a"] == 2
+
+    def test_null_rows_excluded_and_validation(self, spark):
+        from obsplus_spark.operators.similarity import rrf_fusion
+
+        a = spark.createDataFrame(
+            [(1, 2.0), (None, 9.0), (3, None)], "doc_id long, s double"
+        )
+        b = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+        rows = rrf_fusion(a, b, score_col="s").collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["rank_a"] == 1
+        with pytest.raises(ValueError, match="topk"):
+            rrf_fusion(a, b, score_col="s", topk=0)
+        with pytest.raises(ValueError, match="k_rrf"):
+            rrf_fusion(a, b, score_col="s", k_rrf=0)

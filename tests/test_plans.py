@@ -880,3 +880,13 @@ def test_auc_and_ks_single_corpus_exchange(plans):
         assert not any(m in p for m in _JOIN_MARKERS), name
         # partial aggregation (map-side combine) before the exchange
         assert "partial_" in p.lower() or "HashAggregate" in p, name
+
+
+def test_centroid_drift_broadcast_joins_only(plans):
+    """Centroid drift: the corpus folds to (label, dim) cells via
+    map-combined aggregates; every join is a |labels|-row broadcast —
+    no sort-merge or shuffled-hash join anywhere."""
+    p, simple = plans["centroid_drift"]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

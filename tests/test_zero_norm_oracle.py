@@ -31,6 +31,7 @@ COSINE_QUERIES = [
     "embed_quantize",
     "pq_codes",
     "embed_outliers",
+    "centroid_drift",
 ]
 
 TABLES = [
