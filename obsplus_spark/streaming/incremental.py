@@ -692,3 +692,123 @@ def stream_curation_funnel(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _centroid_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    vec_col: str,
+    label_col: str,
+    store_dir: str,
+) -> None:
+    """One idempotent centroid-store transition: the batch folds to
+    per-label ``(n, sums)`` moment cells — count plus the elementwise
+    vector sum, the MERGEABLE form of a centroid (means are not
+    additive; moment sums are) — and merges into the maintained table
+    by a label-keyed full-outer join + ``zip_with`` add. Both sides of
+    the merge are |labels| rows, so the per-batch cost after the
+    batch's own (label, dim) map-combined fold is label-count-sized.
+    Vectors must share one dimensionality per store (the zip_with add
+    nulls mismatched tails — the same fixed-dim contract every
+    similarity operator documents)."""
+    from obsplus_spark.util import sql_over
+
+    from obsplus_spark.operators.similarity import valid_vectors
+
+    src = valid_vectors(batch_df, vec_col).where(
+        f"{label_col} IS NOT NULL"
+    )
+
+    def fold(prev):
+        b = sql_over(
+            {"s": src},
+            f"""
+            WITH cells AS (
+              SELECT {label_col} AS label, pos, sum(CAST(x AS DOUBLE))
+                       AS sx
+              FROM {{s}} LATERAL VIEW posexplode({vec_col}) AS pos, x
+              GROUP BY {label_col}, pos
+            ),
+            sums AS (
+              SELECT label,
+                     transform(array_sort(collect_list(struct(pos, sx))),
+                               c -> c.sx) AS sums
+              FROM cells GROUP BY label
+            ),
+            cnt AS (
+              SELECT {label_col} AS label, CAST(count(1) AS BIGINT) AS n
+              FROM {{s}} GROUP BY {label_col}
+            )
+            SELECT cnt.label, cnt.n, sums.sums
+            FROM cnt JOIN sums ON cnt.label = sums.label
+            """,
+        )
+        if prev is None:
+            return b
+        return sql_over(
+            {"p": prev, "b": b},
+            """
+            SELECT coalesce(p.label, b.label) AS label,
+                   coalesce(p.n, 0L) + coalesce(b.n, 0L) AS n,
+                   CASE WHEN p.sums IS NULL THEN b.sums
+                        WHEN b.sums IS NULL THEN p.sums
+                        ELSE zip_with(p.sums, b.sums, (x, y) -> x + y)
+                   END AS sums
+            FROM {p} p FULL OUTER JOIN {b} b ON p.label = b.label
+            """,
+        )
+
+    _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
+
+
+def read_label_centroids(spark, store_dir: str) -> DataFrame:
+    """Centroid view over a :func:`stream_label_centroids` store:
+    ``(label, n, centroid)`` with 6-dp rounded components (the house
+    kmeans convention — see ``similarity.embedding_outliers``)."""
+    import os
+
+    cur = os.path.join(store_dir, "current")
+    return spark.read.parquet(cur).selectExpr(
+        "label",
+        "n",
+        "transform(sums, x -> round(x / n, 6)) AS centroid",
+    )
+
+
+def stream_label_centroids(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    available_now: bool = True,
+):
+    """foreachBatch maintenance of per-label embedding centroids over a
+    vector stream: after every micro-batch the store's ``sums/n``
+    equals the mean vector over EVERYTHING ingested so far — the live
+    side of ``similarity.centroid_drift`` (compare the maintained
+    centroids against a frozen snapshot's to alarm on encoder or
+    distribution drift at ingest time, not at the next full re-embed
+    audit).
+
+    Per-batch work: the batch's own (label, dim) map-combined fold +
+    a |labels|-row merge under the shared generation-swap protocol
+    (:func:`_gen_swap_apply`: replay-idempotent, half-swap recovering).
+    Malformed vectors and NULL labels are excluded by the shared
+    similarity contracts. Read back via :func:`read_label_centroids`.
+
+    Returns the started StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _centroid_apply_batch(
+            batch_df, batch_id, vec_col, label_col, store_dir
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

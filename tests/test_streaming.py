@@ -776,3 +776,87 @@ def test_streaming_curation_funnel_replay_idempotent(spark, tmp_path):
                        spark.read.parquet(f"{store}/current").collect()))
     assert once == again
     assert once[0][2] == 5  # n_in counted exactly once
+
+
+def test_streaming_label_centroids_equal_batch_means(spark, tmp_path):
+    """The maintained centroid store equals per-label numpy means over
+    the full ingested stream after multiple micro-batches, and
+    malformed vectors / NULL labels never contribute."""
+    import numpy as np
+
+    from obsplus_spark.streaming.incremental import (
+        read_label_centroids,
+        stream_label_centroids,
+    )
+
+    src = str(tmp_path / "vecs")
+    store = str(tmp_path / "cent_store")
+    schema = "vec_id long, embedding array<double>, label int"
+
+    rows1 = [
+        (1, [1.0, 2.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [10.0, 0.0], 1),
+        (4, None, 0),          # malformed: excluded
+    ]
+    rows2 = [
+        (5, [5.0, 6.0], 0),
+        (6, [0.0, 10.0], 1),
+        (7, [1.0, 1.0], None),  # NULL label: excluded
+        (8, [], 1),             # malformed: excluded
+    ]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_label_centroids(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write_batch(rows1)
+    run()
+    write_batch(rows2)
+    run()
+
+    got = {
+        r["label"]: (r["n"], r["centroid"])
+        for r in read_label_centroids(spark, store).collect()
+    }
+    want = {
+        0: np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]),
+        1: np.array([[10.0, 0.0], [0.0, 10.0]]),
+    }
+    assert set(got) == set(want)
+    for lbl, arr in want.items():
+        n, cent = got[lbl]
+        assert n == len(arr)
+        assert np.allclose(cent, np.round(arr.mean(axis=0), 6))
+
+
+def test_streaming_label_centroids_replay_idempotent(spark, tmp_path):
+    """Re-applying an already-committed batch_id must not double-count
+    (generation-swap marker protocol)."""
+    from obsplus_spark.streaming.incremental import (
+        _centroid_apply_batch,
+        read_label_centroids,
+    )
+
+    store = str(tmp_path / "cent_store")
+    schema = "vec_id long, embedding array<double>, label int"
+    b = spark.createDataFrame([(1, [2.0, 4.0], 0)], schema)
+
+    _centroid_apply_batch(b, 0, "embedding", "label", store)
+    _centroid_apply_batch(b, 0, "embedding", "label", store)  # replay
+
+    rows = read_label_centroids(spark, store).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 1
+    assert list(rows[0]["centroid"]) == [2.0, 4.0]
