@@ -10180,6 +10180,42 @@ def _rrf_sql(k: int = 60, topk: int = 20, n: int = 50) -> str:
     """
 
 
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-coordinate covariance cells (dims 0..7) —
+    operators/similarity.py embedding_covariance: in-row pair products
+    into ONE cell-keyed map-combined aggregate; final assembly joins
+    dims²-sized frames. The decorrelation diagnostic before PCA/PQ."""
+    from obsplus_spark.operators.similarity import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, dims=8)
+
+
+_SQL_EMBED_COV = """
+    WITH v AS (
+      SELECT embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 8
+    ),
+    px AS (
+      SELECT ii.i AS i, jj.j AS j,
+             round(avg(ev[ii.i + 1] * ev[jj.j + 1]), 6) AS pp,
+             CAST(count(1) AS BIGINT) AS n
+      FROM v, unnest(range(8)) AS ii(i), unnest(range(8)) AS jj(j)
+      WHERE jj.j >= ii.i
+      GROUP BY ii.i, jj.j
+    ),
+    m AS (
+      SELECT pos.i AS pos, round(avg(ev[pos.i + 1]), 6) AS mu
+      FROM v, unnest(range(8)) AS pos(i)
+      GROUP BY pos.i
+    )
+    SELECT CAST(px.i AS INT) AS i, CAST(px.j AS INT) AS j,
+           round(pp - mi.mu * mj.mu, 6) AS cov, n
+    FROM px JOIN m mi ON px.i = mi.pos
+            JOIN m mj ON px.j = mj.pos
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10206,6 +10242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "centroid_drift": q_centroid_drift,
         "rrf_fusion": q_rrf_fusion,
+        "embed_cov": q_embed_cov,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10429,6 +10466,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _SQL_KS_DRIFT,
         "centroid_drift": _SQL_CENTROID_DRIFT,
         "rrf_fusion": _rrf_sql(),
+        "embed_cov": _SQL_EMBED_COV,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

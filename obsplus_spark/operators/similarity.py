@@ -1179,3 +1179,71 @@ def rrf_fusion(
         LIMIT {tk}
         """,
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 8,
+) -> DataFrame:
+    """Upper-triangle covariance cells of the first ``dims`` embedding
+    coordinates over the corpus: ``cov(i,j) = E[x_i x_j] − E[x_i]E[x_j]``
+    (population form) — the decorrelation / whitening diagnostic run
+    before PCA'ing or product-quantizing an embedding column (strongly
+    correlated coordinates waste PQ codebook entropy; a near-zero
+    diagonal block flags dead encoder dimensions).
+
+    Scale shape: the (i ≤ j) pair products form IN-ROW from a constant
+    index-pair sequence and meet the corpus in ONE cell-keyed
+    MAP-COMBINED aggregate (the explode feeds partial aggregation in
+    the same stage — dims²/2 cells per partition cross the wire, never
+    rows); the mean cells fold the same way, and the final assembly
+    joins dims²-sized frames (broadcast). Rows shorter than ``dims``
+    are excluded (fixed-dim contract; ANSI ``element_at`` would abort
+    on a ragged row), as are malformed vectors.
+
+    Engine portability: the cross-row averages round to 6 dp (house
+    convention) BEFORE the final subtraction, which rounds again —
+    both engines then compute identical doubles.
+
+    Output: ``(i, j, cov, n)`` for ``0 ≤ i ≤ j < dims``.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    d = int(dims)
+    if d < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    pairs = (
+        f"flatten(transform(sequence(0, {d - 1}), i ->"
+        f" transform(sequence(i, {d - 1}), j ->"
+        " named_struct('i', i, 'j', j))))"
+    )
+    v = ensure_parallelism(
+        valid_vectors(df, vec_col).where(f"size({vec_col}) >= {d}")
+    )
+    return sql_over(
+        {"v": v},
+        f"""
+        WITH px AS (
+          SELECT p.i, p.j,
+                 round(avg(CAST(element_at({vec_col}, p.i + 1) AS DOUBLE)
+                       * CAST(element_at({vec_col}, p.j + 1) AS DOUBLE)),
+                       6) AS pp,
+                 CAST(count(1) AS BIGINT) AS n
+          FROM {{v}} LATERAL VIEW explode({pairs}) AS p
+          GROUP BY p.i, p.j
+        ),
+        m AS (
+          SELECT pos, round(avg(CAST(x AS DOUBLE)), 6) AS mu
+          FROM (
+            SELECT pos, x FROM {{v}}
+            LATERAL VIEW posexplode(slice({vec_col}, 1, {d})) AS pos, x
+          ) GROUP BY pos
+        )
+        SELECT /*+ BROADCAST(mi, mj) */
+               CAST(px.i AS INT) AS i, CAST(px.j AS INT) AS j,
+               round(pp - mi.mu * mj.mu, 6) AS cov, n
+        FROM px JOIN m mi ON px.i = mi.pos
+                JOIN m mj ON px.j = mj.pos
+        """,
+    )

@@ -392,3 +392,50 @@ class TestRrfFusion:
             rrf_fusion(a, b, score_col="s", topk=0)
         with pytest.raises(ValueError, match="k_rrf"):
             rrf_fusion(a, b, score_col="s", k_rrf=0)
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy_population_cov(self, spark):
+        import numpy as np
+
+        from obsplus_spark.operators.similarity import embedding_covariance
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(50, 4)).round(3)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = embedding_covariance(df, dims=4).collect()
+        assert len(rows) == 10  # 4*5/2 upper-triangle cells
+        want = np.cov(x, rowvar=False, bias=True)
+        mu = np.round(x.mean(axis=0), 6)
+        pp = np.round((x[:, :, None] * x[:, None, :]).mean(axis=0), 6)
+        for r in rows:
+            i, j = r["i"], r["j"]
+            assert r["n"] == 50
+            # exact portability formula: round(pp6 - mu6_i*mu6_j, 6)
+            assert r["cov"] == pytest.approx(
+                round(pp[i, j] - mu[i] * mu[j], 6), abs=1e-9
+            )
+            # and it is the true covariance up to rounding
+            assert abs(r["cov"] - want[i, j]) < 5e-6
+
+    def test_short_and_malformed_rows_excluded(self, spark):
+        from obsplus_spark.operators.similarity import embedding_covariance
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0]), (3, None), (4, [5.0, 6.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = embedding_covariance(df, dims=2).collect()
+        assert all(r["n"] == 2 for r in rows)
+
+    def test_rejects_bad_dims(self, spark):
+        from obsplus_spark.operators.similarity import embedding_covariance
+
+        df = spark.createDataFrame(
+            [(1, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="dims"):
+            embedding_covariance(df, dims=0)

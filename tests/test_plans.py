@@ -890,3 +890,13 @@ def test_centroid_drift_broadcast_joins_only(plans):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_embed_cov_map_combined_cells(plans):
+    """Covariance: pair products meet the corpus in map-combined
+    cell-keyed aggregates; the dims^2-frame assembly joins ride
+    broadcasts — never a sort-merge join or cartesian."""
+    p, simple = plans["embed_cov"]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
