@@ -10227,11 +10227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code first, then the entries with the OLDEST most-recent driver
     # row. Round 9 executes VERDICT r8 finding #2 ("53 stale r2/r4
     # rows"): new-this-round queries lead (never had ANY driver row —
-    # 17 session-4 + 4 earlier-r9), then the 8 changed entries, then
-    # 21 of the 53 stale rows fill the cap; the 32 remaining stale
-    # rows sit directly after it for the r10 rotation (hash_split ..
-    # dateline_box). Union across r1-r9 keeps every registered query
-    # with a green driver row.
+    # 7 session-5 + 17 session-4 + 4 earlier-r9), then the 8 changed
+    # entries, then 14 of the 53 stale rows fill the cap; the 39
+    # remaining stale rows sit directly after it for the r10 rotation
+    # (text_stats .. dateline_box). Union across r1-r9 keeps every
+    # registered query with a green driver row.
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
         # (a000) NEW in r9 session 5: chunk-granular dedup transforms

@@ -135,3 +135,62 @@ def ks_statistic(
         FROM c
         """,
     )
+
+
+def ks_from_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    value_col: str = "v",
+    count_col: str = "n",
+) -> DataFrame:
+    """Two-sample KS from PRE-AGGREGATED value histograms — the
+    count-weighted twin of :func:`ks_statistic` for inputs that are
+    already ``(value, count)`` tables (a maintained streaming
+    histogram, a stored reference distribution): full-outer align the
+    two histograms on value, cumulate both counts over the distinct
+    values, take the max ECDF gap.
+
+    Everything after the inputs is distinct-value-sized; histograms
+    should be quantized upstream (that IS the histogram contract), so
+    the cumulative pass is bounded by bucket cardinality at any
+    corpus size. Same bit-identical integer-cumsum argument as
+    :func:`ks_statistic`.
+
+    Output: single row ``(ks, n_a, n_b)`` — NULL ks when either
+    histogram is empty.
+    """
+    from obsplus_spark.util import sql_over
+
+    return sql_over(
+        {"a": counts_a, "b": counts_b},
+        f"""
+        WITH g AS (
+          SELECT coalesce(a.{value_col}, b.{value_col}) AS v,
+                 CAST(coalesce(a.{count_col}, 0) AS BIGINT) AS ca,
+                 CAST(coalesce(b.{count_col}, 0) AS BIGINT) AS cb
+          FROM {{a}} a FULL OUTER JOIN {{b}} b
+            ON a.{value_col} = b.{value_col}
+          WHERE coalesce(a.{value_col}, b.{value_col}) IS NOT NULL
+        ),
+        c AS (
+          SELECT
+            sum(ca) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cca,
+            sum(cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS ccb,
+            sum(ca) OVER () AS na,
+            sum(cb) OVER () AS nb
+          FROM g
+        )
+        SELECT CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+                 round(max(abs(cca / CAST(nullif(na, 0) AS DOUBLE)
+                               - ccb / CAST(nullif(nb, 0) AS DOUBLE))),
+                       9)
+               END AS ks,
+               CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+               CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b
+        FROM c
+        """,
+    )

@@ -812,3 +812,73 @@ def stream_label_centroids(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _hist_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    value_col: str,
+    precision: int,
+    store_dir: str,
+) -> None:
+    """One idempotent histogram-store transition: the batch folds to
+    quantized ``(v, n)`` buckets (counts are trivially mergeable), then
+    a bucket-cardinality-sized union + re-aggregate merges it into the
+    maintained table under the shared generation-swap protocol."""
+    from pyspark.sql import functions as F
+
+    src = batch_df.where(f"{value_col} IS NOT NULL")
+    b = (
+        src.groupBy(
+            F.round(F.col(value_col), precision).alias("v")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def fold(prev):
+        if prev is None:
+            return b
+        return (
+            prev.unionByName(b)
+            .groupBy("v")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
+
+
+def stream_value_histogram(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    precision: int = 2,
+    available_now: bool = True,
+):
+    """foreachBatch maintenance of a quantized value histogram over a
+    stream: after every micro-batch the store's ``(v, n)`` buckets
+    equal ``round(value, precision)`` counts over EVERYTHING ingested
+    so far. Feed the maintained table and a frozen reference histogram
+    to ``evaluation.ks_from_counts`` for a live distribution-drift
+    alarm (the streaming side of ``ks_statistic`` — drift shows up
+    within one micro-batch, not at the next full-corpus audit).
+
+    Per-batch work: one map-combined batch aggregate + a
+    bucket-cardinality-sized merge under the shared generation-swap
+    protocol (replay-idempotent, half-swap recovering). NULL values
+    are excluded (no bucket).
+
+    Returns the started StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _hist_apply_batch(
+            batch_df, batch_id, value_col, precision, store_dir
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -860,3 +860,80 @@ def test_streaming_label_centroids_replay_idempotent(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n"] == 1
     assert list(rows[0]["centroid"]) == [2.0, 4.0]
+
+
+def test_streaming_histogram_equals_batch_counts_and_ks(spark, tmp_path):
+    """The maintained histogram equals whole-history quantized counts
+    after multiple micro-batches, and ks_from_counts over it equals
+    ks_statistic over the expanded rows."""
+    from obsplus_spark.operators.evaluation import (
+        ks_from_counts,
+        ks_statistic,
+    )
+    from obsplus_spark.streaming.incremental import stream_value_histogram
+
+    src = str(tmp_path / "vals")
+    store = str(tmp_path / "hist_store")
+    schema = "event_id long, value double"
+
+    rows1 = [(1, 1.234), (2, 1.231), (3, 5.0), (4, None)]
+    rows2 = [(5, 1.23), (6, 9.87), (7, 5.004)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_value_histogram(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            value_col="value",
+            precision=2,
+        )
+        q.awaitTermination(120)
+
+    write_batch(rows1)
+    run()
+    write_batch(rows2)
+    run()
+
+    got = {
+        r["v"]: r["n"]
+        for r in spark.read.parquet(f"{store}/current").collect()
+    }
+    assert got == {1.23: 3, 5.0: 2, 9.87: 1}
+
+    # KS of the maintained histogram vs a reference histogram matches
+    # the row-level statistic over the equivalent expanded samples
+    ref = spark.createDataFrame(
+        [(1.23, 1), (7.0, 2)], "v double, n long"
+    )
+    ks_counts = ks_from_counts(
+        spark.read.parquet(f"{store}/current"), ref
+    ).collect()[0]
+    expanded = [(v, True) for v, n in got.items() for _ in range(n)] + [
+        (1.23, False), (7.0, False), (7.0, False)
+    ]
+    ks_rows = ks_statistic(
+        spark.createDataFrame(expanded, "v double, g boolean"), "v", "g"
+    ).collect()[0]
+    assert ks_counts["ks"] == pytest.approx(ks_rows["ks"])
+    assert (ks_counts["n_a"], ks_counts["n_b"]) == (6, 3)
+
+
+def test_streaming_histogram_replay_idempotent(spark, tmp_path):
+    from obsplus_spark.streaming.incremental import _hist_apply_batch
+
+    store = str(tmp_path / "hist_store")
+    b = spark.createDataFrame(
+        [(1, 2.0), (2, 2.0)], "event_id long, value double"
+    )
+    _hist_apply_batch(b, 0, "value", 2, store)
+    _hist_apply_batch(b, 0, "value", 2, store)  # replay
+
+    rows = spark.read.parquet(f"{store}/current").collect()
+    assert [(r["v"], r["n"]) for r in rows] == [(2.0, 2)]
