@@ -10216,6 +10216,77 @@ _SQL_EMBED_COV = """
 """
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins — operators/evaluation.py
+    calibration_bins: ONE map-combined bin-keyed aggregate; score =
+    event value rescaled to [0,1], label = purchase events."""
+    from obsplus_spark.operators.evaluation import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "value / 100.0 AS s", "(event_type = 'purchase') AS is_pos"
+    )
+    return calibration_bins(ev, "s", "is_pos", bins=10)
+
+
+_SQL_CALIBRATION = """
+    SELECT least(9, greatest(0,
+             CAST(floor((value / 100.0 - 0.0) / 1.0 * 10) AS INT)))
+             AS bin,
+           CAST(count(1) AS BIGINT) AS n,
+           round(avg(value / 100.0), 6) AS mean_score,
+           round(avg(CASE WHEN event_type = 'purchase' THEN 1.0
+                          ELSE 0.0 END), 6) AS frac_pos
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1
+"""
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep — operators/evaluation.py
+    threshold_metrics: thresholds explode in-row into ONE map-combined
+    threshold-keyed aggregate (cells, not rows, cross the wire)."""
+    from obsplus_spark.operators.evaluation import threshold_metrics
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "value / 100.0 AS s", "(event_type = 'purchase') AS is_pos"
+    )
+    return threshold_metrics(
+        ev, "s", "is_pos", thresholds=[0.05, 0.1, 0.2, 0.4, 0.8]
+    )
+
+
+_SQL_THRESHOLD_SWEEP = """
+    WITH cells AS (
+      SELECT t.t AS t,
+             CAST(sum(CASE WHEN value / 100.0 >= t.t
+                            AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN value / 100.0 >= t.t
+                            AND event_type <> 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN value / 100.0 < t.t
+                            AND event_type <> 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN value / 100.0 < t.t
+                            AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM events,
+           unnest([0.05::DOUBLE, 0.1::DOUBLE, 0.2::DOUBLE,
+                   0.4::DOUBLE, 0.8::DOUBLE]) AS t(t)
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY t.t
+    )
+    SELECT t AS threshold, tp, fp, tn, fn,
+           round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6)
+             AS precision,
+           round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+           round(2.0 * tp / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE),
+                 6) AS f1
+    FROM cells
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10243,6 +10314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift": q_centroid_drift,
         "rrf_fusion": q_rrf_fusion,
         "embed_cov": q_embed_cov,
+        "calibration": q_calibration,
+        "threshold_sweep": q_threshold_sweep,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10301,6 +10374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_outliers": q_p_outliers,
         "quakeml_rt": q_quakeml_rt,
         "segments": q_segments,
+        # --- driver cap (50): the 7 session-5 queries above displaced
+        # gaps .. embed_quantize from the window; they lead the r10
+        # rotation together with the 32 below the old cap ---
         "gaps": q_gaps,
         "uptime": q_uptime,
         "text_stats": q_text_stats,
@@ -10308,9 +10384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embed_near_dup": q_embed_near_dup,
         "embed_quantize": q_embed_quantize,
-        # --- driver cap (50): the 17 session-4 queries above displaced
-        # hash_split .. event_window_join from the window; they (and
-        # the 15 below the old cap) rotate in r10 ---
         "hash_split": q_hash_split,
         "exact_dedup": q_exact_dedup,
         "pack_plan": q_pack_plan,
@@ -10467,6 +10540,8 @@ def oracle_sql() -> dict[str, str]:
         "centroid_drift": _SQL_CENTROID_DRIFT,
         "rrf_fusion": _rrf_sql(),
         "embed_cov": _SQL_EMBED_COV,
+        "calibration": _SQL_CALIBRATION,
+        "threshold_sweep": _SQL_THRESHOLD_SWEEP,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

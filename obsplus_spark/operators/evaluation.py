@@ -194,3 +194,114 @@ def ks_from_counts(
         FROM c
         """,
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic score: fixed-width
+    bins over ``[lo, hi)``, per bin the count, mean score and positive
+    fraction — AUC (:func:`score_auc`) says whether the score RANKS
+    well; calibration says whether its VALUES mean what they claim
+    (a 0.9-scoring bin should be ~90 % positive before anyone uses the
+    score as a sampling probability or a filter threshold).
+
+    ONE map-combined bin-keyed aggregate; out-of-range scores clamp to
+    the edge bins (they are evidence about the edges, not garbage).
+    NULL score/label rows are excluded. Bin arithmetic is plain IEEE
+    on both engines (identical inputs → identical bin), and the two
+    emitted means are 6-dp rounded.
+
+    Output: ``(bin, n, mean_score, frac_pos)`` for non-empty bins,
+    ``bin`` in [0, bins).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    b = int(bins)
+    if b < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    flo, fhi = float(lo), float(hi)
+    if not fhi > flo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    bin_expr = (
+        f"least({b - 1}, greatest(0, CAST(floor"
+        f"((CAST({score_col} AS DOUBLE) - {flo!r}D)"
+        f" / {fhi - flo!r}D * {b}) AS INT)))"
+    )
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        SELECT {bin_expr} AS bin,
+               CAST(count(1) AS BIGINT) AS n,
+               round(avg(CAST({score_col} AS DOUBLE)), 6) AS mean_score,
+               round(avg(CASE WHEN {label_col} THEN 1.0D ELSE 0.0D END),
+                     6) AS frac_pos
+        FROM {{d}}
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+        GROUP BY 1
+        """,
+    )
+
+
+def threshold_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: "list[float]",
+) -> DataFrame:
+    """Confusion counts + precision/recall/F1 at each candidate
+    decision threshold (``predict positive ⇔ score ≥ t``) — the
+    operating-point sweep that turns a scored corpus into an actual
+    filter setting.
+
+    The thresholds explode from an in-row literal array straight into
+    ONE map-combined threshold-keyed aggregate (|thresholds| cells per
+    partition cross the wire — never rows), so sweeping 100 candidate
+    cutoffs over 100 TB costs one scan. NULL score/label rows are
+    excluded; ratios are NULL when undefined (empty predicted-positive
+    or actual-positive set) and 6-dp rounded.
+
+    Output: ``(threshold, tp, fp, tn, fn, precision, recall, f1)``.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    ts = [float(t) for t in thresholds]
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    arr = ", ".join(f"{t!r}D" for t in ts)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        WITH cells AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN _pos AND _lbl THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN _pos AND NOT _lbl THEN 1 ELSE 0 END)
+                      AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN NOT _pos AND NOT _lbl THEN 1 ELSE 0
+                      END) AS BIGINT) AS tn,
+                 CAST(sum(CASE WHEN NOT _pos AND _lbl THEN 1 ELSE 0 END)
+                      AS BIGINT) AS fn
+          FROM (
+            SELECT t, CAST({score_col} AS DOUBLE) >= t AS _pos,
+                   {label_col} AS _lbl
+            FROM {{d}} LATERAL VIEW explode(array({arr})) AS t
+            WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+          ) GROUP BY t
+        )
+        SELECT t AS threshold, tp, fp, tn, fn,
+               round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6)
+                 AS precision,
+               round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6)
+                 AS recall,
+               round(2.0D * tp
+                     / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6)
+                 AS f1
+        FROM cells
+        """,
+    )

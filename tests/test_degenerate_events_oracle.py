@@ -35,6 +35,8 @@ SESSIONS_QUERIES = [
     "action_transitions",
     "resample",
     "ks_drift",
+    "calibration",
+    "threshold_sweep",
 ]
 
 TABLES = [

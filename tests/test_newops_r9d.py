@@ -439,3 +439,71 @@ class TestEmbeddingCovariance:
         )
         with pytest.raises(ValueError, match="dims"):
             embedding_covariance(df, dims=0)
+
+
+class TestCalibrationBins:
+    def test_hand_values_with_clamping(self, spark):
+        from obsplus_spark.operators.evaluation import calibration_bins
+
+        df = spark.createDataFrame(
+            [(0.05, True), (0.09, False), (0.95, True), (1.7, True),
+             (-0.3, False), (None, True), (0.5, None)],
+            "s double, y boolean",
+        )
+        out = {
+            r["bin"]: r.asDict()
+            for r in calibration_bins(df, "s", "y", bins=10).collect()
+        }
+        # bin 0: 0.05, 0.09, and -0.3 clamped in -> 1/3 positive
+        assert out[0]["n"] == 3
+        assert out[0]["frac_pos"] == pytest.approx(round(1 / 3, 6))
+        # bin 9: 0.95 plus 1.7 clamped in -> all positive
+        assert out[9]["n"] == 2
+        assert out[9]["frac_pos"] == pytest.approx(1.0)
+        assert out[9]["mean_score"] == pytest.approx(
+            round((0.95 + 1.7) / 2, 6)
+        )
+        assert set(out) == {0, 9}  # NULL rows excluded, no empty bins
+
+    def test_validation(self, spark):
+        from obsplus_spark.operators.evaluation import calibration_bins
+
+        df = spark.createDataFrame([(0.5, True)], "s double, y boolean")
+        with pytest.raises(ValueError, match="bins"):
+            calibration_bins(df, "s", "y", bins=0)
+        with pytest.raises(ValueError, match="hi > lo"):
+            calibration_bins(df, "s", "y", lo=1.0, hi=1.0)
+
+
+class TestThresholdMetrics:
+    def test_hand_confusion_counts(self, spark):
+        from obsplus_spark.operators.evaluation import threshold_metrics
+
+        df = spark.createDataFrame(
+            [(0.9, True), (0.7, False), (0.3, True), (0.1, False)],
+            "s double, y boolean",
+        )
+        out = {
+            r["threshold"]: r.asDict()
+            for r in threshold_metrics(
+                df, "s", "y", thresholds=[0.5, 0.95]
+            ).collect()
+        }
+        t = out[0.5]
+        assert (t["tp"], t["fp"], t["tn"], t["fn"]) == (1, 1, 1, 1)
+        assert t["precision"] == pytest.approx(0.5)
+        assert t["recall"] == pytest.approx(0.5)
+        assert t["f1"] == pytest.approx(0.5)
+        # at 0.95 nothing predicted positive -> precision NULL
+        t = out[0.95]
+        assert (t["tp"], t["fp"]) == (0, 0)
+        assert t["precision"] is None
+        assert t["recall"] == pytest.approx(0.0)
+        assert t["f1"] == pytest.approx(0.0)
+
+    def test_rejects_empty_thresholds(self, spark):
+        from obsplus_spark.operators.evaluation import threshold_metrics
+
+        df = spark.createDataFrame([(0.5, True)], "s double, y boolean")
+        with pytest.raises(ValueError, match="thresholds"):
+            threshold_metrics(df, "s", "y", thresholds=[])

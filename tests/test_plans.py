@@ -900,3 +900,13 @@ def test_embed_cov_map_combined_cells(plans):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_calibration_and_threshold_sweep_single_exchange(plans):
+    """Calibration bins and the threshold sweep each meet the corpus
+    in ONE map-combined keyed aggregate (bin / threshold cells cross
+    the wire, never rows); no joins."""
+    for name in ("calibration", "threshold_sweep"):
+        p, simple = plans[name]
+        assert simple.count("Exchange hashpartitioning") == 1, name
+        assert not any(m in p for m in _JOIN_MARKERS), name
