@@ -1036,7 +1036,10 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(
-    n_hashes: int = 16, bands: int = 4, extra_pair_pred: str = ""
+    n_hashes: int = 16,
+    bands: int = 4,
+    extra_pair_pred: str = "",
+    tail: "str | None" = None,
 ) -> str:
     rows_per_band = n_hashes // bands
     # lane j = 8 hex chars of the 38-char extended digest (md5 ||
@@ -1055,7 +1058,7 @@ def _minhash_sql(
         )
         for b in range(bands)
     )
-    return rf"""
+    prefix = rf"""
     WITH norm AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
       FROM documents
@@ -1084,7 +1087,13 @@ def _minhash_sql(
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id{extra_pair_pred}
-    ),
+    )"""
+    if tail is not None:
+        # custom consumer of the shared norm/sh/sig/banded/pairs CTE
+        # prefix (lockstep-by-construction with the minhash pipeline);
+        # the default Jaccard-verify tail below is skipped entirely
+        return prefix + ",\n    " + tail.strip() + "\n"
+    return prefix + rf""",
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT p.id1, p.id2, count(*) AS n_inter
@@ -10287,6 +10296,37 @@ _SQL_THRESHOLD_SWEEP = """
 """
 
 
+def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verify over MinHash-LSH candidates —
+    operators/dedup.py edit_distance_near_dup: the character-level leg
+    of the verify family (catches in-place edits that barely move a
+    shingle set); banding candidates via the shared one-shuffle bucket
+    expansion, levenshtein on normalized text, ratio cut at 0.4."""
+    from obsplus_spark.operators.dedup import edit_distance_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_near_dup(docs, max_ratio=0.4)
+
+
+_SQL_EDIT_NEAR_DUP = _minhash_sql(
+    tail="""lev AS (
+      SELECT p.id1, p.id2,
+             CAST(levenshtein(n1.t, n2.t) AS BIGINT) AS dist,
+             CASE WHEN greatest(length(n1.t), length(n2.t)) = 0
+                  THEN 0.0
+                  ELSE levenshtein(n1.t, n2.t)
+                       / CAST(greatest(length(n1.t), length(n2.t))
+                              AS DOUBLE)
+             END AS ratio
+      FROM pairs p
+      JOIN norm n1 ON n1.doc_id = p.id1
+      JOIN norm n2 ON n2.doc_id = p.id2
+    )
+    SELECT id1, id2, dist, round(ratio, 6) AS edit_ratio
+    FROM lev WHERE ratio <= 0.4"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10316,6 +10356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cov": q_embed_cov,
         "calibration": q_calibration,
         "threshold_sweep": q_threshold_sweep,
+        "edit_near_dup": q_edit_near_dup,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10542,6 +10583,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cov": _SQL_EMBED_COV,
         "calibration": _SQL_CALIBRATION,
         "threshold_sweep": _SQL_THRESHOLD_SWEEP,
+        "edit_near_dup": _SQL_EDIT_NEAR_DUP,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

@@ -2487,3 +2487,72 @@ def chunk_dedup(
         FROM win GROUP BY {id_col}
         """,
     )
+
+
+def edit_distance_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ratio: float = 0.4,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Edit-distance near-duplicate verification over LSH candidates —
+    the CHARACTER-level leg of the near-dup verify family (exact
+    Jaccard for set overlap, Hamming for simhash/phash, cosine for
+    embeddings; Levenshtein catches small in-place edits — typo
+    injections, template slot fills — that barely move a shingle set):
+    MinHash-band candidates (the shared one-shuffle bucket expansion),
+    then ``levenshtein`` on the NORMALIZED texts (the same
+    :func:`normalize_text` form the signatures hash, so the metric and
+    the generator see the same string), keeping pairs whose distance ≤
+    ``max_ratio`` of the longer text.
+
+    Scale shape: candidate generation is the documented banding plan
+    (narrow signatures, ONE bucket shuffle); texts join back by id
+    (two keyed joins, pair-table-sized probes); the Levenshtein itself
+    is JVM built-in but O(len·len) per pair — cap document length
+    upstream (``chunk_text``) when running character-level verify over
+    book-length inputs. Both engines compute the identical integer.
+
+    Output: ``(id1, id2, dist, edit_ratio)`` for surviving pairs —
+    ratio 6-dp rounded; a pair of empty normalized texts has ratio 0
+    (they are identical).
+    """
+    from obsplus_spark.util import sql_over
+
+    r = float(max_ratio)
+    if not 0 <= r <= 1:
+        raise ValueError(f"max_ratio must be in [0, 1], got {max_ratio}")
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        n_hashes=n_hashes, shingle_size=shingle_size,
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col=id_col, n_hashes=n_hashes, bands=bands
+    )
+    norm = df.select(
+        F.col(id_col), normalize_text(text_col).alias("_t")
+    )
+    return sql_over(
+        {"p": pairs, "n": norm},
+        f"""
+        SELECT id1, id2, dist,
+               round(ratio, 6) AS edit_ratio
+        FROM (
+          SELECT p.id1, p.id2,
+                 CAST(levenshtein(n1._t, n2._t) AS BIGINT) AS dist,
+                 CASE WHEN greatest(length(n1._t), length(n2._t)) = 0
+                      THEN 0.0D
+                      ELSE levenshtein(n1._t, n2._t)
+                           / CAST(greatest(length(n1._t),
+                                           length(n2._t)) AS DOUBLE)
+                 END AS ratio
+          FROM {{p}} p
+          JOIN {{n}} n1 ON n1.{id_col} = p.id1
+          JOIN {{n}} n2 ON n2.{id_col} = p.id2
+        )
+        WHERE ratio <= {r!r}D
+        """,
+    )

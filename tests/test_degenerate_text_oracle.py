@@ -48,6 +48,7 @@ TEXT_QUERIES = [
     "chunk_dedup",
     "within_doc_dedup",
     "score_auc",
+    "edit_near_dup",
 ]
 
 TABLES = [

@@ -507,3 +507,63 @@ class TestThresholdMetrics:
         df = spark.createDataFrame([(0.5, True)], "s double, y boolean")
         with pytest.raises(ValueError, match="thresholds"):
             threshold_metrics(df, "s", "y", thresholds=[])
+
+
+class TestEditDistanceNearDup:
+    # a 40-token doc with ONE character appended to one token keeps
+    # shingle-Jaccard ~0.93, high enough that the deterministic md5
+    # lanes collide in a band (verified: this exact fixture collides);
+    # an 8-token variant (Jaccard ~0.33) would rarely be PROPOSED by
+    # banding at (16, 4) — that selectivity is the point of LSH
+    _BASE = " ".join(f"tok{i}" for i in range(40))
+
+    def test_candidate_pairs_get_exact_distance(self, spark):
+        from obsplus_spark.operators.dedup import edit_distance_near_dup
+
+        toks = self._BASE.split()
+        toks[20] += "x"
+        df = spark.createDataFrame(
+            [(1, self._BASE), (2, " ".join(toks)),
+             (3, "totally different words nothing shared here at all")],
+            "doc_id long, text string",
+        )
+        rows = edit_distance_near_dup(df, max_ratio=0.4).collect()
+        assert [(r["id1"], r["id2"]) for r in rows] == [(1, 2)]
+        assert rows[0]["dist"] == 1
+        assert rows[0]["edit_ratio"] == pytest.approx(
+            round(1 / (len(self._BASE) + 1), 6)
+        )
+
+    def test_ratio_cut_excludes_distant_candidates(self, spark):
+        from obsplus_spark.operators.dedup import edit_distance_near_dup
+
+        toks = self._BASE.split()
+        toks[20] += "x"
+        df = spark.createDataFrame(
+            [(1, self._BASE), (2, " ".join(toks))],
+            "doc_id long, text string",
+        )
+        # tighten the cut below the observed ratio -> pair drops
+        rows = edit_distance_near_dup(df, max_ratio=0.001).collect()
+        assert rows == []
+
+    def test_normalization_whitespace_and_case(self, spark):
+        from obsplus_spark.operators.dedup import edit_distance_near_dup
+
+        df = spark.createDataFrame(
+            [(1, "Alpha  Beta\tGamma delta epsilon"),
+             (2, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        rows = edit_distance_near_dup(df, max_ratio=0.4).collect()
+        assert [(r["id1"], r["id2"], r["dist"]) for r in rows] == [
+            (1, 2, 0)
+        ]
+        assert rows[0]["edit_ratio"] == 0.0
+
+    def test_rejects_bad_ratio(self, spark):
+        from obsplus_spark.operators.dedup import edit_distance_near_dup
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="max_ratio"):
+            edit_distance_near_dup(df, max_ratio=1.5)
