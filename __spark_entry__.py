@@ -10327,6 +10327,57 @@ _SQL_EDIT_NEAR_DUP = _minhash_sql(
 )
 
 
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cohesion/separation report — operators/similarity.py
+    cluster_quality over the deterministic 4-cluster seed k-means:
+    map-only assignment, one cluster-keyed map-combined cohesion
+    aggregate, k×k centroid separation join."""
+    from obsplus_spark.operators.similarity import cluster_quality
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_quality(emb, n_clusters=4)
+
+
+_SQL_CLUSTER_QUALITY = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster, ev AS c,
+             sqrt(list_dot_product(ev, ev)) AS nrm
+      FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 4)
+    ),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 coalesce(list_dot_product(v.ev, c.c)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * c.nrm, 0),
+                 0) DESC, c.cluster) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    coh AS (
+      SELECT a.cluster, CAST(count(1) AS BIGINT) AS n_members,
+             round(avg(coalesce(list_dot_product(v.ev, c.c)
+               / nullif(sqrt(list_dot_product(v.ev, v.ev)) * c.nrm, 0),
+               0)), 6) AS cohesion
+      FROM asg a JOIN v ON v.vec_id = a.vec_id
+                 JOIN cents c ON c.cluster = a.cluster
+      GROUP BY a.cluster
+    ),
+    sep AS (
+      SELECT c1.cluster,
+             round(max(coalesce(list_dot_product(c1.c, c2.c)
+               / nullif(c1.nrm * c2.nrm, 0), 0)), 6) AS max_other_cos
+      FROM cents c1 JOIN cents c2 ON c1.cluster <> c2.cluster
+      GROUP BY c1.cluster
+    )
+    SELECT CAST(coh.cluster AS INT) AS cluster, n_members,
+           cohesion, sep.max_other_cos
+    FROM coh JOIN sep ON coh.cluster = sep.cluster
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10357,6 +10408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "threshold_sweep": q_threshold_sweep,
         "edit_near_dup": q_edit_near_dup,
+        "cluster_quality": q_cluster_quality,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10584,6 +10636,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration": _SQL_CALIBRATION,
         "threshold_sweep": _SQL_THRESHOLD_SWEEP,
         "edit_near_dup": _SQL_EDIT_NEAR_DUP,
+        "cluster_quality": _SQL_CLUSTER_QUALITY,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

@@ -1247,3 +1247,60 @@ def embedding_covariance(
                 JOIN m mj ON px.j = mj.pos
         """,
     )
+
+
+def cluster_quality(
+    vectors: DataFrame,
+    n_clusters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster quality report for the deterministic spherical
+    k-means that seeds :func:`ivf_assign`: COHESION (mean cosine of
+    members to their centroid — higher is tighter) and SEPARATION
+    (max cosine between this centroid and any other — higher is worse)
+    per cluster. The accept/reject gate a pipeline runs before
+    trusting a clustering for stratified mixing, SemDeDup bounding, or
+    IVF probe pruning (a cluster whose separation exceeds its cohesion
+    is not a cluster).
+
+    Scale shape: assignment is ``ivf_assign``'s map-only argmax over
+    the broadcast centroid row (``refine_iterations=0`` — the SEED
+    centroids, so the oracle's lockstep reproduction stays one CTE);
+    cohesion is ONE cluster-keyed map-combined aggregate over the
+    corpus with the k-row centroid table broadcast into it; separation
+    is a k×k centroid-only join. Per-member cosines are bit-identical
+    across engines (shared fold order); the cross-row means round to
+    6 dp (house convention).
+
+    Output: ``(cluster, n_members, cohesion, max_other_cos)``.
+    """
+    from obsplus_spark.util import sql_over
+
+    assignments, centroids = ivf_assign(
+        vectors, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
+        refine_iterations=0,
+    )
+    return sql_over(
+        {"a": assignments, "c": centroids},
+        f"""
+        WITH coh AS (
+          SELECT /*+ BROADCAST(c) */ a.cluster,
+                 CAST(count(1) AS BIGINT) AS n_members,
+                 round(avg({_cosine_sql(f'a.{vec_col}', 'c.centroid')}),
+                       6) AS cohesion
+          FROM {{a}} a JOIN {{c}} c ON a.cluster = c.cluster
+          GROUP BY a.cluster
+        ),
+        sep AS (
+          SELECT c1.cluster,
+                 round(max({_cosine_sql('c1.centroid', 'c2.centroid')}),
+                       6) AS max_other_cos
+          FROM {{c}} c1 JOIN {{c}} c2 ON c1.cluster <> c2.cluster
+          GROUP BY c1.cluster
+        )
+        SELECT CAST(coh.cluster AS INT) AS cluster, n_members,
+               cohesion, sep.max_other_cos
+        FROM coh JOIN sep ON coh.cluster = sep.cluster
+        """,
+    )

@@ -567,3 +567,43 @@ class TestEditDistanceNearDup:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="max_ratio"):
             edit_distance_near_dup(df, max_ratio=1.5)
+
+
+class TestClusterQuality:
+    def test_hand_geometry(self, spark):
+        import math
+
+        from obsplus_spark.operators.similarity import cluster_quality
+
+        # seeds = ids 1,2 -> centroids [1,0] and [0,1]; two extra
+        # members land with cosine 1/sqrt(2) to their nearest seed
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+             (3, [2.0, 2.0]),   # tie cos to both -> smaller cluster 1
+             (4, [0.0, 5.0])],  # cluster 2, cos 1.0
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["cluster"]: r.asDict()
+            for r in cluster_quality(df, n_clusters=2).collect()
+        }
+        assert out[1]["n_members"] == 2  # seed 1 + tied vec 3
+        # mean of UNROUNDED member cosines, rounded once at the end
+        assert out[1]["cohesion"] == pytest.approx(
+            round((1.0 + 1 / math.sqrt(2)) / 2, 6)
+        )
+        assert out[2]["n_members"] == 2  # seed 2 + vec 4
+        assert out[2]["cohesion"] == pytest.approx(1.0)
+        # orthogonal seed centroids -> separation 0 for both
+        assert out[1]["max_other_cos"] == pytest.approx(0.0)
+        assert out[2]["max_other_cos"] == pytest.approx(0.0)
+
+    def test_malformed_vectors_excluded(self, spark):
+        from obsplus_spark.operators.similarity import cluster_quality
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [])],
+            "vec_id long, embedding array<double>",
+        )
+        out = cluster_quality(df, n_clusters=2).collect()
+        assert sum(r["n_members"] for r in out) == 2

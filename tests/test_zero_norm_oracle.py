@@ -32,6 +32,7 @@ COSINE_QUERIES = [
     "pq_codes",
     "embed_outliers",
     "centroid_drift",
+    "cluster_quality",
 ]
 
 TABLES = [
