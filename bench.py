@@ -101,6 +101,9 @@ def main() -> None:
         # (referenced by the hit join AND its own count), and its truth
         # side persists shingles via set_similarity_join
         "lsh_recall",
+        # r9 session 5: cluster_quality persists the k-row centroid
+        # frame (referenced by cohesion + both separation sides)
+        "cluster_quality",
     }
 
     # best-of-4 per query: the host is shared, single runs show ±5×

@@ -1281,6 +1281,12 @@ def cluster_quality(
         vectors, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
         refine_iterations=0,
     )
+    # the k-row centroid frame is referenced three times below (cohesion
+    # join + both sides of the separation join); unpersisted, each
+    # reference recomputes the corpus TakeOrdered seed scan — persist
+    # the k rows once (bounded session ring releases it later)
+    centroids = centroids.persist()
+    _register_assignment_cache(centroids)
     return sql_over(
         {"a": assignments, "c": centroids},
         f"""

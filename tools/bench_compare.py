@@ -51,7 +51,7 @@ def main() -> int:
                "incremental_dedup", "semantic_dedup", "bfs_hops",
                "hits_auth", "pagerank", "k_core", "bigram_lp",
                "cascade_delete", "image_phash", "fuzzy_decontam",
-               "leak_safe_split", "lsh_recall"}
+               "leak_safe_split", "lsh_recall", "cluster_quality"}
     eng: dict[str, float] = {}
     for name, fn in qs.items():
         df = None if name in rebuild else fn(spark, sf_dir)
