@@ -149,3 +149,23 @@ def test_read_csv_does_not_mutate_caller_schema(spark, tmp_path):
     read_csv(spark, p, schema=schema, header=True)
     read_csv(spark, p, schema=schema, header=True)  # same object again
     assert [f.name for f in schema.fields] == ["a", "b"]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC sink/source round trip (Spark-native columnar format beyond
+    parquet/CSV/JSON): schema and values survive write -> read, and
+    predicate pushdown reaches the ORC scan."""
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, -2.0)],
+        "id long, tag string, score double",
+    )
+    d = str(tmp_path / "orc_rt")
+    src.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    plan = back.filter("id = 2")._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "PushedFilters" in plan and "id" in plan
