@@ -882,3 +882,72 @@ def stream_value_histogram(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivf_assign(
+    stream: DataFrame,
+    centroids: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Streaming IVF index maintenance: assign each arriving vector to
+    its nearest frozen centroid (argmax cosine, ties to the smaller
+    cluster id — the exact formula of ``similarity.ivf_assign``'s
+    assignment stage) and append it to a ``cluster=``-partitioned
+    parquet index. New embeddings become probe-able by ``ivf_topk``-
+    style readers one micro-batch after ingest, without ever
+    re-assigning the existing corpus.
+
+    ``centroids`` is the (cluster, centroid) frame of a batch
+    ``ivf_assign`` run — the FROZEN coarse quantizer (re-clustering is
+    a batch decision; this op only maintains membership). The ≤K
+    centroid rows are collected ONCE at stream setup (bounded,
+    documented driver action — the hyperplane-LSH literal pattern) and
+    compiled into a literal array, so the per-batch plan is a PURE MAP:
+    no join, no shuffle, and the partitioned file sink's manifest gives
+    exactly-once appends across restarts.
+
+    Returns the started StreamingQuery.
+    """
+    from obsplus_spark.operators.similarity import valid_vectors
+
+    rows = sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in centroids.select("cluster", "centroid").collect()
+    )
+    if not rows:
+        raise ValueError("centroids frame is empty")
+    cents = ", ".join(
+        "named_struct('cluster', {c}, 'centroid', array({v}),"
+        " 'nrm', {n!r}D)".format(
+            c=c,
+            v=", ".join(f"{x!r}D" for x in v),
+            n=sum(x * x for x in v) ** 0.5,
+        )
+        for c, v in rows
+    )
+    assigned = valid_vectors(stream, vec_col).selectExpr(
+        id_col,
+        vec_col,
+        f"""CAST(-(array_max(transform(array({cents}),
+              c -> named_struct(
+                'sim', coalesce(aggregate(zip_with({vec_col}, c.centroid,
+                  (x, y) -> cast(x AS double) * y), 0.0D,
+                  (a, x) -> a + x)
+                  / nullif(sqrt(aggregate({vec_col}, 0.0D, (a, x) ->
+                    a + cast(x AS double) * cast(x AS double))) * c.nrm,
+                    0.0D), 0.0D),
+                'nc', -c.cluster))).nc) AS INT) AS cluster""",
+    )
+    writer = (
+        assigned.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cluster")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

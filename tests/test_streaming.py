@@ -937,3 +937,75 @@ def test_streaming_histogram_replay_idempotent(spark, tmp_path):
 
     rows = spark.read.parquet(f"{store}/current").collect()
     assert [(r["v"], r["n"]) for r in rows] == [(2.0, 2)]
+
+
+def test_streaming_ivf_assign_matches_batch_and_exactly_once(
+    spark, tmp_path
+):
+    """Streamed assignments equal the batch ivf_assign clusters for the
+    same frozen centroids, new vectors land in cluster= partitions, and
+    a restart with no new data appends nothing (file-sink manifest)."""
+    from obsplus_spark.operators.similarity import ivf_assign
+    from obsplus_spark.streaming.incremental import stream_ivf_assign
+
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1]),
+         (4, [0.2, 2.0])],
+        schema,
+    )
+    _, centroids = ivf_assign(base, n_clusters=2, refine_iterations=0)
+
+    src = str(tmp_path / "vecs")
+    out = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_ivf_assign(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            centroids,
+            out_dir=out,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    write_batch([(10, [5.0, 0.4]), (11, [0.0, 3.0]), (12, None)])
+    run()
+    write_batch([(13, [0.7, 0.7]), (14, [])])
+    run()
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want_df = spark.createDataFrame(
+        [(10, [5.0, 0.4]), (11, [0.0, 3.0]), (13, [0.7, 0.7])], schema
+    )
+    want_asg, _ = ivf_assign(want_df, n_clusters=2, refine_iterations=0)
+    # ivf_assign reseeds from ITS input, so compare against an assign
+    # with the same frozen centroids instead: vec 10 -> cluster of
+    # [1,0]; vec 11 -> cluster of [0,1]; 13 ties -> smaller cluster
+    seed_cluster = {
+        tuple(r["centroid"]): r["cluster"] for r in centroids.collect()
+    }
+    c_x = seed_cluster[(1.0, 0.0)]
+    c_y = seed_cluster[(0.0, 1.0)]
+    assert got == {10: c_x, 11: c_y, 13: min(c_x, c_y)}
+
+    # replay with no new data: nothing appended
+    run()
+    assert spark.read.parquet(out).count() == 3
+    # partition layout is cluster=
+    import os
+
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d))
+    )
