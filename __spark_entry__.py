@@ -7107,8 +7107,8 @@ _SQL_CMS = r"""
     ),
     ctr AS (
       SELECT j AS hrow,
-             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
-               ::BIGINT % 512 AS bucket,
+             ('0x' || substr(md5(token) || substr(md5(token), 1, 6),
+                             2 * j + 1, 8))::BIGINT % 512 AS bucket,
              count(*) AS cnt
       FROM tok, unnest(range(0, 4)) AS u(j)
       GROUP BY 1, 2
@@ -7120,8 +7120,8 @@ _SQL_CMS = r"""
     ),
     probe AS (
       SELECT c.token, c.n_exact, j,
-             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || c.token), 1, 8))
-               ::BIGINT % 512 AS bucket
+             ('0x' || substr(md5(c.token) || substr(md5(c.token), 1, 6),
+                             2 * j + 1, 8))::BIGINT % 512 AS bucket
       FROM cand c, unnest(range(0, 4)) AS u(j)
     )
     SELECT p.token, p.n_exact,
@@ -8529,15 +8529,15 @@ _SQL_JOIN_SIZE_EST = """
     ),
     ca AS (
       SELECT j AS hrow,
-             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
-               ::BIGINT % 512 AS bucket,
+             ('0x' || substr(md5(k) || substr(md5(k), 1, 6),
+                             2 * j + 1, 8))::BIGINT % 512 AS bucket,
              count(*) AS cnt
       FROM a, unnest(range(0, 4)) AS u(j) GROUP BY 1, 2
     ),
     cb AS (
       SELECT j AS hrow,
-             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
-               ::BIGINT % 512 AS bucket,
+             ('0x' || substr(md5(k) || substr(md5(k), 1, 6),
+                             2 * j + 1, 8))::BIGINT % 512 AS bucket,
              count(*) AS cnt
       FROM b, unnest(range(0, 4)) AS u(j) GROUP BY 1, 2
     ),
@@ -10378,6 +10378,70 @@ _SQL_CLUSTER_QUALITY = """
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidates by shared winnowing fingerprints —
+    operators/text.py winnow_overlap (MOSS match step): in-row
+    winnow selection (rightmost-min per w-gram window), ONE
+    print-keyed bucket exchange with a stop-print cap, pair-keyed
+    shared count."""
+    from obsplus_spark.operators.text import winnow_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap(docs, k=3, w=4, min_shared=2, max_bucket=32)
+
+
+_SQL_WINNOW = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(coalesce(text,
+                 ''))), '\s+'), x -> x != '') AS wt
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS gpos,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(wt, u.i, u.i + 2), ' ')), 1, 8))::BIGINT
+               AS h
+      FROM t, unnest(range(1, len(wt) - 3 + 2)) AS u(i)
+      WHERE len(wt) >= 3
+    ),
+    ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    ws AS (
+      SELECT g2.doc_id, CAST(s.i AS BIGINT) AS w0
+      FROM (SELECT doc_id, n FROM ng WHERE n >= 4) g2,
+           unnest(range(g2.n - 4 + 1)) AS s(i)
+    ),
+    winners AS (
+      SELECT doc_id, h FROM (
+        SELECT w.doc_id, w.w0, g.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.w0
+                   ORDER BY g.h ASC, g.gpos DESC) AS rn
+        FROM ws w JOIN g ON g.doc_id = w.doc_id
+                      AND g.gpos BETWEEN w.w0 + 1 AND w.w0 + 4
+      ) WHERE rn = 1
+    ),
+    short_docs AS (
+      SELECT g.doc_id, g.h
+      FROM g JOIN ng ON ng.doc_id = g.doc_id AND ng.n < 4
+    ),
+    prints AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT * FROM winners UNION ALL SELECT * FROM short_docs
+      )
+    ),
+    bsz AS (SELECT h, count(*) AS n FROM prints GROUP BY h),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM prints a
+      JOIN prints b ON a.h = b.h AND a.doc_id < b.doc_id
+      JOIN bsz ON bsz.h = a.h AND bsz.n BETWEEN 2 AND 32
+    )
+    SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY id1, id2
+    HAVING count(*) >= 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10409,6 +10473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "edit_near_dup": q_edit_near_dup,
         "cluster_quality": q_cluster_quality,
+        "winnow_overlap": q_winnow_overlap,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10637,6 +10702,7 @@ def oracle_sql() -> dict[str, str]:
         "threshold_sweep": _SQL_THRESHOLD_SWEEP,
         "edit_near_dup": _SQL_EDIT_NEAR_DUP,
         "cluster_quality": _SQL_CLUSTER_QUALITY,
+        "winnow_overlap": _SQL_WINNOW,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,
