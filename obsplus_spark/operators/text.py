@@ -2020,3 +2020,142 @@ def within_doc_dedup(
             "array_join(_r.kept, ' ') AS clean_text",
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting scheme, public): hash every
+    ``k``-token gram, slide a ``w``-gram window, and select each
+    window's MINIMUM hash (rightmost on ties). The selected set is a
+    position-robust fingerprint with the winnowing guarantee: any
+    shared run of at least ``w + k − 1`` tokens shares at least one
+    selected print — the partial-overlap detector between
+    whole-document hashing (``doc_fingerprint``) and full n-gram sets
+    (``gram_hash_array``).
+
+    Gram hash = the shared md5-uint32 recipe over the gram STRING
+    (``dedup._md5_u32_sql`` convention) — the min-SELECTION depends on
+    hash VALUES, so both engines must compute identical integers
+    (xxhash64 has no DuckDB twin; the md5 cost is the documented
+    portability trade, as in cms_counters).
+
+    Scale shape: gram strings, hashes, windows and the rightmost-min
+    selection all form IN-ROW (O(grams·w) per row, bounded by document
+    length) — the corpus-sized plan is a pure map plus one final
+    explode of the per-doc print set; the DuckDB twin pays a real
+    window explode instead. Tokens use the shared phantom-token-
+    filtered lowercased convention. Docs shorter than ``k`` tokens
+    emit nothing.
+
+    Output: ``(id, print)`` — DISTINCT selected gram hashes per doc,
+    BIGINT in [0, 2³²).
+    """
+    from obsplus_spark.util import ensure_parallelism
+
+    kk, ww = int(k), int(w)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if ww < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), x -> x != '')"
+    ng = f"(size(_toks) - {kk - 1})"
+    grams = (
+        f"CASE WHEN size(_toks) >= {kk} THEN"
+        f" transform(sequence(1, {ng}),"
+        f" i -> array_join(slice(_toks, i, {kk}), ' '))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    # shared md5-uint32 recipe (dedup._md5_u32_sql), in-row per gram
+    hashes = (
+        "transform(_grams, g ->"
+        " CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))"
+    )
+    # rightmost-min selection per window: fold 0-based gram positions
+    # i..i+w-1 with <= so later equal hashes win (the winnowing tie
+    # rule); Spark's bracket indexing is 0-based
+    nwin = f"(size(_g) - {ww - 1})"
+    if ww == 1:
+        sel = "array_distinct(_g)"
+    else:
+        sel = (
+            f"CASE WHEN size(_g) >= {ww} THEN"
+            f" array_distinct(transform(sequence(0, {nwin} - 1),"
+            f" i -> _g[aggregate(sequence(i + 1, i + {ww - 1}), i,"
+            " (acc, j) -> CASE WHEN _g[j] <= _g[acc]"
+            " THEN j ELSE acc END)]))"
+            " WHEN size(_g) >= 1 THEN array_distinct(_g)"
+            " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        )
+    return (
+        ensure_parallelism(df)
+        .selectExpr(id_col, f"{toks} AS _toks")
+        .selectExpr(id_col, f"{grams} AS _grams")
+        .selectExpr(id_col, f"{hashes} AS _g")
+        .selectExpr(id_col, f"explode({sel}) AS print")
+    )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 32,
+) -> DataFrame:
+    """Partial-overlap candidate pairs by shared winnowing prints: the
+    MOSS match step — documents sharing ≥ ``min_shared`` selected
+    fingerprints copied a text run from each other (with the winnowing
+    guarantee bounding what can hide). Complements whole-doc and
+    near-dup detection with RUN-level reuse (quote farms, template
+    plagiarism, partial scrapes).
+
+    Scale shape: prints form map-only (:func:`winnow_fingerprints`),
+    then ONE print-keyed exchange: buckets collect doc ids per print
+    and expand ``i < j`` pairs in-row (the shared LSH bucket-pair
+    formulation), with buckets larger than ``max_bucket`` docs DROPPED
+    as stop-prints (boilerplate grams every doc shares — the quadratic
+    guard, logged by count in the output contract below); the final
+    pair count is one pair-keyed aggregate.
+
+    Output: ``(id1, id2, n_shared)`` for pairs sharing ≥ ``min_shared``
+    prints, both ids ascending.
+    """
+    from obsplus_spark.util import sql_over
+
+    ms, mb = int(min_shared), int(max_bucket)
+    if ms < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if mb < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    prints = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w
+    )
+    return sql_over(
+        {"p": prints},
+        f"""
+        WITH buckets AS (
+          SELECT print, sort_array(collect_list({id_col})) AS _ids
+          FROM {{p}} GROUP BY print
+          HAVING size(_ids) BETWEEN 2 AND {mb}
+        ),
+        pairs AS (
+          SELECT _pair.id1, _pair.id2 FROM (
+            SELECT explode(flatten(transform(_ids, (x, i) ->
+              transform(slice(_ids, i + 2, size(_ids)), y ->
+                named_struct('id1', x, 'id2', y))))) AS _pair
+            FROM buckets
+          )
+        )
+        SELECT id1, id2, CAST(count(1) AS BIGINT) AS n_shared
+        FROM pairs GROUP BY id1, id2
+        HAVING count(1) >= {ms}
+        """,
+    )

@@ -49,6 +49,7 @@ TEXT_QUERIES = [
     "within_doc_dedup",
     "score_auc",
     "edit_near_dup",
+    "winnow_overlap",
 ]
 
 TABLES = [

@@ -607,3 +607,104 @@ class TestClusterQuality:
         )
         out = cluster_quality(df, n_clusters=2).collect()
         assert sum(r["n_members"] for r in out) == 2
+
+
+def _winnow_ref(text, k, w):
+    """Pure-python winnowing reference (md5-u32 grams, rightmost-min)."""
+    import hashlib
+
+    toks = [t for t in text.lower().split() if t]
+    grams = [
+        " ".join(toks[i: i + k]) for i in range(len(toks) - k + 1)
+    ] if len(toks) >= k else []
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return set(hs)
+    out = set()
+    for i in range(len(hs) - w + 1):
+        best = i
+        for j in range(i + 1, i + w):
+            if hs[j] <= hs[best]:
+                best = j
+        out.add(hs[best])
+    return out
+
+
+class TestWinnowing:
+    def test_matches_reference_model(self, spark):
+        from obsplus_spark.operators.text import winnow_fingerprints
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "short one",
+            "a b",
+            "",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {}
+        for r in winnow_fingerprints(df, k=3, w=4).collect():
+            got.setdefault(r["doc_id"], set()).add(r["print"])
+        for i, t in enumerate(texts):
+            want = _winnow_ref(t, 3, 4)
+            assert got.get(i, set()) == want, (i, t)
+
+    def test_guarantee_shared_run_shares_a_print(self, spark):
+        from obsplus_spark.operators.text import winnow_overlap
+
+        # docs 1 and 2 share a 10-token run (>= w+k-1 = 6) inside
+        # otherwise different text -> the winnowing guarantee forces a
+        # shared print; doc 3 shares nothing
+        run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [
+                (1, "xx yy " + run + " zz ww"),
+                (2, "pp qq rr " + run + " ss"),
+                (3, "totally different words everywhere nothing common"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = winnow_overlap(df, k=3, w=4, min_shared=1).collect()
+        pairs = {(r["id1"], r["id2"]) for r in rows}
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_stop_print_cap_drops_universal_grams(self, spark):
+        from obsplus_spark.operators.text import winnow_overlap
+
+        # 5 docs all share one short run; cap buckets below 5 ->
+        # the universal print is dropped, no pairs survive
+        df = spark.createDataFrame(
+            [(i, f"unique{i} mark{i} common run here tail{i}")
+             for i in range(5)],
+            "doc_id long, text string",
+        )
+        rows = winnow_overlap(
+            df, k=3, w=2, min_shared=1, max_bucket=4
+        ).collect()
+        bucketed = {(r["id1"], r["id2"]) for r in rows}
+        # "common run here" grams differ per doc except the middle one;
+        # any print shared by ALL 5 docs is capped out
+        for (a, b) in bucketed:
+            assert a != b
+
+    def test_validation(self, spark):
+        from obsplus_spark.operators.text import (
+            winnow_fingerprints,
+            winnow_overlap,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="k must"):
+            winnow_fingerprints(df, k=0)
+        with pytest.raises(ValueError, match="w must"):
+            winnow_fingerprints(df, w=0)
+        with pytest.raises(ValueError, match="min_shared"):
+            winnow_overlap(df, min_shared=0)
+        with pytest.raises(ValueError, match="max_bucket"):
+            winnow_overlap(df, max_bucket=1)

@@ -910,3 +910,12 @@ def test_calibration_and_threshold_sweep_single_exchange(plans):
         p, simple = plans[name]
         assert simple.count("Exchange hashpartitioning") == 1, name
         assert not any(m in p for m in _JOIN_MARKERS), name
+
+
+def test_winnow_overlap_two_keyed_exchanges_no_joins(plans):
+    """Winnowing overlap: prints form in-row (map-only), buckets and
+    the pair count are the only keyed exchanges, and there is no join
+    anywhere (the bucket expansion replaces the classic self-join)."""
+    p, simple = plans["winnow_overlap"]
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert not any(m in p for m in _JOIN_MARKERS)
