@@ -10390,7 +10390,13 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap(docs, k=3, w=4, min_shared=2, max_bucket=32)
 
 
-_SQL_WINNOW = r"""
+def _winnow_sql(min_shared: int = 2, tail: "str | None" = None) -> str:
+    """DuckDB winnowing CTE chain (lockstep with text.winnow_overlap's
+    documented plan: k=3 grams, w=4 rightmost-min windows, md5-uint32
+    prints, stop-print cap 32). Default tail = the shared-print pair
+    count; pass ``tail`` to consume the prints/pairs CTEs differently
+    (lockstep-by-construction, the _minhash_sql pattern)."""
+    prefix = r"""
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(lower(coalesce(text,
@@ -10436,10 +10442,63 @@ _SQL_WINNOW = r"""
       JOIN prints b ON a.h = b.h AND a.doc_id < b.doc_id
       JOIN bsz ON bsz.h = a.h AND bsz.n BETWEEN 2 AND 32
     )
+"""
+    if tail is not None:
+        return prefix.rstrip() + ",\n    " + tail.strip() + "\n"
+    return prefix + f"""
     SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_shared
     FROM pairs GROUP BY id1, id2
-    HAVING count(*) >= 2
+    HAVING count(*) >= {min_shared}
 """
+
+
+_SQL_WINNOW = _winnow_sql(2)
+
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric gram containment over winnowing candidates —
+    operators/dedup.py containment_pairs: quote/subset detection that
+    symmetric Jaccard misses (banding never proposes size-skewed
+    pairs; the winnowing guarantee does). In-row gram-array
+    intersection verify."""
+    from obsplus_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, k=3, w=4, threshold=0.5)
+
+
+_SQL_CONTAINMENT = _winnow_sql(
+    tail="""cand AS (SELECT DISTINCT id1, id2 FROM pairs),
+    gs AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(wt, u.i, u.i + 2), ' ') AS gram
+      FROM t, unnest(range(1, len(wt) - 3 + 2)) AS u(i)
+      WHERE len(wt) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, count(*) AS n_inter
+      FROM cand c
+      JOIN gs a ON a.doc_id = c.id1
+      JOIN gs b ON b.doc_id = c.id2 AND b.gram = a.gram
+      GROUP BY c.id1, c.id2
+    ),
+    fin AS (
+      SELECT c.id1, c.id2,
+             CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+             round(coalesce(i.n_inter, 0)
+                   / CAST(nullif(za.n, 0) AS DOUBLE), 6) AS c1,
+             round(coalesce(i.n_inter, 0)
+                   / CAST(nullif(zb.n, 0) AS DOUBLE), 6) AS c2
+      FROM cand c
+      LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+      JOIN sz za ON za.doc_id = c.id1
+      JOIN sz zb ON zb.doc_id = c.id2
+    )
+    SELECT id1, id2, n_inter, c1, c2 FROM fin
+    WHERE greatest(c1, c2) >= 0.5"""
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -10474,6 +10533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_near_dup": q_edit_near_dup,
         "cluster_quality": q_cluster_quality,
         "winnow_overlap": q_winnow_overlap,
+        "containment": q_containment,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10703,6 +10763,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_near_dup": _SQL_EDIT_NEAR_DUP,
         "cluster_quality": _SQL_CLUSTER_QUALITY,
         "winnow_overlap": _SQL_WINNOW,
+        "containment": _SQL_CONTAINMENT,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

@@ -2556,3 +2556,70 @@ def edit_distance_near_dup(
         WHERE ratio <= {r!r}D
         """,
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 32,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs — quote/subset detection: for
+    candidate pairs, the fraction of each document's k-gram set that
+    the other contains (``|A∩B|/|A|`` and ``/|B|``). Symmetric Jaccard
+    (the :func:`near_duplicates` verify) misses a small document
+    quoted whole inside a large one (the union term drowns it);
+    containment is the right metric for "is A substantially inside
+    B" — eval-set items wrapped in web pages, quote farms, partial
+    scrapes.
+
+    Candidates come from WINNOWING prints (``text.winnow_overlap``,
+    min_shared=1) rather than MinHash banding for the same reason:
+    banding's collision probability tracks symmetric Jaccard and
+    almost never proposes subset pairs, while the winnowing guarantee
+    fires on any shared ≥ w+k−1-token run regardless of the size
+    ratio. Verification intersects the documents' distinct
+    ``xxhash64`` gram arrays in-row (:func:`gram_hash_array`; oracle
+    counts gram STRINGS — the accepted digest argument).
+
+    Scale shape: candidate generation is winnowing's documented
+    two-exchange plan; the gram arrays join back by id (two keyed
+    joins probed by the pair table); the intersection is per-row.
+
+    Output: ``(id1, id2, n_inter, c1, c2)`` for pairs with
+    ``max(c1, c2) ≥ threshold`` — ``c1 = |∩|/|grams(id1)|``.
+    """
+    from obsplus_spark.operators.text import winnow_overlap
+    from obsplus_spark.util import sql_over
+
+    thr = float(threshold)
+    if not 0 <= thr <= 1:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    cands = winnow_overlap(
+        df, id_col=id_col, text_col=text_col, k=k, w=w,
+        min_shared=1, max_bucket=max_bucket,
+    ).select("id1", "id2")
+    grams = gram_hash_array(df, id_col=id_col, text_col=text_col, n=k)
+    return sql_over(
+        {"p": cands, "g": grams},
+        f"""
+        SELECT id1, id2, n_inter,
+               round(n_inter / CAST(nullif(na, 0) AS DOUBLE), 6) AS c1,
+               round(n_inter / CAST(nullif(nb, 0) AS DOUBLE), 6) AS c2
+        FROM (
+          SELECT p.id1, p.id2,
+                 CAST(size(array_intersect(a.grams, b.grams))
+                      AS BIGINT) AS n_inter,
+                 size(a.grams) AS na, size(b.grams) AS nb
+          FROM {{p}} p
+          JOIN {{g}} a ON a.{id_col} = p.id1
+          JOIN {{g}} b ON b.{id_col} = p.id2
+        )
+        WHERE greatest(n_inter / CAST(nullif(na, 0) AS DOUBLE),
+                       n_inter / CAST(nullif(nb, 0) AS DOUBLE))
+              >= {thr!r}D
+        """,
+    )

@@ -50,6 +50,7 @@ TEXT_QUERIES = [
     "score_auc",
     "edit_near_dup",
     "winnow_overlap",
+    "containment",
 ]
 
 TABLES = [

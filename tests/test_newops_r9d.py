@@ -708,3 +708,45 @@ class TestWinnowing:
             winnow_overlap(df, min_shared=0)
         with pytest.raises(ValueError, match="max_bucket"):
             winnow_overlap(df, max_bucket=1)
+
+
+class TestContainmentPairs:
+    def test_small_doc_quoted_inside_large(self, spark):
+        from obsplus_spark.operators.dedup import containment_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta eta theta"
+        big = (
+            "one two three four five six seven eight nine ten "
+            + quote
+            + " eleven twelve thirteen fourteen fifteen sixteen"
+        )
+        df = spark.createDataFrame(
+            [(1, quote), (2, big),
+             (3, "unrelated words with nothing shared at all here")],
+            "doc_id long, text string",
+        )
+        rows = containment_pairs(df, threshold=0.5).collect()
+        assert [(r["id1"], r["id2"]) for r in rows] == [(1, 2)]
+        r = rows[0]
+        # every gram of doc 1 appears in doc 2 -> c1 = 1.0; doc 2's
+        # gram set is much larger -> c2 well below 1
+        assert r["c1"] == pytest.approx(1.0)
+        assert r["c2"] < 0.5
+        assert r["n_inter"] == 6  # 8 tokens -> 6 trigrams
+
+    def test_symmetric_near_dups_still_pair(self, spark):
+        from obsplus_spark.operators.dedup import containment_pairs
+
+        base = " ".join(f"tok{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, base), (2, base)], "doc_id long, text string"
+        )
+        rows = containment_pairs(df, threshold=0.9).collect()
+        assert [(r["c1"], r["c2"]) for r in rows] == [(1.0, 1.0)]
+
+    def test_threshold_validation(self, spark):
+        from obsplus_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="threshold"):
+            containment_pairs(df, threshold=2.0)
