@@ -43,24 +43,43 @@ def score_auc(
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
-    return sql_over(
+    cells = sql_over(
         {"d": ensure_parallelism(df)},
         f"""
-        WITH g AS (
-          SELECT {score_col} AS s,
-                 CAST(count(1) AS BIGINT) AS n,
-                 CAST(sum(CASE WHEN {label_col} THEN 1 ELSE 0 END)
-                      AS BIGINT) AS np
-          FROM {{d}}
-          WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
-          GROUP BY {score_col}
-        ),
-        r AS (
+        SELECT {score_col} AS s,
+               CAST(count(1) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN {label_col} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS np
+        FROM {{d}}
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+        GROUP BY {score_col}
+        """,
+    )
+    return auc_from_counts(cells)
+
+
+def auc_from_counts(cells: DataFrame) -> DataFrame:
+    """Tie-aware AUC from PRE-AGGREGATED ``(s, n, np)`` sufficient-
+    statistics cells (count and positive count per distinct score) —
+    the counts are trivially MERGEABLE, so any number of per-batch /
+    per-partition cell tables sum into one exact whole-corpus AUC
+    (the consumer of a :func:`score_auc` split run or a
+    ``stream_auc_cells`` maintained store). Same rank identity and
+    bit-identical-double argument as :func:`score_auc`.
+
+    Output: single row ``(auc, n_pos, n_neg)``.
+    """
+    from obsplus_spark.util import sql_over
+
+    return sql_over(
+        {"g": cells},
+        """
+        WITH r AS (
           SELECT n, np,
                  sum(n) OVER (ORDER BY s
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n AS cb
-          FROM g
+          FROM {g}
         )
         SELECT CASE WHEN sum(np) > 0 AND sum(n - np) > 0 THEN
                  round((sum(np * (cb + (n + 1) / 2.0))

@@ -951,3 +951,97 @@ def stream_ivf_assign(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _auc_cells_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    score_col: str,
+    label_col: str,
+    store_dir: str,
+) -> None:
+    """One idempotent AUC-cell transition: the batch folds to
+    ``(s, n, np)`` sufficient-statistics cells (counts per distinct
+    score — trivially mergeable), then a distinct-score-sized union +
+    re-aggregate merges into the maintained table under the shared
+    generation-swap protocol."""
+    from pyspark.sql import functions as F
+
+    b = (
+        batch_df.where(
+            f"{score_col} IS NOT NULL AND {label_col} IS NOT NULL"
+        )
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col(label_col), 1).otherwise(0)
+            ).cast("long").alias("np"),
+        )
+    )
+
+    def fold(prev):
+        if prev is None:
+            return b
+        return (
+            prev.unionByName(b)
+            .groupBy("s")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("np").cast("long").alias("np"),
+            )
+        )
+
+    _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
+
+
+def read_auc(spark, store_dir: str) -> DataFrame:
+    """Whole-history AUC view over a :func:`stream_auc_cells` store —
+    delegates to ``evaluation.auc_from_counts`` over the maintained
+    sufficient-statistics cells."""
+    import os
+
+    from obsplus_spark.operators.evaluation import auc_from_counts
+
+    return auc_from_counts(
+        spark.read.parquet(os.path.join(store_dir, "current"))
+    )
+
+
+def stream_auc_cells(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    score_col: str = "score",
+    label_col: str = "label",
+    available_now: bool = True,
+):
+    """foreachBatch maintenance of tie-aware ROC-AUC sufficient
+    statistics over a scored-and-labeled stream: the maintained
+    ``(s, n, np)`` cells are MERGEABLE (plain counts per distinct
+    score), so :func:`read_auc` computes the exact whole-history
+    Mann-Whitney AUC after every micro-batch — a live quality-
+    classifier health monitor (a drifting upstream feature shows up
+    as an AUC drop within one micro-batch, not at the next offline
+    eval). Quantize continuous scores upstream to bound the cell
+    cardinality (the score_auc contract).
+
+    Per-batch work: one map-combined batch aggregate + a
+    cell-cardinality-sized merge under the shared generation-swap
+    protocol (replay-idempotent, half-swap recovering).
+
+    Returns the started StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _auc_cells_apply_batch(
+            batch_df, batch_id, score_col, label_col, store_dir
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1009,3 +1009,68 @@ def test_streaming_ivf_assign_matches_batch_and_exactly_once(
         d.startswith("cluster=") for d in os.listdir(out)
         if os.path.isdir(os.path.join(out, d))
     )
+
+
+def test_streaming_auc_cells_equal_whole_history(spark, tmp_path):
+    """read_auc over the maintained cells equals score_auc over the
+    full ingested stream after multiple micro-batches."""
+    from obsplus_spark.operators.evaluation import score_auc
+    from obsplus_spark.streaming.incremental import (
+        read_auc,
+        stream_auc_cells,
+    )
+
+    src = str(tmp_path / "scored")
+    store = str(tmp_path / "auc_store")
+    schema = "id long, score double, label boolean"
+
+    rows1 = [(1, 1.0, False), (2, 2.0, True), (3, 2.0, False)]
+    rows2 = [(4, 3.0, True), (5, None, True), (6, 2.0, None)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_auc_cells(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            score_col="score",
+            label_col="label",
+        )
+        q.awaitTermination(120)
+
+    write_batch(rows1)
+    run()
+    write_batch(rows2)
+    run()
+
+    got = read_auc(spark, store).collect()[0]
+    whole = spark.createDataFrame(rows1 + rows2, schema)
+    want = score_auc(whole, "score", "label").collect()[0]
+    assert got["auc"] == want["auc"] == pytest.approx(0.875)
+    assert (got["n_pos"], got["n_neg"]) == (
+        want["n_pos"], want["n_neg"]) == (2, 2)
+
+
+def test_streaming_auc_cells_replay_idempotent(spark, tmp_path):
+    from obsplus_spark.streaming.incremental import (
+        _auc_cells_apply_batch,
+        read_auc,
+    )
+
+    store = str(tmp_path / "auc_store")
+    b = spark.createDataFrame(
+        [(1, 1.0, True), (2, 2.0, False)],
+        "id long, score double, label boolean",
+    )
+    _auc_cells_apply_batch(b, 0, "score", "label", store)
+    _auc_cells_apply_batch(b, 0, "score", "label", store)  # replay
+
+    got = read_auc(spark, store).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (1, 1)
+    assert got["auc"] == pytest.approx(0.0)  # pos scored BELOW neg
