@@ -10501,6 +10501,43 @@ _SQL_CONTAINMENT = _winnow_sql(
 )
 
 
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct active users (DAU + trailing-7-day WAU) —
+    operators/sessions.py rolling_active_users: one map-combined
+    (day, user) DISTINCT, in-row window-day contribution explode, one
+    day-keyed count-distinct. Distinct is not additive, so this
+    densify-and-recount IS the shape (rolling_window_sums handles the
+    additive metrics)."""
+    from obsplus_spark.operators.sessions import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ts_ns().alias("t_ns")
+    )
+    return rolling_active_users(
+        ev, ts_col="t_ns", user_col="user_id", window_days=7
+    )
+
+
+_SQL_ROLLING_ACTIVE = """
+    WITH du AS (
+      SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id AS u
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    contrib AS (
+      SELECT CAST(t.d AS BIGINT) AS day, du.day AS src_day, du.u
+      FROM du, unnest(range(du.day, du.day + 7)) AS t(d)
+    )
+    SELECT day,
+           CAST(count(DISTINCT CASE WHEN src_day = day THEN u END)
+                AS BIGINT) AS dau,
+           CAST(count(DISTINCT u) AS BIGINT) AS rolling_users
+    FROM contrib
+    GROUP BY day
+    HAVING count(DISTINCT CASE WHEN src_day = day THEN u END) >= 1
+    ORDER BY day
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10534,6 +10571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_quality": q_cluster_quality,
         "winnow_overlap": q_winnow_overlap,
         "containment": q_containment,
+        "rolling_active": q_rolling_active,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10764,6 +10802,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_quality": _SQL_CLUSTER_QUALITY,
         "winnow_overlap": _SQL_WINNOW,
         "containment": _SQL_CONTAINMENT,
+        "rolling_active": _SQL_ROLLING_ACTIVE,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

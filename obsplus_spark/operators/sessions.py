@@ -881,3 +881,69 @@ def resample_linear(
         )
         """,
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+    day_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Rolling DISTINCT active users per day (DAU + trailing-window
+    WAU/MAU): for every calendar day with activity, the count of
+    distinct users active that day and in the trailing
+    ``window_days`` — the engagement health series every event
+    pipeline reports. Distinct-counting cannot ride a RANGE-frame sum
+    (:func:`rolling_window_sums` — distinct is not additive across
+    days), so the plan densifies (day, user) pairs instead:
+
+    1. one map-combined DISTINCT to (day, user) — the only
+       corpus-sized exchange;
+    2. each pair contributes in-row to its ``window_days`` target days
+       (explode of a constant-length day sequence — pairs × window
+       rows, already corpus-reduced);
+    3. one (target-day)-keyed count-distinct.
+
+    Days with no activity in the window emit nothing (callers densify
+    the calendar downstream if zeros matter). NULL ts/user rows are
+    excluded. ``ts_col`` is an ns-epoch LONG (the house convention —
+    queries convert via ``_ts_ns``); day = epoch-relative ``div``
+    fixed window, same truncation rule as :func:`cohort_retention`'s
+    weeks (documented divergence below epoch zero).
+
+    Output: ``(day, dau, rolling_users)`` — day as BIGINT epoch-day,
+    ``rolling_users`` over days ``[day − window_days + 1, day]``;
+    rows only for days with their OWN activity (dau ≥ 1).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    w = int(window_days)
+    if w < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    return sql_over(
+        {"e": ensure_parallelism(events)},
+        f"""
+        WITH du AS (
+          SELECT DISTINCT
+                 CAST({ts_col} div {int(day_ns)} AS BIGINT) AS day,
+                 {user_col} AS u
+          FROM {{e}}
+          WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+        ),
+        contrib AS (
+          SELECT t.day, du.day AS src_day, du.u
+          FROM du
+          LATERAL VIEW explode(sequence(du.day,
+                                        du.day + {w - 1})) t AS day
+        )
+        SELECT day,
+               CAST(count(DISTINCT CASE WHEN src_day = day THEN u END)
+                    AS BIGINT) AS dau,
+               CAST(count(DISTINCT u) AS BIGINT) AS rolling_users
+        FROM contrib
+        GROUP BY day
+        HAVING count(DISTINCT CASE WHEN src_day = day THEN u END) >= 1
+        ORDER BY day
+        """,
+    )

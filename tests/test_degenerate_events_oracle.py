@@ -37,6 +37,7 @@ SESSIONS_QUERIES = [
     "ks_drift",
     "calibration",
     "threshold_sweep",
+    "rolling_active",
 ]
 
 TABLES = [

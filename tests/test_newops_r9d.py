@@ -750,3 +750,53 @@ class TestContainmentPairs:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="threshold"):
             containment_pairs(df, threshold=2.0)
+
+
+class TestRollingActiveUsers:
+    DAY = 86_400_000_000_000
+
+    def test_hand_counts(self, spark):
+        from obsplus_spark.operators.sessions import rolling_active_users
+
+        D = self.DAY
+        # day 0: users 1,2; day 1: user 2; day 9: user 3 (window break)
+        rows = [
+            (1, 0), (2, 10), (2, D + 5), (3, 9 * D + 1),
+            (None, 0), (4, None),  # excluded
+        ]
+        df = spark.createDataFrame(
+            [(u, t) for u, t in rows], "user_id long, t_ns long"
+        )
+        out = {
+            r["day"]: (r["dau"], r["rolling_users"])
+            for r in rolling_active_users(
+                df, ts_col="t_ns", user_col="user_id", window_days=3
+            ).collect()
+        }
+        assert out == {
+            0: (2, 2),        # users {1,2}
+            1: (1, 2),        # dau {2}; window d-2..d1 -> {1,2}
+            9: (1, 1),        # fresh window
+        }
+
+    def test_window_one_is_plain_dau(self, spark):
+        from obsplus_spark.operators.sessions import rolling_active_users
+
+        D = self.DAY
+        df = spark.createDataFrame(
+            [(1, 0), (2, 0), (1, D)], "user_id long, t_ns long"
+        )
+        out = {
+            r["day"]: (r["dau"], r["rolling_users"])
+            for r in rolling_active_users(
+                df, ts_col="t_ns", user_col="user_id", window_days=1
+            ).collect()
+        }
+        assert out == {0: (2, 2), 1: (1, 1)}
+
+    def test_validation(self, spark):
+        from obsplus_spark.operators.sessions import rolling_active_users
+
+        df = spark.createDataFrame([(1, 0)], "user_id long, t_ns long")
+        with pytest.raises(ValueError, match="window_days"):
+            rolling_active_users(df, ts_col="t_ns", window_days=0)
