@@ -9890,7 +9890,15 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(docs, chunk_tokens=8)
 
 
-_SQL_CHUNK_DEDUP = r"""
+def _chunk_dedup_sql(w: int, within_doc: bool) -> str:
+    """Parameterized DuckDB twin of the shared chunking convention
+    (text.chunk_token_exprs): corpus-level first-occurrence election
+    (PARTITION BY the chunk alone, ordered by (doc, pos)) or the
+    within-document variant (PARTITION BY (doc, chunk), ordered by
+    pos) — one generator so the two oracles cannot drift apart."""
+    part = "doc_id, lower(chunk)" if within_doc else "lower(chunk)"
+    order = "pos" if within_doc else "doc_id, pos"
+    return rf"""
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(coalesce(text, '')),
@@ -9900,15 +9908,16 @@ _SQL_CHUNK_DEDUP = r"""
     ),
     ch AS (
       SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-             array_to_string(list_slice(w, CAST(u.i * 8 + 1 AS BIGINT),
-                                        CAST(u.i * 8 + 8 AS BIGINT)),
-                             ' ') AS chunk
-      FROM t, unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS u(i)
+             array_to_string(list_slice(w,
+                 CAST(u.i * {w} + 1 AS BIGINT),
+                 CAST(u.i * {w} + {w} AS BIGINT)), ' ') AS chunk
+      FROM t, unnest(range(CAST(ceil(len(w) / {w}.0) AS BIGINT)))
+        AS u(i)
     ),
     win AS (
       SELECT doc_id, pos, chunk,
-             row_number() OVER (PARTITION BY lower(chunk)
-                                ORDER BY doc_id, pos) = 1 AS keep
+             row_number() OVER (PARTITION BY {part}
+                                ORDER BY {order}) = 1 AS keep
       FROM ch
     ),
     agg AS (
@@ -9926,6 +9935,10 @@ _SQL_CHUNK_DEDUP = r"""
            coalesce(a.clean_text, '') AS clean_text
     FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+_SQL_CHUNK_DEDUP = _chunk_dedup_sql(8, within_doc=False)
+
 
 
 def q_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9942,42 +9955,8 @@ def q_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within_doc_dedup(docs, chunk_tokens=2)
 
 
-_SQL_WITHIN_DOC_DEDUP = r"""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(coalesce(text, '')),
-                                            '\s+'),
-                         x -> x != '') AS w
-      FROM documents
-    ),
-    ch AS (
-      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-             array_to_string(list_slice(w, CAST(u.i * 2 + 1 AS BIGINT),
-                                        CAST(u.i * 2 + 2 AS BIGINT)),
-                             ' ') AS chunk
-      FROM t, unnest(range(CAST(ceil(len(w) / 2.0) AS BIGINT))) AS u(i)
-    ),
-    win AS (
-      SELECT doc_id, pos, chunk,
-             row_number() OVER (PARTITION BY doc_id, lower(chunk)
-                                ORDER BY pos) = 1 AS keep
-      FROM ch
-    ),
-    agg AS (
-      SELECT doc_id,
-             CAST(count(*) AS BIGINT) AS n_chunks,
-             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept,
-             coalesce(string_agg(CASE WHEN keep THEN chunk END,
-                                 ' ' ORDER BY pos), '') AS clean_text
-      FROM win GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
-           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-           coalesce(a.clean_text, '') AS clean_text
-    FROM documents d LEFT JOIN agg a USING (doc_id)
-"""
+_SQL_WITHIN_DOC_DEDUP = _chunk_dedup_sql(2, within_doc=True)
+
 
 
 def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10238,8 +10217,8 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CALIBRATION = """
-    SELECT least(9, greatest(0,
-             CAST(floor((value / 100.0 - 0.0) / 1.0 * 10) AS INT)))
+    SELECT CAST(least(9.0, greatest(0.0,
+             floor((value / 100.0 - 0.0) / 1.0 * 10))) AS INT)
              AS bin,
            CAST(count(1) AS BIGINT) AS n,
            round(avg(value / 100.0), 6) AS mean_score,
@@ -10372,9 +10351,12 @@ _SQL_CLUSTER_QUALITY = """
       FROM cents c1 JOIN cents c2 ON c1.cluster <> c2.cluster
       GROUP BY c1.cluster
     )
-    SELECT CAST(coh.cluster AS INT) AS cluster, n_members,
-           cohesion, sep.max_other_cos
-    FROM coh JOIN sep ON coh.cluster = sep.cluster
+    SELECT CAST(c.cluster AS INT) AS cluster,
+           CAST(coalesce(coh.n_members, 0) AS BIGINT) AS n_members,
+           coh.cohesion, sep.max_other_cos
+    FROM cents c
+    LEFT JOIN coh ON coh.cluster = c.cluster
+    LEFT JOIN sep ON sep.cluster = c.cluster
 """
 
 

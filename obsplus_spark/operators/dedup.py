@@ -2435,35 +2435,25 @@ def chunk_dedup(
     document, ``clean_text = ''`` when every chunk was a duplicate (or
     the document was empty).
     """
+    from obsplus_spark.operators.text import chunk_token_exprs
     from obsplus_spark.util import ensure_parallelism, sql_over
 
-    w = int(chunk_tokens)
-    if w < 1:
-        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks, nch, chunks = chunk_token_exprs(text_col, chunk_tokens)
     return sql_over(
         {"d": ensure_parallelism(df)},
         rf"""
         WITH t AS (
-          SELECT {id_col},
-                 filter(split(trim({text_col}), '\\s+'), x -> x != '')
-                   AS _toks
+          SELECT {id_col}, {toks} AS _toks
           FROM {{d}}
         ),
         c AS (
-          SELECT {id_col},
-                 CAST(ceil(size(_toks) / {w}.0) AS INT) AS _nch, _toks
+          SELECT {id_col}, {nch} AS _nch, _toks
           FROM t
         ),
         ch AS (
           SELECT {id_col}, pos, chunk
           FROM (
-            SELECT {id_col},
-                   CASE WHEN _nch IS NULL OR _nch <= 0
-                        THEN CAST(array() AS ARRAY<STRING>)
-                        ELSE transform(sequence(0, _nch - 1),
-                             i -> array_join(
-                                 slice(_toks, i * {w} + 1, {w}), ' '))
-                   END AS _chunks
+            SELECT {id_col}, {chunks} AS _chunks
             FROM c
           ) LATERAL VIEW OUTER posexplode(_chunks) AS pos, chunk
         ),

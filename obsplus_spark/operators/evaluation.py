@@ -74,12 +74,22 @@ def auc_from_counts(cells: DataFrame) -> DataFrame:
     return sql_over(
         {"g": cells},
         """
-        WITH r AS (
+        WITH m AS (
+          -- re-aggregate by score FIRST: merged inputs (a unioned
+          -- split run, a maintained store mid-compaction) may carry
+          -- duplicate-score rows, and the cumulative ROWS frame would
+          -- rank them as strictly ordered instead of tied — a wrong,
+          -- partition-order-dependent AUC
+          SELECT s, CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(np) AS BIGINT) AS np
+          FROM {g} GROUP BY s
+        ),
+        r AS (
           SELECT n, np,
                  sum(n) OVER (ORDER BY s
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n AS cb
-          FROM {g}
+          FROM m
         )
         SELECT CASE WHEN sum(np) > 0 AND sum(n - np) > 0 THEN
                  round((sum(np * (cb + (n + 1) / 2.0))
@@ -247,10 +257,14 @@ def calibration_bins(
     flo, fhi = float(lo), float(hi)
     if not fhi > flo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    # clamp on the DOUBLE before the INT cast: an unnormalized score
+    # (1e9 logit in a probability column) would otherwise abort the
+    # whole aggregation with an ANSI CAST_OVERFLOW instead of landing
+    # in the edge bin as documented
     bin_expr = (
-        f"least({b - 1}, greatest(0, CAST(floor"
+        f"CAST(least(CAST({b - 1} AS DOUBLE), greatest(0.0D, floor"
         f"((CAST({score_col} AS DOUBLE) - {flo!r}D)"
-        f" / {fhi - flo!r}D * {b}) AS INT)))"
+        f" / {fhi - flo!r}D * {b}))) AS INT)"
     )
     return sql_over(
         {"d": ensure_parallelism(df)},

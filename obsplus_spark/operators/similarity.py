@@ -1305,8 +1305,15 @@ def cluster_quality(
           FROM {{c}} c1 JOIN {{c}} c2 ON c1.cluster <> c2.cluster
           GROUP BY c1.cluster
         )
-        SELECT CAST(coh.cluster AS INT) AS cluster, n_members,
-               cohesion, sep.max_other_cos
-        FROM coh JOIN sep ON coh.cluster = sep.cluster
+        -- LEFT joins from the centroid table: k=1 has no "other"
+        -- centroid (NULL separation, not an empty report), and a seed
+        -- whose duplicate tied into a smaller cluster can hold zero
+        -- members (reported as such, never silently dropped)
+        SELECT CAST(c.cluster AS INT) AS cluster,
+               CAST(coalesce(coh.n_members, 0) AS BIGINT) AS n_members,
+               coh.cohesion, sep.max_other_cos
+        FROM {{c}} c
+        LEFT JOIN coh ON coh.cluster = c.cluster
+        LEFT JOIN sep ON sep.cluster = c.cluster
         """,
     )

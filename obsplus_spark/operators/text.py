@@ -1948,6 +1948,29 @@ def curation_funnel(
     )
 
 
+def chunk_token_exprs(text_col: str, chunk_tokens: int) -> "tuple[str, str, str]":
+    """The SHARED in-row chunking convention of ``within_doc_dedup``
+    and ``dedup.chunk_dedup`` (phantom-token-filtered split, ceil
+    chunk count, w-token slices): returns the ``(_toks, _nch,
+    _chunks)`` expression strings so the convention lives in exactly
+    one place — a tokenization fix applied here reaches both
+    operators (their DuckDB twins share a parameterized generator the
+    same way)."""
+    w = int(chunk_tokens)
+    if w < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = rf"filter(split(trim({text_col}), '\\s+'), x -> x != '')"
+    nch = f"CAST(ceil(size(_toks) / {w}.0) AS INT)"
+    chunks = (
+        "CASE WHEN _nch IS NULL OR _nch <= 0"
+        " THEN CAST(array() AS ARRAY<STRING>)"
+        f" ELSE transform(sequence(0, _nch - 1),"
+        f" i -> array_join(slice(_toks, i * {w} + 1, {w}), ' '))"
+        " END"
+    )
+    return toks, nch, chunks
+
+
 def within_doc_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1976,27 +1999,12 @@ def within_doc_dedup(
     """
     from obsplus_spark.util import ensure_parallelism
 
-    w = int(chunk_tokens)
-    if w < 1:
-        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    toks = rf"filter(split(trim({text_col}), '\\s+'), x -> x != '')"
+    toks, nch, chunks = chunk_token_exprs(text_col, chunk_tokens)
     return (
         ensure_parallelism(df)
         .selectExpr(id_col, f"{toks} AS _toks")
-        .selectExpr(
-            id_col,
-            f"CAST(ceil(size(_toks) / {w}.0) AS INT) AS _nch",
-            "_toks",
-        )
-        .selectExpr(
-            id_col,
-            f"""CASE WHEN _nch IS NULL OR _nch <= 0
-                     THEN CAST(array() AS ARRAY<STRING>)
-                     ELSE transform(sequence(0, _nch - 1),
-                          i -> array_join(
-                              slice(_toks, i * {w} + 1, {w}), ' '))
-                END AS _chunks""",
-        )
+        .selectExpr(id_col, f"{nch} AS _nch", "_toks")
+        .selectExpr(id_col, f"{chunks} AS _chunks")
         .selectExpr(
             id_col,
             "CAST(size(_chunks) AS BIGINT) AS n_chunks",

@@ -929,18 +929,29 @@ def stream_ivf_assign(
         )
         for c, v in rows
     )
-    assigned = valid_vectors(stream, vec_col).selectExpr(
-        id_col,
-        vec_col,
-        f"""CAST(-(array_max(transform(array({cents}),
-              c -> named_struct(
-                'sim', coalesce(aggregate(zip_with({vec_col}, c.centroid,
-                  (x, y) -> cast(x AS double) * y), 0.0D,
-                  (a, x) -> a + x)
-                  / nullif(sqrt(aggregate({vec_col}, 0.0D, (a, x) ->
-                    a + cast(x AS double) * cast(x AS double))) * c.nrm,
-                    0.0D), 0.0D),
-                'nc', -c.cluster))).nc) AS INT) AS cluster""",
+    # vector norm hoisted into its own projection so it evaluates once
+    # per row, not once per centroid (the ivf_assign convention — a
+    # K=256 quantizer would otherwise fold the vector 256× per row)
+    assigned = (
+        valid_vectors(stream, vec_col)
+        .selectExpr(
+            id_col,
+            vec_col,
+            f"sqrt(aggregate({vec_col}, 0.0D, (a, x) ->"
+            " a + cast(x AS double) * cast(x AS double))) AS _vn",
+        )
+        .selectExpr(
+            id_col,
+            vec_col,
+            f"""CAST(-(array_max(transform(array({cents}),
+                  c -> named_struct(
+                    'sim', coalesce(aggregate(zip_with({vec_col},
+                      c.centroid,
+                      (x, y) -> cast(x AS double) * y), 0.0D,
+                      (a, x) -> a + x)
+                      / nullif(_vn * c.nrm, 0.0D), 0.0D),
+                    'nc', -c.cluster))).nc) AS INT) AS cluster""",
+        )
     )
     writer = (
         assigned.writeStream.format("parquet")

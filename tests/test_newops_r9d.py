@@ -800,3 +800,18 @@ class TestRollingActiveUsers:
         df = spark.createDataFrame([(1, 0)], "user_id long, t_ns long")
         with pytest.raises(ValueError, match="window_days"):
             rolling_active_users(df, ts_col="t_ns", window_days=0)
+
+    def test_single_cluster_reports_null_separation(self, spark):
+        """k=1 must yield one row with NULL max_other_cos — never an
+        empty report (review fix: LEFT joins from the centroid table)."""
+        from obsplus_spark.operators.similarity import cluster_quality
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = cluster_quality(df, n_clusters=1).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_members"] == 2
+        assert rows[0]["max_other_cos"] is None
+        assert rows[0]["cohesion"] is not None
