@@ -1040,6 +1040,7 @@ def _minhash_sql(
     bands: int = 4,
     extra_pair_pred: str = "",
     tail: "str | None" = None,
+    threshold: float = 0.2,
 ) -> str:
     rows_per_band = n_hashes // bands
     # lane j = 8 hex chars of the 38-char extended digest (md5 ||
@@ -1112,7 +1113,8 @@ def _minhash_sql(
     JOIN sizes z1 ON z1.doc_id = p.id1
     JOIN sizes z2 ON z2.doc_id = p.id2
     WHERE coalesce(i.n_inter, 0)
-          / CAST(z1.n + z2.n - coalesce(i.n_inter, 0) AS DOUBLE) >= 0.2
+          / CAST(z1.n + z2.n - coalesce(i.n_inter, 0) AS DOUBLE)
+          >= {threshold!r}
 """
 
 
@@ -10520,6 +10522,58 @@ _SQL_ROLLING_ACTIVE = """
 """
 
 
+def q_dup_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard histogram of all verified LSH candidate pairs —
+    operators/dedup.py near_dup_threshold_hist: the choose-a-threshold
+    evidence (one near_duplicates pass at threshold 0, folded to 10
+    bins on the 8-dp rounded Jaccard)."""
+    from obsplus_spark.operators.dedup import near_dup_threshold_hist
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_threshold_hist(docs, buckets=10)
+
+
+_SQL_DUP_HIST = (
+    "SELECT CAST(least(9.0, floor(round(jaccard, 8) * 10)) AS INT)"
+    " AS bucket, CAST(count(*) AS BIGINT) AS n_pairs FROM ("
+    + _minhash_sql(threshold=0.0)
+    + ") sub GROUP BY 1"
+)
+
+
+def q_seq_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential per-user holdout (last-2-events eval) —
+    operators/dedup.py sequential_holdout: the next-event-prediction
+    split; one user-keyed exchange, NULL key/ts rows split NULL by
+    contract (engines disagree on NULL placement under DESC)."""
+    from obsplus_spark.operators.dedup import sequential_holdout
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", _ts_ns().alias("t_ns")
+    )
+    return sequential_holdout(
+        ev, key_col="user_id", order_col="t_ns", id_col="event_id", k=2
+    )
+
+
+_SQL_SEQ_HOLDOUT = """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS t_ns FROM events
+    )
+    SELECT event_id, user_id, t_ns,
+           CASE WHEN rn <= 2 THEN 'eval' ELSE 'train' END AS split
+    FROM (
+      SELECT event_id, user_id, t_ns,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY t_ns DESC, event_id DESC) AS rn
+      FROM e WHERE user_id IS NOT NULL AND t_ns IS NOT NULL
+    )
+    UNION ALL
+    SELECT event_id, user_id, t_ns, CAST(NULL AS VARCHAR) AS split
+    FROM e WHERE user_id IS NULL OR t_ns IS NULL
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10554,6 +10608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "containment": q_containment,
         "rolling_active": q_rolling_active,
+        "dup_threshold_hist": q_dup_threshold_hist,
+        "seq_holdout": q_seq_holdout,
         # (a00) NEW in r9 session 4: the remaining classic TPC-H query
         # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
         "supplier_profit": q_supplier_profit,
@@ -10785,6 +10841,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": _SQL_WINNOW,
         "containment": _SQL_CONTAINMENT,
         "rolling_active": _SQL_ROLLING_ACTIVE,
+        "dup_threshold_hist": _SQL_DUP_HIST,
+        "seq_holdout": _SQL_SEQ_HOLDOUT,
         "supplier_profit": _SQL_SUPPLIER_PROFIT,
         "nation_value_share": _SQL_NATION_VALUE_SHARE,
         "ship_delay_dist": _SQL_SHIP_DELAY_DIST,

@@ -2613,3 +2613,100 @@ def containment_pairs(
               >= {thr!r}D
         """,
     )
+
+
+def near_dup_threshold_hist(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    buckets: int = 10,
+) -> DataFrame:
+    """Jaccard HISTOGRAM of all LSH-verified candidate pairs — the
+    evidence a pipeline reads BEFORE choosing a near-dup threshold
+    (:func:`lsh_recall_eval` evaluates a chosen (hashes, bands)
+    config; this shows where the corpus's pair-similarity mass
+    actually sits, so the cut lands in a valley instead of a mode).
+    One :func:`near_duplicates` pass at threshold 0 (every banding
+    candidate verified), folded to ``buckets`` equal Jaccard bins.
+
+    Bucketing uses the 8-dp ROUNDED Jaccard (the house pair-output
+    convention) so a boundary-straddling double never lands in
+    different bins across engines; bin index clamps on the DOUBLE
+    before the INT cast. Bins with no pairs emit nothing.
+
+    Output: ``(bucket, n_pairs)`` — bucket ``b`` covers
+    ``[b/buckets, (b+1)/buckets)``, the top bucket closed at 1.
+    """
+    from obsplus_spark.util import sql_over
+
+    b = int(buckets)
+    if b < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    pairs = near_duplicates(
+        df, n_hashes=n_hashes, bands=bands,
+        shingle_size=shingle_size, threshold=0.0,
+        id_col=id_col, text_col=text_col,
+    )
+    return sql_over(
+        {"p": pairs},
+        f"""
+        SELECT CAST(least(CAST({b - 1} AS DOUBLE),
+                 floor(round(jaccard, 8) * {b})) AS INT) AS bucket,
+               CAST(count(1) AS BIGINT) AS n_pairs
+        FROM {{p}}
+        GROUP BY 1
+        """,
+    )
+
+
+def sequential_holdout(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    k: int = 2,
+) -> DataFrame:
+    """Sequential per-group holdout: each group's LAST ``k`` rows by
+    ``order_col`` become ``eval``, the rest ``train`` — the
+    next-event-prediction split (recommenders, session models) where
+    a hash or time split would leak: the model must never train on
+    events AFTER its own eval targets within the same entity.
+    Complements :func:`hash_split` (entity-level), :func:`temporal_split`
+    (global time) and :func:`group_kfold` (whole-group CV).
+
+    Determinism: ties on ``order_col`` break by ``id_col`` DESC (a
+    total order). Rows with a NULL key or NULL order cannot be placed
+    in a sequence and get split NULL — explicitly, never silently
+    sorted to one end (engines disagree on NULL placement under
+    DESC). ONE key-keyed exchange.
+
+    Output: ``(id, key, order, split)``.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        SELECT {id_col}, {key_col}, {order_col},
+               CASE WHEN rn <= {kk} THEN 'eval' ELSE 'train' END
+                 AS split
+        FROM (
+          SELECT {id_col}, {key_col}, {order_col},
+                 row_number() OVER (PARTITION BY {key_col}
+                     ORDER BY {order_col} DESC, {id_col} DESC) AS rn
+          FROM {{d}}
+          WHERE {key_col} IS NOT NULL AND {order_col} IS NOT NULL
+        )
+        UNION ALL
+        SELECT {id_col}, {key_col}, {order_col},
+               CAST(NULL AS STRING) AS split
+        FROM {{d}}
+        WHERE {key_col} IS NULL OR {order_col} IS NULL
+        """,
+    )

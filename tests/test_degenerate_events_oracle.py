@@ -38,6 +38,7 @@ SESSIONS_QUERIES = [
     "calibration",
     "threshold_sweep",
     "rolling_active",
+    "seq_holdout",
 ]
 
 TABLES = [

@@ -51,6 +51,7 @@ TEXT_QUERIES = [
     "edit_near_dup",
     "winnow_overlap",
     "containment",
+    "dup_threshold_hist",
 ]
 
 TABLES = [

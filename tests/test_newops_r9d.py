@@ -815,3 +815,90 @@ class TestRollingActiveUsers:
         assert rows[0]["n_members"] == 2
         assert rows[0]["max_other_cos"] is None
         assert rows[0]["cohesion"] is not None
+
+
+class TestNearDupThresholdHist:
+    def test_buckets_partition_verified_pairs(self, spark):
+        from obsplus_spark.operators.dedup import (
+            near_dup_threshold_hist,
+            near_duplicates,
+        )
+
+        base = " ".join(f"tok{i}" for i in range(40))
+        toks = base.split()
+        toks[20] += "x"
+        df = spark.createDataFrame(
+            [(1, base), (2, " ".join(toks)), (3, base)],
+            "doc_id long, text string",
+        )
+        hist = {
+            r["bucket"]: r["n_pairs"]
+            for r in near_dup_threshold_hist(df, buckets=10).collect()
+        }
+        pairs = near_duplicates(df, threshold=0.0).collect()
+        # histogram mass equals the verified-pair count, and the exact
+        # dup pair (1,3) sits in the closed top bucket
+        assert sum(hist.values()) == len(pairs)
+        assert hist[9] >= 1
+        for r in pairs:
+            b = min(9, int(round(r["jaccard"], 8) * 10))
+            assert b in hist
+
+    def test_rejects_bad_buckets(self, spark):
+        from obsplus_spark.operators.dedup import near_dup_threshold_hist
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="buckets"):
+            near_dup_threshold_hist(df, buckets=1)
+
+
+class TestSequentialHoldout:
+    def test_last_k_per_group_eval(self, spark):
+        from obsplus_spark.operators.dedup import sequential_holdout
+
+        df = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 200), (3, 10, 300), (4, 10, 400),
+             (5, 20, 100),
+             (6, None, 100), (7, 30, None)],
+            "event_id long, user_id long, t_ns long",
+        )
+        out = {
+            r["event_id"]: r["split"]
+            for r in sequential_holdout(
+                df, key_col="user_id", order_col="t_ns",
+                id_col="event_id", k=2
+            ).collect()
+        }
+        assert out == {
+            1: "train", 2: "train", 3: "eval", 4: "eval",
+            5: "eval",                # group smaller than k: all eval
+            6: None, 7: None,         # NULL key/order by contract
+        }
+
+    def test_tie_breaks_on_id_desc(self, spark):
+        from obsplus_spark.operators.dedup import sequential_holdout
+
+        df = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 100), (3, 10, 100)],
+            "event_id long, user_id long, t_ns long",
+        )
+        out = {
+            r["event_id"]: r["split"]
+            for r in sequential_holdout(
+                df, key_col="user_id", order_col="t_ns",
+                id_col="event_id", k=1
+            ).collect()
+        }
+        assert out == {3: "eval", 2: "train", 1: "train"}
+
+    def test_rejects_bad_k(self, spark):
+        from obsplus_spark.operators.dedup import sequential_holdout
+
+        df = spark.createDataFrame(
+            [(1, 10, 100)], "event_id long, user_id long, t_ns long"
+        )
+        with pytest.raises(ValueError, match="k must"):
+            sequential_holdout(
+                df, key_col="user_id", order_col="t_ns",
+                id_col="event_id", k=0
+            )
