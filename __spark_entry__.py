@@ -10585,10 +10585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code first, then the entries with the OLDEST most-recent driver
     # row. Round 9 executes VERDICT r8 finding #2 ("53 stale r2/r4
     # rows"): new-this-round queries lead (never had ANY driver row —
-    # 14 session-5 + 17 session-4 + 4 earlier-r9), then the 8
-    # changed entries, then 7 of the 53 stale rows fill the cap; the
-    # 46 remaining stale rows sit directly after it for the r10
-    # rotation (dup_remap .. dateline_box). Union across r1-r9 keeps every
+    # 16 session-5 + 17 session-4 + 4 earlier-r9), then the 8
+    # changed entries, then 5 of the 53 stale rows fill the cap; the
+    # 48 remaining stale rows sit directly after it for the r10
+    # rotation (seed_ids .. dateline_box). Union across r1-r9 keeps every
     # registered query with a green driver row.
     return {
         # --- r9 rotation, first 50 = the driver correctness window ---
@@ -10659,12 +10659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_orphans": q_prune_orphans,
         "merge_picks": q_merge_picks,
         "ci_glob": q_ci_glob,
+        # --- driver cap (50): the 16 session-5 queries above displaced
+        # seed_ids .. embed_quantize from the window; they lead the
+        # r10 rotation together with the 32 below the old cap ---
         "seed_ids": q_seed_ids,
         "trim_traces": q_trim_traces,
         "s_before_p": q_s_before_p,
-        # --- driver cap (50): the 14 session-5 queries above displaced
-        # dup_remap .. embed_quantize from the window; they lead the
-        # r10 rotation together with the 32 below the old cap ---
         "dup_remap": q_dup_remap,
         "preferred_fallback": q_preferred_fallback,
         "strip_bump": q_strip_bump,
