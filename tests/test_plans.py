@@ -919,3 +919,20 @@ def test_winnow_overlap_two_keyed_exchanges_no_joins(plans):
     p, simple = plans["winnow_overlap"]
     assert simple.count("Exchange hashpartitioning") == 2
     assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_seq_holdout_single_keyed_exchange(plans):
+    """Sequential holdout is ONE key-keyed exchange (the last-k window)
+    plus the NULL-branch union — no joins."""
+    p, simple = plans["seq_holdout"]
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert not any(m in p for m in _JOIN_MARKERS)
+
+
+def test_rolling_active_two_keyed_exchanges(plans):
+    """Rolling active users: the (day,user) DISTINCT and the day-keyed
+    count-distinct are the only keyed exchanges (the window-day
+    contribution explode is in-row); no joins."""
+    p, simple = plans["rolling_active"]
+    assert not any(m in p for m in _JOIN_MARKERS)
+    assert simple.count("Exchange hashpartitioning") <= 3
