@@ -9897,7 +9897,9 @@ def _chunk_dedup_sql(w: int, within_doc: bool) -> str:
     (text.chunk_token_exprs): corpus-level first-occurrence election
     (PARTITION BY the chunk alone, ordered by (doc, pos)) or the
     within-document variant (PARTITION BY (doc, chunk), ordered by
-    pos) — one generator so the two oracles cannot drift apart."""
+    pos) — one generator so the two oracles cannot drift apart.
+    NULL-id rows are dropped on both sides (engine contract: a NULL id
+    has no join identity — ADVICE r9 #3)."""
     part = "doc_id, lower(chunk)" if within_doc else "lower(chunk)"
     order = "pos" if within_doc else "doc_id, pos"
     return rf"""
@@ -9907,6 +9909,7 @@ def _chunk_dedup_sql(w: int, within_doc: bool) -> str:
                                             '\s+'),
                          x -> x != '') AS w
       FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     ch AS (
       SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
@@ -9936,6 +9939,7 @@ def _chunk_dedup_sql(w: int, within_doc: bool) -> str:
            CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
            coalesce(a.clean_text, '') AS clean_text
     FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE d.doc_id IS NOT NULL
 """
 
 
@@ -10583,85 +10587,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
     # only the FIRST 50 entries. Rotation policy (NOTES.md): changed
     # code first, then the entries with the OLDEST most-recent driver
-    # row. Round 9 executes VERDICT r8 finding #2 ("53 stale r2/r4
-    # rows"): new-this-round queries lead (never had ANY driver row —
-    # 16 session-5 + 17 session-4 + 4 earlier-r9), then the 8
-    # changed entries, then 5 of the 53 stale rows fill the cap; the
-    # 48 remaining stale rows sit directly after it for the r10
-    # rotation (seed_ids .. dateline_box). Union across r1-r9 keeps every
-    # registered query with a green driver row.
+    # row. Round 10 executes VERDICT r9 "Next round #1": the 48
+    # remaining stale rows (most recent driver row r2/r4; all pass the
+    # full local oracle run) take positions 1-48, ahead of any new
+    # operator; the last 2 window slots go to the two entries whose
+    # CODE changed this round (ADVICE r9 fixes: containment
+    # round-before-compare, chunk_dedup NULL-doc_id contract). With
+    # this window green, every registered query's most recent driver
+    # row is r8+ — zero stale rows. New r10 operators sit BEHIND the
+    # cap (local-oracle + pytest covered; they rotate into the window
+    # in r11).
     return {
-        # --- r9 rotation, first 50 = the driver correctness window ---
-        # (a000) NEW in r9 session 5: chunk-granular dedup transforms
-        # + score/drift evaluation metrics
-        "chunk_dedup": q_chunk_dedup,
-        "within_doc_dedup": q_within_doc_dedup,
-        "score_auc": q_score_auc,
-        "ks_drift": q_ks_drift,
-        "centroid_drift": q_centroid_drift,
-        "rrf_fusion": q_rrf_fusion,
-        "embed_cov": q_embed_cov,
-        "calibration": q_calibration,
-        "threshold_sweep": q_threshold_sweep,
-        "edit_near_dup": q_edit_near_dup,
-        "cluster_quality": q_cluster_quality,
-        "winnow_overlap": q_winnow_overlap,
-        "containment": q_containment,
-        "rolling_active": q_rolling_active,
-        "dup_threshold_hist": q_dup_threshold_hist,
-        "seq_holdout": q_seq_holdout,
-        # (a00) NEW in r9 session 4: the remaining classic TPC-H query
-        # shapes (Q9/Q11/Q12/Q16/Q20 adapted to the testdata schema)
-        "supplier_profit": q_supplier_profit,
-        "nation_value_share": q_nation_value_share,
-        "ship_delay_dist": q_ship_delay_dist,
-        "supplier_cnt": q_supplier_cnt,
-        "dominant_suppliers": q_dominant_suppliers,
-        # (a01) NEW in r9 session 4: corpus-health + label-noise
-        # diagnostics (template detection, Zipf fit, language mix,
-        # per-class embedding outliers)
-        "prefix_templates": q_prefix_templates,
-        "zipf_fit": q_zipf_fit,
-        "lang_mix": q_lang_mix,
-        "embed_outliers": q_embed_outliers,
-        "curation_funnel": q_curation_funnel,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "lsh_recall": q_lsh_recall,
-        "compaction_plan": q_compaction_plan,
-        "key_skew": q_key_skew,
-        "resample": q_resample,
-        "temporal_split": q_temporal_split,
-        "group_kfold": q_group_kfold,
-        # (a0) NEW in r9: fuzzy (MinHash+Jaccard) decontamination +
-        # token-budget mixture realization
-        "fuzzy_decontam": q_fuzzy_decontam,
-        "token_budget": q_token_budget,
-        "source_overlap": q_source_overlap,
-        "leak_safe_split": q_leak_safe_split,
-        # (a) queries whose implementation or oracle CHANGED this round
-        # (advice fixes: filtered tokenization, prefix-leakage guard,
-        # single-split case; graph-oracle NULL-endpoint filters; k_core
-        # private persist chain) — changed code gets a fresh driver row
-        "token_entropy": q_token_entropy,
-        "readability": q_readability,
-        "dup_leakage": q_dup_leakage,
-        "stratified_split": q_stratified_split,
-        "pagerank": q_pagerank,
-        "hits_auth": q_hits_auth,
-        "bfs_hops": q_bfs_hops,
-        "k_core": q_k_core,
-        # (b) 41 of the 53 entries whose most recent driver row was
-        # r2/r4 (VERDICT r8 "stale rows" finding): all pass the full
-        # local oracle run, but the r5-r8 persist/cache/parallelism
-        # rework had never been driver-checked on them
-        "json_round_trip": q_json_round_trip,
-        "attach_origin": q_attach_origin,
-        "prune_orphans": q_prune_orphans,
-        "merge_picks": q_merge_picks,
-        "ci_glob": q_ci_glob,
-        # --- driver cap (50): the 16 session-5 queries above displaced
-        # seed_ids .. embed_quantize from the window; they lead the
-        # r10 rotation together with the 32 below the old cap ---
+        # --- r10 rotation, first 50 = the driver correctness window ---
+        # (a) the 48 stale r2/r4 rows (VERDICT r9 "What's missing" #2)
         "seed_ids": q_seed_ids,
         "trim_traces": q_trim_traces,
         "s_before_p": q_s_before_p,
@@ -10694,13 +10632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stationxml_rt": q_stationxml_rt,
         "normalize_seed": q_normalize_seed,
         "stream_proc": q_stream_proc,
-        # (b+) the flagship interval join, also getting sf1 evidence
-        # this round
         "event_window_join": q_event_window_join,
-        # (c) the 15 pre-session-4 stale rows — rotate into the cap in
-        # r10 (glob_filter / fdsn_event_query / ppm_roundtrip /
-        # fetcher_windows displaced past the cap by the four new r9
-        # queries)
         "fetcher_windows": q_fetcher_windows,
         "ppm_roundtrip": q_ppm_roundtrip,
         "fdsn_event_query": q_fdsn_event_query,
@@ -10716,6 +10648,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_search": q_radius_search,
         "spatial_knn": q_spatial_knn,
         "dateline_box": q_dateline_box,
+        # (b) the 2 entries whose code changed this round (ADVICE r9)
+        "containment": q_containment,
+        "chunk_dedup": q_chunk_dedup,
+        # --- driver cap (50) ---
+        # (c) driver-green r9, unchanged (new-in-r9 operators + the
+        # r9 changed-code wave; rotate normally from r11 on)
+        "within_doc_dedup": q_within_doc_dedup,
+        "score_auc": q_score_auc,
+        "ks_drift": q_ks_drift,
+        "centroid_drift": q_centroid_drift,
+        "rrf_fusion": q_rrf_fusion,
+        "embed_cov": q_embed_cov,
+        "calibration": q_calibration,
+        "threshold_sweep": q_threshold_sweep,
+        "edit_near_dup": q_edit_near_dup,
+        "cluster_quality": q_cluster_quality,
+        "winnow_overlap": q_winnow_overlap,
+        "rolling_active": q_rolling_active,
+        "dup_threshold_hist": q_dup_threshold_hist,
+        "seq_holdout": q_seq_holdout,
+        "supplier_profit": q_supplier_profit,
+        "nation_value_share": q_nation_value_share,
+        "ship_delay_dist": q_ship_delay_dist,
+        "supplier_cnt": q_supplier_cnt,
+        "dominant_suppliers": q_dominant_suppliers,
+        "prefix_templates": q_prefix_templates,
+        "zipf_fit": q_zipf_fit,
+        "lang_mix": q_lang_mix,
+        "embed_outliers": q_embed_outliers,
+        "curation_funnel": q_curation_funnel,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "lsh_recall": q_lsh_recall,
+        "compaction_plan": q_compaction_plan,
+        "key_skew": q_key_skew,
+        "resample": q_resample,
+        "temporal_split": q_temporal_split,
+        "group_kfold": q_group_kfold,
+        "fuzzy_decontam": q_fuzzy_decontam,
+        "token_budget": q_token_budget,
+        "source_overlap": q_source_overlap,
+        "leak_safe_split": q_leak_safe_split,
+        "token_entropy": q_token_entropy,
+        "readability": q_readability,
+        "dup_leakage": q_dup_leakage,
+        "stratified_split": q_stratified_split,
+        "pagerank": q_pagerank,
+        "hits_auth": q_hits_auth,
+        "bfs_hops": q_bfs_hops,
+        "k_core": q_k_core,
+        "json_round_trip": q_json_round_trip,
+        "attach_origin": q_attach_origin,
+        "prune_orphans": q_prune_orphans,
+        "merge_picks": q_merge_picks,
+        "ci_glob": q_ci_glob,
         # (d) driver-green r5-r8, unchanged
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,

@@ -2434,6 +2434,12 @@ def chunk_dedup(
     Output: ``(id, n_chunks, n_kept, clean_text)`` — one row per input
     document, ``clean_text = ''`` when every chunk was a duplicate (or
     the document was empty).
+
+    Contract: ``id_col`` must be non-NULL — NULL-id rows are DROPPED
+    (filtered before chunking, same as the oracle twin). A NULL id has
+    no join identity (NULL != NULL), so "one output row per document"
+    is undefined for it; pinned by the degenerate-text fixture
+    (ADVICE r9 #3).
     """
     from obsplus_spark.operators.text import chunk_token_exprs
     from obsplus_spark.util import ensure_parallelism, sql_over
@@ -2445,6 +2451,7 @@ def chunk_dedup(
         WITH t AS (
           SELECT {id_col}, {toks} AS _toks
           FROM {{d}}
+          WHERE {id_col} IS NOT NULL
         ),
         c AS (
           SELECT {id_col}, {nch} AS _nch, _toks
@@ -2593,24 +2600,31 @@ def containment_pairs(
         min_shared=1, max_bucket=max_bucket,
     ).select("id1", "id2")
     grams = gram_hash_array(df, id_col=id_col, text_col=text_col, n=k)
+    # Threshold filter runs on the 6-dp ROUNDED ratios — the same
+    # doubles the output (and the DuckDB oracle twin) carries — so the
+    # keep/drop decision at the boundary is computed from an identical
+    # value on both engines (house round-before-compare convention;
+    # ADVICE r9 #1: raw-vs-rounded filters can diverge within 5e-7 of
+    # the threshold on large docs where n_inter/na is fine-grained).
     return sql_over(
         {"p": cands, "g": grams},
         f"""
-        SELECT id1, id2, n_inter,
-               round(n_inter / CAST(nullif(na, 0) AS DOUBLE), 6) AS c1,
-               round(n_inter / CAST(nullif(nb, 0) AS DOUBLE), 6) AS c2
+        SELECT id1, id2, n_inter, c1, c2
         FROM (
-          SELECT p.id1, p.id2,
-                 CAST(size(array_intersect(a.grams, b.grams))
-                      AS BIGINT) AS n_inter,
-                 size(a.grams) AS na, size(b.grams) AS nb
-          FROM {{p}} p
-          JOIN {{g}} a ON a.{id_col} = p.id1
-          JOIN {{g}} b ON b.{id_col} = p.id2
+          SELECT id1, id2, n_inter,
+                 round(n_inter / CAST(nullif(na, 0) AS DOUBLE), 6) AS c1,
+                 round(n_inter / CAST(nullif(nb, 0) AS DOUBLE), 6) AS c2
+          FROM (
+            SELECT p.id1, p.id2,
+                   CAST(size(array_intersect(a.grams, b.grams))
+                        AS BIGINT) AS n_inter,
+                   size(a.grams) AS na, size(b.grams) AS nb
+            FROM {{p}} p
+            JOIN {{g}} a ON a.{id_col} = p.id1
+            JOIN {{g}} b ON b.{id_col} = p.id2
+          )
         )
-        WHERE greatest(n_inter / CAST(nullif(na, 0) AS DOUBLE),
-                       n_inter / CAST(nullif(nb, 0) AS DOUBLE))
-              >= {thr!r}D
+        WHERE greatest(c1, c2) >= {thr!r}D
         """,
     )
 

@@ -284,6 +284,12 @@ def cms_estimates(
     """
     from obsplus_spark.util import sql_over
 
+    # Same guard as cms_counters: the 38-char extended digest supports
+    # exactly 16 stride-2 8-hex windows; a larger depth would silently
+    # read past the digest end and probe skewed truncated-hash buckets
+    # (ADVICE r9 #2 — both halves of the sketch API fail loudly).
+    if not 1 <= int(depth) <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
     return sql_over(
         {"cand": candidates, "ctr": counters},
         f"""

@@ -1996,12 +1996,19 @@ def within_doc_dedup(
 
     Output: ``(id, n_chunks, n_kept, clean_text)`` — one row per input
     document, empty/NULL text folding to ``(0, 0, '')``.
+
+    Contract: ``id_col`` must be non-NULL — NULL-id rows are DROPPED
+    (same contract as ``dedup.chunk_dedup`` and the shared oracle
+    twin; a NULL id has no join identity, so per-document output rows
+    are undefined for it). Still zero exchanges — the filter is
+    map-side.
     """
     from obsplus_spark.util import ensure_parallelism
 
     toks, nch, chunks = chunk_token_exprs(text_col, chunk_tokens)
     return (
         ensure_parallelism(df)
+        .where(f"{id_col} IS NOT NULL")
         .selectExpr(id_col, f"{toks} AS _toks")
         .selectExpr(id_col, f"{nch} AS _nch", "_toks")
         .selectExpr(id_col, f"{chunks} AS _chunks")

@@ -929,10 +929,16 @@ def test_seq_holdout_single_keyed_exchange(plans):
     assert not any(m in p for m in _JOIN_MARKERS)
 
 
-def test_rolling_active_two_keyed_exchanges(plans):
-    """Rolling active users: the (day,user) DISTINCT and the day-keyed
-    count-distinct are the only keyed exchanges (the window-day
-    contribution explode is in-row); no joins."""
+def test_rolling_active_three_keyed_exchanges(plans):
+    """Rolling active users: exactly THREE keyed exchanges — the
+    (day,user) DISTINCT (map-side combined), then the two that
+    Catalyst's count-DISTINCT rewrite emits for the day-keyed
+    recount: the Expand/grouping-id dedup exchange on
+    (day, case-expr, u, gid) and the final day-keyed aggregate. The
+    window-day contribution explode is in-row (no exchange of its
+    own); no joins anywhere. Pinned == 3 (ADVICE r9 #4: `<= 3` would
+    let a fourth corpus-sized shuffle — e.g. losing the map-side
+    DISTINCT combine — slip through)."""
     p, simple = plans["rolling_active"]
     assert not any(m in p for m in _JOIN_MARKERS)
-    assert simple.count("Exchange hashpartitioning") <= 3
+    assert simple.count("Exchange hashpartitioning") == 3
