@@ -48,33 +48,23 @@ WIN_NS = 600 * NS
 #: dimension tables — at 100 TB you cache dims, not facts, and the same
 #: env knob applies). Disable with SPARK_GRAFT_CACHE=0. Values are the
 #: same DataFrames either way, so results are identical.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# the registry itself lives in obsplus_spark.cache (VERDICT r9 #5: one
+# module owns every persist-lifecycle mechanism); _t below remains the
+# only writer
+from obsplus_spark.cache import (  # noqa: E402
+    _TABLE_CACHE,
+    evict_dead_sessions as _evict_dead_sessions,
+)
 
 
 def _ring(df: DataFrame) -> None:
     """Register a query-level persisted intermediate in the bounded
-    per-session cache ring (dedup.py's) so repeated plan builds in one
-    session — bench reps, check loops — release older persists instead
-    of accumulating one per build (r6 review)."""
-    from obsplus_spark.operators.dedup import _register_shingle_cache
+    per-session cache ring so repeated plan builds in one session —
+    bench reps, check loops — release older persists instead of
+    accumulating one per build (r6 review)."""
+    from obsplus_spark.cache import register_shingle_cache
 
-    _register_shingle_cache(df)
-
-
-def _evict_dead_sessions() -> None:
-    """Drop _TABLE_CACHE entries whose SparkSession has stopped: the
-    cached DataFrames pin their session (and its JVM-side blocks), so a
-    driver that cycles sessions in one process would otherwise grow one
-    persisted table set per dead session (r6 review)."""
-    dead = []
-    for key, df in _TABLE_CACHE.items():
-        try:
-            if df.sparkSession._jsc.sc().isStopped():
-                dead.append(key)
-        except Exception:
-            dead.append(key)  # JVM gateway gone — certainly dead
-    for key in dead:
-        _TABLE_CACHE.pop(key, None)
+    register_shingle_cache(df)
 
 
 _CONFIGURED_SESSIONS: set[int] = set()
@@ -9188,6 +9178,103 @@ _SQL_CASCADE = """
 """
 
 
+def q_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide (256-bit) perceptual-hash near-dup — codecs.
+    average_hash_wide + dedup.phash_near_dup_wide: the corpus-scale
+    escape for 16-bit band birthday saturation (VERDICT r9 weak #1).
+    Fixed 64×64 per-user image from (event count, user class) with a
+    one-pixel per-user perturbation, PPM codec round-trip, 16×16-cell
+    integer aHash → eight 32-bit words, 32-bit LSH bands through the
+    sparse two-pass bucket pairing, zip_with popcount verify."""
+    from obsplus_spark.operators.dedup import (
+        _register_shingle_cache,
+        phash_near_dup_wide,
+    )
+    from obsplus_spark.util import sorted_group_apply
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def _emit(user_id, chunks):
+        import numpy as np
+
+        from obsplus_spark.operators.codecs import (
+            average_hash_wide,
+            decode_ppm,
+            encode_ppm,
+        )
+
+        # the image depends only on (stream length, user class) plus a
+        # single user-keyed perturbed pixel — same rule as the DuckDB
+        # twin, order-free, so event ids never need sorting
+        n = sum(len(c) for c in chunks)
+        u = int(user_id)
+        i = np.arange(64 * 64, dtype=np.int64)
+        b = ((i * 37 + (u % 5) * 11 + n * 13) % 256).astype(np.uint8)
+        p = u % 4096
+        b[p] = (int(b[p]) + 128) % 256
+        img = decode_ppm(encode_ppm(b.reshape(64, 64)))
+        return (u, [int(w) for w in average_hash_wide(img)])
+
+    hashes = sorted_group_apply(
+        ev, "user_id", _emit, "user_id long, words array<long>"
+    )
+    hashes = hashes.persist()
+    _register_shingle_cache(hashes)
+    return phash_near_dup_wide(
+        hashes, max_hamming=16, id_col="user_id", words_col="words"
+    )
+
+
+_SQL_PHASH_WIDE = """
+    WITH u AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    px AS (
+      SELECT u.user_id,
+             CAST(s.i AS BIGINT) AS i,
+             CASE WHEN s.i = u.user_id % 4096
+                  THEN ((s.i * 37 + (u.user_id % 5) * 11 + u.n * 13)
+                        % 256 + 128) % 256
+                  ELSE (s.i * 37 + (u.user_id % 5) * 11 + u.n * 13) % 256
+             END AS b
+      FROM u, unnest(range(4096)) AS s(i)
+    ),
+    cells AS (
+      SELECT user_id,
+             ((i // 64) // 4) * 16 + ((i % 64) // 4) AS cell,
+             sum(b) AS cs
+      FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, sum(cs) AS total FROM cells GROUP BY user_id),
+    bits AS (
+      SELECT c.user_id, c.cell,
+             CASE WHEN c.cs * 256 > t.total THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (user_id)
+    ),
+    words AS (
+      SELECT user_id, CAST(cell // 32 AS BIGINT) AS j,
+             CAST(sum(bit * (1::BIGINT << CAST(cell % 32 AS INTEGER)))
+                  AS BIGINT) AS w
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.user_id AS id1, b.user_id AS id2
+      FROM words a JOIN words b
+        ON a.j = b.j AND a.w = b.w AND a.user_id < b.user_id
+    )
+    SELECT c.id1, c.id2, CAST(hamming AS INTEGER) AS hamming
+    FROM (
+      SELECT c.id1, c.id2,
+             sum(CAST(bit_count(xor(x.w, y.w)) AS INTEGER)) AS hamming
+      FROM cand c
+      JOIN words x ON x.user_id = c.id1
+      JOIN words y ON y.user_id = c.id2 AND y.j = x.j
+      GROUP BY c.id1, c.id2
+    ) c
+    WHERE hamming <= 16
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup by perceptual hash: per-user grayscale images
     (class-correlated pixel streams so true near-dups exist) round-trip
@@ -10747,6 +10834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stations_from_stream": q_stations_from_stream,
         "canonical_docs": q_canonical_docs,
         "image_phash": q_image_phash,
+        "phash_wide": q_phash_wide,  # NEW r10 (behind cap; rotates r11)
         "audio_segments": q_audio_segments,
         "winsorize": q_winsorize,
         "dup_spans": q_dup_spans,
@@ -10853,6 +10941,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_search": _SQL_BOOL_SEARCH,
         "cascade_delete": _SQL_CASCADE,
         "image_phash": _SQL_IMAGE_PHASH,
+        "phash_wide": _SQL_PHASH_WIDE,
         "audio_segments": _SQL_AUDIO_SEGMENTS,
         "dup_spans": _SQL_DUP_SPANS,
         "column_corr": _column_corr_oracle_sql(),

@@ -351,3 +351,45 @@ def average_hash(img, grid_rows: int = 4, grid_cols: int = 16):
             else:
                 hi |= 1 << (k - 32)
     return lo, hi
+
+
+def average_hash_wide(img, grid_rows: int = 16, grid_cols: int = 16):
+    """WIDE perceptual average-hash: same exact integer rule as
+    :func:`average_hash` (``cell_sum · n_cells > total_sum``), but the
+    grid may exceed 64 cells and the row-major bit string packs into a
+    LIST of 32-bit words (bit k → word ``k div 32``, bit ``k mod 32``)
+    — the hash format :func:`obsplus_spark.operators.dedup.
+    phash_near_dup_wide` bands at 32 bits per band. The default 16×16
+    grid yields a 256-bit code in 8 words.
+
+    Why it exists: 64-bit aHash banding (4×16-bit bands) birthday-
+    saturates once the corpus grows well past 2¹⁶ images — RANDOM
+    hashes collide at ~n²/2¹⁶ candidate pairs regardless of true
+    duplicate mass. 32-bit bands push that wall to ~n²/2³², i.e. out
+    past billions of images, while the wider code keeps per-band
+    pigeonhole recall (any pair within Hamming ``n_words − 1`` shares
+    an untouched band).
+
+    Returns a list of ``ceil(cells/32)`` ints in ``[0, 2³²)``, or
+    ``None`` when the image is smaller than one grid cell per axis.
+    """
+    import numpy as np
+
+    gr, gc = int(grid_rows), int(grid_cols)
+    if gr < 1 or gc < 1 or gr * gc > 4096:
+        raise ValueError(f"grid must be 1..4096 cells, got {gr}x{gc}")
+    a = np.asarray(img)
+    if a.ndim != 2:
+        raise ValueError(f"expected a 2-D grayscale image, got {a.ndim}-D")
+    ch, cw = a.shape[0] // gr, a.shape[1] // gc
+    if ch == 0 or cw == 0:
+        return None
+    a = a[: ch * gr, : cw * gc].astype(np.int64)
+    cells = a.reshape(gr, ch, gc, cw).sum(axis=(1, 3)).reshape(-1)
+    total = int(cells.sum())
+    n = gr * gc
+    words = [0] * ((n + 31) // 32)
+    for k, s in enumerate(cells):
+        if int(s) * n > total:
+            words[k // 32] |= 1 << (k % 32)
+    return words

