@@ -3195,7 +3195,7 @@ _SQL_WAV = f"""
     WITH s AS (
       SELECT user_id,
              CAST(trunc((2.0 * (value - floor(value)) - 1.0) * 32767.0) AS BIGINT) AS k
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
     ),
     g AS (
       SELECT user_id, count(*) AS n_samples, sum(k * k) AS sum_sq,
@@ -3385,7 +3385,7 @@ _SQL_PPM = """
              row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
                AS rn,
              count(*) OVER (PARTITION BY user_id) AS n
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     g AS (
       SELECT user_id, count(*) AS n_px, CAST(sum(b) AS BIGINT) AS sum_b,
@@ -8751,7 +8751,7 @@ _SQL_IMAGE_PATCHES = """
                - 1 AS i,
              (event_id * 37 + 11) % 256 AS b,
              count(*) OVER (PARTITION BY user_id) AS n
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     )
     SELECT user_id,
            (i // 16) // 4 AS patch_row,
@@ -9227,7 +9227,8 @@ def q_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PHASH_WIDE = """
     WITH u AS (
-      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      SELECT user_id, count(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     px AS (
       SELECT u.user_id,
@@ -9329,7 +9330,7 @@ _SQL_IMAGE_PHASH = """
              row_number() OVER (PARTITION BY user_id ORDER BY event_id)
                - 1 AS i,
              count(*) OVER (PARTITION BY user_id) AS n
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     px AS (
       SELECT user_id,

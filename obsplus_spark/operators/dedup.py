@@ -597,19 +597,37 @@ def near_duplicates(
     # digest pass still runs once. `counted` is its own projection so
     # array_intersect provably evaluates once per pair (CollapseProject
     # keeps non-cheap expressions single-use).
-    lanes = ",\n             ".join(_lane_exprs(n_hashes))
+    # lanes/bands in DATA-DRIVEN array form (j/b are sequence values,
+    # not unrolled columns): the per-lane rule is byte-identical to
+    # _lane_exprs/_band_structs — lane j = min over digests of the
+    # uint32 at hex offset 2j, band hash = md5 over '|'-joined lane
+    # strings — but the expression tree is O(1) in n_hashes instead of
+    # O(n_hashes) lambda copies, which cut this statement's Catalyst
+    # ANALYSIS time (the dominant plan-build cost at 16 lanes: ~0.45 s
+    # of the 0.8 s dup_threshold_hist build, VERDICT r9 #4) by ~3×.
+    rpb = n_hashes // bands
     return sql_over(
         {"arr": arr},
         f"""
         WITH sig AS (
           SELECT {id_col},
-             {lanes}
+             transform(sequence(0, {n_hashes - 1}), j ->
+               array_min(transform(shingles, h ->
+                 CAST(conv(substring(h, CAST(2 * j + 1 AS INT), 8),
+                           16, 10) AS BIGINT)))) AS _mh
           FROM {{arr}}
         ),
         banded AS (
           SELECT {id_col}, bh.band, bh.band_hash
           FROM (SELECT {id_col},
-                       explode(array({_band_structs(n_hashes, bands)})) AS bh
+                       explode(transform(sequence(0, {bands - 1}), b ->
+                         named_struct(
+                           'band', CAST(b AS INT),
+                           'band_hash', md5(concat_ws('|',
+                             transform(
+                               slice(_mh, CAST(b * {rpb} + 1 AS INT),
+                                     {rpb}),
+                               x -> CAST(x AS STRING))))))) AS bh
                 FROM sig)
         ),
         buckets AS (
@@ -948,15 +966,12 @@ def leakage_safe_split(
     Output: the input columns + ``split_key`` (the component/cluster id
     the hash keyed on, for audit) + ``split``.
     """
+    from obsplus_spark.util import sql_over
+
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError("split weights must sum to 100")
-    clusters = dedup_clusters(
-        pairs, max_iterations=max_iterations
-    ).selectExpr(f"id AS _mid", "cluster_id AS _cluster")
-    joined = df.join(
-        clusters, df[id_col] == clusters._mid, "left"
-    ).drop("_mid")
+    clusters = dedup_clusters(pairs, max_iterations=max_iterations)
     bucket = f"{_md5_u32_sql('split_key', salt)} % 100"
     case, lo = "CASE", 0
     for name, w in weights.items():
@@ -964,14 +979,21 @@ def leakage_safe_split(
         case += f" WHEN _bucket < {hi} THEN '{name}'"
         lo = hi
     case += " END"
-    return (
-        joined.selectExpr(
-            "*", f"coalesce(_cluster, {id_col}) AS split_key"
+    # one statement end to end (join + split_key + bucket + label): the
+    # old chained selectExpr/drop tail re-analyzed the FULL upstream
+    # near-dup + cluster-propagation tree five times — the single
+    # costliest plan build in the registry (~0.5 s warm, VERDICT r9 #4)
+    cols = ", ".join(df.columns)
+    return sql_over(
+        {"d": df, "c": clusters},
+        f"""
+        SELECT {cols}, split_key, {case.replace("_bucket", f"({bucket})")}
+               AS split
+        FROM (
+          SELECT d.*, coalesce(c.cluster_id, d.{id_col}) AS split_key
+          FROM {{d}} d LEFT JOIN {{c}} c ON d.{id_col} = c.id
         )
-        .drop("_cluster")
-        .selectExpr("*", f"{bucket} AS _bucket")
-        .selectExpr("*", f"{case} AS split")
-        .drop("_bucket")
+        """,
     )
 
 

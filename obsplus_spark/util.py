@@ -39,6 +39,12 @@ def sorted_group_apply(
     if len(val_cols) != 1:
         raise ValueError("sorted_group_apply expects one value column")
     vcol = val_cols[0]
+    # Contract: NULL keys are DROPPED (a NULL key has no group
+    # identity, same rule as chunk_dedup's id contract). Before this
+    # filter a NULL key reached the kernel as numpy NaN and crashed on
+    # int(key) — found by the degenerate-media sweep; the DuckDB
+    # oracle twins filter NULL keys in lockstep.
+    df = df.where(f"{key_col} IS NOT NULL")
     out_names = [f.strip().split()[0] for f in schema.split(",")]
 
     def _scan(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":

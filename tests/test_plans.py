@@ -42,6 +42,7 @@ PYTHON_STAGE_QUERIES = {
     "stationxml_rt",    # StationXML parser
     "stream_proc",      # user Stream→Stream callback (applyInPandas)
     "video_frames",     # PPMV video container codec + frame sampler
+    "phash_wide",       # PPM codec + wide average-hash kernel
 }
 
 _PY_MARKERS = (

@@ -32,9 +32,15 @@ def main() -> int:
     only = set(sys.argv[3:])
 
     # --- engine side (bench.py protocol) ---
+    import os
+
+    # partitions sized to the DATA, not the bench constant: 4 is the
+    # sf0.1 sweep minimum, but a 10-80× synthetic dir needs shuffle
+    # width to follow the fact tables (the r9 phash harness lesson,
+    # pinned by VERDICT r9 #7). Override via SPARK_GRAFT_SHUFFLE.
     spark = get_spark(
         "bench_compare",
-        shuffle_partitions=4,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4")),
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     qs = m.queries()
