@@ -10666,6 +10666,159 @@ _SQL_SEQ_HOLDOUT = """
 """
 
 
+def q_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-stitch (suffix-prefix seam) detection — operators/dedup.py
+    stitch_pairs: pairs whose tail-k tokens equal another doc's head-k
+    tokens, the crawl-export split signature the Jaccard family misses.
+    Fixture: every document ≥ 2k+2 tokens splits into two derived
+    shards sharing a k-token seam (doc_id*2, doc_id*2+1), so true
+    seams exist at every sf; the operator must recover exactly those
+    (plus any accidental cross-doc seams, which both engines see)."""
+    from obsplus_spark.operators.dedup import stitch_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    k = 4
+    shards = docs.selectExpr(
+        "doc_id",
+        r"filter(split(trim(lower(coalesce(text, ''))), '\\s+'),"
+        " t -> t != '') AS _toks",
+    ).where(f"size(_toks) >= {2 * k + 2}").selectExpr(
+        "doc_id",
+        "CAST(size(_toks) / 2 AS INT) AS _m",
+        "_toks",
+    ).selectExpr(
+        f"explode(array(named_struct('doc_id', doc_id * 2, 'text',"
+        f" concat_ws(' ', slice(_toks, 1, _m + {k}))),"
+        f" named_struct('doc_id', doc_id * 2 + 1, 'text',"
+        f" concat_ws(' ', slice(_toks, _m + 1, size(_toks) - _m)))))"
+        " AS s"
+    ).select("s.doc_id", "s.text")
+    return stitch_pairs(shards, k=k).orderBy("prev_id", "next_id")
+
+
+_SQL_STITCH_PAIRS = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                            '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id * 2 AS doc_id,
+             list_slice(w, 1, CAST(len(w) // 2 AS BIGINT) + 4) AS w
+      FROM t WHERE len(w) >= 10
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             list_slice(w, CAST(len(w) // 2 AS BIGINT) + 1, len(w))
+      FROM t WHERE len(w) >= 10
+    ),
+    wins AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, 1, 4), ' ') AS hk,
+             array_to_string(list_slice(w, len(w) - 3, len(w)), ' ') AS tk
+      FROM sh WHERE len(w) >= 8
+    ),
+    hot AS (
+      SELECT hk AS key FROM wins GROUP BY hk HAVING count(*) > 32
+      UNION
+      SELECT tk FROM wins GROUP BY tk HAVING count(*) > 32
+    ),
+    heads AS (
+      SELECT doc_id, hk FROM wins
+      WHERE hk NOT IN (SELECT key FROM hot)
+    ),
+    tails AS (
+      SELECT doc_id, tk FROM wins
+      WHERE tk NOT IN (SELECT key FROM hot)
+    )
+    SELECT t.doc_id AS prev_id, h.doc_id AS next_id
+    FROM tails t JOIN heads h
+      ON t.tk = h.hk AND t.doc_id != h.doc_id
+    ORDER BY prev_id, next_id
+"""
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum-ordering key — operators/dedup.py
+    curriculum_key: difficulty bin (length-derived score here) + the
+    house md5 uniform inside each bin, emitted as a SORT KEY instead of
+    exact positions (map-only, zero exchanges — exact per-bin ranks
+    would put corpus/bins rows on one window partition)."""
+    from obsplus_spark.operators.dedup import curriculum_key
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "least(1.0, n_chars / 2000.0) AS score"
+    )
+    return curriculum_key(docs, "score", bins=4)
+
+
+_SQL_CURRICULUM = """
+    SELECT doc_id,
+           CAST(least(3, greatest(0, CAST(floor(
+               least(1e0, n_chars / 2e3) * 4) AS INTEGER))) AS INTEGER)
+             AS bin,
+           round(CAST(least(3, greatest(0, CAST(floor(
+               least(1e0, n_chars / 2e3) * 4) AS INTEGER)))
+             + (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))
+                ::BIGINT) / CAST(4294967296 AS DOUBLE) AS DOUBLE), 6)
+             AS curriculum_key
+    FROM documents
+"""
+
+
+def q_dim_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-quality evaluation —
+    operators/similarity.py dim_truncation_eval: how the first-d-dims
+    cosine tracks the full cosine over deterministic consecutive-id
+    probe pairs; one keyed self equi-join, widths explode in-row."""
+    from obsplus_spark.operators.similarity import dim_truncation_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dim_truncation_eval(emb, dims=(8, 16, 32))
+
+
+_SQL_DIM_TRUNC = """
+    WITH p AS (
+      SELECT a.vec_id AS pid, a.embedding AS va, b.embedding AS vb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ),
+    e AS (
+      SELECT p.pid, g.i,
+             CAST(va[CAST(g.i AS INTEGER)] AS DOUBLE) AS xa,
+             CAST(vb[CAST(g.i AS INTEGER)] AS DOUBLE) AS xb
+      FROM p, generate_series(1, 4096) AS g(i)
+      WHERE g.i <= len(va)
+    ),
+    s AS (
+      SELECT e.pid, d.dim,
+             sum(CASE WHEN e.i <= d.dim THEN xa * xb END) AS dot_d,
+             sum(CASE WHEN e.i <= d.dim THEN xa * xa END) AS na_d,
+             sum(CASE WHEN e.i <= d.dim THEN xb * xb END) AS nb_d,
+             sum(xa * xb) AS dot_f,
+             sum(xa * xa) AS na_f,
+             sum(xb * xb) AS nb_f
+      FROM e, (VALUES (8), (16), (32)) AS d(dim)
+      GROUP BY e.pid, d.dim
+    ),
+    c AS (
+      SELECT dim,
+             dot_d / nullif(sqrt(na_d) * sqrt(nb_d), 0e0) AS c_d,
+             dot_f / nullif(sqrt(na_f) * sqrt(nb_f), 0e0) AS c_full
+      FROM s
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(c_d - c_full)), 6) AS mae,
+           round(avg(CASE WHEN (c_d >= 0) = (c_full >= 0)
+                          THEN 1e0 ELSE 0e0 END), 6) AS sign_agree
+    FROM c
+    WHERE c_d IS NOT NULL AND c_full IS NOT NULL
+    GROUP BY dim
+    ORDER BY dim
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10836,6 +10989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "image_phash": q_image_phash,
         "phash_wide": q_phash_wide,  # NEW r10 (behind cap; rotates r11)
+        "stitch_pairs": q_stitch_pairs,  # NEW r10
+        "curriculum": q_curriculum,  # NEW r10
+        "dim_trunc": q_dim_trunc,  # NEW r10
         "audio_segments": q_audio_segments,
         "winsorize": q_winsorize,
         "dup_spans": q_dup_spans,
@@ -10943,6 +11099,9 @@ def oracle_sql() -> dict[str, str]:
         "cascade_delete": _SQL_CASCADE,
         "image_phash": _SQL_IMAGE_PHASH,
         "phash_wide": _SQL_PHASH_WIDE,
+        "stitch_pairs": _SQL_STITCH_PAIRS,
+        "curriculum": _SQL_CURRICULUM,
+        "dim_trunc": _SQL_DIM_TRUNC,
         "audio_segments": _SQL_AUDIO_SEGMENTS,
         "dup_spans": _SQL_DUP_SPANS,
         "column_corr": _column_corr_oracle_sql(),

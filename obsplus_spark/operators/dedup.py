@@ -2805,3 +2805,131 @@ def sequential_holdout(
         WHERE {key_col} IS NULL OR {order_col} IS NULL
         """,
     )
+
+
+def stitch_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_bucket: int = 32,
+) -> DataFrame:
+    """Shard-stitch detection: pairs ``(prev_id, next_id)`` where the
+    LAST ``k`` tokens of one document equal the FIRST ``k`` tokens of
+    another — the signature of a crawl/export that split one source
+    document across records with an overlapping boundary window. The
+    near-dup family (MinHash, winnowing containment) misses these:
+    two halves of one document share only the 2k-token seam, far below
+    any Jaccard/containment threshold, yet for training dedup the pair
+    should be re-joined (or one seam copy dropped).
+
+    Tokens use the canonical lowercased whitespace convention
+    (:func:`normalize_text`); only documents with ≥ 2k tokens
+    participate (shorter ones have overlapping head/tail windows —
+    self-matching noise, not seams). Matching is by ``xxhash64`` of the
+    k-token window (accepted digest argument; the DuckDB twin joins
+    the window STRINGS).
+
+    Boilerplate guard: a window string occurring as head (or tail) of
+    more than ``max_bucket`` documents is a template artifact (shared
+    page chrome), not a seam — those keys are excluded via a
+    broadcast anti join (the HOT key set is tiny by construction,
+    bounded by |corpus|/max_bucket).
+
+    Scale shape: head/tail windows form in-row (map-only); one
+    map-combined count per side elects hot keys (broadcast each); the
+    seam match is ONE equi-join of the two window tables on the
+    64-bit key. No windows, no driver actions.
+
+    Output: ``(prev_id, next_id)`` — prev's tail == next's head; set
+    semantics, id-distinct pairs only.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    mb = int(max_bucket)
+    if mb < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("_toks"),
+    ).where(f"size(_toks) >= {2 * kk}")
+    wins = base.selectExpr(
+        id_col,
+        f"xxhash64(concat_ws(' ', slice(_toks, 1, {kk}))) AS _hk",
+        f"xxhash64(concat_ws(' ', slice(_toks, -{kk}, {kk}))) AS _tk",
+    )
+    return sql_over(
+        {"w": wins},
+        f"""
+        WITH hot_h AS (
+          SELECT _hk AS _key FROM {{w}}
+          GROUP BY _hk HAVING count(1) > {mb}
+        ),
+        hot_t AS (
+          SELECT _tk AS _key FROM {{w}}
+          GROUP BY _tk HAVING count(1) > {mb}
+        ),
+        hot AS (SELECT _key FROM hot_h UNION SELECT _key FROM hot_t),
+        heads AS (
+          SELECT /*+ BROADCAST(hot) */ w.{id_col}, w._hk
+          FROM {{w}} w LEFT ANTI JOIN hot ON w._hk = hot._key
+        ),
+        tails AS (
+          SELECT /*+ BROADCAST(hot) */ w.{id_col}, w._tk
+          FROM {{w}} w LEFT ANTI JOIN hot ON w._tk = hot._key
+        )
+        SELECT t.{id_col} AS prev_id, h.{id_col} AS next_id
+        FROM tails t JOIN heads h
+          ON t._tk = h._hk AND t.{id_col} != h.{id_col}
+        """,
+    )
+
+
+def curriculum_key(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    bins: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic curriculum-ordering key: documents sorted by the
+    returned ``curriculum_key`` stream easy→hard in ``bins`` difficulty
+    bands with a content-free shuffle inside each band —
+    ``key = bin + u`` where ``bin = floor(score·bins)`` (score in
+    [0, 1], clamped) and ``u = md5(id‖salt)/2³² ∈ [0, 1)`` (the house
+    :func:`hash_split` recipe, so the within-bin order is deterministic,
+    rerun-stable, and independent of ingest order).
+
+    Why a KEY and not positions: any exact global position assignment
+    (rank/ntile) is a total sort — per-bin windows put a corpus/bins
+    slice on ONE partition. Emitting a sort key instead is map-only
+    with ZERO exchanges at any corpus size; the single distributed sort
+    happens once, at write time, where the writer was sorting anyway
+    (the same layout argument as Z-ordering).
+
+    NULL scores get a NULL bin and key — the caller decides whether
+    unscored documents join the curriculum.
+
+    Output: ``(id, bin, curriculum_key)`` — bin INT, key DOUBLE
+    (6-dp-rounded, engine-portable).
+    """
+    b = int(bins)
+    if b < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    u32 = _md5_u32_sql(id_col, salt)
+    # explicit NULL branch: Spark's greatest/least SKIP nulls (greatest
+    # (0, NULL) = 0), which would silently fold unscored docs into the
+    # easiest bin instead of honoring the NULL-score contract
+    return df.selectExpr(
+        id_col,
+        f"CASE WHEN {score_col} IS NULL THEN CAST(NULL AS INT)"
+        f" ELSE CAST(least({b - 1}, greatest(0,"
+        f" CAST(floor({score_col} * {b}) AS INT))) AS INT) END AS bin",
+    ).selectExpr(
+        id_col,
+        "bin",
+        f"round(bin + {u32} / 4294967296.0D, 6) AS curriculum_key",
+    )

@@ -1313,3 +1313,83 @@ def cluster_quality(
         LEFT JOIN sep ON sep.cluster = c.cluster
         """,
     )
+
+
+def dim_truncation_eval(
+    vectors: DataFrame,
+    dims: "tuple[int, ...]" = (8, 16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation quality: how well does the cosine of
+    the FIRST ``d`` dimensions track the full-width cosine? The
+    evidence a pipeline reads before switching ANN/near-dup stages to a
+    cheaper truncated embedding (Kusupati et al. 2022, "Matryoshka
+    Representation Learning", public): if the d-dim cosine tracks the
+    full one, every downstream bucket/threshold decision transfers.
+
+    Probe pairs are CONSECUTIVE ids ``(v, v+1)`` — a deterministic
+    linear-size sample (corpus ids are hash-ordered upstream, so
+    consecutive pairs are unbiased), never the quadratic all-pairs.
+    Per pair and width: full cosine and truncated cosine (both in
+    DOUBLE, zero-norm → NULL per the house ``nullif`` rule); per
+    width: pair count with both cosines defined, mean absolute error,
+    and the fraction where both sit on the same side of 0 (the
+    bucketing-decision agreement).
+
+    Scale shape: ONE self equi-join on ``id = id+1`` (a single keyed
+    exchange; at write-bucketed layouts it co-locates), then the widths
+    explode IN-ROW from a literal array and every cosine is an in-row
+    ``zip_with``/``aggregate`` fold — the pair row count is |corpus|,
+    never |corpus|·|dims| across the wire (the explode happens after
+    the join, before the map-combined final aggregate).
+
+    Output: ``(dim, n_pairs, mae, sign_agree)`` — mae/sign_agree
+    6-dp-rounded, dims ordered.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    ds = sorted({int(d) for d in dims})
+    if not ds or ds[0] < 1:
+        raise ValueError(f"dims must be positive ints, got {dims}")
+    dim_arr = ", ".join(str(d) for d in ds)
+
+    def cos(a: str, b: str, n: str) -> str:
+        return (
+            f"aggregate(zip_with(slice({a}, 1, {n}), slice({b}, 1, {n}),"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0.0D, (s, v) -> s + v)"
+            f" / nullif(sqrt(aggregate(slice({a}, 1, {n}), 0.0D,"
+            " (s, v) -> s + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+            f" * sqrt(aggregate(slice({b}, 1, {n}), 0.0D,"
+            " (s, v) -> s + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),"
+            " 0.0D)"
+        )
+
+    full = cos("_va", "_vb", "size(_va)")
+    trunc = cos("_va", "_vb", "d")
+    pairs = ensure_parallelism(vectors).selectExpr(
+        f"{id_col} AS _ida", f"{vec_col} AS _va"
+    ).join(
+        vectors.selectExpr(f"{id_col} - 1 AS _ida", f"{vec_col} AS _vb"),
+        "_ida",
+    )
+    return sql_over(
+        {"p": pairs},
+        f"""
+        SELECT dim,
+               CAST(count(1) AS BIGINT) AS n_pairs,
+               round(avg(abs(c_d - c_full)), 6) AS mae,
+               round(avg(CASE WHEN (c_d >= 0) = (c_full >= 0)
+                              THEN 1.0D ELSE 0.0D END), 6) AS sign_agree
+        FROM (
+          SELECT CAST(d AS INT) AS dim,
+                 {trunc} AS c_d,
+                 {full} AS c_full
+          FROM {{p}} LATERAL VIEW explode(array({dim_arr})) AS d
+        )
+        WHERE c_d IS NOT NULL AND c_full IS NOT NULL
+        GROUP BY dim
+        ORDER BY dim
+        """,
+    )
