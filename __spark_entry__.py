@@ -10893,6 +10893,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "chunk_dedup": q_chunk_dedup,
         # --- driver cap (50) ---
+        # r11 rotation head (code or oracle CHANGED in r10, or NEW in
+        # r10 — every one passes the full local oracle run at sf0.01;
+        # they take the window first next round): phash_wide,
+        # stitch_pairs, curriculum, dim_trunc (new);
+        # within_doc_dedup (NULL-id contract); minhash_near_dup,
+        # dup_threshold_hist, edit_near_dup, dedup_clusters,
+        # canonical_docs, leak_safe_split (near_duplicates array-form
+        # lanes / single-statement split tail); wav_roundtrip,
+        # ppm_roundtrip, image_patches, image_phash, mseed_roundtrip,
+        # video_frames, stream_proc, sds_chunks (sorted_group_apply
+        # NULL-key contract; first five also oracle NULL-user filters).
         # (c) driver-green r9, unchanged (new-in-r9 operators + the
         # r9 changed-code wave; rotate normally from r11 on)
         "within_doc_dedup": q_within_doc_dedup,
