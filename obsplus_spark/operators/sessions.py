@@ -905,6 +905,12 @@ def rolling_active_users(
        rows, already corpus-reduced);
     3. one (target-day)-keyed count-distinct.
 
+    Cost scales ×``window_days`` (the densified pair stream is
+    |distinct (day, user)| × window): right-sized for the 7/30-day
+    DAU/WAU/MAU family; a 365-day window multiplies the intermediate
+    365× — at that width switch to a month-bucketed two-level
+    approximation or an HLL-per-day merge (``sketches.hll``) instead.
+
     Days with no activity in the window emit nothing (callers densify
     the calendar downstream if zeros matter). NULL ts/user rows are
     excluded. ``ts_col`` is an ns-epoch LONG (the house convention —
