@@ -10819,6 +10819,30 @@ _SQL_DIM_TRUNC = """
 """
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source sample — operators/dedup.py
+    group_sample: bottom-k by the house md5 hash within each group
+    (subset-stable, rerun-stable, content-free); one group-keyed
+    exchange, rank<=k compiled to WindowGroupLimit."""
+    from obsplus_spark.operators.dedup import group_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return group_sample(docs, "source", k=5)
+
+
+_SQL_GROUP_SAMPLE = """
+    SELECT doc_id, source, lang, sample_rank
+    FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || ''), 1, 8))::BIGINT, doc_id) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_event_window_join(spark, "/root/testdata/sf0.001")
@@ -10896,7 +10920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11 rotation head (code or oracle CHANGED in r10, or NEW in
         # r10 — every one passes the full local oracle run at sf0.01;
         # they take the window first next round): phash_wide,
-        # stitch_pairs, curriculum, dim_trunc (new);
+        # stitch_pairs, curriculum, dim_trunc, group_sample (new);
         # within_doc_dedup (NULL-id contract); minhash_near_dup,
         # dup_threshold_hist, edit_near_dup, dedup_clusters,
         # canonical_docs, leak_safe_split (near_duplicates array-form
@@ -11003,6 +11027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_pairs": q_stitch_pairs,  # NEW r10
         "curriculum": q_curriculum,  # NEW r10
         "dim_trunc": q_dim_trunc,  # NEW r10
+        "group_sample": q_group_sample,  # NEW r10
         "audio_segments": q_audio_segments,
         "winsorize": q_winsorize,
         "dup_spans": q_dup_spans,
@@ -11113,6 +11138,7 @@ def oracle_sql() -> dict[str, str]:
         "stitch_pairs": _SQL_STITCH_PAIRS,
         "curriculum": _SQL_CURRICULUM,
         "dim_trunc": _SQL_DIM_TRUNC,
+        "group_sample": _SQL_GROUP_SAMPLE,
         "audio_segments": _SQL_AUDIO_SEGMENTS,
         "dup_spans": _SQL_DUP_SPANS,
         "column_corr": _column_corr_oracle_sql(),

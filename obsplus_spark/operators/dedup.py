@@ -2933,3 +2933,52 @@ def curriculum_key(
         "bin",
         f"round(bin + {u32} / 4294967296.0D, 6) AS curriculum_key",
     )
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample: the ``k`` rows of each group
+    with the smallest ``md5(id‖salt)`` — "give me k examples per
+    source/language/label" for eval sets, prompt audits, and labeling
+    batches. The hash order makes the sample content-free,
+    rerun-stable, and SUBSET-STABLE per group (a row already sampled
+    stays sampled as its group grows only if no k smaller hashes
+    arrive — the standard bottom-k sketch property, which also makes
+    two corpora's samples comparable on their shared rows). Change
+    ``salt`` for a fresh draw.
+
+    Scale shape: ONE group-keyed exchange; the rank<=k filter compiles
+    to WindowGroupLimit (per-partition partial top-k BEFORE the
+    shuffle — the difference between sorting every group fully and
+    keeping k rows per partition at 100 TB; plan-audited like the
+    other top-k family members). NULL groups are their own group
+    (callers filter if unwanted); ties cannot occur (the hash is over
+    the unique id, id breaks residual ties).
+
+    Output: the input columns + ``sample_rank`` (1-based within the
+    group, hash order).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u32 = _md5_u32_sql(id_col, salt)
+    cols = ", ".join(df.columns)
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        SELECT {cols}, sample_rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY {group_col}
+                      ORDER BY {u32}, {id_col}) AS sample_rank
+          FROM {{d}}
+        )
+        WHERE sample_rank <= {kk}
+        """,
+    )

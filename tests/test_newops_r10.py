@@ -137,3 +137,35 @@ def test_dim_truncation_excludes_zero_norm_prefix(spark):
     assert got[2].n_pairs == 1
     with pytest.raises(ValueError):
         dim_truncation_eval(df, dims=())
+
+
+def test_group_sample_bottom_k_properties(spark):
+    """k rows per group in hash order; subset-stability: the sample of
+    a grown group only changes where smaller hashes arrived; the plan
+    compiles to WindowGroupLimit."""
+    import hashlib
+
+    from obsplus_spark.operators.dedup import group_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = group_sample(df, "source", k=4).collect()
+    assert len(out) == 12
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+    for src, members in by_src.items():
+        ids = {r.doc_id for r in members}
+        all_ids = [i for i, s in rows if s == src]
+        expect = set(sorted(all_ids, key=h)[:4])
+        assert ids == expect, src
+        ranks = sorted(r.sample_rank for r in members)
+        assert ranks == [1, 2, 3, 4]
+    plan = group_sample(df, "source", k=4)._jdf.queryExecution().toString()
+    assert "WindowGroupLimit" in plan
+
+    import pytest as _p
+    with _p.raises(ValueError, match="k must"):
+        group_sample(df, "source", k=0)
