@@ -52,6 +52,10 @@ TEXT_QUERIES = [
     "winnow_overlap",
     "containment",
     "dup_threshold_hist",
+    # r10 additions over documents
+    "stitch_pairs",
+    "curriculum",
+    "group_sample",
 ]
 
 TABLES = [

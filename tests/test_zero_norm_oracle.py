@@ -33,6 +33,7 @@ COSINE_QUERIES = [
     "embed_outliers",
     "centroid_drift",
     "cluster_quality",
+    "dim_trunc",  # r10: zero-norm truncated prefixes -> NULL, excluded
 ]
 
 TABLES = [
