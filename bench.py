@@ -93,6 +93,8 @@ def main() -> None:
         "bigram_lp",
         "cascade_delete",
         "image_phash",
+        # r10: phash_wide persists its wide-hash table at construction
+        "phash_wide",
         # r9: fuzzy decontamination persists both sides' digest tables;
         # leak_safe_split persists shingles + cluster labels
         "fuzzy_decontam",

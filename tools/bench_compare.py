@@ -56,7 +56,7 @@ def main() -> int:
                "dedup_clusters", "canonical_docs", "jaccard_join",
                "incremental_dedup", "semantic_dedup", "bfs_hops",
                "hits_auth", "pagerank", "k_core", "bigram_lp",
-               "cascade_delete", "image_phash", "fuzzy_decontam",
+               "cascade_delete", "image_phash", "phash_wide", "fuzzy_decontam",
                "leak_safe_split", "lsh_recall", "cluster_quality"}
     eng: dict[str, float] = {}
     for name, fn in qs.items():
