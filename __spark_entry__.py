@@ -9205,12 +9205,16 @@ def q_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # the image depends only on (stream length, user class) plus a
         # single user-keyed perturbed pixel — same rule as the DuckDB
-        # twin, order-free, so event ids never need sorting
+        # twin, order-free, so event ids never need sorting.
+        # abs() before %: Python % is floor-mod (always >= 0) while the
+        # oracle's SQL % follows the sign, so a negative user_id would
+        # silently diverge — abs makes both sides read the same pixel
+        # (ADVICE r10 #4).
         n = sum(len(c) for c in chunks)
         u = int(user_id)
         i = np.arange(64 * 64, dtype=np.int64)
-        b = ((i * 37 + (u % 5) * 11 + n * 13) % 256).astype(np.uint8)
-        p = u % 4096
+        b = ((i * 37 + (abs(u) % 5) * 11 + n * 13) % 256).astype(np.uint8)
+        p = abs(u) % 4096
         b[p] = (int(b[p]) + 128) % 256
         img = decode_ppm(encode_ppm(b.reshape(64, 64)))
         return (u, [int(w) for w in average_hash_wide(img)])
@@ -9231,12 +9235,15 @@ _SQL_PHASH_WIDE = """
       WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     px AS (
+      -- abs() before %: sign-stable twin of the engine kernel's
+      -- floor-mod (ADVICE r10 #4)
       SELECT u.user_id,
              CAST(s.i AS BIGINT) AS i,
-             CASE WHEN s.i = u.user_id % 4096
-                  THEN ((s.i * 37 + (u.user_id % 5) * 11 + u.n * 13)
+             CASE WHEN s.i = abs(u.user_id) % 4096
+                  THEN ((s.i * 37 + (abs(u.user_id) % 5) * 11 + u.n * 13)
                         % 256 + 128) % 256
-                  ELSE (s.i * 37 + (u.user_id % 5) * 11 + u.n * 13) % 256
+                  ELSE (s.i * 37 + (abs(u.user_id) % 5) * 11 + u.n * 13)
+                       % 256
              END AS b
       FROM u, unnest(range(4096)) AS s(i)
     ),
@@ -10852,19 +10859,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
     # only the FIRST 50 entries. Rotation policy (NOTES.md): changed
     # code first, then the entries with the OLDEST most-recent driver
-    # row. Round 10 executes VERDICT r9 "Next round #1": the 48
-    # remaining stale rows (most recent driver row r2/r4; all pass the
-    # full local oracle run) take positions 1-48, ahead of any new
-    # operator; the last 2 window slots go to the two entries whose
-    # CODE changed this round (ADVICE r9 fixes: containment
-    # round-before-compare, chunk_dedup NULL-doc_id contract). With
-    # this window green, every registered query's most recent driver
-    # row is r8+ — zero stale rows. New r10 operators sit BEHIND the
-    # cap (local-oracle + pytest covered; they rotate into the window
-    # in r11).
+    # row. Round 11 executes VERDICT r10 "Next round #1": the 5
+    # never-driver-tested r10 operators take positions 1-5 (phash_wide
+    # also carries this round's ADVICE fixes: sign-stable abs() modulo
+    # in kernel+oracle, band_words=2 degenerate-array guard; dim_trunc
+    # carries the documented fixed-width contract), then 45 of the 49
+    # queries whose most recent green driver row is r5. Freshness floor
+    # after this window: r5 for the 4 deferred r5 rows below the cap
+    # (nearest_association, simhash, pivot_by_type, salted_agg) and r7
+    # for 13 more — those 17 lead the r12 window; everything else is
+    # r8+. All 208 pass the full local oracle run (tools/check.py).
     return {
-        # --- r10 rotation, first 50 = the driver correctness window ---
-        # (a) the 48 stale r2/r4 rows (VERDICT r9 "What's missing" #2)
+        # --- r11 rotation, first 50 = the driver correctness window ---
+        # (a) the 5 new-in-r10 operators (never driver-tested)
+        "phash_wide": q_phash_wide,
+        "stitch_pairs": q_stitch_pairs,
+        "curriculum": q_curriculum,
+        "dim_trunc": q_dim_trunc,
+        "group_sample": q_group_sample,
+        # (b) 45 of the 49 rows whose latest driver row is r5
+        "value_histogram": q_value_histogram,
+        "table_profile": q_table_profile,
+        "corpus_diff": q_corpus_diff,
+        "rfm_segments": q_rfm_segments,
+        "action_trigrams": q_action_trigrams,
+        "ship_priority": q_ship_priority,
+        "returned_customers": q_returned_customers,
+        "cohort_retention": q_cohort_retention,
+        "rate_zscores": q_rate_zscores,
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
+        "kmeans_step": q_kmeans_step,
+        "bpe_pairs": q_bpe_pairs,
+        "posting_lists": q_posting_lists,
+        "tf_idf": q_tf_idf,
+        "unigram_lp": q_unigram_lp,
+        "mixture_plan": q_mixture_plan,
+        "boilerplate": q_boilerplate,
+        "hard_negatives": q_hard_negatives,
+        "chunk_text": q_chunk_text,
+        "vocab_top": q_vocab_top,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "quality_flags": q_quality_flags,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_recall": q_ann_recall,
+        "ivf_flat": q_ivf_flat,
+        "lsh_ann": q_lsh_ann,
+        "video_frames": q_video_frames,
+        "balanced_sample": q_balanced_sample,
+        "minhash_near_dup": q_minhash_near_dup,
+        "knn_cosine": q_knn_cosine,
+        "lang_id": q_lang_id,
+        "median_per_group": q_median_per_group,
+        "last_per_type": q_last_per_type,
+        "duplicate_detection": q_duplicate_detection,
+        "agg_rollup": q_agg_rollup,
+        "set_ops": q_set_ops,
+        "time_chunks": q_time_chunks,
+        "offset_limit": q_offset_limit,
+        "common_coverage": q_common_coverage,
+        "nested_last_event": q_nested_last_event,
+        "bulk_request": q_bulk_request,
+        "event_payload": q_event_payload,
+        # --- driver cap (50) ---
+        # r12 rotation head: the 4 r5 rows deferred for window space +
+        # the 13 rows whose latest driver row is r7 (all pass the full
+        # local oracle run at sf0.01)
+        # (c) deferred r5 rows
+        "nearest_association": q_nearest_association,
+        "simhash": q_simhash,
+        "pivot_by_type": q_pivot_by_type,
+        "salted_agg": q_salted_agg,
+        # (d) latest driver row r7
+        "image_phash": q_image_phash,
+        "audio_segments": q_audio_segments,
+        "winsorize": q_winsorize,
+        "dup_spans": q_dup_spans,
+        "trend_lines": q_trend_lines,
+        "bool_search": q_bool_search,
+        "column_corr": q_column_corr,
+        "nation_trade": q_nation_trade,
+        "small_qty_revenue": q_small_qty_revenue,
+        "brand_revenue": q_brand_revenue,
+        "promo_share": q_promo_share,
+        "market_share": q_market_share,
+        "idle_customers": q_idle_customers,
+        # (e) latest driver row r8+ (rotate normally)
         "seed_ids": q_seed_ids,
         "trim_traces": q_trim_traces,
         "s_before_p": q_s_before_p,
@@ -10913,23 +10995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_search": q_radius_search,
         "spatial_knn": q_spatial_knn,
         "dateline_box": q_dateline_box,
-        # (b) the 2 entries whose code changed this round (ADVICE r9)
         "containment": q_containment,
         "chunk_dedup": q_chunk_dedup,
-        # --- driver cap (50) ---
-        # r11 rotation head (code or oracle CHANGED in r10, or NEW in
-        # r10 — every one passes the full local oracle run at sf0.01;
-        # they take the window first next round): phash_wide,
-        # stitch_pairs, curriculum, dim_trunc, group_sample (new);
-        # within_doc_dedup (NULL-id contract); minhash_near_dup,
-        # dup_threshold_hist, edit_near_dup, dedup_clusters,
-        # canonical_docs, leak_safe_split (near_duplicates array-form
-        # lanes / single-statement split tail); wav_roundtrip,
-        # ppm_roundtrip, image_patches, image_phash, mseed_roundtrip,
-        # video_frames, stream_proc, sds_chunks (sorted_group_apply
-        # NULL-key contract; first five also oracle NULL-user filters).
-        # (c) driver-green r9, unchanged (new-in-r9 operators + the
-        # r9 changed-code wave; rotate normally from r11 on)
         "within_doc_dedup": q_within_doc_dedup,
         "score_auc": q_score_auc,
         "ks_drift": q_ks_drift,
@@ -10978,7 +11045,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_orphans": q_prune_orphans,
         "merge_picks": q_merge_picks,
         "ci_glob": q_ci_glob,
-        # (d) driver-green r5-r8, unchanged
         "cheapest_supplier": q_cheapest_supplier,
         "priority_returns": q_priority_returns,
         "order_count_dist": q_order_count_dist,
@@ -11022,73 +11088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_preferred": q_focal_preferred,
         "stations_from_stream": q_stations_from_stream,
         "canonical_docs": q_canonical_docs,
-        "image_phash": q_image_phash,
-        "phash_wide": q_phash_wide,  # NEW r10 (behind cap; rotates r11)
-        "stitch_pairs": q_stitch_pairs,  # NEW r10
-        "curriculum": q_curriculum,  # NEW r10
-        "dim_trunc": q_dim_trunc,  # NEW r10
-        "group_sample": q_group_sample,  # NEW r10
-        "audio_segments": q_audio_segments,
-        "winsorize": q_winsorize,
-        "dup_spans": q_dup_spans,
-        "trend_lines": q_trend_lines,
-        "bool_search": q_bool_search,
-        "column_corr": q_column_corr,
-        "nation_trade": q_nation_trade,
-        "small_qty_revenue": q_small_qty_revenue,
-        "brand_revenue": q_brand_revenue,
-        "promo_share": q_promo_share,
-        "market_share": q_market_share,
-        "idle_customers": q_idle_customers,
-        "value_histogram": q_value_histogram,
-        "table_profile": q_table_profile,
-        "corpus_diff": q_corpus_diff,
-        "rfm_segments": q_rfm_segments,
-        "action_trigrams": q_action_trigrams,
-        "ship_priority": q_ship_priority,
-        "returned_customers": q_returned_customers,
-        "cohort_retention": q_cohort_retention,
-        "rate_zscores": q_rate_zscores,
-        "sessionize": q_sessionize,
-        "funnel": q_funnel,
-        "kmeans_step": q_kmeans_step,
-        "bpe_pairs": q_bpe_pairs,
-        "posting_lists": q_posting_lists,
-        "tf_idf": q_tf_idf,
-        "unigram_lp": q_unigram_lp,
-        "mixture_plan": q_mixture_plan,
-        "boilerplate": q_boilerplate,
-        "hard_negatives": q_hard_negatives,
-        "chunk_text": q_chunk_text,
-        "vocab_top": q_vocab_top,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "quality_flags": q_quality_flags,
-        "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_recall": q_ann_recall,
-        "ivf_flat": q_ivf_flat,
-        "lsh_ann": q_lsh_ann,
-        "video_frames": q_video_frames,
-        "balanced_sample": q_balanced_sample,
-        "minhash_near_dup": q_minhash_near_dup,
-        "knn_cosine": q_knn_cosine,
-        "lang_id": q_lang_id,
-        "median_per_group": q_median_per_group,
-        "last_per_type": q_last_per_type,
-        "duplicate_detection": q_duplicate_detection,
-        "agg_rollup": q_agg_rollup,
-        "set_ops": q_set_ops,
-        "time_chunks": q_time_chunks,
-        "offset_limit": q_offset_limit,
-        "nearest_association": q_nearest_association,
-        "simhash": q_simhash,
-        "common_coverage": q_common_coverage,
-        "nested_last_event": q_nested_last_event,
-        "bulk_request": q_bulk_request,
-        "pivot_by_type": q_pivot_by_type,
-        "salted_agg": q_salted_agg,
-        "event_payload": q_event_payload,
     }
 
 

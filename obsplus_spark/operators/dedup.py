@@ -605,6 +605,13 @@ def near_duplicates(
     # O(n_hashes) lambda copies, which cut this statement's Catalyst
     # ANALYSIS time (the dominant plan-build cost at 16 lanes: ~0.45 s
     # of the 0.8 s dup_threshold_hist build, VERDICT r9 #4) by ~3×.
+    # ADVICE r10 #1: the data-driven lane rewrite must keep the hard
+    # digest-window bounds the unrolled _lane_exprs/_band_structs path
+    # enforced — n_hashes > 16 reads past the 38-char extended digest
+    # (lanes go constant/NULL, every band collides corpus-wide, LSH
+    # degenerates toward n² with no error) and bands∤n_hashes silently
+    # drops the trailing lanes via rpb truncation.
+    _check_lanes(n_hashes, bands)
     rpb = n_hashes // bands
     return sql_over(
         {"arr": arr},
@@ -2074,13 +2081,24 @@ def phash_near_dup_wide(
         band_expr = f"posexplode({words_col}) AS (band, band_hash)"
     else:
         # adjacent word pairs fold into one 64-bit band key (the high
-        # word shifts; arrays are 32-bit words so no overflow)
+        # word shifts; arrays are 32-bit words so no overflow).
+        # ADVICE r10 #2: size()=0 must yield ZERO bands, matching
+        # band_words=1's posexplode-of-empty — a bare
+        # sequence(0, size/2 - 1) turns into the DESCENDING [0, -1]
+        # when size=0 (Spark sequence steps -1 when stop < start),
+        # minting bands -1/0 with NULL hashes that bucket every
+        # empty-hash row into spurious candidate pairs. Odd word
+        # counts: the trailing word does not participate in banding
+        # (rpb truncation) but still counts in the Hamming verify —
+        # pigeonhole recall then covers n_bands-1, not words/2.
         band_expr = (
-            f"posexplode(transform("
+            f"posexplode(CASE WHEN size({words_col}) >= 2 THEN"
+            f" transform("
             f" sequence(0, CAST(size({words_col}) / 2 AS INT) - 1),"
             f" i -> shiftleft(element_at({words_col}, 2 * i + 1), 32)"
-            f"      + element_at({words_col}, 2 * i + 2)"
-            f")) AS (band, band_hash)"
+            f"      + element_at({words_col}, 2 * i + 2))"
+            f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            f") AS (band, band_hash)"
         )
     banded = hashes.selectExpr(id_col, band_expr)
     pairs = _bucket_pairs_sparse(banded, id_col)
@@ -2973,7 +2991,7 @@ def group_sample(
     return sql_over(
         {"d": ensure_parallelism(df)},
         f"""
-        SELECT {cols}, sample_rank
+        SELECT {cols}, CAST(sample_rank AS BIGINT) AS sample_rank
         FROM (
           SELECT *, row_number() OVER (PARTITION BY {group_col}
                       ORDER BY {u32}, {id_col}) AS sample_rank

@@ -1346,6 +1346,18 @@ def dim_truncation_eval(
 
     Output: ``(dim, n_pairs, mae, sign_agree)`` — mae/sign_agree
     6-dp-rounded, dims ordered.
+
+    Contract (ADVICE r10 #3): vectors are assumed FIXED-WIDTH with no
+    NULL elements and width ≤ 4096. The registered DuckDB oracle twin
+    caps the full-width fold at 4096 dims (``generate_series(1, 4096)``)
+    where this operator reads ``size(_va)`` uncapped, and the engines
+    disagree on ragged/NULL-element pairs by dialect (DuckDB's ``sum``
+    skips NULL products, keeping the pair with a partial cosine; Spark's
+    ``zip_with`` pads the shorter array with NULLs so the ``aggregate``
+    fold poisons the whole cosine to NULL and the ``IS NOT NULL`` filter
+    drops the pair). Pre-filter ragged corpora before calling if pair
+    retention matters; the testdata fixture is fixed-width so both
+    engines agree exactly there.
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
