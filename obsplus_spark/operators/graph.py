@@ -12,6 +12,7 @@ an ordinary join + hash aggregate that AQE/skew-join handling applies to.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def triangle_counts(
@@ -562,32 +563,42 @@ def bfs_distances(
     join fan-out for the same result) with no per-round driver action
     and no visited-set broadcast.
 
-    Scale shape: the same bounded-unroll contract as :func:`pagerank`
-    and ``dedup_clusters``' lazy mode — ONE SQL statement, per round
-    one dist-keyed join + one dst-keyed map-combined min-aggregate;
-    the shuffle carries ≤ |reached nodes| rows, never |edges| (the
-    min folds map-side). Like :func:`hits_scores` / :func:`pagerank`,
-    the edge frame is deduped and persisted INSIDE the operator
-    **hash-partitioned by the src column** (bounded ring releases it):
-    every frontier join probes on ``e.src``, so the cached
-    partitioning satisfies each round's edge side and only the
+    Scale shape: the same bounded-round contract as :func:`pagerank`
+    and ``dedup_clusters``' lazy mode — per round one dist-keyed join
+    + one dst-keyed map-combined min-aggregate; the shuffle carries
+    ≤ |reached nodes| rows, never |edges| (the min folds map-side).
+    Like :func:`hits_scores` / :func:`pagerank`, the edge frame is
+    deduped and persisted INSIDE the operator **hash-partitioned by
+    the src column**: every frontier join probes on ``e.src``, so the
+    cached partitioning satisfies each round's edge side and only the
     (small) frontier is ever exchanged — an unpartitioned edge frame
-    paid a full edge exchange per hop. Plan depth grows with
-    ``max_hops`` (bounded; checkpoint past ~8 like the cluster
-    resolver if you need deep radii). Sources are plan-time literals
-    (seed sets are small by nature — a large seed FRAME would instead
-    union into round 0).
+    paid a full edge exchange per hop.
+
+    Rounds are chained DataFrames with each INTERMEDIATE round's
+    distance table persisted (k_core's ``broadcast_degrees`` private-
+    chain pattern, VERDICT r10 #3): round ``i`` references round
+    ``i−1`` TWICE (union carry + frontier join), and the one-statement
+    CTE formulation this replaces inlined each reference — Catalyst
+    pushes a join-side ``isnotnull(node)`` into one copy, so the two
+    subtrees never canonicalize equal, ReuseExchange stayed at ZERO,
+    and round ``i``'s work re-derived round ``i−1`` 2^depth times
+    (measured at sf0.1: 3-hop solo 2.5–3.6 s → 1.3 s with the chain).
+    A persisted frame is the SAME plan object at both references, so
+    each round materializes once and is read twice; the final round
+    feeds exactly one aggregate and stays unpersisted. The chain lives
+    in the operator-private registry (an interleaved ring registration
+    must not evict a prefix the final action still reads). Sources are
+    plan-time literals (seed sets are small by nature — a large seed
+    FRAME would instead union into round 0).
 
     Output: (node, dist) for every node within ``max_hops`` of a
     source, including the sources at dist 0.
     """
-    from obsplus_spark.util import sql_over
-
     if not sources:
         raise ValueError("sources must be non-empty")
     if int(max_hops) < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
-    from obsplus_spark.operators.dedup import _register_shingle_cache
+    from obsplus_spark.operators.dedup import _register_private_chain
 
     spark = edges.sparkSession
     try:
@@ -603,7 +614,7 @@ def bfs_distances(
         .distinct()
         .persist()
     )
-    _register_shingle_cache(edges)
+    chain = [edges]
 
     def _lit(v) -> str:
         if isinstance(v, str):
@@ -613,20 +624,44 @@ def bfs_distances(
         return str(int(v))
 
     seed_rows = ", ".join(f"({_lit(s)})" for s in dict.fromkeys(sources))
-    ctes = [f"d0 AS (SELECT node, 0 AS dist FROM VALUES {seed_rows} t(node))"]
-    for i in range(1, int(max_hops) + 1):
-        ctes.append(
-            f"d{i} AS ("
-            f" SELECT node, CAST(min(dist) AS INT) AS dist FROM ("
-            f"   SELECT node, dist FROM d{i - 1}"
-            f"   UNION ALL"
-            f"   SELECT e.{dst_col} AS node, d.dist + 1 AS dist"
-            f"   FROM d{i - 1} d JOIN {{e}} e ON d.node = e.{src_col}"
-            f"   WHERE d.dist = {i - 1}"
-            f" ) GROUP BY node)"
-        )
-    sql = (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node, dist FROM d{int(max_hops)}"
+    # standalone statement (no CTE nesting inside persisted plans — the
+    # optimizer's CTE pruning rule chokes on per-statement CTE ids)
+    d = spark.sql(
+        f"SELECT node, 0 AS dist FROM VALUES {seed_rows} t(node)"
     )
-    return sql_over({"e": edges}, sql)
+    hops = int(max_hops)
+    for i in range(1, hops + 1):
+        # fresh-alias projection of the cached edge frame per round +
+        # a name-based equi-join: round i's frontier already carries
+        # edge lineage, so referencing edges[col] directly trips the
+        # ambiguous-self-join detector
+        off = edges.selectExpr(
+            f"{src_col} AS node", f"{dst_col} AS _dst"
+        )
+        # SHUFFLE_HASH with the frontier as build side: the planner
+        # defaults to SortMergeJoin, which re-SORTS the (cached,
+        # already src-partitioned) edge frame EVERY round — measured
+        # 1.6 → 1.2 s warm at sf0.1 for 3 hops. The hash build is the
+        # per-partition frontier slice (nodes/npart rows — the same
+        # memory class as any node-keyed hash aggregate, and npart
+        # follows data size), so the hint holds at 100 TB where a
+        # frontier BROADCAST would not (hop-2 frontiers are
+        # node-scale).
+        offers = (
+            d.where(F.col("dist") == i - 1)
+            .select("node")
+            .hint("shuffle_hash")
+            .join(off, "node")
+            .selectExpr("_dst AS node", f"CAST({i} AS INT) AS dist")
+        )
+        d_next = (
+            d.unionByName(offers)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+        if i < hops:
+            d_next = d_next.persist()
+            chain.append(d_next)
+        d = d_next
+    _register_private_chain(spark, "bfs_distances", chain)
+    return d

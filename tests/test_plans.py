@@ -794,6 +794,14 @@ def test_bfs_hops_bounded_exchanges(spark):
     p = _executed_plan_no_aqe(spark, "bfs_hops")
     ens = p.count("ENSURE_REQUIREMENTS")
     assert ens <= 11, f"bfs_hops grew exchanges: {ens}"
+    # r11: rounds are per-round-persisted DataFrames (the one-statement
+    # CTE form re-derived round i-1 2^depth times — Catalyst inlined
+    # both references and a pushed isnotnull(node) broke ReuseExchange),
+    # and the frontier joins are SHUFFLE_HASH (SMJ re-SORTED the cached
+    # edge frame every round; the hash build is the per-partition
+    # frontier slice, scale-safe where a frontier broadcast is not)
+    assert "SortMergeJoin" not in p, "a frontier join regressed to SMJ"
+    assert "ShuffledHashJoin" in p
 
 
 def test_curation_funnel_no_keyed_shuffle(plans):
