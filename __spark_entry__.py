@@ -9510,6 +9510,127 @@ _SQL_DUP_SPANS = r"""
 """
 
 
+def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granularity exact-substring dedup — operators/dedup.py
+    exact_substring_spans: every maximal run of corpus-duplicated
+    3-gram positions emitted as an explicit cuttable token span
+    (start, gram count, token length), the removal-step input of a
+    Lee-et-al exact-substring pass; dup_spans reports only per-doc
+    statistics over the same runs."""
+    from obsplus_spark.operators.dedup import exact_substring_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_spans(docs, n=3, min_run=2, min_count=2)
+
+
+_SQL_EXACT_SPANS = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    f AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+      FROM f WHERE c >= 2
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(count(*) AS BIGINT) AS span_grams,
+           CAST(count(*) + 2 AS BIGINT) AS span_tokens
+    FROM d
+    GROUP BY doc_id, run
+    HAVING count(*) >= 2
+"""
+
+
+def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup mixture rebalance — operators/dedup.py
+    mixture_rebalance over dedup_clusters labels: per-source pre/post
+    dedup token inventories and the sampling rate (capped repetition
+    allowed above 1) that re-hits each source's target share after
+    near-dup removal shrank sources unevenly. One id-keyed left join
+    against the pair-member-sized label frame + one source-keyed
+    aggregate on top of the bounded cluster rounds."""
+    from obsplus_spark.operators.dedup import (
+        dedup_clusters,
+        mixture_rebalance,
+        near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
+    ).select("id1", "id2")
+    labels = dedup_clusters(pairs, max_iterations=4)
+    return mixture_rebalance(
+        docs, labels, _MIX_WEIGHTS, _MIX_TARGET, max_repeat=4.0
+    )
+
+
+def _rebalance_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    # explicit NULL branch — least() skips NULLs on both engines
+    rate = (
+        f"CASE WHEN kept_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+        f" ELSE least(CAST(4.0 AS DOUBLE),"
+        f" weight * CAST({_MIX_TARGET} AS DOUBLE)"
+        f" / kept_tokens) END"
+    )
+    return rf"""
+    WITH RECURSIVE p AS ({_minhash_sql(8, 2)}),
+    e AS (
+      SELECT id1 AS a, id2 AS b FROM p
+      UNION ALL
+      SELECT id2, id1 FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+      WHERE r.lbl < e.b
+    ),
+    labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    j AS (
+      SELECT d.source,
+             CASE WHEN length(trim(d.text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\s+'))
+             END AS nt,
+             (l.id IS NULL OR l.cluster_id = d.doc_id) AS keep
+      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    )
+    SELECT source, n_docs, kept_docs, n_tokens, kept_tokens, weight,
+           round({rate}, 6) AS sample_rate,
+           CAST(floor(round({rate}, 6) * kept_tokens) AS BIGINT)
+             AS expected_tokens
+    FROM (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+             CASE source {arms} ELSE CAST(0.0 AS DOUBLE) END AS weight
+      FROM j GROUP BY source
+    )
+"""
+
+
 def q_column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations over the lineitem value columns in
     ONE scan — operators/sessions.py column_correlations: all
@@ -11088,6 +11209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_preferred": q_focal_preferred,
         "stations_from_stream": q_stations_from_stream,
         "canonical_docs": q_canonical_docs,
+        "exact_spans": q_exact_spans,  # NEW r11 (behind cap; rotates r12+)
+        "rebalance": q_rebalance,  # NEW r11
     }
 
 
@@ -11190,6 +11313,8 @@ def oracle_sql() -> dict[str, str]:
         "focal_preferred": _SQL_FOCAL_PREF,
         "stations_from_stream": _SQL_STA_STREAM,
         "canonical_docs": _canonical_sql(),
+        "exact_spans": _SQL_EXACT_SPANS,
+        "rebalance": _rebalance_sql(),
         "value_histogram": _SQL_HISTOGRAM,
         "table_profile": _SQL_PROFILE,
         "corpus_diff": _SQL_CORPUS_DIFF,

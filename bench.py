@@ -76,6 +76,9 @@ def main() -> None:
         "prune_orphans",
         "common_coverage",
         "dedup_clusters",
+        # r11: rebalance persists shingles via near_duplicates at
+        # construction (same family as dedup_clusters)
+        "rebalance",
         # r6 additions — every query whose CONSTRUCTION persists a
         # derived frame (shingle/band/edge/hash tables, purge keys,
         # bigram tf). Reusing one plan object across reps would let

@@ -56,6 +56,9 @@ TEXT_QUERIES = [
     "stitch_pairs",
     "curriculum",
     "group_sample",
+    # r11 additions over documents
+    "exact_spans",
+    "rebalance",
 ]
 
 TABLES = [
