@@ -9555,6 +9555,177 @@ _SQL_EXACT_SPANS = r"""
 """
 
 
+def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL — operators/dedup.py cut_spans applied
+    to exact_substring_spans output (cut-all-occurrences policy):
+    every corpus-duplicated gram run is excised from the canonical
+    token stream; cleaned text + removed-token count per document.
+    Spans fold to one array row per doc, ONE id-keyed left join, the
+    keep test is a pure in-row filter."""
+    from obsplus_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = exact_substring_spans(docs, n=3, min_run=2, min_count=2)
+    return cut_spans(docs, spans)
+
+
+_SQL_CUT_SPANS = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    f AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+      FROM f WHERE c >= 2
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, count(*) + 2 AS l
+      FROM d GROUP BY doc_id, run HAVING count(*) >= 2
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i + 1] AS tok
+      FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM t)
+    ),
+    kept AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS txt,
+             count(*) AS n
+      FROM tok
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tok.doc_id
+          AND tok.pos >= s.s AND tok.pos < s.s + s.l
+      )
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN t.w IS NULL THEN NULL
+                ELSE coalesce(k.txt, '') END AS text,
+           CAST(CASE WHEN t.w IS NULL THEN NULL
+                     ELSE len(t.w) - coalesce(k.n, 0) END AS BIGINT)
+             AS n_removed
+    FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+"""
+
+
+def q_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-plan EXECUTION — operators/dedup.py apply_mixture: the
+    sampled+repeated corpus a rebalanced plan prescribes. Plan built
+    inline from exact-fingerprint dedup labels (cheap md5 clusters, so
+    the oracle twin is non-recursive) with a token target that forces
+    rates both below 1 (hash subsampling) and above 1 (epoch repeats);
+    one broadcast join + an in-row bounded sequence explode — the
+    corpus itself never shuffles."""
+    from obsplus_spark.operators.dedup import (
+        apply_mixture,
+        mixture_rebalance,
+    )
+    from obsplus_spark.util import sql_over
+
+    docs = _t(spark, sf_dir, "documents")
+    # exact-duplicate clusters by normalized-text fingerprint: label =
+    # min doc_id per fingerprint group, rows only for docs in groups
+    # of >= 2 (the dedup_clusters output contract, cheaply)
+    labels = sql_over(
+        {"d": docs},
+        """
+        SELECT doc_id AS id, cluster_id FROM (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY
+                     md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')))
+                   AS cluster_id,
+                 count(1) OVER (PARTITION BY
+                     md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')))
+                   AS _n
+          FROM {d} WHERE text IS NOT NULL
+        ) WHERE _n >= 2
+        """,
+    )
+    plan = mixture_rebalance(
+        docs, labels, _MIX_WEIGHTS, 400_000, max_repeat=3.0
+    )
+    out = apply_mixture(
+        docs.select("doc_id", "source", "n_chars"), plan
+    )
+    return out.selectExpr(
+        "doc_id", "source", "n_chars", "CAST(epoch AS INT) AS epoch"
+    )
+
+
+def _apply_mixture_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    rate = (
+        "CASE WHEN kept_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE least(CAST(3.0 AS DOUBLE),"
+        " weight * CAST(400000 AS DOUBLE) / kept_tokens) END"
+    )
+    return rf"""
+    WITH labels AS (
+      SELECT doc_id AS id, cluster_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+                 AS cluster_id,
+               count(*) OVER (PARTITION BY
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+                 AS n
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE n >= 2
+    ),
+    j AS (
+      SELECT d.source,
+             CASE WHEN length(trim(d.text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\s+'))
+             END AS nt,
+             (l.id IS NULL OR l.cluster_id = d.doc_id) AS keep
+      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    ),
+    plan AS (
+      SELECT source, round({rate}, 6) AS rate
+      FROM (
+        SELECT source,
+               CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               CASE source {arms} ELSE CAST(0.0 AS DOUBLE) END AS weight
+        FROM j GROUP BY source
+      )
+    ),
+    n_cp AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             CAST(floor(p.rate) AS INTEGER)
+             + CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                     || ''), 1, 8))::BIGINT + 0e0) / 4294967296e0
+                    < p.rate - floor(p.rate)
+                    THEN 1 ELSE 0 END AS n
+      FROM documents d JOIN plan p
+        ON (p.source = d.source OR (p.source IS NULL AND d.source IS NULL))
+       AND p.rate IS NOT NULL
+    )
+    SELECT doc_id, source, n_chars, CAST(e.epoch AS INTEGER) AS epoch
+    FROM n_cp, generate_series(1, 3) AS e(epoch)
+    WHERE e.epoch <= n_cp.n
+"""
+
+
 def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-dedup mixture rebalance — operators/dedup.py
     mixture_rebalance over dedup_clusters labels: per-source pre/post
@@ -11211,6 +11382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "exact_spans": q_exact_spans,  # NEW r11 (behind cap; rotates r12+)
         "rebalance": q_rebalance,  # NEW r11
+        "cut_spans": q_cut_spans,  # NEW r11
+        "apply_mixture": q_apply_mixture,  # NEW r11
     }
 
 
@@ -11315,6 +11488,8 @@ def oracle_sql() -> dict[str, str]:
         "canonical_docs": _canonical_sql(),
         "exact_spans": _SQL_EXACT_SPANS,
         "rebalance": _rebalance_sql(),
+        "cut_spans": _SQL_CUT_SPANS,
+        "apply_mixture": _apply_mixture_sql(),
         "value_histogram": _SQL_HISTOGRAM,
         "table_profile": _SQL_PROFILE,
         "corpus_diff": _SQL_CORPUS_DIFF,

@@ -1965,6 +1965,7 @@ def phash_near_dup(
     id_col: str = "id",
     lo_col: str = "h_lo",
     hi_col: str = "h_hi",
+    sparse_pairing: bool = False,
 ) -> DataFrame:
     """Image near-duplicate pairs from 64-bit perceptual hashes (two
     32-bit words per image, e.g. ``codecs.average_hash``): band LSH on
@@ -2018,16 +2019,19 @@ def phash_near_dup(
         hashes.selectExpr(id_col, f"explode(array({bands})) AS bh")
         .select(F.col(id_col), F.col("bh.band"), F.col("bh.band_hash"))
     )
-    # two-pass sparse pairing (VERDICT r10 #4, measured): n=1M linear
-    # corpus, warm best — sparse 29.1 s vs single-pass 31.2 s with
-    # identical output pairs. Unlike MinHash text banding (unbounded
-    # hot-key mass), the 16-bit band space CAPS the hot-key set at
-    # 4·2¹⁶ keys, so the broadcast side can never outgrow its gate.
-    # The dominant cost in this regime stays the ~n²/2¹⁶ candidate
-    # mass itself (the documented band saturation phash_near_dup_wide
-    # escapes); this switch just stops paying list-aggregation over
-    # singleton buckets on top of it.
-    pairs = _bucket_pairs_sparse(banded, id_col)
+    # pairing choice MEASURED both ways (VERDICT r10 #4): the sparse
+    # two-pass wins modestly at n=1M (29.1 vs 31.2 s warm, identical
+    # pairs — its hot-key broadcast is CAPPED at 4·2¹⁶ keys by the
+    # band space, so it is always safe here) but LOSES ~25% at the
+    # n=35k bench scale (alternating solo A/B: 1.96 vs 2.46 s min —
+    # the extra count-agg pass is pure overhead when collect_list
+    # never hits the sort-agg fallback). Single-pass stays the
+    # default; callers in the 1M+ narrow regime opt in via
+    # sparse_pairing=True — and the documented big-n story remains
+    # phash_near_dup_wide, which keeps sparse pairing unconditionally
+    # (its 32-bit buckets are near-singleton BY DESIGN).
+    pair_fn = _bucket_pairs_sparse if sparse_pairing else _bucket_pairs
+    pairs = pair_fn(banded, id_col)
     a = hashes.selectExpr(
         f"{id_col} AS id1", f"{lo_col} AS _lo1", f"{hi_col} AS _hi1"
     )
@@ -2302,6 +2306,78 @@ def exact_substring_spans(
     )
 
 
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "span_start",
+    len_col: str = "span_tokens",
+) -> DataFrame:
+    """Apply :func:`exact_substring_spans` output: remove every listed
+    token span from each document's canonical token stream and emit
+    the cleaned text — the REMOVAL step of a Lee-et-al exact-substring
+    pass (the spans operator finds; this one cuts). Which occurrences
+    to cut is the caller's policy: filter the span frame first (e.g.
+    anti-join the minimum-id occurrence per duplicated region to keep
+    one copy corpus-wide) and pass the survivors here.
+
+    Tokenization is the shared canonical rule (lowercased, whitespace
+    split, empty tokens dropped) — span positions are 0-based indices
+    into THAT stream, exactly what ``exact_substring_spans`` reports.
+    Docs with no spans pass through (canonicalized); NULL-text docs
+    emit NULL (no token stream to cut).
+
+    Scale shape: spans fold to one array row per doc (ONE doc-keyed
+    exchange over span-count rows, ≪ token count), then ONE id-keyed
+    LEFT join against the corpus and a pure in-row filter — token
+    positions never explode across the wire. The keep test is
+    O(tokens · spans_per_doc) in-row (spans per doc are few by
+    construction; a pathological span list is real duplicate mass).
+
+    Output: ``(id, text, n_removed)`` — cleaned text (single-space
+    joined, '' when everything was cut), removed-token count BIGINT.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    sp = spans.selectExpr(
+        f"{id_col}", f"CAST({start_col} AS BIGINT) AS _s",
+        f"CAST({len_col} AS BIGINT) AS _l",
+    )
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    return sql_over(
+        {"d": ensure_parallelism(docs), "s": sp},
+        f"""
+        WITH g AS (
+          SELECT {id_col},
+                 collect_list(named_struct('s', _s, 'l', _l)) AS _spans
+          FROM {{s}} GROUP BY {id_col}
+        ),
+        j AS (
+          SELECT d.{id_col}, {toks} AS _toks,
+                 coalesce(g._spans,
+                          CAST(array() AS ARRAY<STRUCT<s: BIGINT,
+                                                       l: BIGINT>>))
+                   AS _spans,
+                 d.{text_col} IS NULL AS _null_text
+          FROM {{d}} d LEFT JOIN g ON g.{id_col} = d.{id_col}
+        )
+        SELECT {id_col},
+               CASE WHEN _null_text THEN CAST(NULL AS STRING)
+                    ELSE concat_ws(' ', _kept) END AS {text_col},
+               CASE WHEN _null_text THEN CAST(NULL AS BIGINT)
+                    ELSE CAST(size(_toks) - size(_kept) AS BIGINT)
+               END AS n_removed
+        FROM (
+          SELECT {id_col}, _null_text, _toks,
+                 filter(_toks, (t, i) -> NOT exists(_spans, sp ->
+                          i >= sp.s AND i < sp.s + sp.l)) AS _kept
+          FROM j
+        )
+        """,
+    )
+
+
 def mixture_rebalance(
     docs: DataFrame,
     labels: DataFrame,
@@ -2398,6 +2474,72 @@ def mixture_rebalance(
           )
           GROUP BY {source_col}
         )
+        """,
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    rate_col: str = "sample_rate",
+    salt: str = "",
+) -> DataFrame:
+    """EXECUTE a mixture plan: materialize the sampled (and possibly
+    repeated) corpus a :func:`~obsplus_spark.operators.text.
+    mixture_plan` / :func:`mixture_rebalance` row prescribes — the
+    step between planning and writing the training mix. Each document
+    draws the house uniform ``u = md5(id‖salt)/2³²`` and emits
+    ``floor(rate)`` full epochs plus one more iff ``u < frac(rate)``:
+    deterministic, rerun-stable, subset-stable, and per-source token
+    expectation exactly ``rate · tokens`` (rates above 1 are the
+    post-dedup repetition :func:`mixture_rebalance` plans; rates in
+    [0, 1) are plain hash subsampling; NULL/absent rates drop the
+    source). Change ``salt`` for an independent draw.
+
+    Output rows carry an ``epoch`` column (1-based copy index) so a
+    downstream writer can interleave epochs instead of emitting k
+    identical neighbors.
+
+    Scale shape: the plan is dimension-sized — ONE broadcast join —
+    and everything else is a per-row expression + an in-row
+    ``sequence`` explode bounded by ``ceil(rate)``. No shuffles of the
+    corpus at all (plan-audited); the sampled corpus streams straight
+    to the caller's writer.
+
+    Output: the input doc columns + ``epoch`` (INT ≥ 1).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    u32 = _md5_u32_sql(f"d.{id_col}", salt)
+    p = plan.selectExpr(
+        f"{source_col} AS _psrc", f"CAST({rate_col} AS DOUBLE) AS _rate"
+    )
+    cols = ", ".join(f"d.{c}" for c in docs.columns)
+    # guard the sequence: sequence(1, 0) is the DESCENDING [1, 0] on
+    # Spark (the band_words=2 lesson) — zero copies must mean an empty
+    # array, and the broadcast hint is safe by the plan's dimension
+    # cardinality
+    n_copies = (
+        f"CAST(floor(p._rate) AS INT)"
+        f" + CASE WHEN ({u32} + 0.0D) / 4294967296.0D"
+        f" < p._rate - floor(p._rate) THEN 1 ELSE 0 END"
+    )
+    bare = ", ".join(docs.columns)
+    return sql_over(
+        {"d": ensure_parallelism(docs), "p": p},
+        f"""
+        SELECT {bare}, epoch
+        FROM (
+          SELECT /*+ BROADCAST(p) */ {cols},
+                 {n_copies} AS _n
+          FROM {{d}} d JOIN {{p}} p
+            ON p._psrc <=> d.{source_col} AND p._rate IS NOT NULL
+        )
+        LATERAL VIEW explode(
+          CASE WHEN _n >= 1 THEN sequence(1, _n)
+               ELSE CAST(array() AS ARRAY<INT>) END) AS epoch
         """,
     )
 

@@ -59,6 +59,8 @@ TEXT_QUERIES = [
     # r11 additions over documents
     "exact_spans",
     "rebalance",
+    "cut_spans",
+    "apply_mixture",
 ]
 
 TABLES = [

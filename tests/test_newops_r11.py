@@ -199,3 +199,152 @@ def test_mixture_rebalance_one_join_one_agg(spark):
     )
     assert plan.count("Join LeftOuter") == 1
     assert plan.count("Aggregate") == 1
+
+
+# ------------------------------------------------------------- cut_spans
+
+
+def test_cut_spans_hand_corpus(spark):
+    """The spans exact_substring_spans reports are exactly what
+    cut_spans removes: shared 6-token region cut from both docs,
+    unique material kept, counts right."""
+    from obsplus_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans,
+    )
+
+    df = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta unique1 tail1"),
+        (2, "pre2 alpha beta gamma delta epsilon zeta post2 q r"),
+        (3, "nothing shared here at all in this one document"),
+    ])
+    spans = exact_substring_spans(df, n=3, min_run=2)
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in cut_spans(df, spans).collect()}
+    assert out[1] == ("unique1 tail1", 6)
+    assert out[2] == ("pre2 post2 q r", 6)
+    assert out[3] == ("nothing shared here at all in this one document", 0)
+
+
+def test_cut_spans_degenerate_docs(spark):
+    """NULL text -> NULL out; empty/whitespace -> '' with 0 removed;
+    overlapping spans never double-count removals; everything-cut
+    yields '' not NULL."""
+    from obsplus_spark.operators.dedup import cut_spans
+
+    df = _docs(spark, [(1, None), (2, ""), (3, "  "), (4, "a b c d")])
+    spans = spark.createDataFrame(
+        # overlapping spans over doc 4 covering positions 0-2 and 1-3
+        [(4, 0, 3), (4, 1, 3)],
+        "doc_id long, span_start long, span_tokens long",
+    )
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in cut_spans(df, spans).collect()}
+    assert out[1] == (None, None)
+    assert out[2] == ("", 0)
+    assert out[3] == ("", 0)
+    assert out[4] == ("", 4)  # union of overlaps = all 4 tokens, once
+
+
+def test_cut_spans_caller_policy_keep_one(spark):
+    """The keep-one-copy policy composes: anti-join the min-id
+    occurrence out of the span frame and only the other docs get cut."""
+    from obsplus_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans,
+    )
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, [
+        (1, "s1 s2 s3 s4 s5 one"),
+        (2, "s1 s2 s3 s4 s5 two"),
+        (3, "s1 s2 s3 s4 s5 three"),
+    ])
+    spans = exact_substring_spans(df, n=3, min_run=2)
+    keep_first = spans.groupBy("span_start", "span_grams").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    to_cut = spans.join(keep_first, ["span_start", "span_grams", "doc_id"],
+                        "left_anti")
+    out = {r.doc_id: r.text for r in cut_spans(df, to_cut).collect()}
+    assert out[1] == "s1 s2 s3 s4 s5 one"   # the kept copy
+    assert out[2] == "two"
+    assert out[3] == "three"
+
+
+# --------------------------------------------------------- apply_mixture
+
+
+def test_apply_mixture_rates(spark):
+    """rate 1.0 -> exactly one copy each; rate 2.5 -> 2 or 3 copies per
+    doc with contiguous epochs and ~expectation across many ids;
+    rate 0 / NULL / missing source -> dropped."""
+    from obsplus_spark.operators.dedup import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 5)) for i in range(500)],
+        "doc_id long, source string",
+    )
+    plan = spark.createDataFrame(
+        [("s0", 1.0), ("s1", 2.5), ("s2", 0.0), ("s3", None)],
+        "source string, sample_rate double",
+    )
+    rows = apply_mixture(docs, plan).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    srcs = {r.doc_id: r.source for r in rows}
+    assert all(s in ("s0", "s1") for s in srcs.values())
+    n1 = [d for d in by_doc if d % 5 == 0]
+    assert all(by_doc[d] == [1] for d in n1)
+    n25 = [d for d in by_doc if d % 5 == 1]
+    assert all(sorted(by_doc[d]) in ([1, 2], [1, 2, 3]) for d in n25)
+    # the fractional epoch hits ~50% of rate-2.5 docs (hash-uniform)
+    frac3 = sum(len(by_doc[d]) == 3 for d in n25) / len(n25)
+    assert 0.3 < frac3 < 0.7
+    # determinism: a rerun is bit-identical
+    again = {(r.doc_id, r.epoch) for r in apply_mixture(docs, plan).collect()}
+    assert again == {(r.doc_id, r.epoch) for r in rows}
+
+
+def test_apply_mixture_null_source_matches_null_plan_row(spark):
+    from obsplus_spark.operators.dedup import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "s0")], "doc_id long, source string"
+    )
+    plan = spark.createDataFrame(
+        [(None, 2.0)], "source string, sample_rate double"
+    )
+    out = apply_mixture(docs, plan).collect()
+    assert sorted((r.doc_id, r.epoch) for r in out) == [(1, 1), (1, 2)]
+
+
+def test_apply_mixture_no_corpus_shuffle(spark):
+    """Plan contract: the corpus side never exchanges — one broadcast
+    join + in-row explode (100 TB property: sampling is a scan)."""
+    from obsplus_spark.operators.dedup import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "s0")], "doc_id long, source string"
+    )
+    plan = spark.createDataFrame(
+        [("s0", 1.5)], "source string, sample_rate double"
+    )
+    p = (apply_mixture(docs, plan)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_phash_narrow_sparse_knob_parity(spark):
+    """phash_near_dup's sparse_pairing opt-in (the measured 1M+ regime
+    lever) returns the identical pair set as the single-pass default."""
+    from obsplus_spark.operators.dedup import phash_near_dup
+
+    rows = [(1, 5, 9), (2, 5, 9), (3, 7, 9), (4, 1024, 2048)]
+    df = spark.createDataFrame(rows, "id long, h_lo long, h_hi long")
+    a = {tuple(r) for r in phash_near_dup(df, max_hamming=2).collect()}
+    b = {tuple(r) for r in
+         phash_near_dup(df, max_hamming=2, sparse_pairing=True).collect()}
+    assert a == b and (1, 2, 0) in a
