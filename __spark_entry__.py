@@ -9726,6 +9726,178 @@ def _apply_mixture_sql() -> str:
 """
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script composition per document — operators/text.py
+    script_mix: fractions of Latin/Cyrillic/Greek/Han/Arabic/digit
+    characters over the non-whitespace stream (Java \\p{IsX} classes;
+    the DuckDB twin spells RE2 \\p{X}). Pure map, zero exchanges."""
+    from obsplus_spark.operators.text import script_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return script_mix(docs)
+
+
+_SQL_SCRIPT_MIX = r"""
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_nows,
+           round(len(regexp_extract_all(text, '\p{Latin}'))
+                 / CAST(nullif(n, 0) AS DOUBLE), 6) AS frac_latin,
+           round(len(regexp_extract_all(text, '\p{Cyrillic}'))
+                 / CAST(nullif(n, 0) AS DOUBLE), 6) AS frac_cyrillic,
+           round(len(regexp_extract_all(text, '\p{Greek}'))
+                 / CAST(nullif(n, 0) AS DOUBLE), 6) AS frac_greek,
+           round(len(regexp_extract_all(text, '\p{Han}'))
+                 / CAST(nullif(n, 0) AS DOUBLE), 6) AS frac_han,
+           round(len(regexp_extract_all(text, '\p{Arabic}'))
+                 / CAST(nullif(n, 0) AS DOUBLE), 6) AS frac_arabic,
+           round(len(regexp_extract_all(text, '[0-9]'))
+                 / CAST(nullif(n, 0) AS DOUBLE), 6) AS frac_digit
+    FROM (
+      SELECT doc_id, text,
+             length(regexp_replace(text, '\s', '', 'g')) AS n
+      FROM documents WHERE text IS NOT NULL
+    )
+"""
+
+
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization —
+    operators/similarity.py standardize_embeddings: one map-combined
+    dim-keyed aggregate folded to a one-row broadcast stats frame,
+    then a pure in-row transform; 6-dp house rounding on the
+    cross-row means AND the output elements."""
+    from obsplus_spark.operators.similarity import standardize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return standardize_embeddings(emb)
+
+
+_SQL_STANDARDIZE = """
+    WITH ex AS (
+      SELECT vec_id, t.i AS pos,
+             CAST(embedding[t.i + 1] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    st AS (
+      SELECT pos, round(avg(x), 6) AS m,
+             round(stddev_pop(x), 6) AS s
+      FROM ex GROUP BY pos
+    ),
+    z AS (
+      SELECT vec_id, pos,
+             round(CASE WHEN s = 0e0 THEN 0e0 ELSE (x - m) / s END, 6)
+               AS z
+      FROM ex JOIN st USING (pos)
+    )
+    SELECT vec_id, list(z ORDER BY pos) AS embedding
+    FROM z GROUP BY vec_id
+"""
+
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise precision/recall of the MinHash clustering against
+    exact-fingerprint truth — operators/dedup.py dedup_pair_eval:
+    truth/predicted/intersection pair counts all via C(n,2) over
+    group sizes (three dimension-sized aggregates, nothing quadratic)
+    on top of the bounded cluster rounds."""
+    from obsplus_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_pair_eval,
+        near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
+    ).select("id1", "id2")
+    labels = dedup_clusters(pairs, max_iterations=4)
+    return dedup_pair_eval(docs, labels)
+
+
+def _dedup_eval_sql() -> str:
+    return rf"""
+    WITH RECURSIVE p AS ({_minhash_sql(8, 2)}),
+    e AS (
+      SELECT id1 AS a, id2 AS b FROM p
+      UNION ALL
+      SELECT id2, id1 FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+      WHERE r.lbl < e.b
+    ),
+    labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    cells AS (
+      SELECT md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'))
+               AS fp,
+             coalesce(l.cluster_id, d.doc_id) AS cl,
+             CAST(count(*) AS BIGINT) AS k
+      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+      WHERE d.text IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT sum(n * (n - 1) / 2) AS tp FROM (
+        SELECT fp, sum(k) AS n FROM cells GROUP BY fp)
+    ),
+    pred AS (
+      SELECT sum(n * (n - 1) / 2) AS pp FROM (
+        SELECT cl, sum(k) AS n FROM cells GROUP BY cl)
+    ),
+    inter AS (SELECT sum(k * (k - 1) / 2) AS ip FROM cells)
+    SELECT CAST(truth.tp AS BIGINT) AS truth_pairs,
+           CAST(pred.pp AS BIGINT) AS pred_pairs,
+           CAST(inter.ip AS BIGINT) AS tp_pairs,
+           round(inter.ip / CAST(nullif(pred.pp, 0) AS DOUBLE), 6)
+             AS pair_precision,
+           round(inter.ip / CAST(nullif(truth.tp, 0) AS DOUBLE), 6)
+             AS pair_recall
+    FROM truth CROSS JOIN pred CROSS JOIN inter
+"""
+
+
+def q_gram_freq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-frequency HISTOGRAM (how many distinct 3-grams occur k
+    times corpus-wide) — operators/dedup.py gram_frequencies rolled up
+    to a hash-invariant shape (gram ids are xxhash64 on the engine and
+    strings in the oracle; occurrence counts agree modulo the accepted
+    2^-64 digest argument). The batch ground truth the streaming
+    gram-frequency store maintains incrementally."""
+    from obsplus_spark.operators.dedup import gram_frequencies
+    from obsplus_spark.util import sql_over
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gf = gram_frequencies(docs, n=3)
+    return sql_over(
+        {"g": gf},
+        """
+        SELECT n_occ, CAST(count(1) AS BIGINT) AS n_grams
+        FROM {g} GROUP BY n_occ
+        """,
+    )
+
+
+_SQL_GRAM_FREQ_HIST = r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    f AS (SELECT g, CAST(count(*) AS BIGINT) AS n_occ FROM g GROUP BY g)
+    SELECT n_occ, CAST(count(*) AS BIGINT) AS n_grams
+    FROM f GROUP BY n_occ
+"""
+
+
 def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-dedup mixture rebalance — operators/dedup.py
     mixture_rebalance over dedup_clusters labels: per-source pre/post
@@ -11384,6 +11556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance": q_rebalance,  # NEW r11
         "cut_spans": q_cut_spans,  # NEW r11
         "apply_mixture": q_apply_mixture,  # NEW r11
+        "script_mix": q_script_mix,  # NEW r11
+        "standardize": q_standardize,  # NEW r11
+        "dedup_eval": q_dedup_eval,  # NEW r11
+        "gram_freq_hist": q_gram_freq_hist,  # NEW r11
     }
 
 
@@ -11490,6 +11666,10 @@ def oracle_sql() -> dict[str, str]:
         "rebalance": _rebalance_sql(),
         "cut_spans": _SQL_CUT_SPANS,
         "apply_mixture": _apply_mixture_sql(),
+        "script_mix": _SQL_SCRIPT_MIX,
+        "standardize": _SQL_STANDARDIZE,
+        "dedup_eval": _dedup_eval_sql(),
+        "gram_freq_hist": _SQL_GRAM_FREQ_HIST,
         "value_histogram": _SQL_HISTOGRAM,
         "table_profile": _SQL_PROFILE,
         "corpus_diff": _SQL_CORPUS_DIFF,

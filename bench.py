@@ -79,6 +79,7 @@ def main() -> None:
         # r11: rebalance persists shingles via near_duplicates at
         # construction (same family as dedup_clusters)
         "rebalance",
+        "dedup_eval",
         # r6 additions — every query whose CONSTRUCTION persists a
         # derived frame (shingle/band/edge/hash tables, purge keys,
         # bigram tf). Reusing one plan object across reps would let

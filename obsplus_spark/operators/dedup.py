@@ -3345,3 +3345,131 @@ def group_sample(
         WHERE sample_rank <= {kk}
         """,
     )
+
+
+def dedup_pair_eval(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pairwise precision/recall of a near-dup clustering against
+    EXACT-duplicate ground truth — the standard dedup-quality read-out
+    (B-cubed's pairwise cousin): truth pairs are same-normalized-text
+    fingerprints, predicted pairs are same-cluster memberships
+    (unclustered docs are singleton clusters = their own id), and both
+    pair sets are counted through GROUP SIZES — ``C(n,2)`` per truth
+    group, per predicted cluster, and per (truth, cluster) CELL for
+    the intersection — so nothing quadratic ever materializes
+    (pairwise metrics over billions of docs reduce to three
+    dimension-sized aggregates).
+
+    Reading it: recall < 1 means exact duplicates the clustering
+    split apart (missed pairs — LSH bands too selective); precision
+    measures how much of the clustering's pair mass is exact-dup mass
+    (NEAR-dup pairs that aren't byte-identical land here by design,
+    so precision is a characterization, not a failure score; compare
+    across parameter settings, not to 1.0).
+
+    Scale shape: one id-keyed LEFT join against the (pair-member-
+    sized) label frame, one (fingerprint, cluster)-keyed aggregate
+    over the corpus, then two map-combined roll-ups of the cell table
+    (dimension-sized). NULL-text docs are excluded (no fingerprint —
+    no truth identity).
+
+    Output: ONE row (truth_pairs, pred_pairs, tp_pairs BIGINT,
+    pair_precision, pair_recall DOUBLE 6-dp; NULL when the
+    denominator pair set is empty).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    lab = labels.selectExpr(
+        f"{label_id_col} AS _lid", f"{cluster_col} AS _lcl"
+    )
+    fp = f"md5(regexp_replace(trim(lower({text_col})), '\\\\s+', ' '))"
+    return sql_over(
+        {"d": ensure_parallelism(docs), "l": lab},
+        f"""
+        WITH cells AS (
+          SELECT {fp} AS _fp,
+                 coalesce(l._lcl, d.{id_col}) AS _cl,
+                 CAST(count(1) AS BIGINT) AS k
+          FROM {{d}} d LEFT JOIN {{l}} l ON l._lid = d.{id_col}
+          WHERE d.{text_col} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT sum(n * (n - 1) / 2) AS tp FROM (
+            SELECT _fp, sum(k) AS n FROM cells GROUP BY _fp)
+        ),
+        pred AS (
+          SELECT sum(n * (n - 1) / 2) AS pp FROM (
+            SELECT _cl, sum(k) AS n FROM cells GROUP BY _cl)
+        ),
+        inter AS (
+          SELECT sum(k * (k - 1) / 2) AS ip FROM cells
+        )
+        SELECT CAST(truth.tp AS BIGINT) AS truth_pairs,
+               CAST(pred.pp AS BIGINT) AS pred_pairs,
+               CAST(inter.ip AS BIGINT) AS tp_pairs,
+               round(inter.ip / CAST(nullif(pred.pp, 0) AS DOUBLE), 6)
+                 AS pair_precision,
+               round(inter.ip / CAST(nullif(truth.tp, 0) AS DOUBLE), 6)
+                 AS pair_recall
+        FROM truth CROSS JOIN pred CROSS JOIN inter
+        """,
+    )
+
+
+def gram_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus ``n``-gram frequency table over the canonical token
+    stream — the duplicated-gram evidence :func:`duplicated_spans` /
+    :func:`exact_substring_spans` derive inline, exposed as a
+    MERGEABLE table (counts sum) so a streaming pipeline can maintain
+    it incrementally (``streaming.incremental.stream_gram_frequencies``)
+    and flag new documents against the accumulated corpus without a
+    rescan. Grams are the shared shifted-slice ``xxhash64`` combine —
+    no gram strings are ever built (the repo's accepted 2⁻⁶⁴ digest
+    argument; a DuckDB twin groups gram STRINGS and is count-identical
+    modulo collisions).
+
+    Scale shape: in-row gram formation + ONE gram-keyed map-combined
+    count aggregate.
+
+    Output: (g BIGINT, n_occ BIGINT).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    nn = int(n)
+    if nn < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    ht = "transform(_toks, t -> xxhash64(t))"
+    nsh = f"(size(_ht) - {nn - 1})"
+    acc = f"slice(_ht, 1, {nsh})"
+    for k in range(1, nn):
+        acc = (
+            f"zip_with({acc}, slice(_ht, {k + 1}, {nsh}),"
+            " (a, b) -> xxhash64(a, b))"
+        )
+    grams = (
+        f"CASE WHEN size(_ht) >= {nn} THEN {acc}"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    base = (
+        ensure_parallelism(df)
+        .selectExpr(f"{toks} AS _toks")
+        .selectExpr(f"{ht} AS _ht")
+        .selectExpr(f"explode({grams}) AS g")
+    )
+    return sql_over(
+        {"g": base},
+        "SELECT g, CAST(count(1) AS BIGINT) AS n_occ FROM {g} GROUP BY g",
+    )

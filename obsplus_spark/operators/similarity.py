@@ -1405,3 +1405,67 @@ def dim_truncation_eval(
         ORDER BY dim
         """,
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the preprocessing step before isotropic distance work (k-means,
+    Mahalanobis-lite screens, PQ codebook training): each dimension is
+    centered on its corpus mean and scaled by its corpus stddev, so no
+    single high-variance dimension dominates the metric.
+
+    Convention: population stddev; mean/std are 6-dp rounded BEFORE
+    applying (the house cross-row-mean rule — deterministic across
+    engines and partitionings) and the output elements are 6-dp
+    rounded; a CONSTANT dimension (std 0) maps to 0.0 (its centered
+    value is exactly 0 for every row — no information, no division).
+    Malformed (NULL/empty) embeddings are excluded by the shared
+    :func:`valid_vectors` contract; ragged corpora standardize each
+    position over the rows that HAVE it (documented: fixed-width
+    corpora are the intended input).
+
+    Scale shape: ONE (pos)-keyed MAP-COMBINED aggregate over the
+    position-exploded vectors (partials collapse each partition to
+    ≤ dim cells before the exchange — the explode never crosses the
+    wire), folded to a ONE-ROW stats frame that broadcasts back; the
+    apply pass is a pure in-row ``transform``. No corpus shuffle.
+
+    Output: ``(id, embedding)`` — standardized ``array<double>``.
+    """
+    from obsplus_spark.util import sql_over
+
+    v = valid_vectors(df, vec_col)
+    return sql_over(
+        {"v": v},
+        f"""
+        WITH ex AS (
+          SELECT pos, CAST(x AS DOUBLE) AS x
+          FROM {{v}} LATERAL VIEW posexplode({vec_col}) AS pos, x
+        ),
+        st AS (
+          SELECT pos, round(avg(x), 6) AS m,
+                 round(stddev_pop(x), 6) AS s
+          FROM ex GROUP BY pos
+        ),
+        stats AS (
+          SELECT transform(array_sort(collect_list(struct(pos, m))),
+                           t -> t.m) AS _mv,
+                 transform(array_sort(collect_list(struct(pos, s))),
+                           t -> t.s) AS _sv
+          FROM st
+        )
+        SELECT /*+ BROADCAST(stats) */ {id_col},
+               transform({vec_col}, (x, i) ->
+                 round(CASE WHEN element_at(_sv, i + 1) = 0.0D
+                            THEN 0.0D
+                            ELSE (CAST(x AS DOUBLE)
+                                  - element_at(_mv, i + 1))
+                                 / element_at(_sv, i + 1)
+                       END, 6)) AS {vec_col}
+        FROM {{v}} CROSS JOIN stats
+        """,
+    )

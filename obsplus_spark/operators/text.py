@@ -2174,3 +2174,54 @@ def winnow_overlap(
         HAVING count(1) >= {ms}
         """,
     )
+
+
+def script_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Unicode SCRIPT composition: the fraction of
+    non-whitespace characters in Latin / Cyrillic / Greek / Han /
+    Arabic script plus ASCII digits — the multilingual-corpus quality
+    signal :func:`language_id`'s n-gram heuristic cannot give (it
+    assumes one script family): mixed-script spam, mojibake, wrong-
+    charset ingests, and transliteration artifacts all show up as
+    off-profile script mixes before any language model sees the text.
+
+    Dialect note: Spark (Java regex) spells script classes
+    ``\\p{IsLatin}``; the DuckDB oracle twin (RE2) spells them
+    ``\\p{Latin}`` — same Unicode script property either way.
+    Fractions are over NON-whitespace characters, 6-dp rounded;
+    an all-whitespace/empty text yields NULL fractions (0 chars);
+    NULL-text rows are dropped (no character stream to profile).
+
+    Scale shape: PURE MAP — per-row regexp counts, zero exchanges at
+    any corpus size.
+
+    Output: (id, n_chars_nows BIGINT, frac_latin, frac_cyrillic,
+    frac_greek, frac_han, frac_arabic, frac_digit — DOUBLE).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    def cnt(script: str) -> str:
+        return f"regexp_count({text_col}, '\\\\p{{Is{script}}}')"
+
+    fracs = ", ".join(
+        f"round({cnt(s)} / CAST(nullif(_n, 0) AS DOUBLE), 6)"
+        f" AS frac_{s.lower()}"
+        for s in ("Latin", "Cyrillic", "Greek", "Han", "Arabic")
+    )
+    return sql_over(
+        {"d": ensure_parallelism(df)},
+        f"""
+        SELECT {id_col}, CAST(_n AS BIGINT) AS n_chars_nows, {fracs},
+               round(regexp_count({text_col}, '[0-9]')
+                     / CAST(nullif(_n, 0) AS DOUBLE), 6) AS frac_digit
+        FROM (
+          SELECT {id_col}, {text_col},
+                 length(regexp_replace({text_col}, '\\\\s', '')) AS _n
+          FROM {{d}} WHERE {text_col} IS NOT NULL
+        )
+        """,
+    )

@@ -1056,3 +1056,73 @@ def stream_auc_cells(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _gram_freq_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    n: int,
+    store_dir: str,
+) -> None:
+    """One idempotent gram-frequency store transition (the
+    ``foreachBatch`` body of :func:`stream_gram_frequencies`;
+    crash/replay handling lives in the shared
+    :func:`_gen_swap_apply`). Counts are mergeable by summation, so
+    the fold is prev ∪ batch → gram-keyed sum."""
+    from pyspark.sql import functions as F
+
+    from obsplus_spark.operators.dedup import gram_frequencies
+
+    def fold(prev):
+        b = gram_frequencies(batch_df, id_col, text_col, n)
+        if prev is None:
+            return b
+        return (
+            prev.unionByName(b)
+            .groupBy("g")
+            .agg(F.sum("n_occ").cast("long").alias("n_occ"))
+        )
+
+    _gen_swap_apply(batch_df.sparkSession, store_dir, batch_id, fold)
+
+
+def stream_gram_frequencies(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    available_now: bool = True,
+):
+    """foreachBatch maintenance of the corpus ``n``-gram frequency
+    table (:func:`operators.dedup.gram_frequencies`) — the streaming
+    leg of the exact-substring family: as documents arrive, their
+    gram counts merge by SUMMATION into the persisted store, which at
+    every point equals a batch build over everything ingested (the
+    mergeable contract the CMS/HLL stores share). A curation pipeline
+    joins a new batch's gram positions against ``current`` to flag
+    duplicated spans incrementally — no corpus rescan per batch.
+
+    Same generation-swap protocol as every maintained table here:
+    replay-idempotent via the in-generation ``_applied_<batch_id>``
+    marker, half-swap recovery, ``_old_*`` sweep (see
+    :func:`_gen_swap_apply`).
+
+    Returns the started StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _gram_freq_apply_batch(
+            batch_df, batch_id, id_col, text_col, n, store_dir
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -61,6 +61,9 @@ TEXT_QUERIES = [
     "rebalance",
     "cut_spans",
     "apply_mixture",
+    "script_mix",
+    "dedup_eval",
+    "gram_freq_hist",
 ]
 
 TABLES = [

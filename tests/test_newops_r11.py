@@ -348,3 +348,115 @@ def test_phash_narrow_sparse_knob_parity(spark):
     b = {tuple(r) for r in
          phash_near_dup(df, max_hamming=2, sparse_pairing=True).collect()}
     assert a == b and (1, 2, 0) in a
+
+
+def test_cut_spans_one_join_small_exchange(spark):
+    """Plan contract: ONE left join against the folded span frame and
+    one doc-keyed exchange over SPAN rows (never token rows); the keep
+    filter is in-row."""
+    from obsplus_spark.operators.dedup import cut_spans
+
+    docs = _docs(spark, [(1, "a b c d")])
+    spans = spark.createDataFrame(
+        [(1, 0, 2)], "doc_id long, span_start long, span_tokens long"
+    )
+    plan = (cut_spans(docs, spans)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("Join LeftOuter") == 1
+    exec_plan = (cut_spans(docs, spans)
+                 ._jdf.queryExecution().executedPlan().toString())
+    # one exchange for the span fold + the join's requirement; no
+    # window, no extra corpus aggregate
+    assert "Window" not in exec_plan
+
+
+# ------------------------------------------- script_mix / standardize /
+# ------------------------------------------------------- dedup_pair_eval
+
+
+def test_script_mix_hand_values(spark):
+    """Latin+digit, Cyrillic-mixed, pure Han, NULL and whitespace-only
+    inputs — fractions over non-whitespace chars, NULL text dropped."""
+    from obsplus_spark.operators.text import script_mix
+
+    df = _docs(spark, [
+        (1, "hello world 123"),
+        (2, "привет мир hello"),
+        (3, "你好 世界"),
+        (4, None),
+        (5, "   "),
+    ])
+    out = {r.doc_id: r for r in script_mix(df).collect()}
+    assert 4 not in out
+    assert out[1].n_chars_nows == 13
+    assert out[1].frac_latin == 0.769231 and out[1].frac_digit == 0.230769
+    assert out[2].frac_cyrillic == 0.642857
+    assert out[3].frac_han == 1.0
+    assert out[5].frac_latin is None  # zero chars -> NULL fractions
+
+
+def test_script_mix_map_only(spark):
+    from obsplus_spark.operators.text import script_mix
+
+    df = _docs(spark, [(1, "x")])
+    p = script_mix(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+
+
+def test_standardize_embeddings_hand(spark):
+    """mean 2, stddev_pop 1 -> z = -1/+1; constant dim -> 0.0; NULL
+    and empty embeddings dropped by the valid_vectors contract."""
+    from obsplus_spark.operators.similarity import standardize_embeddings
+
+    rows = [(1, [1.0, 5.0]), (2, [3.0, 5.0]), (3, None), (4, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.embedding for r in
+           standardize_embeddings(df).collect()}
+    assert out == {1: [-1.0, 0.0], 2: [1.0, 0.0]}
+
+
+def test_standardize_one_dim_exchange_broadcast_back(spark):
+    """The only hash exchange is the dim-keyed stats aggregate; the
+    stats frame broadcasts back (the corpus never re-shuffles)."""
+    from obsplus_spark.operators.similarity import standardize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    p = (standardize_embeddings(df)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_dedup_pair_eval_hand_math(spark):
+    """truth C(3,2)+C(2,2)=4; pred C(2,2)+C(3,2)=4; tp=2 -> P=R=0.5.
+    Normalization folds case/whitespace; NULL text excluded;
+    unclustered docs are singletons."""
+    from obsplus_spark.operators.dedup import dedup_pair_eval
+
+    docs = _docs(spark, [
+        (1, "same text"), (2, "same  TEXT"), (3, "same text"),
+        (4, "other"), (5, "other"), (6, "unique"), (7, None),
+    ])
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4), (6, 4)],
+        "id long, cluster_id long",
+    )
+    r = dedup_pair_eval(docs, labels).collect()[0]
+    assert tuple(r) == (4, 4, 2, 0.5, 0.5)
+
+
+def test_dedup_pair_eval_empty_truth(spark):
+    """All-unique corpus: zero truth pairs -> NULL recall (never a
+    divide-by-zero), precision still defined over predicted pairs."""
+    from obsplus_spark.operators.dedup import dedup_pair_eval
+
+    docs = _docs(spark, [(1, "a"), (2, "b"), (3, "c")])
+    labels = spark.createDataFrame([(1, 1), (2, 1)],
+                                   "id long, cluster_id long")
+    r = dedup_pair_eval(docs, labels).collect()[0]
+    assert (r.truth_pairs, r.pred_pairs, r.tp_pairs) == (0, 1, 0)
+    assert r.pair_recall is None and r.pair_precision == 0.0

@@ -1109,3 +1109,67 @@ def test_auc_cells_merge_with_duplicate_scores(spark):
     ).collect()[0]
     assert got["auc"] == want["auc"]
     assert (got["n_pos"], got["n_neg"]) == (want["n_pos"], want["n_neg"])
+
+
+def test_streaming_gram_frequencies_equal_batch(spark, tmp_path):
+    """The maintained gram-frequency store equals a batch
+    gram_frequencies build over the full ingested stream after any
+    number of micro-batches (count-mergeability end to end through
+    foreachBatch + generation swap)."""
+    from obsplus_spark.operators.dedup import gram_frequencies
+    from obsplus_spark.streaming.incremental import stream_gram_frequencies
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "gram_store")
+    schema = "doc_id long, text string"
+
+    rows1 = [(i, f"a b c d{i % 3} e f") for i in range(10)]
+    rows2 = [(100 + i, "a b c shared tail x") for i in range(6)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_gram_frequencies(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            n=3,
+        )
+        q.awaitTermination(120)
+
+    write_batch(rows1)
+    run()
+    write_batch(rows2)
+    run()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{store}/current").collect())
+    )
+    whole = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(map(tuple, gram_frequencies(whole, n=3).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_gram_frequencies_replay_idempotent(spark, tmp_path):
+    """Replaying an already-committed batch_id must not double-count
+    (at-least-once foreachBatch; the _applied marker commits with the
+    generation)."""
+    from obsplus_spark.operators.dedup import gram_frequencies
+    from obsplus_spark.streaming.incremental import _gram_freq_apply_batch
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r t")], "doc_id long, text string"
+    )
+    _gram_freq_apply_batch(df, 0, "doc_id", "text", 3, store)
+    once = sorted(map(tuple, spark.read.parquet(f"{store}/current").collect()))
+    _gram_freq_apply_batch(df, 0, "doc_id", "text", 3, store)  # replay
+    again = sorted(map(tuple, spark.read.parquet(f"{store}/current").collect()))
+    assert once == again
+    want = sorted(map(tuple, gram_frequencies(df, n=3).collect()))
+    assert once == want

@@ -34,6 +34,7 @@ COSINE_QUERIES = [
     "centroid_drift",
     "cluster_quality",
     "dim_trunc",  # r10: zero-norm truncated prefixes -> NULL, excluded
+    "standardize",  # r11: zero vector standardizes fine (per-dim stats)
 ]
 
 TABLES = [

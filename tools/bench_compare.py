@@ -53,7 +53,7 @@ def main() -> int:
     # the rep re-materializes that persist (steady-state, not result
     # caching)
     rebuild = {"minhash_near_dup", "prune_orphans", "common_coverage",
-               "dedup_clusters", "canonical_docs", "jaccard_join", "rebalance",
+               "dedup_clusters", "canonical_docs", "jaccard_join", "rebalance", "dedup_eval",
                "incremental_dedup", "semantic_dedup", "bfs_hops",
                "hits_auth", "pagerank", "k_core", "bigram_lp",
                "cascade_delete", "image_phash", "phash_wide", "fuzzy_decontam",
