@@ -9898,6 +9898,51 @@ _SQL_GRAM_FREQ_HIST = r"""
 """
 
 
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus novelty scoring — operators/dedup.py gram_novelty:
+    fraction of each non-src0 document's DISTINCT 3-grams that never
+    occur in the src0 reference slice; one gram-keyed left join +
+    one doc-keyed roll-up (the scoring complement of whole-doc
+    decontamination)."""
+    from obsplus_spark.operators.dedup import gram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return gram_novelty(
+        docs.where("source <> 'src0'").select("doc_id", "text"),
+        docs.where("source = 'src0'").select("text"),
+        n=3,
+    )
+
+
+_SQL_GRAM_NOVELTY = r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE source <> 'src0' AND len(w) >= 3)
+    ),
+    rg AS (
+      SELECT DISTINCT w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE source = 'src0' AND len(w) >= 3)
+    )
+    SELECT dg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN rg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN rg.g IS NULL THEN 1e0 ELSE 0e0 END)
+                 / count(*), 6) AS novelty
+    FROM dg LEFT JOIN rg ON dg.g = rg.g
+    GROUP BY dg.doc_id
+"""
+
+
 def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-dedup mixture rebalance — operators/dedup.py
     mixture_rebalance over dedup_clusters labels: per-source pre/post
@@ -11560,6 +11605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,  # NEW r11
         "dedup_eval": q_dedup_eval,  # NEW r11
         "gram_freq_hist": q_gram_freq_hist,  # NEW r11
+        "gram_novelty": q_gram_novelty,  # NEW r11
     }
 
 
@@ -11670,6 +11716,7 @@ def oracle_sql() -> dict[str, str]:
         "standardize": _SQL_STANDARDIZE,
         "dedup_eval": _dedup_eval_sql(),
         "gram_freq_hist": _SQL_GRAM_FREQ_HIST,
+        "gram_novelty": _SQL_GRAM_NOVELTY,
         "value_histogram": _SQL_HISTOGRAM,
         "table_profile": _SQL_PROFILE,
         "corpus_diff": _SQL_CORPUS_DIFF,

@@ -3473,3 +3473,87 @@ def gram_frequencies(
         {"g": base},
         "SELECT g, CAST(count(1) AS BIGINT) AS n_occ FROM {g} GROUP BY g",
     )
+
+
+def gram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Per-document NOVELTY against a reference corpus: the fraction of
+    the doc's DISTINCT ``n``-grams that never occur in the reference —
+    the dataset-refresh signal (how much genuinely new text does this
+    crawl add?) and the content-level complement of
+    :func:`exact_decontaminate` (which drops whole docs on overlap;
+    this SCORES partial overlap). Distinct grams, not occurrences, so
+    a long repetitive doc cannot inflate its own novelty.
+
+    Grams are the shared shifted-slice ``xxhash64`` rule (2⁻⁶⁴ digest
+    argument; the DuckDB twin uses gram strings — count-identical
+    modulo collisions). Docs with fewer than ``n`` tokens have no
+    grams and emit NO row (no evidence either way).
+
+    Scale shape: in-row gram formation + ``array_distinct`` per doc,
+    one explode, ONE gram-keyed LEFT join against the reference's
+    DISTINCT gram table (set ``broadcast_reference=True`` ONLY when
+    the reference vocabulary is provably bounded — benchmark suites,
+    not sibling crawls), then one doc-keyed map-combined roll-up.
+
+    Output: (id, n_grams, n_novel BIGINT, novelty DOUBLE 6-dp).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    nn = int(n)
+    if nn < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def gram_expr() -> str:
+        # reads the _ht token-hash column the upstream projection built
+        nsh = f"(size(_ht) - {nn - 1})"
+        acc = f"slice(_ht, 1, {nsh})"
+        for k in range(1, nn):
+            acc = (
+                f"zip_with({acc}, slice(_ht, {k + 1}, {nsh}),"
+                " (a, b) -> xxhash64(a, b))"
+            )
+        return (
+            f"CASE WHEN size(_ht) >= {nn} THEN {acc}"
+            " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        )
+
+    d = (
+        ensure_parallelism(docs)
+        .selectExpr(
+            id_col,
+            rf"transform(filter(split(trim(lower({text_col})), '\\s+'),"
+            " t -> t != ''), t -> xxhash64(t)) AS _ht",
+        )
+        .selectExpr(
+            id_col, f"explode(array_distinct({gram_expr()})) AS g"
+        )
+    )
+    r = (
+        reference.selectExpr(
+            rf"transform(filter(split(trim(lower({text_col})), '\\s+'),"
+            " t -> t != ''), t -> xxhash64(t)) AS _ht"
+        )
+        .selectExpr(f"explode({gram_expr()}) AS g")
+        .distinct()
+    )
+    hint = "/*+ BROADCAST(r) */ " if broadcast_reference else ""
+    return sql_over(
+        {"d": d, "r": r},
+        f"""
+        SELECT {hint}{id_col},
+               CAST(count(1) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN r.g IS NULL THEN 1.0D ELSE 0.0D END)
+                     / count(1), 6) AS novelty
+        FROM {{d}} d LEFT JOIN {{r}} r ON d.g = r.g
+        GROUP BY {id_col}
+        """,
+    )

@@ -64,6 +64,7 @@ TEXT_QUERIES = [
     "script_mix",
     "dedup_eval",
     "gram_freq_hist",
+    "gram_novelty",
 ]
 
 TABLES = [

@@ -460,3 +460,39 @@ def test_dedup_pair_eval_empty_truth(spark):
     r = dedup_pair_eval(docs, labels).collect()[0]
     assert (r.truth_pairs, r.pred_pairs, r.tp_pairs) == (0, 1, 0)
     assert r.pair_recall is None and r.pair_precision == 0.0
+
+
+# ----------------------------------------------------------- gram_novelty
+
+
+def test_gram_novelty_hand_values(spark):
+    """1/3 novel grams for the doc sharing a prefix with the
+    reference; fully-novel doc at 1.0; gram-less docs emit no row."""
+    from obsplus_spark.operators.dedup import gram_novelty
+
+    docs = _docs(spark, [(1, "a b c d e"), (2, "x y z w"), (3, "a b")])
+    ref = spark.createDataFrame([("a b c d q",)], "text string")
+    out = sorted(tuple(r) for r in gram_novelty(docs, ref).collect())
+    assert out == [(1, 3, 1, 0.333333), (2, 2, 2, 1.0)]
+
+
+def test_gram_novelty_distinct_grams_not_occurrences(spark):
+    """A doc repeating one novel gram many times scores by DISTINCT
+    grams — repetition cannot inflate novelty mass."""
+    from obsplus_spark.operators.dedup import gram_novelty
+
+    docs = _docs(spark, [(1, "q q q q q q q q")])  # one distinct gram
+    ref = spark.createDataFrame([("a b c",)], "text string")
+    out = [tuple(r) for r in gram_novelty(docs, ref).collect()]
+    assert out == [(1, 1, 1, 1.0)]
+
+
+def test_gram_novelty_empty_reference(spark):
+    """An empty reference makes everything novel (LEFT join, never an
+    inner-join collapse)."""
+    from obsplus_spark.operators.dedup import gram_novelty
+
+    docs = _docs(spark, [(1, "a b c d")])
+    ref = spark.createDataFrame([], "text string")
+    out = [tuple(r) for r in gram_novelty(docs, ref).collect()]
+    assert out == [(1, 2, 2, 1.0)]
