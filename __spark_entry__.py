@@ -11433,9 +11433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_request": q_bulk_request,
         "event_payload": q_event_payload,
         # --- driver cap (50) ---
-        # r12 rotation head: the 4 r5 rows deferred for window space +
-        # the 13 rows whose latest driver row is r7 (all pass the full
-        # local oracle run at sf0.01)
+        # r12 rotation head: the 9 NEW r11 operators (exact_spans,
+        # rebalance, cut_spans, apply_mixture, script_mix, standardize,
+        # dedup_eval, gram_freq_hist, gram_novelty — registered in
+        # section (e), never driver-tested, all pass the full local
+        # oracle run) + the 4 r5 rows deferred for window space + the
+        # 13 rows whose latest driver row is r7; fill the remaining
+        # slots from the oldest r8 band.
         # (c) deferred r5 rows
         "nearest_association": q_nearest_association,
         "simhash": q_simhash,
