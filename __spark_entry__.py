@@ -9674,7 +9674,7 @@ def _apply_mixture_sql() -> str:
         for s, w in _MIX_WEIGHTS.items()
     )
     rate = (
-        "CASE WHEN kept_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+        "CASE WHEN coalesce(kept_tokens, 0) = 0 THEN CAST(NULL AS DOUBLE)"
         " ELSE least(CAST(3.0 AS DOUBLE),"
         " weight * CAST(400000 AS DOUBLE) / kept_tokens) END"
     )
@@ -9754,7 +9754,7 @@ _SQL_SCRIPT_MIX = r"""
                  / CAST(nullif(n, 0) AS DOUBLE), 6) AS frac_digit
     FROM (
       SELECT doc_id, text,
-             length(regexp_replace(text, '\s', '', 'g')) AS n
+             length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS n
       FROM documents WHERE text IS NOT NULL
     )
 """
@@ -9841,14 +9841,14 @@ def _dedup_eval_sql() -> str:
       GROUP BY 1, 2
     ),
     truth AS (
-      SELECT sum(n * (n - 1) / 2) AS tp FROM (
+      SELECT sum(n * (n - 1) // 2) AS tp FROM (
         SELECT fp, sum(k) AS n FROM cells GROUP BY fp)
     ),
     pred AS (
-      SELECT sum(n * (n - 1) / 2) AS pp FROM (
+      SELECT sum(n * (n - 1) // 2) AS pp FROM (
         SELECT cl, sum(k) AS n FROM cells GROUP BY cl)
     ),
-    inter AS (SELECT sum(k * (k - 1) / 2) AS ip FROM cells)
+    inter AS (SELECT sum(k * (k - 1) // 2) AS ip FROM cells)
     SELECT CAST(truth.tp AS BIGINT) AS truth_pairs,
            CAST(pred.pp AS BIGINT) AS pred_pairs,
            CAST(inter.ip AS BIGINT) AS tp_pairs,
@@ -9974,7 +9974,7 @@ def _rebalance_sql() -> str:
     )
     # explicit NULL branch — least() skips NULLs on both engines
     rate = (
-        f"CASE WHEN kept_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+        f"CASE WHEN coalesce(kept_tokens, 0) = 0 THEN CAST(NULL AS DOUBLE)"
         f" ELSE least(CAST(4.0 AS DOUBLE),"
         f" weight * CAST({_MIX_TARGET} AS DOUBLE)"
         f" / kept_tokens) END"
@@ -11368,84 +11368,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
     # only the FIRST 50 entries. Rotation policy (NOTES.md): changed
     # code first, then the entries with the OLDEST most-recent driver
-    # row. Round 11 executes VERDICT r10 "Next round #1": the 5
-    # never-driver-tested r10 operators take positions 1-5 (phash_wide
-    # also carries this round's ADVICE fixes: sign-stable abs() modulo
-    # in kernel+oracle, band_words=2 degenerate-array guard; dim_trunc
-    # carries the documented fixed-width contract), then 45 of the 49
-    # queries whose most recent green driver row is r5. Freshness floor
-    # after this window: r5 for the 4 deferred r5 rows below the cap
-    # (nearest_association, simhash, pivot_by_type, salted_agg) and r7
-    # for 13 more — those 17 lead the r12 window; everything else is
-    # r8+. All 208 pass the full local oracle run (tools/check.py).
+    # row. Round 12 executes VERDICT r11 "Next round #1": the 9
+    # never-driver-tested r11 operators take positions 1-9 (rebalance,
+    # apply_mixture, dedup_eval and script_mix also carry this round's
+    # ADVICE fixes: coalesce() NULL-kept_tokens guard, reserved
+    # epoch/_n column guard, integer DIV pair halving, explicit
+    # whitespace character class — each mirrored in its oracle twin),
+    # then the 4 rows whose latest driver row is r5, the 13 at r7, and
+    # 24 from the oldest r8 band. Freshness floor after this window:
+    # r8. All 217 pre-existing queries pass the full local oracle run
+    # (tools/check.py); new r12 registrations sit behind the cap in
+    # section (g) and lead the r13 window.
     return {
-        # --- r11 rotation, first 50 = the driver correctness window ---
-        # (a) the 5 new-in-r10 operators (never driver-tested)
-        "phash_wide": q_phash_wide,
-        "stitch_pairs": q_stitch_pairs,
-        "curriculum": q_curriculum,
-        "dim_trunc": q_dim_trunc,
-        "group_sample": q_group_sample,
-        # (b) 45 of the 49 rows whose latest driver row is r5
-        "value_histogram": q_value_histogram,
-        "table_profile": q_table_profile,
-        "corpus_diff": q_corpus_diff,
-        "rfm_segments": q_rfm_segments,
-        "action_trigrams": q_action_trigrams,
-        "ship_priority": q_ship_priority,
-        "returned_customers": q_returned_customers,
-        "cohort_retention": q_cohort_retention,
-        "rate_zscores": q_rate_zscores,
-        "sessionize": q_sessionize,
-        "funnel": q_funnel,
-        "kmeans_step": q_kmeans_step,
-        "bpe_pairs": q_bpe_pairs,
-        "posting_lists": q_posting_lists,
-        "tf_idf": q_tf_idf,
-        "unigram_lp": q_unigram_lp,
-        "mixture_plan": q_mixture_plan,
-        "boilerplate": q_boilerplate,
-        "hard_negatives": q_hard_negatives,
-        "chunk_text": q_chunk_text,
-        "vocab_top": q_vocab_top,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "quality_flags": q_quality_flags,
-        "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_recall": q_ann_recall,
-        "ivf_flat": q_ivf_flat,
-        "lsh_ann": q_lsh_ann,
-        "video_frames": q_video_frames,
-        "balanced_sample": q_balanced_sample,
-        "minhash_near_dup": q_minhash_near_dup,
-        "knn_cosine": q_knn_cosine,
-        "lang_id": q_lang_id,
-        "median_per_group": q_median_per_group,
-        "last_per_type": q_last_per_type,
-        "duplicate_detection": q_duplicate_detection,
-        "agg_rollup": q_agg_rollup,
-        "set_ops": q_set_ops,
-        "time_chunks": q_time_chunks,
-        "offset_limit": q_offset_limit,
-        "common_coverage": q_common_coverage,
-        "nested_last_event": q_nested_last_event,
-        "bulk_request": q_bulk_request,
-        "event_payload": q_event_payload,
-        # --- driver cap (50) ---
-        # r12 rotation head: the 9 NEW r11 operators (exact_spans,
-        # rebalance, cut_spans, apply_mixture, script_mix, standardize,
-        # dedup_eval, gram_freq_hist, gram_novelty — registered in
-        # section (e), never driver-tested, all pass the full local
-        # oracle run) + the 4 r5 rows deferred for window space + the
-        # 13 rows whose latest driver row is r7; fill the remaining
-        # slots from the oldest r8 band.
-        # (c) deferred r5 rows
+        # --- r12 rotation, first 50 = the driver correctness window ---
+        # (a) the 9 new-in-r11 operators (never driver-tested)
+        "exact_spans": q_exact_spans,
+        "rebalance": q_rebalance,
+        "cut_spans": q_cut_spans,
+        "apply_mixture": q_apply_mixture,
+        "script_mix": q_script_mix,
+        "standardize": q_standardize,
+        "dedup_eval": q_dedup_eval,
+        "gram_freq_hist": q_gram_freq_hist,
+        "gram_novelty": q_gram_novelty,
+        # (b) latest driver row r5
         "nearest_association": q_nearest_association,
         "simhash": q_simhash,
         "pivot_by_type": q_pivot_by_type,
         "salted_agg": q_salted_agg,
-        # (d) latest driver row r7
+        # (c) latest driver row r7
         "image_phash": q_image_phash,
         "audio_segments": q_audio_segments,
         "winsorize": q_winsorize,
@@ -11459,7 +11410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share": q_promo_share,
         "market_share": q_market_share,
         "idle_customers": q_idle_customers,
-        # (e) latest driver row r8+ (rotate normally)
+        # (d) oldest 24 of the r8 band
         "seed_ids": q_seed_ids,
         "trim_traces": q_trim_traces,
         "s_before_p": q_s_before_p,
@@ -11484,6 +11435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_arrivals": q_orphan_arrivals,
         "hll_users": q_hll_users,
         "approx_quantiles": q_approx_quantiles,
+        # --- driver cap (50) ---
+        # r13 rotation head: any section (g) NEW r12 operators, then
+        # the remaining r8 band below (bloom_semi onward), then the
+        # r10/r11 windows in section (f).
+        # (e) latest driver row r8+ (rotate normally)
         "bloom_semi": q_bloom_semi,
         "sds_chunks": q_sds_chunks,
         "wav_roundtrip": q_wav_roundtrip,
@@ -11601,15 +11557,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_preferred": q_focal_preferred,
         "stations_from_stream": q_stations_from_stream,
         "canonical_docs": q_canonical_docs,
-        "exact_spans": q_exact_spans,  # NEW r11 (behind cap; rotates r12+)
-        "rebalance": q_rebalance,  # NEW r11
-        "cut_spans": q_cut_spans,  # NEW r11
-        "apply_mixture": q_apply_mixture,  # NEW r11
-        "script_mix": q_script_mix,  # NEW r11
-        "standardize": q_standardize,  # NEW r11
-        "dedup_eval": q_dedup_eval,  # NEW r11
-        "gram_freq_hist": q_gram_freq_hist,  # NEW r11
-        "gram_novelty": q_gram_novelty,  # NEW r11
+        # (f) the r11 driver window (freshest rows; rotate last)
+        "phash_wide": q_phash_wide,
+        "stitch_pairs": q_stitch_pairs,
+        "curriculum": q_curriculum,
+        "dim_trunc": q_dim_trunc,
+        "group_sample": q_group_sample,
+        "value_histogram": q_value_histogram,
+        "table_profile": q_table_profile,
+        "corpus_diff": q_corpus_diff,
+        "rfm_segments": q_rfm_segments,
+        "action_trigrams": q_action_trigrams,
+        "ship_priority": q_ship_priority,
+        "returned_customers": q_returned_customers,
+        "cohort_retention": q_cohort_retention,
+        "rate_zscores": q_rate_zscores,
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
+        "kmeans_step": q_kmeans_step,
+        "bpe_pairs": q_bpe_pairs,
+        "posting_lists": q_posting_lists,
+        "tf_idf": q_tf_idf,
+        "unigram_lp": q_unigram_lp,
+        "mixture_plan": q_mixture_plan,
+        "boilerplate": q_boilerplate,
+        "hard_negatives": q_hard_negatives,
+        "chunk_text": q_chunk_text,
+        "vocab_top": q_vocab_top,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "quality_flags": q_quality_flags,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_recall": q_ann_recall,
+        "ivf_flat": q_ivf_flat,
+        "lsh_ann": q_lsh_ann,
+        "video_frames": q_video_frames,
+        "balanced_sample": q_balanced_sample,
+        "minhash_near_dup": q_minhash_near_dup,
+        "knn_cosine": q_knn_cosine,
+        "lang_id": q_lang_id,
+        "median_per_group": q_median_per_group,
+        "last_per_type": q_last_per_type,
+        "duplicate_detection": q_duplicate_detection,
+        "agg_rollup": q_agg_rollup,
+        "set_ops": q_set_ops,
+        "time_chunks": q_time_chunks,
+        "offset_limit": q_offset_limit,
+        "common_coverage": q_common_coverage,
+        "nested_last_event": q_nested_last_event,
+        "bulk_request": q_bulk_request,
+        "event_payload": q_event_payload,
     }
 
 

@@ -2131,12 +2131,75 @@ def phash_near_dup_wide(
     )
 
 
+def _gram_pos_base(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Shared in-row gram formation for the exact-substring family:
+    (id, pos, g) rows over the canonical token stream (lowercased,
+    whitespace split, empties dropped) with the shifted-slice
+    ``xxhash64`` combine — no gram strings are ever built. Docs with
+    fewer than ``n`` tokens contribute no rows."""
+    from obsplus_spark.util import ensure_parallelism
+
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    ht = "transform(_toks, t -> xxhash64(t))"
+    nsh = f"(size(_ht) - {n - 1})"
+    acc = f"slice(_ht, 1, {nsh})"
+    for k in range(1, n):
+        acc = (
+            f"zip_with({acc}, slice(_ht, {k + 1}, {nsh}),"
+            " (a, b) -> xxhash64(a, b))"
+        )
+    grams = (
+        f"CASE WHEN size(_ht) >= {n} THEN {acc}"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return (
+        ensure_parallelism(df)
+        .selectExpr(id_col, f"{toks} AS _toks")
+        .selectExpr(id_col, f"{ht} AS _ht")
+        .selectExpr(id_col, f"posexplode({grams}) AS (pos, g)")
+    )
+
+
+def _gram_freq_source(
+    base: DataFrame,
+    freqs: "DataFrame | None",
+    id_col: str,
+    freq_gram_col: str,
+    freq_count_col: str,
+) -> "tuple[dict, str]":
+    """Frame map + SQL for the duplicated-gram evidence ``f``:
+    inline (ONE gram-keyed count window over this corpus) or, when a
+    precomputed :func:`gram_frequencies` table is supplied, ONE
+    gram-keyed LEFT join against the store — the second corpus pass a
+    maintained store has already paid for. Grams absent from the store
+    count 0 (never duplicated)."""
+    if freqs is None:
+        return {"g": base}, f"""
+          SELECT {id_col}, pos, count(1) OVER (PARTITION BY g) AS _c
+          FROM {{g}}
+        """
+    fr = freqs.selectExpr(
+        f"{freq_gram_col} AS _fg",
+        f"CAST({freq_count_col} AS BIGINT) AS _fc",
+    )
+    return {"g": base, "fr": fr}, f"""
+          SELECT g.{id_col}, g.pos,
+                 coalesce(fr._fc, CAST(0 AS BIGINT)) AS _c
+          FROM {{g}} g LEFT JOIN {{fr}} fr ON fr._fg = g.g
+        """
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     min_run: int = 2,
+    freqs: "DataFrame | None" = None,
+    freq_gram_col: str = "g",
+    freq_count_col: str = "n_occ",
 ) -> DataFrame:
     """Maximal duplicated-substring runs per document — the run-length
     extension of :func:`duplicate_span_mass` toward exact-substring
@@ -2155,43 +2218,31 @@ def duplicated_spans(
     (each grouping extends the partition key). No joins, no driver
     actions. The DuckDB oracle groups gram STRINGS (count-identical
     modulo 2⁻⁶⁴ hash collisions — the repo's accepted digest argument).
+    With ``freqs=`` (a :func:`gram_frequencies` table built with the
+    SAME ``n``), the gram-frequency window is replaced by ONE
+    gram-keyed LEFT join against the store — identical results when
+    the store covers exactly this corpus; a superset store (the
+    streaming-maintained case) raises counts, which is the point:
+    dedup against everything already ingested without a rescan.
 
     Output: (id, n_runs, max_run_grams, max_span_tokens) for docs with
     at least one qualifying run — all BIGINT.
     """
-    from obsplus_spark.util import ensure_parallelism, sql_over
+    from obsplus_spark.util import sql_over
 
     nn, mr = int(n), int(min_run)
     if nn < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if mr < 1:
         raise ValueError(f"min_run must be >= 1, got {min_run}")
-    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
-    ht = "transform(_toks, t -> xxhash64(t))"
-    nsh = f"(size(_ht) - {nn - 1})"
-    acc = f"slice(_ht, 1, {nsh})"
-    for k in range(1, nn):
-        acc = (
-            f"zip_with({acc}, slice(_ht, {k + 1}, {nsh}),"
-            " (a, b) -> xxhash64(a, b))"
-        )
-    grams = (
-        f"CASE WHEN size(_ht) >= {nn} THEN {acc}"
-        " ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
-    base = (
-        ensure_parallelism(df)
-        .selectExpr(id_col, f"{toks} AS _toks")
-        .selectExpr(id_col, f"{ht} AS _ht")
-        .selectExpr(id_col, f"posexplode({grams}) AS (pos, g)")
+    base = _gram_pos_base(df, id_col, text_col, nn)
+    frames, f_sql = _gram_freq_source(
+        base, freqs, id_col, freq_gram_col, freq_count_col
     )
     return sql_over(
-        {"g": base},
+        frames,
         f"""
-        WITH f AS (
-          SELECT {id_col}, pos, count(1) OVER (PARTITION BY g) AS _c
-          FROM {{g}}
-        ),
+        WITH f AS ({f_sql}),
         d AS (
           SELECT {id_col}, pos,
                  pos - row_number() OVER (PARTITION BY {id_col}
@@ -2219,6 +2270,9 @@ def exact_substring_spans(
     n: int = 3,
     min_run: int = 2,
     min_count: int = 2,
+    freqs: "DataFrame | None" = None,
+    freq_gram_col: str = "g",
+    freq_count_col: str = "n_occ",
 ) -> DataFrame:
     """SPAN-granularity exact-substring dedup: emit every maximal run
     of corpus-duplicated ``n``-gram positions as an explicit, cuttable
@@ -2248,13 +2302,20 @@ def exact_substring_spans(
     the (doc, run) roll-up (the grouping extends the partition key).
     No joins, no driver actions. The DuckDB oracle twin groups gram
     STRINGS (count-identical modulo 2⁻⁶⁴ collisions — the repo's
-    accepted digest argument).
+    accepted digest argument). With ``freqs=`` (a
+    :func:`gram_frequencies` table built with the SAME ``n``), the
+    gram-frequency window becomes ONE gram-keyed LEFT join against the
+    store — identical output when the store covers exactly this
+    corpus, and the streaming-maintained superset store flags new
+    documents against everything already ingested without re-counting
+    the whole corpus (the second full pass the store already paid
+    for).
 
     Output: one row per maximal qualifying run —
     ``(id, span_start, span_grams, span_tokens)``, all BIGINT;
     span_tokens = span_grams + n − 1.
     """
-    from obsplus_spark.util import ensure_parallelism, sql_over
+    from obsplus_spark.util import sql_over
 
     nn, mr, mc = int(n), int(min_run), int(min_count)
     if nn < 1:
@@ -2263,32 +2324,14 @@ def exact_substring_spans(
         raise ValueError(f"min_run must be >= 1, got {min_run}")
     if mc < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
-    ht = "transform(_toks, t -> xxhash64(t))"
-    nsh = f"(size(_ht) - {nn - 1})"
-    acc = f"slice(_ht, 1, {nsh})"
-    for k in range(1, nn):
-        acc = (
-            f"zip_with({acc}, slice(_ht, {k + 1}, {nsh}),"
-            " (a, b) -> xxhash64(a, b))"
-        )
-    grams = (
-        f"CASE WHEN size(_ht) >= {nn} THEN {acc}"
-        " ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
-    base = (
-        ensure_parallelism(df)
-        .selectExpr(id_col, f"{toks} AS _toks")
-        .selectExpr(id_col, f"{ht} AS _ht")
-        .selectExpr(id_col, f"posexplode({grams}) AS (pos, g)")
+    base = _gram_pos_base(df, id_col, text_col, nn)
+    frames, f_sql = _gram_freq_source(
+        base, freqs, id_col, freq_gram_col, freq_count_col
     )
     return sql_over(
-        {"g": base},
+        frames,
         f"""
-        WITH f AS (
-          SELECT {id_col}, pos, count(1) OVER (PARTITION BY g) AS _c
-          FROM {{g}}
-        ),
+        WITH f AS ({f_sql}),
         d AS (
           SELECT {id_col}, pos,
                  pos - row_number() OVER (PARTITION BY {id_col}
@@ -2378,6 +2421,85 @@ def cut_spans(
     )
 
 
+def keep_first_occurrence(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "span_start",
+    len_col: str = "span_tokens",
+) -> DataFrame:
+    """Keep-one-copy SPAN ELECTION for the exact-substring pipeline —
+    the Lee et al. 2022 rule ("we keep one occurrence of each
+    duplicated substring", §4, public) as a first-class operator
+    instead of the docstring recipe :func:`cut_spans` used to point
+    at: group every :func:`exact_substring_spans` occurrence by its
+    REGION identity (the exact token content of the span — two spans
+    are occurrences of the same duplicated region iff their canonical
+    token slices are identical), elect the minimum-``(id,
+    span_start)`` occurrence as the survivor, and return every OTHER
+    occurrence — exactly the span set to feed :func:`cut_spans` so
+    one copy survives corpus-wide. Composes end-to-end as
+    ``cut_spans(docs, keep_first_occurrence(docs, spans))``.
+
+    Region identity is the MAXIMAL-RUN content, not every duplicated
+    substring: when doc A's maximal run strictly contains doc B's
+    (partial overlap), the two spans have different content, land in
+    different regions, and BOTH survive — a coarser keep rule than a
+    suffix-array pass, erring toward keeping text (documented
+    granularity of the suffix-array-free design). Within one doc,
+    identical repeated regions also resolve to the first occurrence
+    (min span_start). The engine hashes the token slice with
+    ``xxhash64`` (the repo's accepted 2⁻⁶⁴ digest argument); the
+    DuckDB oracle twin groups the slice STRING itself.
+
+    Scale shape: the span frame is ≪ the corpus (duplicate-run rows
+    only). ONE id-keyed equi-join rehydrates each span's token slice
+    from the corpus (positions stay in-row — only the span's own
+    tokens are sliced, never exploded), then ONE region-keyed
+    row_number window elects survivors: exactly TWO keyed exchanges
+    on the span frame (≤3 with the corpus-side join shuffle), no
+    driver actions.
+
+    Output: ``(id, span_start, span_tokens)`` — the non-surviving
+    occurrences, ready for :func:`cut_spans`. Assumes ``(id,
+    span_start)`` is unique in ``spans`` (true for
+    ``exact_substring_spans`` output: maximal runs are disjoint per
+    doc).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    sp = spans.selectExpr(
+        f"{id_col}",
+        f"CAST({start_col} AS BIGINT) AS _s",
+        f"CAST({len_col} AS BIGINT) AS _l",
+    )
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    d = ensure_parallelism(docs).selectExpr(id_col, f"{toks} AS _toks")
+    return sql_over(
+        {"s": sp, "d": d},
+        f"""
+        WITH j AS (
+          SELECT s.{id_col}, s._s, s._l,
+                 xxhash64(concat_ws(' ',
+                   slice(d._toks, CAST(s._s + 1 AS INT),
+                         CAST(s._l AS INT)))) AS _region
+          FROM {{s}} s JOIN {{d}} d ON d.{id_col} = s.{id_col}
+        )
+        SELECT {id_col},
+               _s AS {start_col},
+               _l AS {len_col}
+        FROM (
+          SELECT {id_col}, _s, _l,
+                 row_number() OVER (PARTITION BY _region
+                     ORDER BY {id_col}, _s) AS _r
+          FROM j
+        )
+        WHERE _r > 1
+        """,
+    )
+
+
 def mixture_rebalance(
     docs: DataFrame,
     labels: DataFrame,
@@ -2445,9 +2567,13 @@ def mixture_rebalance(
     # explicit NULL branch: least() SKIPS NULLs on BOTH engines
     # (least(cap, NULL) = cap), which would report the full repeat cap
     # as the "rate" of a source with zero surviving tokens — the same
-    # greatest/least-null trap curriculum_key documents
+    # greatest/least-null trap curriculum_key documents. kept_tokens
+    # itself is NULL (not 0) when every kept doc has NULL text (sum
+    # over all-NULL), so the zero test must coalesce first — otherwise
+    # the CASE falls through and the NULL-token source reports the
+    # full cap as its rate
     rate = (
-        f"CASE WHEN kept_tokens = 0 THEN CAST(NULL AS DOUBLE)"
+        f"CASE WHEN coalesce(kept_tokens, 0) = 0 THEN CAST(NULL AS DOUBLE)"
         f" ELSE least(CAST({rep!r} AS DOUBLE),"
         f" weight * {t}.0D / kept_tokens) END"
     )
@@ -2508,10 +2634,20 @@ def apply_mixture(
     corpus at all (plan-audited); the sampled corpus streams straight
     to the caller's writer.
 
-    Output: the input doc columns + ``epoch`` (INT ≥ 1).
+    Output: the input doc columns + ``epoch`` (INT ≥ 1). ``epoch``
+    and ``_n`` are reserved: an input frame already carrying either
+    would silently shadow/collide with the internal columns, so both
+    are rejected loudly.
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
+    reserved = {"epoch", "_n"} & set(docs.columns)
+    if reserved:
+        raise ValueError(
+            "apply_mixture reserves the output column 'epoch' and the "
+            f"internal column '_n'; input frame already has {sorted(reserved)}"
+            " — rename or drop them first"
+        )
     u32 = _md5_u32_sql(f"d.{id_col}", salt)
     p = plan.selectExpr(
         f"{source_col} AS _psrc", f"CAST({rate_col} AS DOUBLE) AS _rate"
@@ -3381,7 +3517,10 @@ def dedup_pair_eval(
 
     Output: ONE row (truth_pairs, pred_pairs, tp_pairs BIGINT,
     pair_precision, pair_recall DOUBLE 6-dp; NULL when the
-    denominator pair set is empty).
+    denominator pair set is empty). Pair counts use INTEGER halving
+    (``n*(n-1) DIV 2`` here, ``//`` in the DuckDB twin) — ``/`` is
+    DOUBLE division on both engines and loses exactness past 2^53,
+    which a ~200M-member exact-dup group already exceeds.
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
@@ -3401,15 +3540,15 @@ def dedup_pair_eval(
           GROUP BY 1, 2
         ),
         truth AS (
-          SELECT sum(n * (n - 1) / 2) AS tp FROM (
+          SELECT sum(n * (n - 1) DIV 2) AS tp FROM (
             SELECT _fp, sum(k) AS n FROM cells GROUP BY _fp)
         ),
         pred AS (
-          SELECT sum(n * (n - 1) / 2) AS pp FROM (
+          SELECT sum(n * (n - 1) DIV 2) AS pp FROM (
             SELECT _cl, sum(k) AS n FROM cells GROUP BY _cl)
         ),
         inter AS (
-          SELECT sum(k * (k - 1) / 2) AS ip FROM cells
+          SELECT sum(k * (k - 1) DIV 2) AS ip FROM cells
         )
         SELECT CAST(truth.tp AS BIGINT) AS truth_pairs,
                CAST(pred.pp AS BIGINT) AS pred_pairs,

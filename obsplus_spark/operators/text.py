@@ -2191,7 +2191,12 @@ def script_mix(
 
     Dialect note: Spark (Java regex) spells script classes
     ``\\p{IsLatin}``; the DuckDB oracle twin (RE2) spells them
-    ``\\p{Latin}`` — same Unicode script property either way.
+    ``\\p{Latin}`` — same Unicode script property either way. The
+    whitespace class is spelled as the EXPLICIT character class
+    ``[ \\t\\n\\x0B\\f\\r]`` on both sides: Java ``\\s`` includes
+    U+000B (vertical tab) while RE2 ``\\s`` excludes it, so the bare
+    shorthand makes the non-whitespace denominator diverge between
+    engines on documents containing a VT.
     Fractions are over NON-whitespace characters, 6-dp rounded;
     an all-whitespace/empty text yields NULL fractions (0 chars);
     NULL-text rows are dropped (no character stream to profile).
@@ -2220,7 +2225,9 @@ def script_mix(
                      / CAST(nullif(_n, 0) AS DOUBLE), 6) AS frac_digit
         FROM (
           SELECT {id_col}, {text_col},
-                 length(regexp_replace({text_col}, '\\\\s', '')) AS _n
+                 length(regexp_replace({text_col},
+                                       '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]',
+                                       '')) AS _n
           FROM {{d}} WHERE {text_col} IS NOT NULL
         )
         """,
