@@ -9624,6 +9624,157 @@ _SQL_CUT_SPANS = r"""
 """
 
 
+def q_span_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy span election — operators/dedup.py
+    keep_first_occurrence over exact_substring_spans output: group
+    span occurrences by region content (the canonical token slice;
+    engine hashes it with xxhash64, the twin groups the slice string —
+    the accepted digest argument), keep the min-(doc_id, span_start)
+    occurrence, return the rest — the exact span set cut_spans needs
+    so one copy of each duplicated region survives corpus-wide (Lee
+    et al. keep-one rule). One id-keyed join + one region-keyed
+    window over the span frame."""
+    from obsplus_spark.operators.dedup import (
+        exact_substring_spans,
+        keep_first_occurrence,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = exact_substring_spans(docs, n=3, min_run=2, min_count=2)
+    return keep_first_occurrence(docs, spans)
+
+
+_SQL_SPAN_KEEP_ONE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    f AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+      FROM f WHERE c >= 2
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+             CAST(count(*) + 2 AS BIGINT) AS l
+      FROM d GROUP BY doc_id, run HAVING count(*) >= 2
+    ),
+    r AS (
+      SELECT s.doc_id, s.s, s.l,
+             array_to_string(list_slice(t.w, s.s + 1, s.s + s.l), ' ')
+               AS region
+      FROM spans s JOIN t ON t.doc_id = s.doc_id
+    )
+    SELECT doc_id, s AS span_start, l AS span_tokens
+    FROM (
+      SELECT doc_id, s, l,
+             row_number() OVER (PARTITION BY region
+                 ORDER BY doc_id, s) AS rn
+      FROM r
+    )
+    WHERE rn > 1
+"""
+
+
+def q_span_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring spans driven by a PRECOMPUTED gram-frequency
+    store — operators/dedup.py exact_substring_spans(freqs=):
+    the gram-keyed count window is replaced by one gram-keyed left
+    join against gram_frequencies output (the table the streaming
+    store maintains), skipping the second corpus pass. Same store =
+    same spans, so the oracle is exact_spans' twin verbatim."""
+    from obsplus_spark.operators.dedup import (
+        exact_substring_spans,
+        gram_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = gram_frequencies(docs, n=3)
+    return exact_substring_spans(
+        docs, n=3, min_run=2, min_count=2, freqs=store
+    )
+
+
+def q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed per-document precision/recall of the MinHash clustering
+    against exact-fingerprint truth — operators/dedup.py bcubed_eval:
+    the equal-doc-weight average that pairwise counts can't give (one
+    giant cluster dominates C(n,2) mass); folds through the same
+    (fingerprint x cluster) cell table as dedup_pair_eval, two
+    dimension-sized windows, nothing per-doc materializes."""
+    from obsplus_spark.operators.dedup import (
+        bcubed_eval,
+        dedup_clusters,
+        near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
+    ).select("id1", "id2")
+    labels = dedup_clusters(pairs, max_iterations=4)
+    return bcubed_eval(docs, labels)
+
+
+def _bcubed_sql() -> str:
+    return rf"""
+    WITH RECURSIVE p AS ({_minhash_sql(8, 2)}),
+    e AS (
+      SELECT id1 AS a, id2 AS b FROM p
+      UNION ALL
+      SELECT id2, id1 FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+      WHERE r.lbl < e.b
+    ),
+    labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    cells AS (
+      SELECT md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'))
+               AS fp,
+             coalesce(l.cluster_id, d.doc_id) AS cl,
+             CAST(count(*) AS BIGINT) AS k
+      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+      WHERE d.text IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT k,
+             sum(k) OVER (PARTITION BY cl) AS cn,
+             sum(k) OVER (PARTITION BY fp) AS tn
+      FROM cells
+    ),
+    s AS (
+      SELECT CAST(sum(k) AS BIGINT) AS n_docs,
+             sum(k * k / CAST(cn AS DOUBLE)) AS sp,
+             sum(k * k / CAST(tn AS DOUBLE)) AS sr
+      FROM w
+    )
+    SELECT n_docs,
+           round(sp / n_docs, 6) AS bcubed_precision,
+           round(sr / n_docs, 6) AS bcubed_recall,
+           round(2 * (sp / n_docs) * (sr / n_docs)
+                 / nullif(sp / n_docs + sr / n_docs, 0e0), 6)
+             AS bcubed_f1
+    FROM s
+"""
+
+
 def q_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-plan EXECUTION — operators/dedup.py apply_mixture: the
     sampled+repeated corpus a rebalanced plan prescribes. Plan built
@@ -11608,6 +11759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_last_event": q_nested_last_event,
         "bulk_request": q_bulk_request,
         "event_payload": q_event_payload,
+        # (g) NEW r12 (behind cap; leads the r13 window)
+        "span_keep_one": q_span_keep_one,
+        "span_store_join": q_span_store_join,
+        "bcubed": q_bcubed_eval,
     }
 
 
@@ -11711,6 +11866,9 @@ def oracle_sql() -> dict[str, str]:
         "stations_from_stream": _SQL_STA_STREAM,
         "canonical_docs": _canonical_sql(),
         "exact_spans": _SQL_EXACT_SPANS,
+        "span_keep_one": _SQL_SPAN_KEEP_ONE,
+        "span_store_join": _SQL_EXACT_SPANS,
+        "bcubed": _bcubed_sql(),
         "rebalance": _rebalance_sql(),
         "cut_spans": _SQL_CUT_SPANS,
         "apply_mixture": _apply_mixture_sql(),

@@ -3562,6 +3562,82 @@ def dedup_pair_eval(
     )
 
 
+def bcubed_eval(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """B-cubed precision/recall of a near-dup clustering against
+    exact-duplicate ground truth (Bagga & Baldwin 1998, "Entity-Based
+    Cross-Document Coreferencing Using the Vector Space Model",
+    public) — the PER-DOCUMENT average that :func:`dedup_pair_eval`'s
+    pairwise counts cannot give: pairwise metrics let one giant
+    cluster dominate (its C(n,2) pair mass swamps everything else),
+    while B-cubed weights every document equally. Per doc d: precision
+    = |cell(d)| / |cluster(d)|, recall = |cell(d)| / |truth group(d)|,
+    where cell(d) is the set of docs sharing BOTH d's fingerprint and
+    d's cluster; the scores are the corpus averages.
+
+    Same conventions as :func:`dedup_pair_eval`: truth identity is the
+    normalized-text md5 fingerprint, predicted identity is the cluster
+    label (unclustered docs are singletons = their own id), NULL-text
+    docs are excluded. Averages fold through the same (fingerprint ×
+    cluster) CELL table — sum over cells of ``k²/cluster_size`` (resp.
+    ``k²/truth_size``) divided by N — so nothing per-doc ever
+    materializes.
+
+    Scale shape: ONE id-keyed LEFT join against the (pair-member-
+    sized) label frame, ONE (fingerprint, cluster)-keyed aggregate
+    over the corpus, then two dimension-sized windows over the cell
+    table (cluster-size and truth-size partitions) and one map-
+    combined roll-up.
+
+    Output: ONE row (n_docs BIGINT, bcubed_precision, bcubed_recall,
+    bcubed_f1 — DOUBLE 6-dp; f1 NULL when precision + recall = 0).
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    lab = labels.selectExpr(
+        f"{label_id_col} AS _lid", f"{cluster_col} AS _lcl"
+    )
+    fp = f"md5(regexp_replace(trim(lower({text_col})), '\\\\s+', ' '))"
+    return sql_over(
+        {"d": ensure_parallelism(docs), "l": lab},
+        f"""
+        WITH cells AS (
+          SELECT {fp} AS _fp,
+                 coalesce(l._lcl, d.{id_col}) AS _cl,
+                 CAST(count(1) AS BIGINT) AS k
+          FROM {{d}} d LEFT JOIN {{l}} l ON l._lid = d.{id_col}
+          WHERE d.{text_col} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT k,
+                 sum(k) OVER (PARTITION BY _cl) AS cn,
+                 sum(k) OVER (PARTITION BY _fp) AS tn
+          FROM cells
+        ),
+        s AS (
+          SELECT CAST(sum(k) AS BIGINT) AS n_docs,
+                 sum(k * k / CAST(cn AS DOUBLE)) AS sp,
+                 sum(k * k / CAST(tn AS DOUBLE)) AS sr
+          FROM w
+        )
+        SELECT n_docs,
+               round(sp / n_docs, 6) AS bcubed_precision,
+               round(sr / n_docs, 6) AS bcubed_recall,
+               round(2 * (sp / n_docs) * (sr / n_docs)
+                     / nullif(sp / n_docs + sr / n_docs, 0.0D), 6)
+                 AS bcubed_f1
+        FROM s
+        """,
+    )
+
+
 def gram_frequencies(
     df: DataFrame,
     id_col: str = "doc_id",

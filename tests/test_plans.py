@@ -951,3 +951,42 @@ def test_rolling_active_three_keyed_exchanges(plans):
     p, simple = plans["rolling_active"]
     assert not any(m in p for m in _JOIN_MARKERS)
     assert simple.count("Exchange hashpartitioning") == 3
+
+
+def test_span_keep_one_three_keyed_exchanges(plans):
+    """Keep-one-copy span election: the only keyed exchanges are the
+    gram-frequency window, the doc-keyed run roll-up, and the
+    region-keyed survivor window — pinned == 3. The span-frame
+    rehydration join may broadcast (sf0.001) or shuffle (at scale);
+    either way no cartesian and no extra corpus-sized exchange."""
+    p, simple = plans["span_keep_one"]
+    assert simple.count("Exchange hashpartitioning") == 3
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_span_store_join_replaces_gram_window(plans):
+    """exact_substring_spans(freqs=): the gram-keyed COUNT WINDOW over
+    the corpus is gone — duplication evidence arrives through a
+    gram-keyed join against the store (one aggregate builds the store,
+    one doc-keyed exchange rolls up runs). Exactly one count-window
+    remains impossible: assert no window partitioned solely by the
+    gram column by bounding total keyed exchanges and requiring a
+    join."""
+    p, simple = plans["span_store_join"]
+    assert any(m in p for m in _JOIN_MARKERS)
+    # store aggregate (gram-keyed) + run roll-up (doc-keyed); the join
+    # itself broadcasts at sf0.001 and may add 2 exchanges under SMJ
+    assert simple.count("Exchange hashpartitioning") <= 4
+    # inline path pins a count(1) window over g; the store path must
+    # not re-derive it
+    assert "windowspecdefinition(g#" not in simple
+
+
+def test_bcubed_cell_table_shape(plans):
+    """B-cubed: per-doc averages fold through the (fingerprint x
+    cluster) cell table — two dimension-sized windows over cells and
+    one roll-up; the corpus crosses the wire once at the cell
+    aggregate plus the label join."""
+    p, simple = plans["bcubed"]
+    assert "CartesianProduct" not in p
