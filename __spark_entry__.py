@@ -9775,6 +9775,124 @@ def _bcubed_sql() -> str:
 """
 
 
+def q_shared_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared duplicated region per document pair —
+    operators/dedup.py shared_region_pairs over exact_substring_spans:
+    region-keyed self-join on span CONTENT identity (engine hashes the
+    token slice, the twin groups the slice string), hot regions
+    capped at 64 occurrences (the winnowing stop-print rule). The
+    exact-contiguous-run complement of containment/Jaccard pairs."""
+    from obsplus_spark.operators.dedup import (
+        exact_substring_spans,
+        shared_region_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = exact_substring_spans(docs, n=3, min_run=2, min_count=2)
+    return shared_region_pairs(docs, spans, max_occurrences=64)
+
+
+_SQL_SHARED_REGIONS = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    f AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+      FROM f WHERE c >= 2
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+             CAST(count(*) + 2 AS BIGINT) AS l
+      FROM d GROUP BY doc_id, run HAVING count(*) >= 2
+    ),
+    r AS (
+      SELECT s.doc_id, s.l,
+             array_to_string(list_slice(t.w, s.s + 1, s.s + s.l), ' ')
+               AS region
+      FROM spans s JOIN t ON t.doc_id = s.doc_id
+    ),
+    k AS (
+      SELECT * FROM (
+        SELECT doc_id, l, region,
+               count(*) OVER (PARTITION BY region) AS occ
+        FROM r
+      ) WHERE occ <= 64
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(max(a.l) AS BIGINT) AS shared_tokens,
+           CAST(count(DISTINCT a.region) AS BIGINT) AS n_shared_regions
+    FROM k a JOIN k b
+      ON a.region = b.region AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-plan feasibility audit — operators/dedup.py
+    mixture_feasibility over the rebalanced plan: can each source's
+    target share be met from its post-dedup inventory under the
+    repetition cap; requested/achievable/shortfall tokens, feasible
+    flag, and the realized post-cap share (renormalized over
+    achievable mass). Dimension-sized: pure map + one unpartitioned
+    window over |sources| rows."""
+    from obsplus_spark.operators.dedup import (
+        dedup_clusters,
+        mixture_feasibility,
+        mixture_rebalance,
+        near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
+    ).select("id1", "id2")
+    labels = dedup_clusters(pairs, max_iterations=4)
+    plan = mixture_rebalance(
+        docs, labels, _MIX_WEIGHTS, _MIX_TARGET, max_repeat=4.0
+    )
+    return mixture_feasibility(plan, _MIX_TARGET, max_repeat=4.0)
+
+
+def _mix_audit_sql() -> str:
+    inner = _rebalance_sql()
+    req = f"CAST(floor(CAST(weight AS DOUBLE) * {_MIX_TARGET}) AS BIGINT)"
+    ach = (
+        f"least({req}, CAST(floor(CAST(4.0 AS DOUBLE)"
+        f" * coalesce(kept_tokens, 0)) AS BIGINT))"
+    )
+    return f"""
+    SELECT source, weight, inventory_tokens, requested_tokens,
+           achievable_tokens,
+           requested_tokens - achievable_tokens AS shortfall_tokens,
+           achievable_tokens >= requested_tokens AS feasible,
+           round(achievable_tokens
+                 / CAST(nullif(sum(achievable_tokens) OVER (), 0)
+                        AS DOUBLE), 6) AS realized_share
+    FROM (
+      SELECT source, CAST(weight AS DOUBLE) AS weight,
+             CAST(coalesce(kept_tokens, 0) AS BIGINT)
+               AS inventory_tokens,
+             {req} AS requested_tokens,
+             {ach} AS achievable_tokens
+      FROM ({inner})
+    )
+"""
+
+
 def q_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-plan EXECUTION — operators/dedup.py apply_mixture: the
     sampled+repeated corpus a rebalanced plan prescribes. Plan built
@@ -11763,6 +11881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_keep_one": q_span_keep_one,
         "span_store_join": q_span_store_join,
         "bcubed": q_bcubed_eval,
+        "shared_regions": q_shared_regions,
+        "mix_audit": q_mix_audit,
     }
 
 
@@ -11869,6 +11989,8 @@ def oracle_sql() -> dict[str, str]:
         "span_keep_one": _SQL_SPAN_KEEP_ONE,
         "span_store_join": _SQL_EXACT_SPANS,
         "bcubed": _bcubed_sql(),
+        "shared_regions": _SQL_SHARED_REGIONS,
+        "mix_audit": _mix_audit_sql(),
         "rebalance": _rebalance_sql(),
         "cut_spans": _SQL_CUT_SPANS,
         "apply_mixture": _apply_mixture_sql(),

@@ -80,6 +80,10 @@ def main() -> None:
         # construction (same family as dedup_clusters)
         "rebalance",
         "dedup_eval",
+        # r12: bcubed + mix_audit persist shingles via near_duplicates
+        # at construction (same family)
+        "bcubed",
+        "mix_audit",
         # r6 additions — every query whose CONSTRUCTION persists a
         # derived frame (shingle/band/edge/hash tables, purge keys,
         # bigram tf). Reusing one plan object across reps would let

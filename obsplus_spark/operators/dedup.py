@@ -2500,6 +2500,154 @@ def keep_first_occurrence(
     )
 
 
+def shared_region_pairs(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "span_start",
+    len_col: str = "span_tokens",
+    max_occurrences: int = 64,
+) -> DataFrame:
+    """Longest shared duplicated region per DOCUMENT PAIR — the
+    pair-level read-out of the exact-substring family the stitch/
+    Jaccard operators miss: which two documents share verbatim text,
+    and how much. Feeds the same region identity as
+    :func:`keep_first_occurrence` (the canonical token slice of each
+    :func:`exact_substring_spans` run) into a region-keyed self-join:
+    two docs pair iff they carry a region with IDENTICAL content, and
+    the pair's ``shared_tokens`` is the longest such region. The
+    containment/stitch complement: `containment_pairs` sees gram SETS
+    (order-free), this sees exact contiguous runs.
+
+    ``max_occurrences`` is the hot-region guard (the stop-print cap of
+    the winnowing index, same reasoning): a boilerplate region pasted
+    into 100k docs would propose C(100k,2) pairs — regions occurring
+    more than the cap are DROPPED from pairing (their mass is exactly
+    what `prefix_templates` / `dup_rate_by_source` already report at
+    the corpus level; pair enumeration over them is noise). Dropped
+    regions make this a lower bound, documented.
+
+    Scale shape: span-frame-sized throughout (≪ corpus): ONE id-keyed
+    join rehydrates region content, ONE region-keyed window counts
+    occurrences (the cap filter), then the region-keyed self-join —
+    partitioning reused from the window — with fan-out bounded by
+    ``max_occurrences²`` per region, and ONE pair-keyed aggregate.
+
+    Output: (id1, id2, shared_tokens BIGINT — longest common region,
+    n_shared_regions BIGINT — distinct common regions), id1 < id2.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    cap = int(max_occurrences)
+    if cap < 2:
+        raise ValueError(
+            f"max_occurrences must be >= 2, got {max_occurrences}"
+        )
+    sp = spans.selectExpr(
+        f"{id_col}",
+        f"CAST({start_col} AS BIGINT) AS _s",
+        f"CAST({len_col} AS BIGINT) AS _l",
+    )
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    d = ensure_parallelism(docs).selectExpr(id_col, f"{toks} AS _toks")
+    return sql_over(
+        {"s": sp, "d": d},
+        f"""
+        WITH r AS (
+          SELECT s.{id_col}, s._l,
+                 xxhash64(concat_ws(' ',
+                   slice(d._toks, CAST(s._s + 1 AS INT),
+                         CAST(s._l AS INT)))) AS _region
+          FROM {{s}} s JOIN {{d}} d ON d.{id_col} = s.{id_col}
+        ),
+        k AS (
+          SELECT * FROM (
+            SELECT {id_col}, _l, _region,
+                   count(1) OVER (PARTITION BY _region) AS _occ
+            FROM r
+          ) WHERE _occ <= {cap}
+        )
+        SELECT a.{id_col} AS id1, b.{id_col} AS id2,
+               CAST(max(a._l) AS BIGINT) AS shared_tokens,
+               CAST(count(DISTINCT a._region) AS BIGINT)
+                 AS n_shared_regions
+        FROM k a JOIN k b
+          ON a._region = b._region AND a.{id_col} < b.{id_col}
+        GROUP BY a.{id_col}, b.{id_col}
+        """,
+    )
+
+
+def mixture_feasibility(
+    plan: DataFrame,
+    target_tokens: int,
+    max_repeat: float = 4.0,
+    source_col: str = "source",
+    tokens_col: str = "kept_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Feasibility AUDIT of a mixture plan: can each source's target
+    share actually be met from its (post-dedup) token inventory under
+    the ``max_repeat`` repetition cap — the question
+    :func:`mixture_rebalance` currently answers only implicitly
+    through an ``expected_tokens`` shortfall the caller must notice.
+    Per source: ``requested = weight · target``, ``achievable =
+    min(requested, max_repeat · inventory)``, shortfall and a feasible
+    flag, plus the REALIZED post-cap share — what the mix composition
+    will actually be, renormalized over achievable mass, so a second
+    planning pass can redistribute the shortfall deliberately instead
+    of silently under-shipping capped sources.
+
+    NULL inventories (the all-NULL-text source
+    :func:`mixture_rebalance` rates NULL) audit as zero inventory:
+    achievable 0, infeasible when requested > 0.
+
+    Scale shape: the plan frame is dimension-sized (|sources| rows) —
+    a pure in-row expression plus one unpartitioned window for the
+    realized-share normalizer; nothing corpus-sized anywhere.
+
+    Output: (source, weight, inventory_tokens, requested_tokens,
+    achievable_tokens, shortfall_tokens — BIGINT, feasible BOOLEAN,
+    realized_share DOUBLE 6-dp, NULL when no source has achievable
+    mass).
+    """
+    from obsplus_spark.util import sql_over
+
+    t = int(target_tokens)
+    rep = float(max_repeat)
+    if t < 0:
+        raise ValueError(f"target_tokens must be >= 0, got {target_tokens}")
+    if rep <= 0:
+        raise ValueError(f"max_repeat must be > 0, got {max_repeat}")
+    return sql_over(
+        {"p": plan},
+        f"""
+        SELECT source, weight, inventory_tokens, requested_tokens,
+               achievable_tokens,
+               requested_tokens - achievable_tokens AS shortfall_tokens,
+               achievable_tokens >= requested_tokens AS feasible,
+               round(achievable_tokens
+                     / CAST(nullif(sum(achievable_tokens) OVER (), 0)
+                            AS DOUBLE), 6) AS realized_share
+        FROM (
+          SELECT {source_col} AS source,
+                 CAST({weight_col} AS DOUBLE) AS weight,
+                 CAST(coalesce({tokens_col}, 0) AS BIGINT)
+                   AS inventory_tokens,
+                 CAST(floor(CAST({weight_col} AS DOUBLE) * {t}) AS BIGINT)
+                   AS requested_tokens,
+                 least(
+                   CAST(floor(CAST({weight_col} AS DOUBLE) * {t}) AS BIGINT),
+                   CAST(floor(CAST({rep!r} AS DOUBLE)
+                              * coalesce({tokens_col}, 0)) AS BIGINT))
+                   AS achievable_tokens
+          FROM {{p}}
+        )
+        """,
+    )
+
+
 def mixture_rebalance(
     docs: DataFrame,
     labels: DataFrame,

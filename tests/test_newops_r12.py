@@ -278,3 +278,114 @@ def test_bcubed_property_vs_model(spark, texts, cl):
     rows = [(i + 1, t) for i, t in enumerate(texts)]
     labels = [(i + 1, cl[i]) for i in range(len(texts)) if cl[i] < 3]
     _check_bcubed(spark, rows, labels)
+
+
+# ------------------------------------------------- shared_region_pairs
+
+
+def test_shared_regions_basic_and_cap(spark):
+    from obsplus_spark.operators.dedup import (
+        exact_substring_spans,
+        shared_region_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "z z1 a b c d e f z2"),  # contains 1/2's full text as a run
+        (4, "unrelated content entirely here"),
+    ]
+    df = _docs(spark, rows)
+    spans = exact_substring_spans(df, n=3, min_run=2, min_count=2)
+    out = sorted(tuple(r) for r in
+                 shared_region_pairs(df, spans).collect())
+    # docs 1,2,3 all carry the identical maximal run "a b c d e f"
+    # (doc 3's maximal run is exactly that region: z/z1/z2 grams are
+    # not corpus-duplicated) -> all three pair
+    assert out == [(1, 2, 6, 1), (1, 3, 6, 1), (2, 3, 6, 1)]
+    # hot-region cap: with max_occurrences=2 the 3-occurrence region
+    # is dropped entirely (documented lower bound)
+    assert shared_region_pairs(df, spans, max_occurrences=2).count() == 0
+    with pytest.raises(ValueError, match="max_occurrences"):
+        shared_region_pairs(df, spans, max_occurrences=1)
+
+
+def test_shared_regions_matches_duckdb_replay(spark):
+    import __spark_entry__ as entry
+    from obsplus_spark.operators.dedup import (
+        exact_substring_spans,
+        shared_region_pairs,
+    )
+
+    rows = [
+        (1, "p q r s t u"),
+        (2, "p q r s t u"),
+        (3, "m n p q r s t u o"),
+        (5, "p q r s t u"),
+        (7, "x y z w v p q r"),
+        (8, "k x y z w v k2"),
+    ]
+    df = _docs(spark, rows)
+    spans = exact_substring_spans(df, n=3, min_run=2, min_count=2)
+    got = sorted(tuple(r) for r in
+                 shared_region_pairs(df, spans, max_occurrences=64)
+                 .collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS v(doc_id, text)"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(entry._SQL_SHARED_REGIONS).fetchall())
+    assert got == want and got
+
+
+# ------------------------------------------------- mixture_feasibility
+
+
+def _plan(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, kept_tokens long, weight double"
+    )
+
+
+def test_mixture_feasibility_hand_model(spark):
+    from obsplus_spark.operators.dedup import mixture_feasibility
+
+    plan = _plan(spark, [
+        ("web", 1000, 0.5),    # requested 500 <= 4*1000 -> feasible
+        ("tiny", 10, 0.5),     # requested 500 > 40 -> shortfall 460
+    ])
+    out = {r.source: r for r in
+           mixture_feasibility(plan, 1000, max_repeat=4.0).collect()}
+    w, t = out["web"], out["tiny"]
+    assert (w.requested_tokens, w.achievable_tokens, w.feasible) == (
+        500, 500, True)
+    assert (t.requested_tokens, t.achievable_tokens,
+            t.shortfall_tokens, t.feasible) == (500, 40, 460, False)
+    assert w.realized_share == pytest.approx(500 / 540, abs=1e-6)
+    assert t.realized_share == pytest.approx(40 / 540, abs=1e-6)
+
+
+def test_mixture_feasibility_null_inventory(spark):
+    """The all-NULL-text source mixture_rebalance rates NULL audits as
+    zero inventory: achievable 0, infeasible when requested > 0."""
+    from obsplus_spark.operators.dedup import mixture_feasibility
+
+    plan = _plan(spark, [("dead", None, 0.5), ("ok", 100, 0.5)])
+    out = {r.source: r for r in
+           mixture_feasibility(plan, 100, max_repeat=2.0).collect()}
+    d = out["dead"]
+    assert (d.inventory_tokens, d.achievable_tokens, d.feasible) == (
+        0, 0, False)
+    assert out["ok"].feasible  # 50 <= 200
+
+
+def test_mixture_feasibility_no_achievable_mass(spark):
+    from obsplus_spark.operators.dedup import mixture_feasibility
+
+    plan = _plan(spark, [("a", 0, 0.5)])
+    r = mixture_feasibility(plan, 100).collect()[0]
+    assert r.realized_share is None
+    assert not r.feasible

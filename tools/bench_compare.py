@@ -54,6 +54,7 @@ def main() -> int:
     # caching)
     rebuild = {"minhash_near_dup", "prune_orphans", "common_coverage",
                "dedup_clusters", "canonical_docs", "jaccard_join", "rebalance", "dedup_eval",
+               "bcubed", "mix_audit",
                "incremental_dedup", "semantic_dedup", "bfs_hops",
                "hits_auth", "pagerank", "k_core", "bigram_lp",
                "cascade_delete", "image_phash", "phash_wide", "fuzzy_decontam",
