@@ -548,6 +548,7 @@ def bfs_distances(
     max_hops: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    edges_prepared: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distances — frontier expansion unrolled to a
     fixed ``max_hops`` bound, the k-hop-neighborhood primitive (blast
@@ -591,6 +592,20 @@ def bfs_distances(
     plan-time literals (seed sets are small by nature — a large seed
     FRAME would instead union into round 0).
 
+    ``edges_prepared=True`` declares the edge frame ALREADY deduped,
+    NULL-free, and hash-distributed on ``src_col`` — the contract a
+    src-bucketed table written once by
+    :func:`obsplus_spark.plans.layout.write_bucketed` provides — and
+    skips the operator's repartition + distinct: the ~1.3 s
+    edge-derivation floor every graph operator re-pays per call
+    becomes a one-time layout cost the whole graph family
+    (pagerank/HITS/k-core/BFS) amortizes. The per-round frontier
+    joins read the bucketed (or otherwise pre-partitioned)
+    distribution directly; the multi-round persist is kept. The
+    caller owns the contract — undeduplicated edges would double
+    offer weights silently, so only set this for frames produced by
+    the documented layout path.
+
     Output: (node, dist) for every node within ``max_hops`` of a
     source, including the sources at dist 0.
     """
@@ -606,14 +621,21 @@ def bfs_distances(
     except ValueError:  # e.g. "auto" under some AQE deployments
         _shuf = 0
     npart = max(spark.sparkContext.defaultParallelism, _shuf)
-    edges = (
-        edges
-        .selectExpr(f"{src_col} AS {src_col}", f"{dst_col} AS {dst_col}")
-        .where(f"{src_col} IS NOT NULL AND {dst_col} IS NOT NULL")
-        .repartition(npart, src_col)
-        .distinct()
-        .persist()
-    )
+    if edges_prepared:
+        # projection only — preserves the incoming (bucketed)
+        # distribution; dedup/NULL-screen are the layout's contract
+        edges = edges.selectExpr(
+            f"{src_col} AS {src_col}", f"{dst_col} AS {dst_col}"
+        ).persist()
+    else:
+        edges = (
+            edges
+            .selectExpr(f"{src_col} AS {src_col}", f"{dst_col} AS {dst_col}")
+            .where(f"{src_col} IS NOT NULL AND {dst_col} IS NOT NULL")
+            .repartition(npart, src_col)
+            .distinct()
+            .persist()
+        )
     chain = [edges]
 
     def _lit(v) -> str:
