@@ -9869,7 +9869,13 @@ def q_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mix_audit_sql() -> str:
     inner = _rebalance_sql()
-    req = f"CAST(floor(CAST(weight AS DOUBLE) * {_MIX_TARGET}) AS BIGINT)"
+    # NULL-weight coalesce mirrors the engine operator's guard (the
+    # least()-skips-NULL trap); the rebalance inner never emits NULL
+    # weights (CASE ... ELSE 0), so this is lockstep hygiene
+    req = (
+        f"CAST(floor(CAST(coalesce(weight, 0e0) AS DOUBLE)"
+        f" * {_MIX_TARGET}) AS BIGINT)"
+    )
     ach = (
         f"least({req}, CAST(floor(CAST(4.0 AS DOUBLE)"
         f" * coalesce(kept_tokens, 0)) AS BIGINT))"
@@ -9883,7 +9889,7 @@ def _mix_audit_sql() -> str:
                  / CAST(nullif(sum(achievable_tokens) OVER (), 0)
                         AS DOUBLE), 6) AS realized_share
     FROM (
-      SELECT source, CAST(weight AS DOUBLE) AS weight,
+      SELECT source, CAST(coalesce(weight, 0e0) AS DOUBLE) AS weight,
              CAST(coalesce(kept_tokens, 0) AS BIGINT)
                AS inventory_tokens,
              {req} AS requested_tokens,

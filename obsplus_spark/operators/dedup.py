@@ -2601,7 +2601,12 @@ def mixture_feasibility(
 
     NULL inventories (the all-NULL-text source
     :func:`mixture_rebalance` rates NULL) audit as zero inventory:
-    achievable 0, infeasible when requested > 0.
+    achievable 0, infeasible when requested > 0. NULL weights audit
+    as weight 0 (no target share — requested 0, trivially feasible)
+    via an explicit coalesce: a bare NULL weight would otherwise ride
+    the least()-skips-NULL trap (least(NULL, cap·inventory) =
+    cap·inventory) and report full achievable mass for a source
+    nobody asked for.
 
     Scale shape: the plan frame is dimension-sized (|sources| rows) —
     a pure in-row expression plus one unpartitioned window for the
@@ -2632,13 +2637,15 @@ def mixture_feasibility(
                             AS DOUBLE), 6) AS realized_share
         FROM (
           SELECT {source_col} AS source,
-                 CAST({weight_col} AS DOUBLE) AS weight,
+                 CAST(coalesce({weight_col}, 0.0D) AS DOUBLE) AS weight,
                  CAST(coalesce({tokens_col}, 0) AS BIGINT)
                    AS inventory_tokens,
-                 CAST(floor(CAST({weight_col} AS DOUBLE) * {t}) AS BIGINT)
+                 CAST(floor(CAST(coalesce({weight_col}, 0.0D) AS DOUBLE)
+                            * {t}) AS BIGINT)
                    AS requested_tokens,
                  least(
-                   CAST(floor(CAST({weight_col} AS DOUBLE) * {t}) AS BIGINT),
+                   CAST(floor(CAST(coalesce({weight_col}, 0.0D) AS DOUBLE)
+                              * {t}) AS BIGINT),
                    CAST(floor(CAST({rep!r} AS DOUBLE)
                               * coalesce({tokens_col}, 0)) AS BIGINT))
                    AS achievable_tokens

@@ -410,3 +410,35 @@ def test_bfs_edges_prepared_lockstep(spark):
                                edges_prepared=True).collect())
     assert got == base
     assert (1, 0) in got and (4, 2) not in got and (4, 3) in got
+
+
+def test_mixture_feasibility_null_weight(spark):
+    """NULL weight = no target share: requested 0, trivially feasible,
+    zero realized share — NOT the least()-skips-NULL trap (which would
+    report full achievable mass for a source nobody asked for)."""
+    from obsplus_spark.operators.dedup import mixture_feasibility
+
+    plan = spark.createDataFrame(
+        [("ghost", 1000, None), ("ok", 1000, 1.0)],
+        "source string, kept_tokens long, weight double",
+    )
+    out = {r.source: r for r in
+           mixture_feasibility(plan, 100, max_repeat=4.0).collect()}
+    g = out["ghost"]
+    assert (g.weight, g.requested_tokens, g.achievable_tokens,
+            g.feasible) == (0.0, 0, 0, True)
+    assert g.realized_share == 0.0
+    assert out["ok"].realized_share == 1.0
+
+
+def test_bcubed_all_null_text(spark):
+    """Empty evidence corpus: one all-NULL row (the sum-over-empty
+    shape both engines share), not an empty frame and not a crash."""
+    from obsplus_spark.operators.dedup import bcubed_eval
+
+    docs = _docs(spark, [(1, None), (2, None)])
+    rows = bcubed_eval(docs, _labels(spark, [])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.bcubed_precision, r.bcubed_recall,
+            r.bcubed_f1) == (None, None, None, None)
