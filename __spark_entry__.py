@@ -9775,6 +9775,95 @@ def _bcubed_sql() -> str:
 """
 
 
+def q_span_keep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Lee-et-al exact-substring pipeline in one row:
+    find (exact_substring_spans) -> elect (keep_first_occurrence) ->
+    cut (cut_spans) — every duplicated region survives in exactly its
+    first-(doc_id, span_start) occurrence and is excised everywhere
+    else; cleaned text + removed-token count per document. The
+    keep-one composition cut_spans previously documented as caller
+    policy, exercised end-to-end against a twin that composes the
+    same three stages."""
+    from obsplus_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans,
+        keep_first_occurrence,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = exact_substring_spans(docs, n=3, min_run=2, min_count=2)
+    return cut_spans(docs, keep_first_occurrence(docs, spans))
+
+
+_SQL_SPAN_KEEP_CUT = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    f AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+      FROM f WHERE c >= 2
+    ),
+    allspans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+             CAST(count(*) + 2 AS BIGINT) AS l
+      FROM d GROUP BY doc_id, run HAVING count(*) >= 2
+    ),
+    r AS (
+      SELECT a.doc_id, a.s, a.l,
+             array_to_string(list_slice(t.w, a.s + 1, a.s + a.l), ' ')
+               AS region
+      FROM allspans a JOIN t ON t.doc_id = a.doc_id
+    ),
+    spans AS (
+      SELECT doc_id, s, l
+      FROM (
+        SELECT doc_id, s, l,
+               row_number() OVER (PARTITION BY region
+                   ORDER BY doc_id, s) AS rn
+        FROM r
+      )
+      WHERE rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i + 1] AS tok
+      FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM t)
+    ),
+    kept AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS txt,
+             count(*) AS n
+      FROM tok
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tok.doc_id
+          AND tok.pos >= s.s AND tok.pos < s.s + s.l
+      )
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN t.w IS NULL THEN NULL
+                ELSE coalesce(k.txt, '') END AS text,
+           CAST(CASE WHEN t.w IS NULL THEN NULL
+                     ELSE len(t.w) - coalesce(k.n, 0) END AS BIGINT)
+             AS n_removed
+    FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+"""
+
+
 def q_shared_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest shared duplicated region per document pair —
     operators/dedup.py shared_region_pairs over exact_substring_spans:
@@ -11889,6 +11978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed": q_bcubed_eval,
         "shared_regions": q_shared_regions,
         "mix_audit": q_mix_audit,
+        "span_keep_cut": q_span_keep_cut,
     }
 
 
@@ -11997,6 +12087,7 @@ def oracle_sql() -> dict[str, str]:
         "bcubed": _bcubed_sql(),
         "shared_regions": _SQL_SHARED_REGIONS,
         "mix_audit": _mix_audit_sql(),
+        "span_keep_cut": _SQL_SPAN_KEEP_CUT,
         "rebalance": _rebalance_sql(),
         "cut_spans": _SQL_CUT_SPANS,
         "apply_mixture": _apply_mixture_sql(),

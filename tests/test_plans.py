@@ -990,3 +990,14 @@ def test_bcubed_cell_table_shape(plans):
     aggregate plus the label join."""
     p, simple = plans["bcubed"]
     assert "CartesianProduct" not in p
+
+
+def test_r12_pipeline_queries_no_cartesian(plans):
+    """The r12 pipeline rows (keep-one cut, shared regions, mixture
+    audit) must stay equi-join-only: no cartesian or nested-loop
+    product anywhere — the span self-join is region-KEYED and capped,
+    the audit window is dimension-sized."""
+    for name in ("span_keep_cut", "shared_regions", "mix_audit"):
+        p, _ = plans[name]
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
