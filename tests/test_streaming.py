@@ -1173,3 +1173,58 @@ def test_streaming_gram_frequencies_replay_idempotent(spark, tmp_path):
     assert once == again
     want = sorted(map(tuple, gram_frequencies(df, n=3).collect()))
     assert once == want
+
+
+def test_streaming_gram_store_drives_span_operator(spark, tmp_path):
+    """End-to-end incremental exact-substring pipeline: the maintained
+    gram store (foreachBatch, generation swap) plugs straight into
+    exact_substring_spans(freqs=) — a NEW batch is flagged against the
+    full ingest HISTORY without re-counting the corpus, and the result
+    equals the inline batch build over history + batch."""
+    from obsplus_spark.operators.dedup import exact_substring_spans
+    from obsplus_spark.streaming.incremental import stream_gram_frequencies
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "gram_store")
+    schema = "doc_id long, text string"
+
+    history = [(1, "h1 h2 h3 h4 h5"), (2, "only unique words here")]
+    new_batch = [(50, "z0 h1 h2 h3 h4 h5 z1"), (51, "nothing shared")]
+
+    def ingest(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_gram_frequencies(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            n=3,
+        )
+        q.awaitTermination(120)
+
+    ingest(history)
+    ingest(new_batch)
+
+    freqs = spark.read.parquet(f"{store}/current")
+    batch_new = spark.createDataFrame(new_batch, schema)
+    got = sorted(
+        tuple(r)
+        for r in exact_substring_spans(batch_new, n=3, freqs=freqs)
+        .collect()
+    )
+    # doc 50's "h1..h5" run duplicates HISTORY (invisible to an
+    # inline pass over the new batch alone)
+    assert got == [(50, 1, 3, 5)]
+    # equals the inline build over history + batch, restricted to the
+    # new batch's ids
+    whole = spark.createDataFrame(history + new_batch, schema)
+    want = sorted(
+        tuple(r)
+        for r in exact_substring_spans(whole, n=3)
+        .where("doc_id >= 50")
+        .collect()
+    )
+    assert got == want
