@@ -9761,8 +9761,8 @@ def _bcubed_sql() -> str:
     ),
     s AS (
       SELECT CAST(sum(k) AS BIGINT) AS n_docs,
-             sum(k * k / CAST(cn AS DOUBLE)) AS sp,
-             sum(k * k / CAST(tn AS DOUBLE)) AS sr
+             sum(CAST(k AS DOUBLE) * k / CAST(cn AS DOUBLE)) AS sp,
+             sum(CAST(k AS DOUBLE) * k / CAST(tn AS DOUBLE)) AS sr
       FROM w
     )
     SELECT n_docs,

@@ -3777,9 +3777,13 @@ def bcubed_eval(
           FROM cells
         ),
         s AS (
+          -- k promoted to DOUBLE before squaring: BIGINT k*k wraps
+          -- (Spark) / errors (DuckDB) past ~3e9-member cells, and the
+          -- quotient is DOUBLE anyway (same class as the DIV fix in
+          -- dedup_pair_eval)
           SELECT CAST(sum(k) AS BIGINT) AS n_docs,
-                 sum(k * k / CAST(cn AS DOUBLE)) AS sp,
-                 sum(k * k / CAST(tn AS DOUBLE)) AS sr
+                 sum(CAST(k AS DOUBLE) * k / CAST(cn AS DOUBLE)) AS sp,
+                 sum(CAST(k AS DOUBLE) * k / CAST(tn AS DOUBLE)) AS sr
           FROM w
         )
         SELECT n_docs,
