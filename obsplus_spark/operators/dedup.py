@@ -3675,7 +3675,11 @@ def dedup_pair_eval(
     denominator pair set is empty). Pair counts use INTEGER halving
     (``n*(n-1) DIV 2`` here, ``//`` in the DuckDB twin) — ``/`` is
     DOUBLE division on both engines and loses exactness past 2^53,
-    which a ~200M-member exact-dup group already exceeds.
+    which a ~200M-member exact-dup group already exceeds. Exactness
+    bound: the ``n·(n−1)`` product itself outgrows BIGINT (a LOUD
+    ANSI error, not silence) at n ≈ 3.04e9 members in ONE group —
+    3 billion byte-identical copies of a single document, at which
+    point the corpus has bigger problems than this metric.
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
@@ -3777,10 +3781,10 @@ def bcubed_eval(
           FROM cells
         ),
         s AS (
-          -- k promoted to DOUBLE before squaring: BIGINT k*k wraps
-          -- (Spark) / errors (DuckDB) past ~3e9-member cells, and the
-          -- quotient is DOUBLE anyway (same class as the DIV fix in
-          -- dedup_pair_eval)
+          -- k promoted to DOUBLE before squaring: BIGINT k*k THROWS
+          -- past ~3e9-member cells (Spark runs ANSI-on here; DuckDB
+          -- errors likewise), and the quotient is DOUBLE anyway
+          -- (same exactness class as the DIV fix in dedup_pair_eval)
           SELECT CAST(sum(k) AS BIGINT) AS n_docs,
                  sum(CAST(k AS DOUBLE) * k / CAST(cn AS DOUBLE)) AS sp,
                  sum(CAST(k AS DOUBLE) * k / CAST(tn AS DOUBLE)) AS sr
