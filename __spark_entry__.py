@@ -9930,6 +9930,66 @@ _SQL_SHARED_REGIONS = r"""
 """
 
 
+def q_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-forensics top-k duplicated regions WITH their text —
+    operators/dedup.py top_regions over exact_substring_spans: the
+    regions carrying the most repeated token mass ((occ-1)*length,
+    what a keep-one cut would remove), one region-keyed map-combined
+    aggregate + distributed TakeOrdered; deterministic text
+    tie-break."""
+    from obsplus_spark.operators.dedup import (
+        exact_substring_spans,
+        top_regions,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = exact_substring_spans(docs, n=3, min_run=2, min_count=2)
+    return top_regions(docs, spans, k=20)
+
+
+_SQL_TOP_REGIONS = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    f AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+      FROM f WHERE c >= 2
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+             CAST(count(*) + 2 AS BIGINT) AS l
+      FROM d GROUP BY doc_id, run HAVING count(*) >= 2
+    ),
+    r AS (
+      SELECT a.doc_id, a.l,
+             array_to_string(list_slice(t.w, a.s + 1, a.s + a.l), ' ')
+               AS region
+      FROM spans a JOIN t ON t.doc_id = a.doc_id
+    )
+    SELECT region AS region_text,
+           CAST(count(*) AS BIGINT) AS occurrences,
+           CAST(max(l) AS BIGINT) AS span_tokens,
+           CAST((count(*) - 1) * max(l) AS BIGINT) AS dup_mass
+    FROM r GROUP BY region
+    ORDER BY dup_mass DESC, region_text
+    LIMIT 20
+"""
+
+
 def q_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-plan feasibility audit — operators/dedup.py
     mixture_feasibility over the rebalanced plan: can each source's
@@ -11979,6 +12039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_regions": q_shared_regions,
         "mix_audit": q_mix_audit,
         "span_keep_cut": q_span_keep_cut,
+        "top_regions": q_top_regions,
     }
 
 
@@ -12088,6 +12149,7 @@ def oracle_sql() -> dict[str, str]:
         "shared_regions": _SQL_SHARED_REGIONS,
         "mix_audit": _mix_audit_sql(),
         "span_keep_cut": _SQL_SPAN_KEEP_CUT,
+        "top_regions": _SQL_TOP_REGIONS,
         "rebalance": _rebalance_sql(),
         "cut_spans": _SQL_CUT_SPANS,
         "apply_mixture": _apply_mixture_sql(),

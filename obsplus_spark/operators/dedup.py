@@ -2579,6 +2579,73 @@ def shared_region_pairs(
     )
 
 
+def top_regions(
+    docs: DataFrame,
+    spans: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "span_start",
+    len_col: str = "span_tokens",
+) -> DataFrame:
+    """Corpus-forensics REPORT over the exact-substring region table:
+    the ``k`` duplicated regions carrying the most repeated token MASS
+    (occurrences × length), WITH their actual text — the
+    "what exactly is being copied" read-out license plates, cookie
+    banners, and shared boilerplate show up in before any cut policy
+    is chosen. Complements :func:`prefix_templates` (prefix-only) and
+    :func:`duplicate_span_mass` (per-doc totals, no content).
+
+    Region identity is the shared canonical-token-slice rule
+    (:func:`keep_first_occurrence`); the REPORT carries the region
+    TEXT itself (regions are bounded by doc length and k is small, so
+    the strings stay dimension-sized). Ties break on the text for a
+    deterministic report.
+
+    Scale shape: span-frame-sized — ONE id-keyed join rehydrates the
+    slice, ONE region-keyed aggregate (map-combined), then top-k as a
+    distributed TakeOrdered (never a global sort).
+
+    Output: (region_text, occurrences, span_tokens, dup_mass =
+    (occurrences − 1) · span_tokens — the tokens a keep-one cut would
+    remove; all counts BIGINT), top-k by dup_mass DESC.
+    """
+    from obsplus_spark.util import ensure_parallelism, sql_over
+
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sp = spans.selectExpr(
+        f"{id_col}",
+        f"CAST({start_col} AS BIGINT) AS _s",
+        f"CAST({len_col} AS BIGINT) AS _l",
+    )
+    toks = rf"filter(split(trim(lower({text_col})), '\\s+'), t -> t != '')"
+    d = ensure_parallelism(docs).selectExpr(id_col, f"{toks} AS _toks")
+    out = sql_over(
+        {"s": sp, "d": d},
+        f"""
+        SELECT region_text,
+               CAST(occurrences AS BIGINT) AS occurrences,
+               CAST(span_tokens AS BIGINT) AS span_tokens,
+               CAST((occurrences - 1) * span_tokens AS BIGINT)
+                 AS dup_mass
+        FROM (
+          SELECT concat_ws(' ',
+                   slice(d._toks, CAST(s._s + 1 AS INT),
+                         CAST(s._l AS INT))) AS region_text,
+                 count(1) AS occurrences,
+                 max(s._l) AS span_tokens
+          FROM {{s}} s JOIN {{d}} d ON d.{id_col} = s.{id_col}
+          GROUP BY 1
+        )
+        """,
+    )
+    return out.orderBy(
+        out.dup_mass.desc(), out.region_text
+    ).limit(kk)
+
+
 def mixture_feasibility(
     plan: DataFrame,
     target_tokens: int,

@@ -442,3 +442,32 @@ def test_bcubed_all_null_text(spark):
     r = rows[0]
     assert (r.n_docs, r.bcubed_precision, r.bcubed_recall,
             r.bcubed_f1) == (None, None, None, None)
+
+
+# ------------------------------------------------------- top_regions
+
+
+def test_top_regions_report(spark):
+    from obsplus_spark.operators.dedup import (
+        exact_substring_spans,
+        top_regions,
+    )
+
+    rows = [
+        (1, "cookie banner text here ok"),
+        (2, "cookie banner text here ok"),
+        (3, "cookie banner text here ok"),
+        (4, "short dup a b c"),
+        (5, "short dup a b c"),
+    ]
+    df = _docs(spark, rows)
+    spans = exact_substring_spans(df, n=3, min_run=2, min_count=2)
+    out = [tuple(r) for r in top_regions(df, spans, k=10).collect()]
+    # banner: 3 occ x 5 tokens -> dup_mass (3-1)*5 = 10; short: (2-1)*5=5
+    assert out == [
+        ("cookie banner text here ok", 3, 5, 10),
+        ("short dup a b c", 2, 5, 5),
+    ]
+    assert len(top_regions(df, spans, k=1).collect()) == 1
+    with pytest.raises(ValueError, match="k must be"):
+        top_regions(df, spans, k=0)

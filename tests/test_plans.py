@@ -1001,3 +1001,11 @@ def test_r12_pipeline_queries_no_cartesian(plans):
         p, _ = plans[name]
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_top_regions_distributed_takeordered(plans):
+    """The forensics report's top-k must be a distributed TakeOrdered,
+    never a global range sort of the region table."""
+    p, simple = plans["top_regions"]
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in simple
