@@ -8496,7 +8496,9 @@ def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
         )
         .agg(
-            F.sum(F.col("_na") * F.col("_nb"))
+            # double product: BIGINT na*nb throws under ANSI on a
+            # ~3e9-count hot key (same class as the CMS counters)
+            F.sum(F.col("_na").cast("double") * F.col("_nb"))
             .cast("long")
             .alias("exact_join_size")
         )
@@ -8541,13 +8543,14 @@ _SQL_JOIN_SIZE_EST = """
                AS est_join_size
       FROM (SELECT hrow FROM ca UNION SELECT hrow FROM cb) r
       LEFT JOIN (
-        SELECT x.hrow, sum(x.cnt * y.cnt) AS ip
+        SELECT x.hrow, sum(CAST(x.cnt AS DOUBLE) * y.cnt) AS ip
         FROM ca x JOIN cb y ON x.hrow = y.hrow AND x.bucket = y.bucket
         GROUP BY x.hrow
       ) p ON r.hrow = p.hrow
     ),
     ex AS (
-      SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM (
+      SELECT CAST(sum(CAST(na AS DOUBLE) * nb) AS BIGINT)
+               AS exact_join_size FROM (
         SELECT k, count(*) AS na FROM a GROUP BY k
       ) JOIN (
         SELECT k, count(*) AS nb FROM b GROUP BY k
@@ -9004,19 +9007,18 @@ _SQL_TRENDS = """
     ),
     b AS (
       SELECT user_id,
-             (t_ns - min(t_ns) OVER (PARTITION BY user_id))
-               // 86400000000000 AS x,
+             CAST((t_ns - min(t_ns) OVER (PARTITION BY user_id))
+               // 86400000000000 AS DOUBLE) AS x,
              y
       FROM e
     ),
     a AS (
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx,
              sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS syy
       FROM b GROUP BY user_id
     )
-    SELECT user_id, n,
+    SELECT user_id, CAST(n AS BIGINT) AS n,
            CASE WHEN n * sxx - sx * sx > 0
                 THEN round((n * sxy - sx * sy)
                            / (n * sxx - sx * sx), 6) END AS slope,
@@ -11026,7 +11028,7 @@ _SQL_SCORE_AUC = """
     )
     SELECT CASE WHEN sum(np) > 0 AND sum(n - np) > 0 THEN
              round((sum(np * (cb + (n + 1) / 2.0))
-                    - sum(np) * (sum(np) + 1) / 2.0)
+                    - CAST(sum(np) AS DOUBLE) * (sum(np) + 1) / 2.0)
                    / (CAST(sum(np) AS DOUBLE) * sum(n - np)), 9)
            END AS auc,
            CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,

@@ -91,9 +91,14 @@ def auc_from_counts(cells: DataFrame) -> DataFrame:
                    - n AS cb
           FROM m
         )
+        -- the n_pos(n_pos+1)/2 correction promotes to DOUBLE before
+        -- multiplying: the raw BIGINT product n_pos*(n_pos+1) throws
+        -- under ANSI at n_pos ~ 3e9 (a 3-billion-positive corpus is
+        -- real at 100 TB); the double product is the identical IEEE
+        -- expression on both engines
         SELECT CASE WHEN sum(np) > 0 AND sum(n - np) > 0 THEN
                  round((sum(np * (cb + (n + 1) / 2.0))
-                        - sum(np) * (sum(np) + 1) / 2.0)
+                        - CAST(sum(np) AS DOUBLE) * (sum(np) + 1) / 2.0)
                        / (CAST(sum(np) AS DOUBLE) * sum(n - np)), 9)
                END AS auc,
                CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,

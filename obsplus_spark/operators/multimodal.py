@@ -287,7 +287,11 @@ def frame_signal_features(
 
     Per frame of ``frame_len`` consecutive samples (ordered by
     ``order_cols`` within ``id_col``): sample count (the tail frame may
-    be short), energy ``Σk²`` (exact integer math for PCM-int inputs),
+    be short), energy ``Σk²`` (exact integer math for PCM-int inputs;
+    the BIGINT output bounds the per-FRAME sum at ~8.6e9 int16
+    samples — frames are thousands of samples by construction, five
+    orders of magnitude of headroom; past it the ANSI engine fails
+    loudly rather than wrapping),
     zero crossings (sign change vs the previous sample of the SIGNAL —
     a crossing on a frame boundary is attributed to the later frame;
     the first sample of a signal has no predecessor and contributes

@@ -555,20 +555,25 @@ def ols_trends(
         {"d": ensure_parallelism(df)},
         f"""
         WITH b AS (
+          -- x promoted to DOUBLE before the sufficient statistics:
+          -- BIGINT sum(x*x) / n*sxx THROW under ANSI once a key holds
+          -- a few hundred thousand rows across a 10^4-bucket span
+          -- (reachable at 100 TB); every output is a 6-dp DOUBLE
+          -- anyway, and zipf_fit already uses this double-stats shape
           SELECT {key_col},
                  CAST(({ts_col} - min({ts_col}) OVER (PARTITION BY
-                     {key_col})) div {d_ns} AS BIGINT) AS x,
+                     {key_col})) div {d_ns} AS DOUBLE) AS x,
                  {value_col} AS y
           FROM {{d}}
           WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
         ),
         a AS (
-          SELECT {key_col}, CAST(count(1) AS BIGINT) AS n,
+          SELECT {key_col}, CAST(count(1) AS DOUBLE) AS n,
                  sum(x) AS sx, sum(x * x) AS sxx,
                  sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS syy
           FROM b GROUP BY {key_col}
         )
-        SELECT {key_col}, n,
+        SELECT {key_col}, CAST(n AS BIGINT) AS n,
                CASE WHEN n * sxx - sx * sx > 0
                     THEN round((n * sxy - sx * sy)
                                / (n * sxx - sx * sx), 6) END AS slope,

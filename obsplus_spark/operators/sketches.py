@@ -361,10 +361,18 @@ def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
     y = b.select(
         F.col("row"), F.col("bucket"), F.col("cnt").alias("_cb")
     )
+    # inner product in DOUBLE: BIGINT counter products overflow (an
+    # ANSI throw) once two 100-TB-scale streams put ~1e9+ counts in
+    # the same bucket; the bound is an estimate, double precision is
+    # its semantic class, and the final BIGINT cast leaves ONE
+    # well-defined boundary (an estimate past ~9.2e18 pairs fails
+    # loudly at the cast, not mid-sum at a width-dependent point)
     prod = (
         x.join(y, ["row", "bucket"])
         .groupBy("row")
-        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+        .agg(
+            F.sum(F.col("_ca").cast("double") * F.col("_cb")).alias("_ip")
+        )
     )
     # a depth row with ZERO bucket overlap vanishes from the inner join,
     # but its inner product is 0 — the TIGHTEST bound. Re-seat every row
