@@ -3881,16 +3881,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id1", "id2")
     # lazy fixed-round mode: near-dup components are star/clique shaped
     # (the seed aggregate already covers distance-1; each round adds a
-    # hop). 2 rounds already matched the converged fixed point at sf0.01
-    # AND sf0.1 (r5 A/B); 4 shipped = 2 hops of margin for corpus drift,
-    # since the DuckDB oracle computes the EXACT recursive closure and a
-    # longer-diameter chain component would diverge. Unlike convergence
-    # mode this keeps plan construction action-free — the convergence
-    # probe's per-round collects were ~2.8 s of driver time charged to
-    # every plan build. A production pipeline on a graph of unknown
-    # diameter should pass check_convergence=True (or lazy mode's
+    # hop). r12 guard-probe measurement: max_iterations=1 already passes
+    # the runtime fixed-point guard at sf0.001 AND sf0.01 AND sf0.1
+    # (labels converge at round 1); 2 shipped = one full hop of margin,
+    # and an undersized bound stays LOUD (the fused guard round raises
+    # at runtime rather than emitting split components), so this can
+    # never silently diverge from the oracle's exact recursive closure.
+    # Each dropped round saves one edge join + one agg exchange — two
+    # fewer stage barriers per rep here and in the six downstream
+    # eval-family queries (guide §2.4). Unlike convergence mode this
+    # keeps plan construction action-free — the convergence probe's
+    # per-round collects were ~2.8 s of driver time charged to every
+    # plan build. A production pipeline on a graph of unknown diameter
+    # should pass check_convergence=True (or lazy mode's
     # localCheckpoint chunking for bounded-depth batches).
-    return dedup_clusters(pairs, max_iterations=4, check_convergence=False)
+    return dedup_clusters(pairs, max_iterations=2, check_convergence=False)
 
 
 def _clusters_sql() -> str:
@@ -3926,7 +3931,7 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id1", "id2")
     return canonical_docs(
         pairs, docs, id_col="doc_id", quality_col="n_chars",
-        max_iterations=4,
+        max_iterations=2,
     )
 
 
@@ -3976,7 +3981,7 @@ def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
     ).select("id1", "id2")
     return leakage_safe_split(
-        docs.select("doc_id"), pairs, max_iterations=4
+        docs.select("doc_id"), pairs, max_iterations=2
     )
 
 
@@ -9726,7 +9731,7 @@ def q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_duplicates(
         docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
     ).select("id1", "id2")
-    labels = dedup_clusters(pairs, max_iterations=4)
+    labels = dedup_clusters(pairs, max_iterations=2)
     return bcubed_eval(docs, labels)
 
 
@@ -10011,7 +10016,7 @@ def q_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_duplicates(
         docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
     ).select("id1", "id2")
-    labels = dedup_clusters(pairs, max_iterations=4)
+    labels = dedup_clusters(pairs, max_iterations=2)
     plan = mixture_rebalance(
         docs, labels, _MIX_WEIGHTS, _MIX_TARGET, max_repeat=4.0
     )
@@ -10237,7 +10242,7 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_duplicates(
         docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
     ).select("id1", "id2")
-    labels = dedup_clusters(pairs, max_iterations=4)
+    labels = dedup_clusters(pairs, max_iterations=2)
     return dedup_pair_eval(docs, labels)
 
 
@@ -10387,7 +10392,7 @@ def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_duplicates(
         docs, n_hashes=8, bands=2, shingle_size=3, threshold=0.2
     ).select("id1", "id2")
-    labels = dedup_clusters(pairs, max_iterations=4)
+    labels = dedup_clusters(pairs, max_iterations=2)
     return mixture_rebalance(
         docs, labels, _MIX_WEIGHTS, _MIX_TARGET, max_repeat=4.0
     )

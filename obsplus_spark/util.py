@@ -130,9 +130,6 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
-_SQL_OVER_N = 0
-
-
 def sql_str_lit(s: str) -> str:
     """Escape a caller-supplied string for interpolation into a Spark
     SQL single-quoted literal: backslashes double FIRST (Spark's parser
@@ -150,22 +147,28 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
     plan (measured ~10-30× the cost of analyzing the same tree once), so
     multi-stage operators built as one SQL statement over their inputs
     pay a single analysis pass. ``query`` uses ``{alias}`` placeholders
-    for each input; views get unique names and are dropped immediately —
-    the returned DataFrame's plan is resolved at ``sql()`` time, so the
-    catalog entries are never needed again. Persisted inputs referenced
-    more than once in the query still hit the cache: the CacheManager
-    substitutes matching logical subtrees at planning time.
+    for each input. View lifecycle: the returned DataFrame's plan is
+    resolved at ``sql()`` time, so the catalog binding is consumed
+    immediately — views are therefore REUSED, never dropped.
+    Unpersisted inputs bind a stable per-(alias, thread) name that the
+    next call with the same alias simply replaces (bounded by the alias
+    vocabulary; r12 optimization — ``dropTempView`` walks the
+    CacheManager per call, measured ~75 ms each, ~0.23 s of every
+    dedup-pipeline plan build). Persisted inputs bind a stable
+    per-frame name (``dropTempView`` on those would evict the cache
+    entry). Persisted inputs referenced more than once in the query
+    still hit the cache: the CacheManager substitutes matching logical
+    subtrees at planning time.
     """
-    global _SQL_OVER_N
+    import threading
+
     spark = next(iter(dfs.values())).sparkSession
     names = {}
     for alias, df in dfs.items():
         sl = df.storageLevel
         if sl.useMemory or sl.useDisk:
-            # persisted inputs keep their view (dropTempView would evict
-            # the cache entry — see below) — so give them a STABLE name
-            # keyed by the analyzed plan's semanticHash instead of a
-            # fresh counter name per call: repeated calls over the same
+            # persisted inputs get a STABLE name keyed by the analyzed
+            # plan's semanticHash: repeated calls over the same
             # persisted data rebind ONE catalog entry even when the
             # caller re-wraps it in a new Python DataFrame each time
             # (id()-keying leaked one entry per wrapper, and a
@@ -180,8 +183,12 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
                 token = id(df)  # non-classic DataFrame impls
             name = f"_obsplus_sql_over_{alias}_p{token & 0xFFFFFFFF}"
         else:
-            _SQL_OVER_N += 1
-            name = f"_obsplus_sql_over_{alias}_{_SQL_OVER_N}"
+            # stable per-(alias, thread) name, rebound on the next call
+            # with this alias — thread-keyed so concurrent driver
+            # threads (guide §2.6 overlap) can't race one binding
+            name = (
+                f"_obsplus_sql_over_{alias}_t{threading.get_ident()}"
+            )
         df.createOrReplaceTempView(name)
         names[alias] = name
     # plain replace, NOT str.format: the query may legally contain '{'/'}'
@@ -189,23 +196,4 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
     # format() would treat as placeholders and crash on
     for alias, name in names.items():
         query = query.replace("{" + alias + "}", name)
-    try:
-        return spark.sql(query)
-    finally:
-        for alias, name in names.items():
-            # dropTempView also UNCACHES any cache entry whose plan matches
-            # the view (it evicted the engine's persisted base tables the
-            # first time this helper shipped) — so a view over a persisted
-            # input is left registered under its STABLE per-frame name
-            # (bounded: one catalog entry per live persisted frame, not
-            # one per call); the cached data itself is untouched. Views
-            # over unpersisted plans are dropped (their plan can only
-            # match a cache entry for a derived frame the caller persisted
-            # under a different plan root, which cascade=false ignores).
-            sl = dfs[alias].storageLevel
-            if sl.useMemory or sl.useDisk:
-                continue
-            try:
-                spark.catalog.dropTempView(name)
-            except Exception:
-                pass  # session torn down mid-build; nothing to release
+    return spark.sql(query)
