@@ -8791,19 +8791,33 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem join twice at materialization); dedup + src-partitioned
     # persist now live INSIDE bfs_distances — the r8 hoist that stops
     # each hop re-exchanging the edge frame (the distinct also
-    # collapses the ~4× per-lineitem duplicate pairs there)
+    # collapses the ~4× per-lineitem duplicate pairs there).
+    # r12 (guide §2.3 "narrower types"): the BFS rounds run on BIGINT
+    # node ids — supplier k ↦ 2k+1, customer k ↦ 2k (disjoint like the
+    # old 's'/'c' prefixes) — so the 1.2M-pair edge distinct, the
+    # src-keyed exchange, and every per-hop join shuffle/compare 8-byte
+    # longs instead of ~10-byte strings; the prefixed-string ids the
+    # oracle sees are reconstructed on the node-sized OUTPUT only
+    # (node DIV 2 inverts both encodings; parity selects the prefix).
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .selectExpr(
             "explode(array("
-            "  named_struct('src', concat('s', l_suppkey),"
-            "               'dst', concat('c', o_custkey)),"
-            "  named_struct('src', concat('c', o_custkey),"
-            "               'dst', concat('s', l_suppkey)))) AS e"
+            "  named_struct('src', 2 * CAST(l_suppkey AS BIGINT) + 1,"
+            "               'dst', 2 * CAST(o_custkey AS BIGINT)),"
+            "  named_struct('src', 2 * CAST(o_custkey AS BIGINT),"
+            "               'dst', 2 * CAST(l_suppkey AS BIGINT) + 1)"
+            ")) AS e"
         )
         .select("e.src", "e.dst")
     )
-    return bfs_distances(edges, ["s1", "s2"], max_hops=3)
+    # sources s1, s2 ↦ 2·1+1, 2·2+1
+    d = bfs_distances(edges, [3, 5], max_hops=3)
+    return d.selectExpr(
+        "concat(CASE WHEN node % 2 = 1 THEN 's' ELSE 'c' END,"
+        " CAST(node DIV 2 AS STRING)) AS node",
+        "dist",
+    )
 
 
 _SQL_BFS = """

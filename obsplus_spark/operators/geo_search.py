@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from obsplus_spark.functions.geo import (
+    EARTH_RADIUS_M,
     M_PER_DEG,
     bounding_box,
     haversine_m,
@@ -116,10 +117,37 @@ def spatial_join(
         from obsplus_spark.util import ensure_parallelism
 
         # the cross join is a narrow stage over the left scan — make sure a
-        # small left input doesn't serialize the trig onto one core
-        l = ensure_parallelism(left).alias("l")
-        rj = F.broadcast(r) if broadcast_right else r
-        return l.crossJoin(rj).withColumn(distance_col, dist)
+        # small left input doesn't serialize the trig onto one core.
+        # r12 (guide §1.2 per-task work): cos(radians(lat)) is hoisted to
+        # the INPUT sides — per L+R rows instead of per L×R pairs (the
+        # codegen'd pair expression re-evaluated both cosines for every
+        # pair; 2 of the ~6 libm calls per pair become per-row). The
+        # hoisted product multiplies in the same l·r order the fused
+        # haversine used, so every double is BIT-IDENTICAL
+        # (tests/test_geo.py pins the equality against haversine_m).
+        lc = ensure_parallelism(left).withColumn(
+            "_obsplus_coslat", F.cos(F.radians(F.col(left_lat)))
+        ).alias("l")
+        rc = right.withColumn(
+            "_obsplus_coslat", F.cos(F.radians(F.col(right_lat)))
+        ).alias("r")
+        dlat = F.radians(F.col(f"r.{right_lat}") - F.col(f"l.{left_lat}")) / 2
+        dlon = F.radians(F.col(f"r.{right_lon}") - F.col(f"l.{left_lon}")) / 2
+        a = (
+            F.pow(F.sin(dlat), 2)
+            + F.col("l._obsplus_coslat")
+            * F.col("r._obsplus_coslat")
+            * F.pow(F.sin(dlon), 2)
+        )
+        hoisted = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+            F.least(F.lit(1.0), F.sqrt(a))
+        )
+        rj = F.broadcast(rc) if broadcast_right else rc
+        return (
+            lc.crossJoin(rj)
+            .withColumn(distance_col, hoisted)
+            .drop("_obsplus_coslat")
+        )
 
     band_deg = max_distance_m / M_PER_DEG
     lb = left.withColumn(

@@ -144,3 +144,43 @@ def test_radius_search_antimeridian_matches_bruteforce(spark):
     # and the kept set genuinely spans the dateline
     lons = {r.longitude for r in df.collect() if r.id in got}
     assert any(lo > 170 for lo in lons) and any(lo < -170 for lo in lons)
+
+
+def test_spatial_join_hoisted_cos_bit_identical(spark):
+    """r12 optimization contract: the cross-join path hoists
+    cos(radians(lat)) to the input sides; the hoisted product must be
+    BIT-identical to the fused haversine_m expression (same doubles,
+    same multiplication order), or oracle hashes would drift."""
+    from pyspark.sql import functions as F
+
+    from obsplus_spark.functions.geo import haversine_m
+    from obsplus_spark.operators.geo_search import spatial_join
+
+    left = spark.createDataFrame(
+        [(i, -37.0 + i * 3.17, 144.0 - i * 7.3) for i in range(13)],
+        "lid int, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(j, 51.5 - j * 5.11, -0.1 + j * 11.9) for j in range(11)],
+        "rid int, latitude double, longitude double",
+    )
+    got = spatial_join(left, right).select("lid", "rid", "distance_m")
+    fused = (
+        left.alias("l")
+        .crossJoin(right.alias("r"))
+        .select(
+            F.col("l.lid"),
+            F.col("r.rid"),
+            haversine_m(
+                F.col("l.latitude"),
+                F.col("l.longitude"),
+                F.col("r.latitude"),
+                F.col("r.longitude"),
+            ).alias("distance_m"),
+        )
+    )
+    g = {(r.lid, r.rid): r.distance_m for r in got.collect()}
+    f = {(r.lid, r.rid): r.distance_m for r in fused.collect()}
+    assert len(g) == 13 * 11
+    # exact equality, not approx: the plans must produce the same bits
+    assert g == f

@@ -39,6 +39,8 @@ spark = get_spark(
 )
 qs = entrymod.queries()
 warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+if not os.path.isdir(warm_dir):
+    warm_dir = "/root/testdata/sf0.001"
 for nm in names:
     qs[nm](spark, warm_dir).write.mode("overwrite").format("noop").save()
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
