@@ -8958,7 +8958,18 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-joins — zero edge shuffles/sorts (the window form pays an
     # explode-width exchange + sort per round). On an unbounded node
     # space leave the gate off.
-    return k_core_peel(edges, k=3, rounds=4, broadcast_degrees=True)
+    # r12: 2 rounds + the zero-stage convergence guard instead of 4
+    # blind rounds — the peel reaches its fixed point at round 2 on all
+    # three SFs (r4/r3/r2 outputs verified row-identical), every output
+    # degree ≥ k is a fixed point so further rounds provably change
+    # nothing, and require_converged raises LOUDLY at runtime if a
+    # deeper cascade ever appears rather than silently diverging from
+    # the oracle's 4-round closure. Two dropped rounds = two degree
+    # aggregates + two persisted edge generations fewer per rep.
+    return k_core_peel(
+        edges, k=3, rounds=2, broadcast_degrees=True,
+        require_converged=True,
+    )
 
 
 def _k_core_oracle_sql(k: int = 3, rounds: int = 4) -> str:

@@ -363,6 +363,23 @@ def hits_scores(
     )
 
 
+def _kcore_guard_sql(k: int) -> str:
+    """Final-projection convergence guard for :func:`k_core_peel`
+    (``require_converged=True``): a survivor with degree < k proves the
+    peel was still cascading when the round budget ran out — raise with
+    the offending node instead of emitting an unconverged set. Costs no
+    extra stage (it rides the output aggregate's projection)."""
+    return (
+        "CASE WHEN degree < "
+        + str(int(k))
+        + " THEN raise_error(concat('k_core_peel: peel not converged"
+        " within the round bound (node ', CAST(node AS STRING),"
+        " ' survives with degree ', CAST(degree AS STRING),"
+        f" ' < k={int(k)}); raise rounds or drop"
+        " require_converged')) ELSE degree END AS degree"
+    )
+
+
 def k_core_peel(
     edges: DataFrame,
     k: int = 3,
@@ -370,6 +387,7 @@ def k_core_peel(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_degrees: bool = False,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Bounded k-core peeling over an undirected edge frame: ``rounds``
     iterations of "drop every node whose CURRENT degree is below ``k``,
@@ -408,6 +426,20 @@ def k_core_peel(
     persist bounds the double reference of each edge set (degree pass
     + semi-joins) that would otherwise re-derive the upstream 2^rounds
     times.
+
+    ``require_converged=True`` (r12) turns the documented
+    unconverged-peel observable into a LOUD runtime guard at ZERO extra
+    stages: a converged peel has every output degree ≥ k, and a
+    survivor with degree < k would be peeled by the next round — so the
+    final projection raises on any such node instead of emitting a
+    possibly-still-cascading set. With the guard in force, running
+    fewer rounds than a deeper bound is provably output-identical
+    whenever it completes (round r emitting only degree-≥-k nodes is a
+    fixed point, so rounds r..∞ coincide) — the same
+    loud-instead-of-silent convention as ``dedup_clusters``'
+    ``on_nonconverged="error"`` round guard, for the same reason: the
+    round bound is a cost knob, and undersizing it must never change
+    results silently.
 
     Output: (node, degree) for survivors of the final round, with the
     degree AFTER that round's edge pruning.
@@ -496,11 +528,14 @@ def k_core_peel(
                 chain.append(e_next)
             e = e_next
         _register_private_chain(spark, "k_core_peel", chain)
-        return (
+        out = (
             e.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         )
+        if require_converged:
+            out = out.select("node", F.expr(_kcore_guard_sql(kk)))
+        return out
     parts = [
         f"""
         e0 AS (
@@ -531,14 +566,19 @@ def k_core_peel(
         )"""
         )
     body = ",".join(parts)
-    return sql_over(
-        {"e": ensure_parallelism(edges)},
-        f"""
-        WITH {body}
+    final = f"""
         SELECT node, CAST(count(1) AS BIGINT) AS degree
         FROM (SELECT explode(array(a, b)) AS node FROM e{rr})
         GROUP BY node
-        """,
+        """
+    if require_converged:
+        final = f"""
+        SELECT node, {_kcore_guard_sql(kk)}
+        FROM ({final})
+        """
+    return sql_over(
+        {"e": ensure_parallelism(edges)},
+        f"WITH {body}\n{final}",
     )
 
 
