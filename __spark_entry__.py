@@ -115,14 +115,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             n_bytes = os.path.getsize(path)
         except OSError:
             n_bytes = 0
-        # 256 KB compressed per cached partition: snappy parquet expands
-        # ~4-6× in the deserialized cache and every downstream query does
-        # CPU work per row, so 1 MB slices left 100k-row tables on 2 tasks
-        # — measurably starving multi-pass queries (two scans of events at
-        # 2 partitions cost more than the whole rest of their plan)
-        target = min(
-            max(n_bytes // (256 * 1024), 1),
-            spark.sparkContext.defaultParallelism,
+        # any table big enough to split at all (≥256 KB compressed) is
+        # cached at FULL core width (r12): the old 256 KB-per-partition
+        # sizing left documents/events on 2-8 partitions, and every
+        # compute-heavy consumer then paid ensure_parallelism's
+        # round-robin fan-out exchange to reach core width anyway —
+        # profiled at 0.3-0.7 s of wall per documents-family query.
+        # Cached at width, the fan-out disappears (ensure_parallelism
+        # now reads the physical partition count and skips). Tiny dims
+        # (<256 KB: region/nation/supplier/customer) stay unsplit —
+        # their consumers broadcast them or genuinely want the fan-out.
+        target = (
+            spark.sparkContext.defaultParallelism
+            if n_bytes >= 256 * 1024
+            else 1
         )
         if target > 1:
             df = df.repartition(int(target))

@@ -125,9 +125,28 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     except Exception:  # stats unavailable (exotic plan) → leave the plan alone
         return df
     natural = max(1, -(-size // max_pb))
-    if natural < target:
-        return df.repartition(target)
-    return df
+    if natural >= target:
+        return df
+    # the size estimate says "narrow input" — but a cached table that
+    # was PERSISTED wide (the entry loader splits cached fact tables to
+    # core count) is already parallel, and the round-robin fan-out this
+    # function would add is then a pure-overhead exchange (profiled
+    # r12: a 2-task cache-read+shuffle stage worth 0.3-0.7 s of wall on
+    # every documents-family query). Ask the physical plan for the real
+    # partition count before repartitioning; the QueryExecution is
+    # memoized on the Dataset, so execution reuses the planning work
+    # (same argument as the stats call above — ~15-20 ms driver-side,
+    # no job).
+    try:
+        actual = int(
+            df._jdf.queryExecution().executedPlan()
+            .outputPartitioning().numPartitions()
+        )
+        if actual >= target:
+            return df
+    except Exception:
+        pass  # partitioning unreadable (e.g. AQE placeholder) → fan out
+    return df.repartition(target)
 
 
 def sql_str_lit(s: str) -> str:
