@@ -412,13 +412,20 @@ def cascade_delete(
     stats = []
     for name, df, fk_col, pk_col in chain:
         bside = F.broadcast(banned) if broadcast_keys else banned
-        purged_rows = df.join(
-            bside, df[fk_col] == bside["_k"], "left_semi"
+        # ONE pass per level for BOTH counts (r12, guide §2.4): the old
+        # shape ran a semi-joined count AND a separate total count —
+        # two full scans of the fact table per level (plus a third for
+        # the next level's banned-PK derivation). The banned set is
+        # DISTINCT by construction, so a left join matches each row at
+        # most once and count(_k) counts exactly the purged rows —
+        # total and purged now ride one scan + one (broadcast) probe.
+        joined = df.join(bside, df[fk_col] == bside["_k"], "left")
+        counts = joined.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.col("_k")).alias("n_purged"),
         )
-        n_purged = purged_rows.agg(F.count(F.lit(1)).alias("n_purged"))
-        n_total = df.agg(F.count(F.lit(1)).alias("n_total"))
         stats.append(
-            n_purged.crossJoin(n_total).select(
+            counts.select(
                 F.lit(name).alias("table_name"),
                 F.col("n_purged").cast("long").alias("n_purged"),
                 (F.col("n_total") - F.col("n_purged"))
@@ -428,7 +435,8 @@ def cascade_delete(
         )
         if pk_col is not None:
             banned = (
-                purged_rows.select(F.col(pk_col).alias("_k"))
+                joined.where(F.col("_k").isNotNull())
+                .select(F.col(pk_col).alias("_k"))
                 .where(F.col("_k").isNotNull())
                 .distinct()
                 .persist()
