@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from obsplus_spark.util import plan_checkpoint
+
 
 #: slack subtracted inside every PPJoin ceil() bound — absorbs DECIMAL/
 #: float upward rounding of the rational bounds so exact-boundary pairs
@@ -784,7 +786,15 @@ def dedup_clusters(
           FROM {{p}}
         )
         """,
-    ).persist()
+    )
+    # rebind before persisting (plan_checkpoint: lazy LogicalRDD scan,
+    # RDD lineage kept): the rounds statement references {e} once per
+    # round plus the guard, and each reference used to carry the whole
+    # upstream pair pipeline through Catalyst analysis again — the
+    # rebind makes every copy a one-node scan. Join strategy in the
+    # rounds is unchanged (edge side was never auto-broadcast; its
+    # exchange is shared across rounds via ReusedExchange either way).
+    edges = plan_checkpoint(edges).persist()
     _register_shingle_cache(edges)  # bounded per-session ring releases it
 
     def rounds_sql(n: int, seeded: bool) -> str:

@@ -149,6 +149,61 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(target)
 
 
+def plan_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate a frame's LOGICAL plan without materializing or losing
+    fault tolerance: rebind the physical plan's row RDD
+    (``queryExecution().toRdd()`` — lazy, keeps full RDD lineage, so
+    lost blocks recompute from the parquet inputs unlike
+    ``localCheckpoint``) as a one-node ``LogicalRDD`` scan.
+
+    Why (guide §7.3 "planning time itself can become the bottleneck",
+    §3.3 "materialising an intermediate truncates the plan"): every
+    downstream ``spark.sql`` statement that references a persisted
+    intermediate re-walks the intermediate's ENTIRE analyzed tree once
+    per reference — a k-round label-propagation statement over an edge
+    frame whose lineage is the whole near-dup pair pipeline re-analyzes
+    that pipeline k+2 times, and the next statement downstream walks it
+    all again (measured: ~0.3 s of Catalyst analysis per dedup-family
+    plan build, the single largest build cost). After the rebind the
+    subtree is one ``Scan ExistingRDD`` node; Catalyst cost for every
+    consumer drops to O(1) in the upstream pipeline's size.
+
+    Semantics are unchanged: the RDD executes the exact physical plan
+    the frame would have executed, nothing runs until an action, and
+    callers persist the REBOUND frame exactly as they persisted the
+    original (the cache then holds the one-node plan, so cache
+    substitution keeps working for repeated references). Costs to know
+    about: (a) physical planning of ``df`` happens eagerly on the
+    driver here (no job — the same work was otherwise paid at first
+    action); (b) the rebound plan reports no column stats, so consumers
+    relying on AUTO broadcast of this frame must hint explicitly (our
+    call sites either hint or want the shuffle join anyway);
+    (c) ``internalCreateDataFrame`` is package-private Scala — public
+    in bytecode, stable across the 3.x/4.x line (it is the same entry
+    ``Dataset.checkpoint`` uses internally), pinned by tests.
+
+    **AQE sessions: deliberate passthrough.** Under
+    ``spark.sql.adaptive.enabled`` an ``AdaptiveSparkPlanExec.execute``
+    materializes its query stages EAGERLY — the rebind would run real
+    cluster jobs at plan-construction time (breaking operator laziness)
+    and would freeze a static physical plan, forfeiting AQE's runtime
+    skew/coalesce re-planning for this subtree — precisely the wrong
+    trade at 100 TB, where driver plan-build milliseconds are noise and
+    adaptive execution is the point. So with AQE on the frame is
+    returned unchanged (full logical lineage, fully lazy, adaptive);
+    the rebind applies in non-adaptive sessions, where the frozen
+    static plan is what would have executed anyway.
+    """
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
+        return df
+    jdf = df._jdf
+    jrdd = jdf.queryExecution().toRdd()
+    jspark = df.sparkSession._jsparkSession
+    new_jdf = jspark.internalCreateDataFrame(jrdd, jdf.schema(), False)
+    return DataFrame(new_jdf, df.sparkSession)
+
+
 def sql_str_lit(s: str) -> str:
     """Escape a caller-supplied string for interpolation into a Spark
     SQL single-quoted literal: backslashes double FIRST (Spark's parser
