@@ -8887,9 +8887,20 @@ def q_hits_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _orders_dim_small(sf_dir):
         o = F.broadcast(o)
     # hits_scores dedups + persists the edge frame internally (the
-    # unrolled statement references it once per half-round)
+    # unrolled statement references it once per half-round).
+    # Narrow node keys (guide §2.3): the rounds run on a BIGINT fold —
+    # customer k ↦ 2k+1 (odd), supplier k ↦ 2k (even), injective and
+    # disjoint exactly like the 'c'/'s' string prefixes — so the edge
+    # dedup shuffle and every per-round join/aggregate move and hash
+    # 8-byte longs instead of ~14-byte strings; node_decode rebuilds
+    # the prefixed strings only in the final node-count-sized
+    # projection, BEFORE the top-k ordering, so the output (including
+    # string tie order) is row-identical to the string pipeline.
+    # concat('c', NULL) is NULL exactly as 2*NULL+1 is, so the
+    # operator's NULL-endpoint filter sees the same rows.
     edges = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
-        "concat('c', o_custkey) AS src", "concat('s', l_suppkey) AS dst"
+        "CAST(2 * o_custkey + 1 AS BIGINT) AS src",
+        "CAST(2 * l_suppkey AS BIGINT) AS dst",
     )
     # the authority side of this bipartite graph is the SUPPLIER node
     # set — dimension-bounded (≪ orders), so whenever orders itself is
@@ -8901,6 +8912,11 @@ def q_hits_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(
         edges, iterations=2, k=20,
         broadcast_auth=_orders_dim_small(sf_dir),
+        node_decode=(
+            "CASE WHEN node % 2 = 1"
+            " THEN concat('c', CAST((node - 1) DIV 2 AS STRING))"
+            " ELSE concat('s', CAST(node DIV 2 AS STRING)) END"
+        ),
     )
 
 

@@ -218,6 +218,7 @@ def hits_scores(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_auth: bool = False,
+    node_decode: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS (hubs & authorities) over a directed edge
     frame, returning the top-``k`` authorities — the complementary
@@ -262,6 +263,17 @@ def hits_scores(
 
     Output: (node, auth, hub) — ≤ k rows, BIGINT scores, ordered
     auth DESC, hub DESC, node ASC.
+
+    ``node_decode`` (optimization hook, guide §2.3 narrower types): a
+    SQL expression over the column ``node`` applied in the FINAL
+    node-count-sized projection, BEFORE the top-k ordering. It lets a
+    caller run every round — the dedup shuffle, 2·iterations keyed
+    joins and aggregates — on narrow integer keys and rebuild display
+    keys (e.g. ``'c'||id`` prefixes) only where the result is already
+    dimension-sized. Because the decode lands before ``ORDER BY``, the
+    tie order is that of the DECODED key: with an injective decode the
+    output is row-identical to running the whole pipeline on the
+    decoded keys.
     """
     from obsplus_spark.util import ensure_parallelism, sql_over
 
@@ -347,16 +359,20 @@ def hits_scores(
         )"""
         )
     body = ",".join(parts)
+    out_node = node_decode if node_decode is not None else "node"
     return sql_over(
         {"e": dedup},
         f"""
-        WITH {body}
-        SELECT n.node,
-               coalesce(a.auth, 0L) AS auth,
-               coalesce(h.hub, 0L) AS hub
-        FROM nodes n
-        LEFT JOIN a{its} a ON n.node = a.node
-        LEFT JOIN h{its} h ON n.node = h.node
+        WITH {body},
+        scored AS (
+          SELECT n.node AS node,
+                 coalesce(a.auth, 0L) AS auth,
+                 coalesce(h.hub, 0L) AS hub
+          FROM nodes n
+          LEFT JOIN a{its} a ON n.node = a.node
+          LEFT JOIN h{its} h ON n.node = h.node
+        )
+        SELECT {out_node} AS node, auth, hub FROM scored
         ORDER BY auth DESC, hub DESC, node
         LIMIT {int(k)}
         """,

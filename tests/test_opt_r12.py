@@ -168,3 +168,32 @@ def test_near_duplicates_rebound_pipeline_matches_unpersisted(spark):
     )
     assert (1, 1) in {(r.id, r.cluster_id) for r in lf}
     assert (2, 1) in {(r.id, r.cluster_id) for r in lf}
+
+
+def test_hits_node_decode_matches_string_pipeline(spark):
+    """hits_scores(node_decode=...) over the 2k+1/2k integer fold must be
+    row-identical (including string tie order in the top-k cut) to running
+    the whole pipeline on the prefixed string keys."""
+    from obsplus_spark.operators.graph import hits_scores
+
+    # small bipartite graph with deliberate (auth, hub) ties so the
+    # node-string tie-break is exercised: c10 vs c2 order differs between
+    # int and string sort, so a decode AFTER the order-by would misorder.
+    edges = [(c, s) for c in (1, 2, 10) for s in (1, 2)] + [(3, 3), (4, 4)]
+    df = spark.createDataFrame(edges, "c bigint, s bigint")
+    str_edges = df.selectExpr(
+        "concat('c', c) AS src", "concat('s', s) AS dst"
+    )
+    int_edges = df.selectExpr(
+        "CAST(2 * c + 1 AS BIGINT) AS src", "CAST(2 * s AS BIGINT) AS dst"
+    )
+    decode = (
+        "CASE WHEN node % 2 = 1"
+        " THEN concat('c', CAST((node - 1) DIV 2 AS STRING))"
+        " ELSE concat('s', CAST(node DIV 2 AS STRING)) END"
+    )
+    want = hits_scores(str_edges, iterations=2, k=50).collect()
+    got = hits_scores(
+        int_edges, iterations=2, k=50, node_decode=decode
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
