@@ -438,6 +438,24 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,10)"
     )
+    o_dim = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    if _orders_dim_small(sf_dir):
+        # broadcast form (same deterministic gate as the other TPC-H
+        # shapes): the orders⋈customer⋈nation dim fits the broadcast
+        # budget, so lineitem is never exchanged at all — scan →
+        # broadcast probe → ONE 25-row nation aggregate. Decimal sums
+        # are exact in any grouping order, so the totals are identical
+        # to the pre-aggregate form below.
+        return (
+            li.join(F.broadcast(o_dim), li.l_orderkey == o_dim.o_orderkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
     # aggregate-below-join: lineitem collapses to one partial row per
     # order BEFORE the join shuffle (decimal partials are exact, so the
     # regrouped nation totals are identical); the orders side picks up
@@ -445,9 +463,6 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem row to one row per order — the 100-TB shape.
     li_part = li.groupBy("l_orderkey").agg(
         F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("_cnt")
-    )
-    o_dim = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     return (
         li_part.join(o_dim, li_part.l_orderkey == o_dim.o_orderkey)

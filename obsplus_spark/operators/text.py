@@ -1443,7 +1443,19 @@ def bigram_logprob(
         SELECT {id_col}, bg, CAST(count(1) AS BIGINT) AS tf
         FROM occ GROUP BY {id_col}, bg
         """,
-    ).persist()
+    )
+    # cache the tf frame hash-partitioned on the PROBE key (guide §2.4
+    # share one exchange): the downstream statement consumes {t} twice —
+    # the bigram-vocabulary aggregate (GROUP BY bg) and the probe join's
+    # t side (ON t.bg = b.bg) — and each used to pay its own tf-sized
+    # hash(bg) exchange because the cached layout was the build
+    # aggregate's hash(id, bg). One repartition at persist time makes
+    # both run in-place (the aggregate via the subset rule, the join
+    # because its other side inherits hash(bg) from that aggregate):
+    # net one tf-sized exchange fewer per run, and the map-side partial
+    # aggregation of the BUILD groupBy is preserved (the repartition
+    # moves deduped tf rows, never raw occurrences).
+    tf = tf.repartition(F.col("bg")).persist()
     _register_shingle_cache(tf)
     return sql_over(
         {"t": tf},

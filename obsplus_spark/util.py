@@ -204,6 +204,53 @@ def plan_checkpoint(df: DataFrame) -> DataFrame:
     return DataFrame(new_jdf, df.sparkSession)
 
 
+def cache_scan(df: DataFrame) -> DataFrame:
+    """Rebind a PERSISTED DataFrame onto its own cache scan: the frame's
+    analyzed plan with the CacheManager's substitution applied
+    (``queryExecution().withCachedData()``), which for a fully-persisted
+    frame is a single ``InMemoryRelation`` leaf.
+
+    Why this exists (r12, measured): a statement that references a
+    persisted view MORE THAN ONCE relies on the CacheManager matching
+    each reference's subtree against the cache at planning time — and
+    that lookup silently MISSES when the cached plan contains a
+    ``Generate`` (LATERAL VIEW explode): the analyzer's relation
+    deduplication re-instances the second reference's generator output,
+    its canonical form no longer equals the cached plan's, and every
+    reference re-derives the entire pipeline from the base tables (the
+    persist never even materializes — its fill is driven by cache-scan
+    execution). Observed on ``bigram_logprob``'s tf table (two 3.7 MB
+    duplicate exchanges per run = two full corpus tokenize passes) and
+    latent in every explode-bearing persist consumed through
+    :func:`sql_over`.
+
+    The rebind is driver-only (one CacheManager lookup, no job), lazy,
+    AQE-safe, keeps the cached plan's output partitioning visible to
+    downstream exchange planning, and keeps relation statistics — the
+    two properties a ``plan_checkpoint`` rebind loses. If the plan's
+    root did not substitute (not fully cached, exotic frame), the input
+    is returned unchanged.
+    """
+    try:
+        # ask the CacheManager FRESH (never queryExecution().
+        # withCachedData(): that is a memoized lazy val, so a frame
+        # whose QueryExecution was forced BEFORE persist() — any stats
+        # probe does it — would permanently report its pre-cache plan)
+        jspark = df.sparkSession._jsparkSession
+        analyzed = df._jdf.queryExecution().analyzed()
+        cached = jspark.sharedState().cacheManager().useCachedData(
+            analyzed.clone()
+        )
+        if not cached.getClass().getName().endswith(".InMemoryRelation"):
+            return df
+        new_jdf = df.sparkSession._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            jspark, cached
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:
+        return df  # non-classic impls / connect: keep the original plan
+
+
 def sql_str_lit(s: str) -> str:
     """Escape a caller-supplied string for interpolation into a Spark
     SQL single-quoted literal: backslashes double FIRST (Spark's parser
@@ -230,9 +277,18 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
     CacheManager per call, measured ~75 ms each, ~0.23 s of every
     dedup-pipeline plan build). Persisted inputs bind a stable
     per-frame name (``dropTempView`` on those would evict the cache
-    entry). Persisted inputs referenced more than once in the query
-    still hit the cache: the CacheManager substitutes matching logical
-    subtrees at planning time.
+    entry), and the view is bound to the frame's CACHE SCAN
+    (:func:`cache_scan`): relying on the CacheManager to substitute
+    each reference's subtree at planning time silently fails when the
+    cached plan contains a ``Generate`` and the statement references
+    the view more than once (the analyzer's relation deduplication
+    re-instances the generator output and the canonical-plan lookup
+    misses) — every reference then re-derives the whole pipeline, and
+    the persist never materializes at all. Binding the
+    ``InMemoryRelation`` leaf directly makes every reference a cache
+    read by construction, keeps the cached partitioning visible to
+    downstream exchanges, and keeps relation stats (unlike a
+    ``plan_checkpoint`` rebind).
     """
     import threading
 
@@ -256,6 +312,7 @@ def sql_over(dfs: "dict[str, DataFrame]", query: str) -> DataFrame:
             except Exception:
                 token = id(df)  # non-classic DataFrame impls
             name = f"_obsplus_sql_over_{alias}_p{token & 0xFFFFFFFF}"
+            df = cache_scan(df)
         else:
             # stable per-(alias, thread) name, rebound on the next call
             # with this alias — thread-keyed so concurrent driver

@@ -197,3 +197,58 @@ def test_hits_node_decode_matches_string_pipeline(spark):
         int_edges, iterations=2, k=50, node_decode=decode
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sql_over_multi_reference_persisted_explode_reads_cache(spark):
+    """A persisted frame whose plan contains a Generate (explode),
+    referenced twice in one sql_over statement, must read the CACHE on
+    both references — the raw CacheManager lookup misses this shape (the
+    analyzer's relation dedup re-instances the generator output), which
+    silently re-derived the whole pipeline per reference before r12's
+    cache_scan binding."""
+    from obsplus_spark.util import sql_over
+
+    base = spark.createDataFrame(
+        [(1, [1, 2, 2]), (2, [2, 3])], "id bigint, xs array<bigint>"
+    )
+    tf = sql_over(
+        {"d": base},
+        "SELECT id, x, CAST(count(1) AS BIGINT) AS c"
+        " FROM (SELECT id, explode(xs) AS x FROM {d}) GROUP BY id, x",
+    ).persist()
+    try:
+        out = sql_over(
+            {"t": tf},
+            """
+            WITH tot AS (SELECT x, CAST(sum(c) AS BIGINT) AS n
+                         FROM {t} GROUP BY x)
+            SELECT t.id, CAST(sum(t.c * n.n) AS BIGINT) AS s
+            FROM {t} t JOIN tot n ON t.x = n.x GROUP BY t.id
+            """,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        got = {(r.id, r.s) for r in out.collect()}
+        # by hand: counts per (id,x): (1,1)->1,(1,2)->2,(2,2)->1,(2,3)->1
+        # totals: x=1 ->1, x=2 ->3, x=3 ->1
+        assert got == {(1, 1 * 1 + 2 * 3), (2, 1 * 3 + 1 * 1)}
+    finally:
+        tf.unpersist()
+
+
+def test_cache_scan_passthrough_and_identity(spark):
+    """cache_scan: unpersisted frames pass through unchanged; persisted
+    frames rebind to an InMemoryRelation leaf with identical rows."""
+    from obsplus_spark.util import cache_scan
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    assert cache_scan(df) is df
+    p = df.persist()
+    try:
+        scan = cache_scan(p)
+        assert scan is not p
+        tree = scan._jdf.queryExecution().analyzed().toString()
+        assert "InMemoryRelation" in tree
+        assert sorted(map(tuple, scan.collect())) == [(1, "a"), (2, "b")]
+    finally:
+        p.unpersist()
