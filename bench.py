@@ -114,6 +114,10 @@ def main() -> None:
         # r9 session 5: cluster_quality persists the k-row centroid
         # frame (referenced by cohesion + both separation sides)
         "cluster_quality",
+        # r12: stitch_pairs persists its head/tail window table at
+        # construction (referenced by both hot-key aggregates and both
+        # anti-join consumers)
+        "stitch_pairs",
     }
 
     # best-of-4 per query: the host is shared, single runs show ±5×

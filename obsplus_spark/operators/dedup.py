@@ -3411,6 +3411,13 @@ def containment_pairs(
         df, id_col=id_col, text_col=text_col, k=k, w=w,
         min_shared=1, max_bucket=max_bucket,
     ).select("id1", "id2")
+    # the gram-array table probes both verify joins below, so the
+    # corpus tokenize+hash pass runs once per side. Persisting it was
+    # MEASURED SLOWER (r12: rep 0.90 → 1.08 s — the cache fill of a
+    # corpus-TOKEN-sized array table costs more than the second
+    # derivation), and at 100 TB memory-caching corpus-sized gram
+    # arrays violates the cache-dims-not-facts rule; two map-only
+    # passes are the lesser evil.
     grams = gram_hash_array(df, id_col=id_col, text_col=text_col, n=k)
     # Threshold filter runs on the 6-dp ROUNDED ratios — the same
     # doubles the output (and the DuckDB oracle twin) carries — so the
@@ -3592,6 +3599,14 @@ def stitch_pairs(
         f"xxhash64(concat_ws(' ', slice(_toks, 1, {kk}))) AS _hk",
         f"xxhash64(concat_ws(' ', slice(_toks, -{kk}, {kk}))) AS _tk",
     )
+    # the window table feeds FOUR references below (both hot-key
+    # aggregates and both anti-join consumers); unpersisted, each
+    # reference re-ran the corpus tokenize+slice+hash pass (guide §1.2
+    # step 1 — don't compute things four times). Persist the (id, 2×
+    # int64) table once; the bounded ring releases it, and sql_over's
+    # cache_scan binding guarantees every reference reads the cache.
+    wins = wins.persist()
+    _register_shingle_cache(wins)
     return sql_over(
         {"w": wins},
         f"""
