@@ -235,11 +235,22 @@ def cache_scan(df: DataFrame) -> DataFrame:
         # ask the CacheManager FRESH (never queryExecution().
         # withCachedData(): that is a memoized lazy val, so a frame
         # whose QueryExecution was forced BEFORE persist() — any stats
-        # probe does it — would permanently report its pre-cache plan)
+        # probe does it — would permanently report its pre-cache plan).
+        # Look up the NORMALIZED plan, not the raw analyzed one: the
+        # CacheManager stores normalized plans, and a temp-view rebind
+        # between constructions shifts the analyzed tree enough that
+        # its canonical form stops matching after the first execution
+        # (observed: construct→run→construct lost the substitution on
+        # every later build in the session — reps 2+ of a rebuild-set
+        # query silently re-derived the whole pipeline)
         jspark = df.sparkSession._jsparkSession
-        analyzed = df._jdf.queryExecution().analyzed()
+        qe = df._jdf.queryExecution()
+        try:
+            plan = qe.normalized()
+        except Exception:
+            plan = qe.analyzed()  # pre-normalization Spark builds
         cached = jspark.sharedState().cacheManager().useCachedData(
-            analyzed.clone()
+            plan.clone()
         )
         if not cached.getClass().getName().endswith(".InMemoryRelation"):
             return df

@@ -236,6 +236,43 @@ def test_sql_over_multi_reference_persisted_explode_reads_cache(spark):
         tf.unpersist()
 
 
+def test_cache_scan_survives_rebuild_after_execution(spark):
+    """cache_scan must keep substituting on RE-constructions after the
+    first execution: the CacheManager stores NORMALIZED plans, and the
+    temp-view rebind between constructions shifts the raw analyzed
+    tree's canonical form — an analyzed-plan lookup matched only the
+    very first build, so every later rep of a rebuild-set query
+    silently re-derived its persisted pipeline (observed on
+    bigram_lp: 4 corpus passes per rep at 10×)."""
+    from obsplus_spark.util import sql_over
+
+    from obsplus_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} beta gamma") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+
+    def tf_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the tf table feeds 4 references (vocab agg, probe side,
+        # left-context, V) — all must be cache reads
+        return plan.count("InMemoryTableScan")
+
+    first = bigram_logprob(docs)
+    want = sorted(map(tuple, first.collect()))  # materializes the cache
+    assert tf_scans(first) >= 2
+    # rebuild exactly as a per-rep query construction does: fresh
+    # Python frames, plan-equivalent persist (adopted by the
+    # CacheManager), new statements over them
+    again = bigram_logprob(docs)
+    assert tf_scans(again) >= 2, (
+        "re-construction lost the cache binding:\n"
+        + again._jdf.queryExecution().executedPlan().toString()[:4000]
+    )
+    assert sorted(map(tuple, again.collect())) == want
+
+
 def test_cache_scan_passthrough_and_identity(spark):
     """cache_scan: unpersisted frames pass through unchanged; persisted
     frames rebind to an InMemoryRelation leaf with identical rows."""
