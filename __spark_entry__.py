@@ -10258,11 +10258,32 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py standardize_embeddings: one map-combined
     dim-keyed aggregate folded to a one-row broadcast stats frame,
     then a pure in-row transform; 6-dp house rounding on the
-    cross-row means AND the output elements."""
+    cross-row means AND the output elements.
+
+    Verification surface (r13): the standardized vector is serialized to
+    a comma-joined DECIMAL(28,6) string. The driver's canonicalizer
+    sorts result columns with pandas and cannot factorize a list-typed
+    cell (CORRECTNESS_r12 recorded exactly that TypeError), so the
+    declared query and its oracle twin emit the deterministic string
+    form; the operator itself keeps returning the array. DECIMAL
+    rendering is verified identical between Spark and DuckDB (incl.
+    -0.0 -> "0.000000"); elements are already 6-dp rounded, so the
+    cast is exact."""
     from obsplus_spark.operators.similarity import standardize_embeddings
+    from obsplus_spark.util import sql_over
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return standardize_embeddings(emb)
+    z = standardize_embeddings(emb)
+    return sql_over(
+        {"z": z},
+        """
+        SELECT vec_id,
+               concat_ws(',', transform(embedding,
+                 x -> CAST(CAST(x AS DECIMAL(28,6)) AS STRING)))
+                 AS embedding
+        FROM {z}
+        """,
+    )
 
 
 _SQL_STANDARDIZE = """
@@ -10283,7 +10304,9 @@ _SQL_STANDARDIZE = """
                AS z
       FROM ex JOIN st USING (pos)
     )
-    SELECT vec_id, list(z ORDER BY pos) AS embedding
+    SELECT vec_id,
+           string_agg(z::DECIMAL(28,6)::VARCHAR, ',' ORDER BY pos)
+             AS embedding
     FROM z GROUP BY vec_id
 """
 
