@@ -11884,35 +11884,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS snapshot records rows for
     # only the FIRST 50 entries. Rotation policy (NOTES.md): changed
     # code first, then the entries with the OLDEST most-recent driver
-    # row. Round 12 executes VERDICT r11 "Next round #1": the 9
-    # never-driver-tested r11 operators take positions 1-9 (rebalance,
-    # apply_mixture, dedup_eval and script_mix also carry this round's
-    # ADVICE fixes: coalesce() NULL-kept_tokens guard, reserved
-    # epoch/_n column guard, integer DIV pair halving, explicit
-    # whitespace character class — each mirrored in its oracle twin),
-    # then the 4 rows whose latest driver row is r5, the 13 at r7, and
-    # 24 from the oldest r8 band. Freshness floor after this window:
-    # r8. All 217 pre-existing queries pass the full local oracle run
-    # (tools/check.py); new r12 registrations sit behind the cap in
-    # section (g) and lead the r13 window.
+    # row. Round 13 executes VERDICT r12 "Next round #1": the 11
+    # r12-plan-changed paths that have no fresh driver row lead, then
+    # standardize (its array output is serialized for the driver canon
+    # this round), the 7 never-driver-tested r12 registrations, the
+    # r13 candidate-touch set, and the oldest r8 band as fill. All 224
+    # queries pass the full local oracle run (tools/check.py) at HEAD.
     return {
-        # --- r12 rotation, first 50 = the driver correctness window ---
-        # (a) the 9 new-in-r11 operators (never driver-tested)
+        # --- r13 rotation, first 50 = the driver correctness window ---
+        # (a) the 11 r12-plan-changed query paths with no fresh driver row
+        #     (VERDICT r12 "Next round #1")
+        "hits_auth": q_hits_auth,
+        "bfs_hops": q_bfs_hops,
+        "k_core": q_k_core,
+        "dedup_clusters": q_dedup_clusters,
+        "bigram_lp": q_bigram_lp,
+        "stitch_pairs": q_stitch_pairs,
+        "cascade_delete": q_cascade_delete,
+        "revenue_by_nation": q_revenue_by_nation,
+        "spatial_knn": q_spatial_knn,
+        "canonical_docs": q_canonical_docs,
+        "leak_safe_split": q_leak_safe_split,
+        # (b) standardize — array output serialized for the driver canon
+        #     this round; needs its first green row
+        "standardize": q_standardize,
+        # (c) the 7 r12-build registrations never driver-tested
+        "span_keep_one": q_span_keep_one,
+        "span_store_join": q_span_store_join,
+        "bcubed": q_bcubed_eval,
+        "shared_regions": q_shared_regions,
+        "mix_audit": q_mix_audit,
+        "span_keep_cut": q_span_keep_cut,
+        "top_regions": q_top_regions,
+        # (d) r13 candidate-touch set (graph shared-edge item, PPJoin/LSH
+        #     skew item)
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "jaccard_join": q_jaccard_join,
+        "lsh_recall": q_lsh_recall,
+        # (e) fill: oldest most-recent driver row (r8 band, in rotation
+        #     order)
+        "bloom_semi": q_bloom_semi,
+        "sds_chunks": q_sds_chunks,
+        "wav_roundtrip": q_wav_roundtrip,
+        "mseed_roundtrip": q_mseed_roundtrip,
+        "csv_round_trip": q_csv_round_trip,
+        "stationxml_rt": q_stationxml_rt,
+        "normalize_seed": q_normalize_seed,
+        "stream_proc": q_stream_proc,
+        "event_window_join": q_event_window_join,
+        "fetcher_windows": q_fetcher_windows,
+        "ppm_roundtrip": q_ppm_roundtrip,
+        "fdsn_event_query": q_fdsn_event_query,
+        "glob_filter": q_glob_filter,
+        "json_props": q_json_props,
+        "availability": q_availability,
+        "origin_quality": q_origin_quality,
+        "pricing_summary": q_pricing_summary,
+        "asof_join": q_asof_join,
+        "first_event_per_user": q_first_event_per_user,
+        "topk_by_value": q_topk_by_value,
+        "radius_search": q_radius_search,
+        "dateline_box": q_dateline_box,
+        "containment": q_containment,
+        "chunk_dedup": q_chunk_dedup,
+        "within_doc_dedup": q_within_doc_dedup,
+        "score_auc": q_score_auc,
+        "ks_drift": q_ks_drift,
+        # --- driver cap (50) ---
+        # r14 rotation head: the remaining r8 band below, then the r10/r11
+        # windows; the r12 window (exact_spans .. approx_quantiles) is the
+        # freshest band and rotates last.
         "exact_spans": q_exact_spans,
         "rebalance": q_rebalance,
         "cut_spans": q_cut_spans,
         "apply_mixture": q_apply_mixture,
         "script_mix": q_script_mix,
-        "standardize": q_standardize,
         "dedup_eval": q_dedup_eval,
         "gram_freq_hist": q_gram_freq_hist,
         "gram_novelty": q_gram_novelty,
-        # (b) latest driver row r5
         "nearest_association": q_nearest_association,
         "simhash": q_simhash,
         "pivot_by_type": q_pivot_by_type,
         "salted_agg": q_salted_agg,
-        # (c) latest driver row r7
         "image_phash": q_image_phash,
         "audio_segments": q_audio_segments,
         "winsorize": q_winsorize,
@@ -11926,7 +11980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share": q_promo_share,
         "market_share": q_market_share,
         "idle_customers": q_idle_customers,
-        # (d) oldest 24 of the r8 band
         "seed_ids": q_seed_ids,
         "trim_traces": q_trim_traces,
         "s_before_p": q_s_before_p,
@@ -11951,40 +12004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_arrivals": q_orphan_arrivals,
         "hll_users": q_hll_users,
         "approx_quantiles": q_approx_quantiles,
-        # --- driver cap (50) ---
-        # r13 rotation head: any section (g) NEW r12 operators, then
-        # the remaining r8 band below (bloom_semi onward), then the
-        # r10/r11 windows in section (f).
-        # (e) latest driver row r8+ (rotate normally)
-        "bloom_semi": q_bloom_semi,
-        "sds_chunks": q_sds_chunks,
-        "wav_roundtrip": q_wav_roundtrip,
-        "mseed_roundtrip": q_mseed_roundtrip,
-        "csv_round_trip": q_csv_round_trip,
-        "stationxml_rt": q_stationxml_rt,
-        "normalize_seed": q_normalize_seed,
-        "stream_proc": q_stream_proc,
-        "event_window_join": q_event_window_join,
-        "fetcher_windows": q_fetcher_windows,
-        "ppm_roundtrip": q_ppm_roundtrip,
-        "fdsn_event_query": q_fdsn_event_query,
-        "glob_filter": q_glob_filter,
-        "json_props": q_json_props,
-        "availability": q_availability,
-        "origin_quality": q_origin_quality,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "asof_join": q_asof_join,
-        "first_event_per_user": q_first_event_per_user,
-        "topk_by_value": q_topk_by_value,
-        "radius_search": q_radius_search,
-        "spatial_knn": q_spatial_knn,
-        "dateline_box": q_dateline_box,
-        "containment": q_containment,
-        "chunk_dedup": q_chunk_dedup,
-        "within_doc_dedup": q_within_doc_dedup,
-        "score_auc": q_score_auc,
-        "ks_drift": q_ks_drift,
         "centroid_drift": q_centroid_drift,
         "rrf_fusion": q_rrf_fusion,
         "embed_cov": q_embed_cov,
@@ -12007,7 +12026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_outliers": q_embed_outliers,
         "curation_funnel": q_curation_funnel,
         "dup_rate_by_source": q_dup_rate_by_source,
-        "lsh_recall": q_lsh_recall,
         "compaction_plan": q_compaction_plan,
         "key_skew": q_key_skew,
         "resample": q_resample,
@@ -12016,15 +12034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontam": q_fuzzy_decontam,
         "token_budget": q_token_budget,
         "source_overlap": q_source_overlap,
-        "leak_safe_split": q_leak_safe_split,
         "token_entropy": q_token_entropy,
         "readability": q_readability,
         "dup_leakage": q_dup_leakage,
         "stratified_split": q_stratified_split,
-        "pagerank": q_pagerank,
-        "hits_auth": q_hits_auth,
-        "bfs_hops": q_bfs_hops,
-        "k_core": q_k_core,
         "json_round_trip": q_json_round_trip,
         "attach_origin": q_attach_origin,
         "prune_orphans": q_prune_orphans,
@@ -12039,7 +12052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "contamination_frac": q_contamination_frac,
         "action_transitions": q_action_transitions,
-        "bigram_lp": q_bigram_lp,
         "mad_outliers": q_mad_outliers,
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
@@ -12051,12 +12063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_supplier_returns": q_sole_supplier_returns,
         "linear_quality": q_linear_quality,
         "dsir_weights": q_dsir_weights,
-        "triangle_count": q_triangle_count,
         "heavy_hitters": q_heavy_hitters,
         "span_dedup": q_span_dedup,
-        "jaccard_join": q_jaccard_join,
         "pq_codes": q_pq_codes,
-        "cascade_delete": q_cascade_delete,
         "local_supplier_volume": q_local_supplier_volume,
         "rolling_metrics": q_rolling_metrics,
         "skew_join": q_skew_join,
@@ -12072,10 +12081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "station_mags_flat": q_station_mags_flat,
         "focal_preferred": q_focal_preferred,
         "stations_from_stream": q_stations_from_stream,
-        "canonical_docs": q_canonical_docs,
-        # (f) the r11 driver window (freshest rows; rotate last)
         "phash_wide": q_phash_wide,
-        "stitch_pairs": q_stitch_pairs,
         "curriculum": q_curriculum,
         "dim_trunc": q_dim_trunc,
         "group_sample": q_group_sample,
@@ -12104,7 +12110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_flags": q_quality_flags,
         "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
         "ann_recall": q_ann_recall,
         "ivf_flat": q_ivf_flat,
         "lsh_ann": q_lsh_ann,
@@ -12124,14 +12129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_last_event": q_nested_last_event,
         "bulk_request": q_bulk_request,
         "event_payload": q_event_payload,
-        # (g) NEW r12 (behind cap; leads the r13 window)
-        "span_keep_one": q_span_keep_one,
-        "span_store_join": q_span_store_join,
-        "bcubed": q_bcubed_eval,
-        "shared_regions": q_shared_regions,
-        "mix_audit": q_mix_audit,
-        "span_keep_cut": q_span_keep_cut,
-        "top_regions": q_top_regions,
     }
 
 
