@@ -787,14 +787,18 @@ def dedup_clusters(
         )
         """,
     )
-    # rebind before persisting (plan_checkpoint: lazy LogicalRDD scan,
-    # RDD lineage kept): the rounds statement references {e} once per
-    # round plus the guard, and each reference used to carry the whole
-    # upstream pair pipeline through Catalyst analysis again — the
-    # rebind makes every copy a one-node scan. Join strategy in the
-    # rounds is unchanged (edge side was never auto-broadcast; its
-    # exchange is shared across rounds via ReusedExchange either way).
-    edges = plan_checkpoint(edges).persist()
+    # r13: persist WITHOUT the plan_checkpoint rebind. sql_over binds
+    # persisted inputs to the cache-substituted InMemoryRelation leaf
+    # (cache_scan, r12 batch 9/12), so every rounds-statement reference
+    # is already a one-node scan — the rebind's O(1)-re-analysis benefit
+    # is subsumed, and dropping it removes the eager physical planning
+    # of the whole pair pipeline from construction (measured 50-70% of
+    # this operator's build; the rebuild-set bench reps pay it 4×). It
+    # also unifies the AQE-on and AQE-off construction paths (the
+    # rebind was a deliberate AQE passthrough, so AQE sessions never
+    # saw its benefit) and restores relation stats/partitioning on the
+    # edge frame.
+    edges = edges.persist()
     _register_shingle_cache(edges)  # bounded per-session ring releases it
 
     def rounds_sql(n: int, seeded: bool) -> str:

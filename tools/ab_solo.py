@@ -48,7 +48,8 @@ for t in ("region", "nation", "customer", "supplier", "part", "orders",
     entrymod._t(spark, sf_dir, t)
 
 plans_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "..", "plans", "r12")
+                         "..", "plans",
+                         os.environ.get("SPARK_GRAFT_PLANS", "r13"))
 os.makedirs(plans_dir, exist_ok=True)
 
 for nm in names:
