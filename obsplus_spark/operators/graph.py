@@ -107,6 +107,7 @@ def pagerank(
     k: int = 20,
     src_col: str = "src",
     dst_col: str = "dst",
+    edges_prepared: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame, returning the
     top-``k`` nodes — the influence/centrality pass a curation pipeline
@@ -160,12 +161,23 @@ def pagerank(
     except ValueError:  # e.g. "auto" under some AQE deployments
         _shuf = 0
     npart = max(spark.sparkContext.defaultParallelism, _shuf)
+    base_e = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
+    if not edges_prepared:
+        base_e = (
+            base_e
+            .where("src IS NOT NULL AND dst IS NOT NULL")
+            .repartition(npart, "src")
+            .distinct()
+        )
+    # else: ``edges_prepared=True`` declares the frame already deduped,
+    # NULL-free, and hash-distributed on src (the contract a src-bucketed
+    # table written by plans/layout.write_bucketed provides — same hook
+    # as bfs_distances'): the out-degree window and every downstream
+    # consumer then read the incoming distribution directly, zero
+    # exchanges for the edge frame in the whole query. The caller owns
+    # the contract — duplicate edges would silently skew the weights.
     ew = (
-        edges
-        .selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
-        .where("src IS NOT NULL AND dst IS NOT NULL")
-        .repartition(npart, "src")
-        .distinct()
+        base_e
         .selectExpr(
             "src", "dst", "1.0D / count(1) OVER (PARTITION BY src) AS w"
         )
@@ -219,6 +231,7 @@ def hits_scores(
     dst_col: str = "dst",
     broadcast_auth: bool = False,
     node_decode: str | None = None,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Fixed-iteration HITS (hubs & authorities) over a directed edge
     frame, returning the top-``k`` authorities — the complementary
@@ -321,9 +334,17 @@ def hits_scores(
         .selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
         .where("src IS NOT NULL AND dst IS NOT NULL")
         .repartition(npart, "src")
-        .distinct()
-        .persist()
     )
+    if not edges_deduped:
+        dedup = dedup.distinct()
+    # else: caller declares the edges already distinct (e.g. an
+    # injective in-row map of the deduped pair table written by
+    # plans/layout.write_bucketed) — the repartition is still applied
+    # because the rounds' in-place joins require the src hash
+    # distribution, but the DISTINCT aggregate is skipped. Duplicate
+    # edges under this flag would silently double hub/auth sums; the
+    # caller owns the contract.
+    dedup = dedup.persist()
     _register_shingle_cache(dedup)
     bhint = "/*+ BROADCAST(a) */ " if broadcast_auth else ""
     parts = [
@@ -605,6 +626,7 @@ def bfs_distances(
     src_col: str = "src",
     dst_col: str = "dst",
     edges_prepared: bool = False,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distances — frontier expansion unrolled to a
     fixed ``max_hops`` bound, the k-hop-neighborhood primitive (blast
@@ -689,9 +711,18 @@ def bfs_distances(
             .selectExpr(f"{src_col} AS {src_col}", f"{dst_col} AS {dst_col}")
             .where(f"{src_col} IS NOT NULL AND {dst_col} IS NOT NULL")
             .repartition(npart, src_col)
-            .distinct()
-            .persist()
         )
+        if not edges_deduped:
+            # ``edges_deduped=True``: the caller's frame is already
+            # distinct (e.g. an injective direction-doubling of the
+            # deduped pair table from plans/layout.write_bucketed) but
+            # NOT distributed on this operator's src key — keep the
+            # repartition (the frontier joins require it), skip the
+            # DISTINCT aggregate. Duplicate edges only multiply
+            # always-losing min-offers, but the caller owns the
+            # contract all the same.
+            edges = edges.distinct()
+        edges = edges.persist()
     chain = [edges]
 
     def _lit(v) -> str:
